@@ -1,0 +1,105 @@
+"""String/whitespace utilities.
+
+Parity targets: /root/reference/Sources/StringUtil.swift:301-448
+(whitespace predicates, appendNormalisedWhitespace incl. NBSP handling).
+"""
+
+from __future__ import annotations
+
+import re
+
+# HTML whitespace per the reference: space, \t, \n, \f, \r ... plus NBSP
+# treated as collapsible whitespace in normalisation (StringUtil.swift:418+).
+_WS = " \t\n\f\r"
+_WS_SET = frozenset(_WS)
+_WS_NBSP_SET = frozenset(_WS + " ")
+_WS_RUN = re.compile(r"[ \t\n\f\r ]+")
+
+
+def is_whitespace(ch: str) -> bool:
+    return ch in _WS_SET
+
+
+def is_actually_whitespace(ch: str) -> bool:
+    return ch in _WS_NBSP_SET
+
+
+def is_blank(s: str) -> bool:
+    """True if empty or all HTML whitespace (NBSP is NOT blank here,
+    matching reference StringUtil.isBlank over isWhitespace)."""
+    if not s:
+        return True
+    for ch in s:
+        if ch not in _WS_SET:
+            return False
+    return True
+
+
+def normalise_whitespace(s: str) -> str:
+    """Collapse whitespace runs (incl. NBSP) to single spaces; no trim."""
+    return _WS_RUN.sub(" ", s)
+
+
+def append_normalised_whitespace(accum: list[str], s: str,
+                                 strip_leading: bool) -> None:
+    """Append s to accum with whitespace runs collapsed to ' '.
+
+    strip_leading drops leading whitespace entirely (used when the
+    accumulator is empty or already ends in a space).
+    Reference: StringUtil.swift appendNormalisedWhitespace.
+    """
+    last_was_white = False
+    reached_non_white = False
+    out = []
+    for ch in s:
+        if ch in _WS_NBSP_SET:
+            if (strip_leading and not reached_non_white) or last_was_white:
+                continue
+            out.append(" ")
+            last_was_white = True
+        else:
+            out.append(ch)
+            last_was_white = False
+            reached_non_white = True
+    accum.append("".join(out))
+
+
+def normalise_whitespace_fast(s: str, strip_leading: bool) -> str:
+    """Single-string variant of append_normalised_whitespace."""
+    out = _WS_RUN.sub(" ", s)
+    if strip_leading:
+        out = out.lstrip(" ")
+    return out
+
+
+def is_numeric(s: str) -> bool:
+    return bool(s) and s.isdigit()
+
+
+def is_ascii(s: str) -> bool:
+    return s.isascii()
+
+
+def pad_string(width: int) -> str:
+    return " " * width
+
+
+_URL_LIKE = re.compile(r"^\w+:")
+
+
+def resolve_url(base: str, rel: str) -> str:
+    """Resolve rel against base like the reference's StringUtil.resolve
+    (Sources/StringUtil.swift:1197-1230): returns "" on failure."""
+    from urllib.parse import urljoin, urlparse
+    rel = rel.strip()
+    if not base:
+        if _URL_LIKE.match(rel):
+            return rel
+        return ""
+    try:
+        out = urljoin(base, rel)
+    except ValueError:
+        return ""
+    if not urlparse(out).scheme:
+        return ""
+    return out
