@@ -95,6 +95,16 @@ class TagTok(Token):
     def normal_name(self) -> str:
         return (self.name or "").lower()
 
+    def to_source_string(self) -> str:
+        """Round-trip-ish source form, used when a tag token must be
+        re-emitted as text (e.g. inside head>noscript)."""
+        attrs = "".join(
+            f" {k}" if v is None else f' {k}="{v}"'
+            for k, v in self.attrs.items())
+        if self.start:
+            return f"<{self.name}{attrs}>"
+        return f"</{self.name}>"
+
 
 class CommentTok(Token):
     __slots__ = ("data", "bogus")
@@ -1155,12 +1165,13 @@ def comment_start(t: Tokeniser, r: CharacterReader) -> None:
 
 
 def comment_start_dash(t: Tokeniser, r: CharacterReader) -> None:
+    # diverges from spec like the reference: leading dashes are absorbed
     c = r.consume()
     if c == "-":
-        t.transition(comment_end)
+        t.transition(comment_start_dash)
     elif c == NULL:
         t.error("null")
-        t.comment_pending.data.append("-" + REPLACEMENT)
+        t.comment_pending.data.append(REPLACEMENT)
         t.transition(comment_state)
     elif c == ">":
         t.error("abrupt comment close")
@@ -1171,7 +1182,7 @@ def comment_start_dash(t: Tokeniser, r: CharacterReader) -> None:
         t.emit_comment_pending()
         t.transition(data_state)
     else:
-        t.comment_pending.data.append("-" + c)
+        t.comment_pending.data.append(c)
         t.transition(comment_state)
 
 

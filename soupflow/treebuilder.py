@@ -224,9 +224,11 @@ class HtmlTreeBuilder:
             self.stack.append(el)
             from . import tokenizer as tz
             self.tokeniser.state = tz.data_state
+            # enqueue a synthetic end tag; processed on the next token
+            # read, AFTER the caller finishes (e.g. formatting push)
             self.empty_end = TagTok(False)
             self.empty_end.name = el.tag.name
-            self.process(self.empty_end)
+            self.tokeniser.emit(self.empty_end)
             return el
         el = Element(self._tag_for_token(start_tag), self.base_uri,
                      self._attrs_for_token(start_tag))

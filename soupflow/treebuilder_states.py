@@ -209,13 +209,21 @@ def in_head_noscript(t, tb) -> bool:
 
 
 def _anything_else_in_head_noscript(t, tb) -> bool:
-    # as-text fallback (matches the reference's recovery: emit as character)
+    # recovery: re-emit the token as literal text inside noscript
     tb.error("unexpected token in head noscript")
     if isinstance(t, CharacterTok):
         tb.insert_character(t)
         return True
-    tb.process_end("noscript")
-    return tb.process(t)
+    if isinstance(t, EOFTok):
+        return True
+    if isinstance(t, TagTok):
+        tb.insert_character(CharacterTok(t.to_source_string()))
+        return True
+    if isinstance(t, CommentTok):
+        tb.insert_character(
+            CharacterTok(f"<!--{t.get_data()}-->"))
+        return True
+    return True
 
 
 def after_head(t, tb) -> bool:
@@ -533,7 +541,6 @@ def _in_body_start(t, tb) -> bool:
         return True
     if name == "textarea":
         tb.insert(t)
-        tb.reader.match_consume("\n")
         tb.tokeniser.state = tz.rcdata_state
         tb.mark_insertion_mode()
         tb.frameset_ok = False
@@ -716,73 +723,76 @@ def _any_other_end_tag(t, tb, name) -> bool:
 
 
 def _adoption_agency(t, tb, name) -> bool:
-    """The adoption agency algorithm (public WHATWG, same simplifications
-    as the reference: single pass, 64-deep stack scan cap)."""
-    format_el = tb.get_active_formatting_element(name)
-    if format_el is None:
-        return _any_other_end_tag(t, tb, name)
-    if not tb.on_stack(format_el):
-        tb.error("formatting element not on stack")
+    """The adoption agency algorithm (public WHATWG, same shape as the
+    reference: 8-iteration outer loop, 64-deep stack scan cap; a
+    follow-up iteration falls through to any-other-end-tag which pops
+    the freshly inserted adopter)."""
+    for _outer in range(8):
+        format_el = tb.get_active_formatting_element(name)
+        if format_el is None:
+            return _any_other_end_tag(t, tb, name)
+        if not tb.on_stack(format_el):
+            tb.error("formatting element not on stack")
+            tb.remove_from_active_formatting_elements(format_el)
+            return _any_other_end_tag(t, tb, name)
+        if not tb.in_scope(format_el.tag.normal_name):
+            tb.error("formatting element not in scope")
+            return False
+        if tb.current_element() is not format_el:
+            tb.error("unexpected end tag")
+        # find furthest block (special element below formatEl on the stack)
+        furthest_block = None
+        common_ancestor = None
+        seen_formatting_element = False
+        stack_size = min(len(tb.stack), 64)
+        for si in range(stack_size):
+            el = tb.stack[si]
+            if el is format_el:
+                common_ancestor = tb.stack[si - 1] if si > 0 else None
+                seen_formatting_element = True
+            elif seen_formatting_element and tb.is_special(el):
+                furthest_block = el
+                break
+        if furthest_block is None:
+            tb.pop_stack_to_close(format_el.tag.normal_name)
+            tb.remove_from_active_formatting_elements(format_el)
+            return True
+        node = furthest_block
+        last_node = furthest_block
+        for _inner in range(3):
+            if node is not None and tb.on_stack(node):
+                node = tb.above_on_stack(node)
+            if node is not None and \
+                    not tb.is_in_active_formatting_elements(node):
+                tb.remove_from_stack(node)
+                continue
+            if node is format_el or node is None:
+                break
+            replacement = Element(
+                tag_for(node.node_name(), preserve_case=True), tb.base_uri)
+            tb.replace_active_formatting_element(node, replacement)
+            tb.replace_on_stack(node, replacement)
+            node = replacement
+            if last_node.parent_node is not None:
+                last_node.remove()
+            node.append_child_node(last_node)
+            last_node = node
+        if common_ancestor is not None:
+            if last_node.parent_node is not None:
+                last_node.remove()
+            if common_ancestor.tag.normal_name in _END_TABLE_FOSTERS:
+                tb.insert_in_foster_parent(last_node)
+            else:
+                common_ancestor.append_child_node(last_node)
+        adopter = Element(format_el.tag, tb.base_uri)
+        if format_el.attributes is not None:
+            adopter.attributes = format_el.attributes.clone()
+        for child in list(furthest_block.child_nodes):
+            adopter.append_child_node(child)
+        furthest_block.append_child_node(adopter)
         tb.remove_from_active_formatting_elements(format_el)
-        return _any_other_end_tag(t, tb, name)
-    if not tb.in_scope(format_el.tag.normal_name):
-        tb.error("formatting element not in scope")
-        return False
-    if tb.current_element() is not format_el:
-        tb.error("unexpected end tag")
-    # find furthest block (special element below formatEl on the stack)
-    furthest_block = None
-    common_ancestor = None
-    seen_formatting_element = False
-    stack_size = min(len(tb.stack), 64)
-    for si in range(stack_size):
-        el = tb.stack[si]
-        if el is format_el:
-            common_ancestor = tb.stack[si - 1] if si > 0 else None
-            seen_formatting_element = True
-        elif seen_formatting_element and tb.is_special(el):
-            furthest_block = el
-            break
-    if furthest_block is None:
-        tb.pop_stack_to_close(format_el.tag.normal_name)
-        tb.remove_from_active_formatting_elements(format_el)
-        return True
-    node = furthest_block
-    last_node = furthest_block
-    for _inner in range(3):
-        if node is not None and tb.on_stack(node):
-            node = tb.above_on_stack(node)
-        if node is not None and \
-                not tb.is_in_active_formatting_elements(node):
-            tb.remove_from_stack(node)
-            continue
-        if node is format_el or node is None:
-            break
-        replacement = Element(
-            tag_for(node.node_name(), preserve_case=True), tb.base_uri)
-        tb.replace_active_formatting_element(node, replacement)
-        tb.replace_on_stack(node, replacement)
-        node = replacement
-        if last_node.parent_node is not None:
-            last_node.remove()
-        node.append_child_node(last_node)
-        last_node = node
-    if common_ancestor is not None:
-        if last_node.parent_node is not None:
-            last_node.remove()
-        if common_ancestor.tag.normal_name in _END_TABLE_FOSTERS:
-            tb.insert_in_foster_parent(last_node)
-        else:
-            common_ancestor.append_child_node(last_node)
-    adopter = Element(format_el.tag, tb.base_uri)
-    if format_el.attributes is not None:
-        adopter.attributes = format_el.attributes.clone()
-    for child in list(furthest_block.child_nodes):
-        adopter.append_child_node(child)
-    furthest_block.append_child_node(adopter)
-    tb.remove_from_active_formatting_elements(format_el)
-    tb.remove_from_stack(format_el)
-    tb.insert_on_stack_after(furthest_block, adopter)
+        tb.remove_from_stack(format_el)
+        tb.insert_on_stack_after(furthest_block, adopter)
     return True
 
 
