@@ -82,22 +82,22 @@ class TokenQueue:
         return self.queue[start:self.pos]
 
     def chomp_balanced(self, open_ch: str, close_ch: str) -> str:
-        """Consume a balanced (...) / [...] run; returns contents
-        (reference TokenQueue.chompBalanced, incl. quote/escape rules)."""
+        """Consume a balanced (...) / [...] run; returns contents.
+        Tolerates unbalanced input at EOF and skips quoted sections
+        (reference TokenQueue.chompBalanced)."""
         start = -1
         end = -1
         depth = 0
-        last = "\x00"
-        in_single = in_double = False
-        while not self.is_empty():
+        last = ""
+        in_quote = False
+        while True:
+            if self.is_empty():
+                break
             c = self.consume()
-            if last != "\\":
-                if c == "'" and c != open_ch and not in_double:
-                    in_single = not in_single
-                elif c == '"' and c != open_ch and not in_single:
-                    in_double = not in_double
-                if in_single or in_double:
-                    last = c
+            if last == "" or last != "\\":
+                if c in "'\"" and c != open_ch:
+                    in_quote = not in_quote
+                if in_quote:
                     continue
                 if c == open_ch:
                     depth += 1
@@ -105,16 +105,12 @@ class TokenQueue:
                         start = self.pos
                 elif c == close_ch:
                     depth -= 1
-            if depth > 0 and last != "\x00":
+            if depth > 0 and last != "":
                 end = self.pos
             last = c
-            if depth <= 0 and start != -1:
+            if depth <= 0:
                 break
-        out = self.queue[start:end] if end >= 0 else ""
-        if depth > 0:
-            raise SelectorParseError(
-                f"Did not find balanced marker in {out!r}")
-        return out
+        return self.queue[start:end] if end >= 0 else ""
 
     @staticmethod
     def unescape(s: str) -> str:
@@ -248,10 +244,10 @@ class AttributeWithValue(Evaluator):
 
     def __init__(self, key: str, value: str) -> None:
         self.key = key.lower()
+        # strip string-literal quotes first, then trim + lowercase
+        if len(value) > 2 and value[0] in "'\"" and value[-1] == value[0]:
+            value = value[1:-1]
         self.value = value.strip().lower()
-        if len(self.value) > 2 and self.value[0] in "'\"" and \
-                self.value[-1] == self.value[0]:
-            self.value = self.value[1:-1]
 
     def matches(self, root, element):
         return element.has_attr(self.key) and \
@@ -858,7 +854,9 @@ class QueryParser:
                     f"Could not parse attribute query: {cq.remainder()!r}")
 
     def _consume_index(self) -> int:
-        index = self.tq.chomp_balanced("(", ")").strip()
+        # the "(" was already chomped by the caller; read up to ")"
+        index = self.tq.consume_to_any(")").strip()
+        self.tq.match_chomp(")")
         if not index.lstrip("+-").isdigit():
             raise SelectorParseError("index must be numeric")
         return int(index)
@@ -901,7 +899,9 @@ class QueryParser:
         self.evals.append(Not(parse_query(sub)))
 
     def _css_nth_child(self, cls) -> None:
-        arg = self.tq.chomp_balanced("(", ")").strip().lower()
+        # the "(" was already chomped by the caller; read up to ")"
+        arg = self.tq.consume_to_any(")").strip().lower()
+        self.tq.match_chomp(")")
         if arg == "odd":
             a, b = 2, 1
         elif arg == "even":
