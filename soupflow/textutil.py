@@ -84,17 +84,31 @@ def pad_string(width: int) -> str:
     return " " * width
 
 
-_URL_LIKE = re.compile(r"^\w+:")
+_URL_LIKE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+
+# RFC3986 unreserved + reserved minus '[' / ']' (which get %-encoded, like
+# the reference's Foundation URL normalization), plus '%' to avoid
+# double-encoding existing escapes.
+_URL_SAFE = "%/:?#@!$&'()*+,;=~-._"
+
+
+def _normalize_url(url: str) -> str:
+    from urllib.parse import quote
+    return quote(url, safe=_URL_SAFE)
 
 
 def resolve_url(base: str, rel: str) -> str:
     """Resolve rel against base like the reference's StringUtil.resolve
-    (Sources/StringUtil.swift:1197-1230): returns "" on failure."""
+    (Sources/StringUtil.swift:1197-1230): returns "" on failure; output
+    is normalized (invalid URL chars percent-encoded)."""
     from urllib.parse import urljoin, urlparse
-    rel = rel.strip()
+    if re.search(r"\s", rel):
+        # any whitespace (incl. leading/trailing) fails resolution, like
+        # the reference's Foundation URL(string:) returning nil
+        return ""
     if not base:
         if _URL_LIKE.match(rel):
-            return rel
+            return _normalize_url(rel)
         return ""
     try:
         out = urljoin(base, rel)
@@ -102,4 +116,4 @@ def resolve_url(base: str, rel: str) -> str:
         return ""
     if not urlparse(out).scheme:
         return ""
-    return out
+    return _normalize_url(out)
