@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline interleaved-extraction pipeline + query
+catalog over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline wall sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs": N, "docs_per_s": N}
+
+--scaling: runs the headline pipeline twice in fresh processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs + scaling efficiency (BASELINE.json north_rule proxy for the
+two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "4"))
+BENCH_TMP = "/tmp/soupflow_bench"
+
+# queries timed in the non-headline section (subset: one per family)
+TIMED_QUERIES = [
+    "extract_text", "clean_basic", "select_count", "dedup_exact",
+    "token_stats", "minhash_near_dups", "ann_topk", "agg_lineitem",
+    "join_broadcast", "events_daily",
+]
+
+
+def prepare_bench_input(sf_dir: str) -> str:
+    """Deterministic interleaved corpus on disk: documents × REPLICATE
+    rich pages, written as multiple parquet files for parallel read.
+    Cached across runs (pure function of inputs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from soupflow.fixtures import docs_to_interleaved
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_x{REPLICATE}"
+    out_dir = os.path.join(BENCH_TMP, tag, "input")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    n_files = 8
+    for rep in range(REPLICATE):
+        ids = [f"{v}-r{rep}" for v in
+               docs.column("doc_id").to_pylist()]
+        rep_docs = docs.set_column(
+            docs.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(ids, pa.string()))
+        interleaved = docs_to_interleaved(rep_docs, rich=True,
+                                          heavy_tail=0.001)
+        # split across files round-robin for read parallelism
+        rows = interleaved.num_rows
+        per = (rows + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = interleaved.slice(i * per, per)
+            if chunk.num_rows:
+                pq.write_table(
+                    chunk, os.path.join(out_dir,
+                                        f"part-{rep}-{i}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def run_headline(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False)
+    input_dir = prepare_bench_input(sf_dir)
+    from soupflow.extract import ExtractActor
+
+    files = sorted(
+        os.path.join(input_dir, f) for f in os.listdir(input_dir)
+        if f.endswith(".parquet"))
+    n_docs = sum(__import__("pyarrow.parquet", fromlist=["x"])
+                 .read_metadata(f).num_rows for f in files)
+    t0 = time.monotonic()
+    ds = ray.data.read_parquet(files)
+    out = ds.map_batches(
+        ExtractActor, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, num_cpus))
+    total_spans = out.map_batches(
+        lambda b: __import__("pyarrow").table(
+            {"n": [sum(len(s) for s in b.column("spans").to_pylist())]}),
+        batch_format="pyarrow").sum("n")
+    wall = time.monotonic() - t0
+    return {"docs": n_docs, "wall_s": wall,
+            "docs_per_s": round(n_docs / wall, 2),
+            "total_spans": int(total_spans),
+            "num_cpus": num_cpus}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from soupflow.queries import QUERIES
+    out: dict[str, float] = {}
+    for name in TIMED_QUERIES:
+        t0 = time.monotonic()
+        res = QUERIES[name](sf_dir)
+        try:
+            res.materialize()
+        except AttributeError:
+            pass
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(cpus)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--headline-only"],
+                env=env, capture_output=True, text=True, cwd=os.path.dirname(
+                    os.path.abspath(__file__)))
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        tput8 = results[8]["docs_per_s"]
+        tput32 = results[32]["docs_per_s"]
+        efficiency = round(tput32 / (4 * tput8), 3)
+        print(json.dumps({
+            "metric": "extract_scaling_efficiency_8to32cpus",
+            "value": efficiency,
+            "unit": "ratio",
+            "docs_per_s_8cpus": tput8,
+            "docs_per_s_32cpus": tput32,
+            "wall_s_8cpus": results[8]["value"],
+            "wall_s_32cpus": results[32]["value"],
+            "sf": SF_DIR,
+        }))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/SCALING.json", "w") as f:
+            json.dump({"efficiency": efficiency, "t8": results[8],
+                       "t32": results[32]}, f, indent=1)
+        return
+
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False)
+    try:
+        headline = run_headline(SF_DIR, NUM_CPUS)
+        queries = {} if args.headline_only else run_queries(SF_DIR)
+        print(json.dumps({
+            "metric": "interleaved_extract_wall_s",
+            "value": round(headline["wall_s"], 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "docs": headline["docs"],
+            "docs_per_s": headline["docs_per_s"],
+            "total_spans": headline["total_spans"],
+        }))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Similarity search over an embedding column (list<float>).
+
+ * brute_force_topk: the exact baseline — the small query matrix is
+   broadcast once via ``ray.put`` and read inside every map task
+   (NOT re-shipped per batch); each batch computes a numpy matmul and
+   emits only its per-batch top-k candidates, so the single groupby
+   shuffles k×num_queries rows per block, not the corpus.
+ * ivf_topk: the scale path — vectors are bucketed by nearest centroid
+   (one groupby on bucket id); queries probe only their nearest
+   ``nprobe`` buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    return np.array(batch.column(col).to_pylist(), dtype=np.float64)
+
+
+def brute_force_topk(ds, query_ids: list[int], k: int = 10,
+                     id_col: str = "vec_id", col: str = "embedding"):
+    """Exact cosine top-k for each query vector → rows
+    (query_id, neighbor_id, rank), rank 1-based, ties broken by id."""
+    import ray
+    import ray.data
+
+    # small side: fetch the query vectors (tiny filtered read)
+    qds = ds.filter(lambda row: row[id_col] in set(query_ids))
+    qrows = qds.take_all()
+    qrows.sort(key=lambda r: r[id_col])
+    qmat = _normalize(np.array([r[col] for r in qrows],
+                               dtype=np.float64))
+    qids = [r[id_col] for r in qrows]
+    handle = ray.put((qids, qmat))  # broadcast once
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q = ray.get(handle)
+        m = _normalize(_batch_matrix(batch, col))
+        ids = np.array(batch.column(id_col).to_pylist())
+        scores = m @ q.T  # (batch, queries)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            col_scores = scores[:, qi]
+            mask = ids != qid
+            cand_ids = ids[mask]
+            cand_scores = col_scores[mask]
+            if cand_ids.size == 0:
+                continue
+            take = min(k, cand_ids.size)
+            idx = np.argpartition(-cand_scores, take - 1)[:take]
+            out_q.extend([qid] * take)
+            out_n.extend(cand_ids[idx].tolist())
+            out_s.extend(cand_scores[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    candidates = ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "neighbor_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame({
+            "query_id": g["query_id"],
+            "neighbor_id": g["neighbor_id"],
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return candidates.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas")
+
+
+class IvfIndexActor:
+    """IVF bucketing stage: centroid matrix built once per actor from a
+    deterministic seed sample; per-batch assignment is one matmul."""
+
+    def __init__(self, centroids: np.ndarray,
+                 col: str = "embedding") -> None:
+        self.centroids = _normalize(np.asarray(centroids,
+                                               dtype=np.float64))
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.col))
+        assign = np.argmax(m @ self.centroids.T, axis=1)
+        return batch.append_column(
+            "bucket", pa.array(assign.astype("int32"), pa.int32()))
+
+
+def ivf_topk(ds, query_ids: list[int], k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             col: str = "embedding"):
+    """Approximate cosine top-k: bucket by nearest centroid, probe the
+    nprobe closest buckets per query. Centroids = first n_centroids
+    vectors by id (deterministic; swap in k-means for real corpora)."""
+    import ray
+
+    seed = ds.filter(
+        lambda row: row[id_col] < n_centroids).take_all()
+    seed.sort(key=lambda r: r[id_col])
+    centroids = np.array([r[col] for r in seed], dtype=np.float64)
+    cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    bucketed = ds.map_batches(
+        IvfIndexActor, batch_format="pyarrow", concurrency=(1, cpus),
+        fn_constructor_kwargs={"centroids": centroids, "col": col})
+
+    qrows = ds.filter(lambda row: row[id_col] in set(query_ids)) \
+        .take_all()
+    qrows.sort(key=lambda r: r[id_col])
+    qmat = _normalize(np.array([r[col] for r in qrows],
+                               dtype=np.float64))
+    qids = [r[id_col] for r in qrows]
+    cn = _normalize(centroids)
+    probes = {qid: set(np.argsort(-(cn @ qmat[i]))[:nprobe].tolist())
+              for i, qid in enumerate(qids)}
+    handle = ray.put((qids, qmat, probes))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q, probe_map = ray.get(handle)
+        m = _normalize(_batch_matrix(batch, col))
+        ids = np.array(batch.column(id_col).to_pylist())
+        buckets = np.array(batch.column("bucket").to_pylist())
+        scores = m @ q.T
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            mask = np.isin(buckets, list(probe_map[qid])) & (ids != qid)
+            cand_ids = ids[mask]
+            cand_scores = scores[mask, qi]
+            if cand_ids.size == 0:
+                continue
+            take = min(k, cand_ids.size)
+            idx = np.argpartition(-cand_scores, take - 1)[:take]
+            out_q.extend([qid] * take)
+            out_n.extend(cand_ids[idx].tolist())
+            out_s.extend(cand_scores[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    candidates = bucketed.map_batches(partial_topk,
+                                      batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "neighbor_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame({
+            "query_id": g["query_id"],
+            "neighbor_id": g["neighbor_id"],
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return candidates.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas")

@@ -1,0 +1,218 @@
+"""Main-content extraction kernel: interleaved spans → HTML → parse →
+boilerplate strip → ordered (kind, text, media_ref, offset) span sequence.
+
+This is the flagship per-row transform (BASELINE.json north_star). It runs
+inside ``ray.data.Dataset.map_batches`` as an actor-pool stage:
+``ExtractActor`` compiles its whitelist / selector set / scorer once per
+worker in ``__init__`` (reference analogue: Cleaner + Whitelist +
+Element.text(), Sources/Cleaner.swift:33-140, Element.swift:1842-1875),
+then processes Arrow record batches zero-copy in ``__call__``.
+
+Span contract (FIXTURES.md §1-2):
+ * input rows: doc_id: string, spans: list<struct<kind, text, media_ref,
+   offset>>; a "media" span contributes ``<img src="{media_ref}">`` at its
+   position when the document is reassembled.
+ * output rows: same shape; text spans are whitespace-normalized segments
+   split at block/<br> boundaries (Element.text() semantics); media spans
+   carry their media_ref through in document order.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import pyarrow as pa
+
+from .cleaner import Cleaner, Whitelist
+from .dom import CDataNode, DataNode, Document, Element, Node, TextNode
+from .parser import parse
+from .selector import parse_query
+from .textutil import append_normalised_whitespace
+
+SPAN_STRUCT = pa.struct([
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+])
+SPAN_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("spans", pa.list_(SPAN_STRUCT)),
+])
+
+# tags whose subtrees are never main content (dropped before the walk)
+BOILERPLATE_TAGS = frozenset((
+    "script", "style", "noscript", "nav", "footer", "header", "aside",
+    "form", "button", "iframe", "object", "embed", "template", "select",
+    "option", "noframes", "frameset", "frame"))
+
+MEDIA_TAGS = frozenset(("img", "audio", "video", "source", "track"))
+
+_MEDIA_SRC_ATTRS = ("src", "href", "data-src")
+
+
+def assemble_html(spans: Iterable[dict]) -> str:
+    """Reassemble the document HTML from interleaved spans
+    (concatenate in offset order; media → placeholder img)."""
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    parts = []
+    for span in ordered:
+        if span["kind"] == "media":
+            parts.append(f'<img src="{span["media_ref"]}">')
+        else:
+            parts.append(span["text"] or "")
+    return "".join(parts)
+
+
+def _media_ref(el: Element) -> str:
+    for attr in _MEDIA_SRC_ATTRS:
+        v = el.attr(attr)
+        if v:
+            return v
+    return ""
+
+
+def _link_density(el: Element) -> float:
+    text_len = len(el.text())
+    if text_len == 0:
+        return 1.0
+    link_len = sum(len(a.text()) for a in el.select("a"))
+    return link_len / text_len
+
+
+def extract_spans(root: Element, *, drop_boilerplate: bool = True,
+                  link_density_threshold: float = 0.0) -> list[dict]:
+    """Walk the DOM emitting the ordered span sequence.
+
+    Text accumulates with Element.text() whitespace semantics
+    (Element.swift:1842-1875: collapse runs, single space at block/br
+    boundaries, preserve in pre/textarea/title/plaintext); a new text
+    span is cut at each block boundary; media elements flush the current
+    segment and emit a media span.
+    """
+    spans: list[dict] = []
+    buf: list[str] = []
+    state = {"empty": True, "last_white": False}
+
+    def flush() -> None:
+        if not buf:
+            state["empty"] = True
+            state["last_white"] = False
+            return
+        text = "".join(buf).strip()
+        buf.clear()
+        state["empty"] = True
+        state["last_white"] = False
+        if text:
+            spans.append({"kind": "text", "text": text, "media_ref": ""})
+
+    def emit_media(ref: str) -> None:
+        flush()
+        spans.append({"kind": "media", "text": "", "media_ref": ref})
+
+    # iterative head/tail DFS
+    stack: list[tuple[Node, bool]] = [(root, False)]
+    while stack:
+        node, is_tail = stack.pop()
+        if is_tail:
+            if isinstance(node, Element) and node.tag.is_block:
+                flush()
+            continue
+        if isinstance(node, Element):
+            name = node.tag.normal_name
+            if drop_boilerplate and name in BOILERPLATE_TAGS \
+                    and node is not root:
+                continue
+            if name in MEDIA_TAGS:
+                ref = _media_ref(node)
+                if ref:
+                    emit_media(ref)
+                continue
+            if link_density_threshold > 0 and node is not root \
+                    and node.tag.is_block and name not in ("html", "body"):
+                if _link_density(node) > link_density_threshold:
+                    continue
+            if node.tag.is_block or name == "br":
+                flush()
+            stack.append((node, True))
+            for child in reversed(node.child_nodes):
+                stack.append((child, False))
+            continue
+        tn = type(node)
+        if tn is TextNode or tn is CDataNode:
+            t = node.get_whole_text()
+            if Element._preserve_whitespace(node.parent_node):
+                buf.append(t)
+                if t:
+                    state["empty"] = False
+                    state["last_white"] = t[-1] == " "
+            else:
+                strip_leading = state["empty"] or state["last_white"]
+                before = len(buf)
+                append_normalised_whitespace(buf, t, strip_leading)
+                added = buf[before] if len(buf) > before else ""
+                if added:
+                    state["empty"] = False
+                    state["last_white"] = added[-1] == " "
+        # DataNode (script/style payloads) and comments are never content
+    flush()
+    for i, span in enumerate(spans):
+        span["offset"] = i
+    return spans
+
+
+def extract_document(html: str, base_uri: str = "", *,
+                     whitelist: Optional[Whitelist] = None,
+                     drop_boilerplate: bool = True,
+                     link_density_threshold: float = 0.0) -> list[dict]:
+    doc = parse(html, base_uri)
+    if whitelist is not None:
+        doc = Cleaner(whitelist).clean(doc)
+    body = doc.body()
+    if body is None:
+        return []
+    return extract_spans(body, drop_boilerplate=drop_boilerplate,
+                         link_density_threshold=link_density_threshold)
+
+
+class ExtractActor:
+    """Actor-pool stage for ``map_batches``: stateful setup once per
+    worker, zero-copy Arrow batches in/out.
+
+    Usage::
+
+        ds.map_batches(ExtractActor, batch_format="pyarrow",
+                       concurrency=N, batch_size=B,
+                       fn_constructor_kwargs={"whitelist": "relaxed"})
+    """
+
+    def __init__(self, whitelist: Optional[str] = None,
+                 drop_boilerplate: bool = True,
+                 link_density_threshold: float = 0.0,
+                 base_uri: str = "") -> None:
+        # compiled once per actor (reference: QueryParser cache + Whitelist)
+        self.whitelist = Whitelist.by_name(whitelist) if whitelist else None
+        self.drop_boilerplate = drop_boilerplate
+        self.link_density_threshold = link_density_threshold
+        self.base_uri = base_uri
+        # warm the selector cache used by link-density scoring
+        parse_query("a")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_in = batch.column("spans").to_pylist()
+        out_spans: list[list[dict]] = []
+        for spans in spans_in:
+            html = assemble_html(spans or [])
+            try:
+                out = extract_document(
+                    html, self.base_uri, whitelist=self.whitelist,
+                    drop_boilerplate=self.drop_boilerplate,
+                    link_density_threshold=self.link_density_threshold)
+            except Exception:  # never fail a batch for one bad doc
+                out = []
+            out_spans.append(out)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "spans": pa.array(out_spans, pa.list_(SPAN_STRUCT)),
+        })

@@ -1,0 +1,165 @@
+"""Ray Data extraction pipeline: read → map_batches(ExtractActor) →
+partitioned write with per-partition lineage manifest + resume.
+
+Scale design (SURVEY.md §4.2, BASELINE.json north_rule):
+ * The corpus is processed in COARSE partitions (groups of input files /
+   fragments). Each partition is one streaming Ray Data pipeline —
+   blocks flow read → extract → write with backpressure; nothing is
+   materialized. At 100 TB a partition is ~100 GB (one manifest entry),
+   so the driver loop is thousands of iterations, each fully parallel
+   across the cluster.
+ * Resume: a partition writes ``manifest/{pid}.json`` (input files,
+   row count, bytes, wall ms, docs/s, kernel version, status) only after
+   its output is durably written; a restarted run skips partitions whose
+   manifest says done. Output lives under ``parts/{pid}/`` so partial
+   writes of a crashed partition are overwritten, never double-counted.
+ * Skew: per-row cost is data-dependent (deep DOMs). Blocks are
+   size-split by Ray; pathological docs are bounded by the kernel's
+   iterative (non-recursive) parse/walk. For known-heavy corpora use
+   ``salt_by_cost`` to spread heavy docs across blocks before the map.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Optional
+
+import pyarrow as pa
+
+from . import __version__
+from .extract import ExtractActor
+
+MANIFEST_DIR = "manifest"
+PARTS_DIR = "parts"
+
+
+def _kernel_version() -> str:
+    import soupflow.extract as ex
+    with open(ex.__file__, "rb") as f:
+        return hashlib.sha1(f.read()).hexdigest()[:12]
+
+
+def list_input_files(input_path: str) -> list[str]:
+    import glob
+    if os.path.isdir(input_path):
+        return sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    return [input_path]
+
+
+def partition_inputs(files: list[str],
+                     files_per_partition: int = 1) -> list[list[str]]:
+    return [files[i:i + files_per_partition]
+            for i in range(0, len(files), files_per_partition)]
+
+
+def completed_partitions(output_dir: str) -> set[int]:
+    mdir = os.path.join(output_dir, MANIFEST_DIR)
+    done: set[int] = set()
+    if not os.path.isdir(mdir):
+        return done
+    for name in os.listdir(mdir):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+            if m.get("status") == "done":
+                done.add(int(m["partition_id"]))
+        except (ValueError, KeyError, json.JSONDecodeError):
+            continue
+    return done
+
+
+def salt_by_cost(ds, num_buckets: int = 64):
+    """Optional skew pre-pass: route documents to salted buckets by a
+    cheap cost hint (total span bytes), spreading pathological docs.
+    Adds a 'salt' column; follow with ds.repartition(num_buckets)."""
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        salts = []
+        for doc_id, span_list in zip(doc_ids, spans):
+            cost = sum(len(s.get("text") or "") for s in span_list or [])
+            bucket = (hash(doc_id) ^ (cost // 65536)) % num_buckets
+            salts.append(bucket)
+        return batch.append_column("salt", pa.array(salts, pa.int32()))
+
+    return ds.map_batches(add_salt, batch_format="pyarrow")
+
+
+def run_extract_partition(files: list[str], out_dir: str, pid: int, *,
+                          whitelist: Optional[str] = None,
+                          drop_boilerplate: bool = True,
+                          link_density_threshold: float = 0.0,
+                          concurrency: Optional[int] = None,
+                          batch_size: int = 128,
+                          override_num_blocks: Optional[int] = None) -> dict:
+    """One streaming partition: read files → extract → write + manifest."""
+    import ray.data
+
+    t0 = time.monotonic()
+    in_bytes = sum(os.path.getsize(f) for f in files)
+    ds = ray.data.read_parquet(files,
+                               override_num_blocks=override_num_blocks)
+    ds = ds.map_batches(
+        ExtractActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "whitelist": whitelist,
+            "drop_boilerplate": drop_boilerplate,
+            "link_density_threshold": link_density_threshold,
+        },
+    )
+    part_dir = os.path.join(out_dir, PARTS_DIR, f"{pid:05d}")
+    os.makedirs(part_dir, exist_ok=True)
+    ds.write_parquet(part_dir)
+    rows = ray.data.read_parquet(part_dir).count()
+    wall = time.monotonic() - t0
+    manifest = {
+        "partition_id": pid,
+        "input_files": files,
+        "input_bytes": in_bytes,
+        "row_count": rows,
+        "wall_s": round(wall, 3),
+        "docs_per_s": round(rows / wall, 2) if wall > 0 else None,
+        "kernel_version": _kernel_version(),
+        "engine_version": __version__,
+        "status": "done",
+    }
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".{pid:05d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(mdir, f"{pid:05d}.json"))
+    return manifest
+
+
+def run_extract(input_path: str, output_dir: str, *,
+                whitelist: Optional[str] = None,
+                drop_boilerplate: bool = True,
+                link_density_threshold: float = 0.0,
+                files_per_partition: int = 4,
+                concurrency: Optional[int] = None,
+                batch_size: int = 128,
+                resume: bool = True) -> list[dict]:
+    """Full resumable extraction run over a directory of parquet files."""
+    files = list_input_files(input_path)
+    partitions = partition_inputs(files, files_per_partition)
+    done = completed_partitions(output_dir) if resume else set()
+    manifests = []
+    for pid, part_files in enumerate(partitions):
+        if pid in done:
+            continue
+        manifests.append(run_extract_partition(
+            part_files, output_dir, pid, whitelist=whitelist,
+            drop_boilerplate=drop_boilerplate,
+            link_density_threshold=link_density_threshold,
+            concurrency=concurrency, batch_size=batch_size))
+    return manifests

@@ -1,0 +1,497 @@
+"""Query catalog: named Ray Data pipelines over the driver test tables,
+each paired (where SQL-expressible) with a DuckDB oracle in ORACLE_SQL.
+
+Every callable takes ``sf_dir`` and returns a ray.data.Dataset /
+pyarrow.Table. Column names match the oracle SQL exactly (the driver's
+compare sorts columns by name before hashing).
+
+These exercise, over real distributed batches, the operator inventory of
+SURVEY.md §2: parse/tokenize (extract_* / entities_roundtrip), selectors
+(select_count_token), cleaner (clean_basic_roundtrip), title/links
+metadata, plus the training-data operators (dedup / similarity / text
+stats / multimodal) and engine-level aggregates and broadcast joins.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .extract import ExtractActor, extract_document
+from .fixtures import docs_to_interleaved
+
+
+def _cpus() -> int:
+    import ray
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 4
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+# -- HTML engine queries ----------------------------------------------------
+
+class PageExtractActor:
+    """Build the oracle-friendly page per document row and extract its
+    span sequence in one kernel (parse + boilerplate strip + text walk).
+    Output: doc_id, main_text, media_ref, tail_text, n_spans."""
+
+    def __init__(self) -> None:
+        from .selector import parse_query
+        parse_query("a")  # warm selector cache
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        main_texts, media_refs, tail_texts, n_spans = [], [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            html = (f"<nav><a href='/m'>menu</a></nav>"
+                    f"<div id=main><p>{text}</p>"
+                    f"<img src='media://doc/{doc_id}'>"
+                    f"<p>tail {doc_id}</p></div>"
+                    f"<script>junk()</script><footer>f</footer>")
+            spans = extract_document(html)
+            n_spans.append(len(spans))
+            main_texts.append(spans[0]["text"] if spans else "")
+            media = [s for s in spans if s["kind"] == "media"]
+            media_refs.append(media[0]["media_ref"] if media else "")
+            tails = [s for s in spans[1:] if s["kind"] == "text"]
+            tail_texts.append(tails[-1]["text"] if tails else "")
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "main_text": pa.array(main_texts, pa.string()),
+            "media_ref": pa.array(media_refs, pa.string()),
+            "tail_text": pa.array(tail_texts, pa.string()),
+            "n_spans": pa.array(n_spans, pa.int64()),
+        })
+
+
+def q_extract_text(sf_dir: str):
+    return _read(sf_dir, "documents").map_batches(
+        PageExtractActor, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, _cpus()))
+
+
+class TitleLinksActor:
+    """Parse a full page; emit document title + link count + resolved
+    first link (Document.title / select("a[href]") / absUrl)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .parser import parse
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        titles, n_links, first_hrefs = [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            html = (f"<html><head><title>Doc {doc_id}</title></head>"
+                    f"<body><p>{text}</p>"
+                    f"<a href='/page/{doc_id}'>one</a>"
+                    f"<a href='https://x.example/{doc_id}'>two</a>"
+                    f"<a name='no-href'>three</a></body></html>")
+            doc = parse(html, "https://base.example/")
+            titles.append(doc.title())
+            links = doc.select("a[href]")
+            n_links.append(len(links))
+            first_hrefs.append(links[0].abs_url("href") if links else "")
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "title": pa.array(titles, pa.string()),
+            "n_links": pa.array(n_links, pa.int64()),
+            "first_href": pa.array(first_hrefs, pa.string()),
+        })
+
+
+def q_title_links(sf_dir: str):
+    return _read(sf_dir, "documents").map_batches(
+        TitleLinksActor, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, _cpus()))
+
+
+class CleanActor:
+    """Sanitize untrusted HTML through the basic whitelist; emit the
+    cleaned body html (Cleaner/Whitelist parity path)."""
+
+    def __init__(self) -> None:
+        from .cleaner import Whitelist
+        self.whitelist = Whitelist.basic()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .cleaner import Cleaner
+        from .parser import parse_body_fragment
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        cleaned = []
+        cleaner = Cleaner(self.whitelist)
+        for doc_id, text in zip(doc_ids, texts):
+            html = (f"<p><a href=\"javascript:evil()\">{text}</a>"
+                    f" <b>ok {doc_id}</b></p><script>bad()</script>")
+            doc = cleaner.clean(parse_body_fragment(html, ""))
+            cleaned.append(doc.body().html())
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "clean_html": pa.array(cleaned, pa.string()),
+        })
+
+
+def q_clean_basic(sf_dir: str):
+    return _read(sf_dir, "documents").map_batches(
+        CleanActor, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, _cpus()))
+
+
+class SelectCountActor:
+    """Wrap every token in <span data-w=token>; count tokens equal to
+    'the' via the attribute-value selector (selector-engine parity)."""
+
+    def __init__(self) -> None:
+        from .selector import parse_query
+        self.eval = parse_query("span[data-w=the]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .parser import parse
+        from .selector import collect
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        counts = []
+        for text in texts:
+            body = "".join(f'<span data-w="{w}">{w}</span> '
+                           for w in (text or "").split())
+            doc = parse(f"<div>{body}</div>")
+            counts.append(len(collect(self.eval, doc)))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_the": pa.array(counts, pa.int64()),
+        })
+
+
+def q_select_count(sf_dir: str):
+    return _read(sf_dir, "documents").map_batches(
+        SelectCountActor, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, _cpus()))
+
+
+class EntitiesActor:
+    """Entity-escape the text into markup, parse it back, verify the
+    tokenizer's character-reference resolution round-trips."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .parser import parse
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = []
+        for text in texts:
+            html = f"<p>&lt;{text}&gt; &amp; &quot;q&quot; &#65;&#x42;</p>"
+            out.append(parse(html).body().text())
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "decoded": pa.array(out, pa.string()),
+        })
+
+
+def q_entities(sf_dir: str):
+    return _read(sf_dir, "documents").map_batches(
+        EntitiesActor, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, _cpus()))
+
+
+def q_extract_interleaved(sf_dir: str):
+    """Full interleaved pipeline over rich synthetic pages (flagship;
+    rows-only driver check — spans are not SQL-expressible)."""
+    ds = _read(sf_dir, "documents")
+
+    def build(batch: pa.Table) -> pa.Table:
+        return docs_to_interleaved(batch, rich=True, heavy_tail=0.001)
+
+    interleaved = ds.map_batches(build, batch_format="pyarrow")
+    extracted = interleaved.map_batches(
+        ExtractActor, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, _cpus()))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans = batch.column("spans").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "n_spans": pa.array([len(s) for s in spans], pa.int64()),
+            "n_media": pa.array(
+                [sum(1 for x in s if x["kind"] == "media")
+                 for s in spans], pa.int64()),
+            "text_chars": pa.array(
+                [sum(len(x["text"]) for x in s if x["kind"] == "text")
+                 for s in spans], pa.int64()),
+        })
+
+    return extracted.map_batches(summarize, batch_format="pyarrow")
+
+
+# -- training-data operators ------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    from .data.dedup import exact_dedup_groups
+    return exact_dedup_groups(_read(sf_dir, "documents"))
+
+
+def q_token_stats(sf_dir: str):
+    from .data.textstats import token_stats_batch
+    return _read(sf_dir, "documents").map_batches(
+        token_stats_batch, batch_format="pyarrow")
+
+
+def q_quality(sf_dir: str):
+    from .data.textstats import quality_batch
+    return _read(sf_dir, "documents").map_batches(
+        quality_batch, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    from .data.textstats import fingerprint_batch
+    ds = _read(sf_dir, "documents").map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fp_md5"])
+
+
+def q_fingerprint_rolling(sf_dir: str):
+    from .data.textstats import fingerprint_batch
+    ds = _read(sf_dir, "documents").map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fp_rolling"])
+
+
+def q_lang_counts(sf_dir: str):
+    from .data.textstats import lang_counts
+    return lang_counts(_read(sf_dir, "documents"))
+
+
+def q_lang_id(sf_dir: str):
+    from .data.textstats import LangIdActor
+    return _read(sf_dir, "documents").map_batches(
+        LangIdActor, batch_format="pyarrow", concurrency=2)
+
+
+def q_minhash_near_dups(sf_dir: str):
+    from .data.dedup import minhash_near_dups
+    return minhash_near_dups(_read(sf_dir, "documents"))
+
+
+def q_simhash_near_dups(sf_dir: str):
+    from .data.dedup import simhash_near_dups
+    return simhash_near_dups(_read(sf_dir, "documents"))
+
+
+def q_ann_topk(sf_dir: str):
+    from .data.similarity import brute_force_topk
+    return brute_force_topk(_read(sf_dir, "embeddings"),
+                            query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_ann_ivf(sf_dir: str):
+    from .data.similarity import ivf_topk
+    return ivf_topk(_read(sf_dir, "embeddings"),
+                    query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_multimodal(sf_dir: str):
+    from .data.multimodal import MediaDecodeActor, \
+        media_table_from_documents
+    media = _read(sf_dir, "documents").map_batches(
+        media_table_from_documents, batch_format="pyarrow")
+    decoded = media.map_batches(
+        MediaDecodeActor, batch_format="pyarrow", batch_size=32,
+        concurrency=(1, _cpus()),
+        fn_constructor_kwargs={"mode": "fake"})
+    return decoded.select_columns(["media_ref", "kind", "n_bytes"])
+
+
+# -- engine-level aggregates / joins ---------------------------------------
+
+def q_agg_lineitem(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+    ds = _read(sf_dir, "lineitem") \
+        .select_columns(["l_returnflag", "l_linestatus", "l_quantity",
+                         "l_extendedprice"])
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="count_order"),
+        Max("l_extendedprice", alias_name="max_price"),
+        Min("l_extendedprice", alias_name="min_price"))
+    return agg
+
+
+def q_join_broadcast(sf_dir: str):
+    """Orders ⋈ customer via broadcast small side (ray.put once, read in
+    every task) — never a shuffle join for a dimension table."""
+    import ray
+
+    cust = _read(sf_dir, "customer") \
+        .select_columns(["c_custkey", "c_mktsegment"]).take_all()
+    seg_by_key = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
+    handle = ray.put(seg_by_key)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        mapping = ray.get(handle)
+        keys = batch.column("o_custkey").to_pylist()
+        segs = [mapping.get(k, "") for k in keys]
+        return pa.table({
+            "segment": pa.array(segs, pa.string()),
+            "n_dummy": pa.array([1] * len(segs), pa.int64()),
+        })
+
+    from ray.data.aggregate import Count
+    orders = _read(sf_dir, "orders").select_columns(["o_custkey"])
+    joined = orders.map_batches(attach, batch_format="pyarrow")
+    return joined.groupby("segment").aggregate(Count(alias_name="n"))
+
+
+def q_events_daily(sf_dir: str):
+    """Windowed-style aggregate: events per user per day (partial
+    per-block combine, then the small groupby)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        days = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        t = pa.table({
+            "user_id": batch.column("user_id"),
+            "day": days,
+        })
+        g = t.group_by(["user_id", "day"]).aggregate([("day", "count")])
+        return g.rename_columns(["user_id", "day", "n"])
+
+    ds = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["user_id", "day"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
+QUERIES = {
+    "extract_text": q_extract_text,
+    "title_links": q_title_links,
+    "clean_basic": q_clean_basic,
+    "select_count": q_select_count,
+    "entities": q_entities,
+    "extract_interleaved": q_extract_interleaved,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "fingerprint_rolling": q_fingerprint_rolling,
+    "lang_counts": q_lang_counts,
+    "lang_id": q_lang_id,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "multimodal": q_multimodal,
+    "agg_lineitem": q_agg_lineitem,
+    "join_broadcast": q_join_broadcast,
+    "events_daily": q_events_daily,
+}
+
+ORACLE_SQL = {
+    "extract_text": """
+        SELECT doc_id,
+               text AS main_text,
+               'media://doc/' || doc_id AS media_ref,
+               'tail ' || doc_id AS tail_text,
+               3 AS n_spans
+        FROM documents
+    """,
+    "title_links": """
+        SELECT doc_id,
+               'Doc ' || doc_id AS title,
+               2 AS n_links,
+               'https://base.example/page/' || doc_id AS first_href
+        FROM documents
+    """,
+    "clean_basic": """
+        SELECT doc_id,
+               '<p><a rel="nofollow">' || text || '</a> <b>ok ' || doc_id
+                 || '</b></p>' AS clean_html
+        FROM documents
+    """,
+    "select_count": """
+        SELECT doc_id,
+               length(list_filter(regexp_split_to_array(trim(text),
+                      '\\s+'), x -> x = 'the')) AS n_the
+        FROM documents
+    """,
+    "entities": """
+        SELECT doc_id,
+               '<' || text || '> & "q" AB' AS decoded
+        FROM documents
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS fp,
+               min(doc_id) AS keeper_id,
+               count(*) AS n
+        FROM documents GROUP BY md5(text)
+    """,
+    "token_stats": """
+        SELECT doc_id,
+               length(regexp_split_to_array(trim(text), '\\s+'))
+                 AS n_tokens,
+               length(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS n_subtokens,
+               length(text) AS n_chars_measured,
+               length(replace(text, ' ', '')) AS n_alpha
+        FROM documents
+    """,
+    "quality": """
+        SELECT doc_id,
+               length(regexp_split_to_array(trim(text), '\\s+'))
+                 AS n_tokens,
+               (length(replace(text, ' ', '')) * 100) //
+                 greatest(length(regexp_split_to_array(trim(text),
+                          '\\s+')), 1) AS mean_token_len_x100,
+               (length(regexp_split_to_array(trim(text), '\\s+'))
+                  BETWEEN 5 AND 100000)
+                 AND ((length(replace(text, ' ', '')) * 100) //
+                      greatest(length(regexp_split_to_array(trim(text),
+                               '\\s+')), 1) <= 1200) AS is_quality
+        FROM documents
+    """,
+    "fingerprint": """
+        SELECT doc_id, md5(text) AS fp_md5 FROM documents
+    """,
+    "lang_counts": """
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    """,
+    "ann_topk": """
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]),
+                        CAST(q.embedding AS DOUBLE[])) DESC,
+                    e.vec_id ASC) AS BIGINT) AS rank
+        FROM embeddings q CROSS JOIN embeddings e
+        WHERE q.vec_id IN (0, 1, 2, 3, 4) AND e.vec_id != q.vec_id
+        QUALIFY rank <= 10
+    """,
+    "multimodal": """
+        SELECT 'media://doc/' || doc_id AS media_ref,
+               'image' AS kind,
+               octet_length(CAST(text AS BLOB)) AS n_bytes
+        FROM documents
+    """,
+    "agg_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               count(*) AS count_order,
+               max(l_extendedprice) AS max_price,
+               min(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "join_broadcast": """
+        SELECT c_mktsegment AS segment, count(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "events_daily": """
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    """,
+}
