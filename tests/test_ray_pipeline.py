@@ -1,0 +1,171 @@
+"""Ray-level pipeline tests: map_batches extraction, manifest resume,
+dedup/similarity/textstats operators (one Ray session per pytest run)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def interleaved_dir(tmp_path_factory, ray_session):
+    from soupflow.fixtures import docs_to_interleaved
+    docs = pq.read_table(f"{SF}/documents.parquet").slice(0, 120)
+    tbl = docs_to_interleaved(docs, rich=True)
+    d = tmp_path_factory.mktemp("interleaved")
+    for i in range(3):
+        pq.write_table(tbl.slice(i * 40, 40), str(d / f"in-{i}.parquet"))
+    return str(d)
+
+
+def test_run_extract_with_manifest_and_resume(interleaved_dir, tmp_path,
+                                              ray_session):
+    from soupflow.pipeline import completed_partitions, run_extract
+    out = str(tmp_path / "out")
+    manifests = run_extract(interleaved_dir, out, files_per_partition=1,
+                            concurrency=2, batch_size=32)
+    assert len(manifests) == 3
+    assert all(m["status"] == "done" for m in manifests)
+    assert completed_partitions(out) == {0, 1, 2}
+    total = sum(m["row_count"] for m in manifests)
+    assert total == 120
+    # resume: nothing left to do
+    again = run_extract(interleaved_dir, out, files_per_partition=1)
+    assert again == []
+    # drop one manifest -> only that partition reruns
+    os.remove(os.path.join(out, "manifest", "00001.json"))
+    third = run_extract(interleaved_dir, out, files_per_partition=1,
+                        concurrency=2, batch_size=32)
+    assert len(third) == 1 and third[0]["partition_id"] == 1
+
+
+def test_extract_output_schema(interleaved_dir, tmp_path, ray_session):
+    import ray.data
+    from soupflow.extract import SPAN_STRUCT, ExtractActor
+    ds = ray.data.read_parquet(interleaved_dir)
+    out = ds.map_batches(ExtractActor, batch_format="pyarrow",
+                         batch_size=32, concurrency=2)
+    tbl = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow")))
+    assert tbl.num_rows == 120
+    assert tbl.schema.field("spans").type == pa.list_(SPAN_STRUCT)
+
+
+def test_exact_dedup_finds_duplicates(ray_session):
+    import ray.data
+    from soupflow.data.dedup import exact_dedup_groups
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["same text", "same text", "other", "same text"],
+    })
+    ds = ray.data.from_arrow(tbl)
+    groups = {r["fp"]: r for r in exact_dedup_groups(ds).take_all()}
+    ns = sorted(r["n"] for r in groups.values())
+    assert ns == [1, 3]
+    big = [r for r in groups.values() if r["n"] == 3][0]
+    assert big["keeper_id"] == 1
+
+
+def test_minhash_near_dups_finds_planted_pair(ray_session):
+    import ray.data
+    from soupflow.data.dedup import minhash_near_dups
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again every single day without fail " * 3)
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about databases and planes " * 4
+    tbl = pa.table({
+        "doc_id": pa.array([10, 20, 30], pa.int64()),
+        "text": [base, near, far],
+    })
+    dups = minhash_near_dups(ray.data.from_arrow(tbl)).take_all()
+    pairs = {(r["doc_id"], r["dup_of"]) for r in dups}
+    assert (20, 10) in pairs
+    assert all(d != 30 for d, _ in pairs)
+
+
+def test_simhash_near_dups_finds_planted_pair(ray_session):
+    import ray.data
+    from soupflow.data.dedup import simhash_near_dups
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau " * 4)
+    near = base.replace("sigma", "sugma")
+    far = "unrelated words entirely here nothing shared at all " * 6
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [base, near, far],
+    })
+    dups = simhash_near_dups(ray.data.from_arrow(tbl),
+                         max_hamming=8).take_all()
+    pairs = {(r["doc_id"], r["dup_of"]) for r in dups}
+    assert (2, 1) in pairs
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import numpy as np
+    import ray.data
+    from soupflow.data.similarity import brute_force_topk
+    rng = np.random.RandomState(42)
+    vecs = rng.randn(50, 8).astype("float32")
+    tbl = pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    result = brute_force_topk(ds, query_ids=[0], k=5).take_all()
+    got = [r["neighbor_id"] for r in
+           sorted(result, key=lambda r: r["rank"])]
+    v = vecs.astype("float64")
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = v @ v[0]
+    sims[0] = -np.inf
+    want = np.argsort(-sims, kind="stable")[:5].tolist()
+    assert got == want
+
+
+def test_ngram_jaccard():
+    from soupflow.data.dedup import ngram_jaccard
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "x y z w v") == 0.0
+    mid = ngram_jaccard("a b c d e f", "a b c d e g")
+    assert 0.0 < mid < 1.0
+
+
+def test_multimodal_decode_fake(ray_session):
+    import ray.data
+    from soupflow.data.multimodal import MediaDecodeActor
+    tbl = pa.table({
+        "media_ref": ["m://1", "m://2"],
+        "kind": ["image", "audio"],
+        "payload": pa.array([b"abcdef", b""], pa.binary()),
+        "content_type": ["image/fake", "audio/fake"],
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = ds.map_batches(MediaDecodeActor, batch_format="pyarrow",
+                         concurrency=1,
+                         fn_constructor_kwargs={"mode": "fake"}) \
+        .take_all()
+    by_ref = {r["media_ref"]: r for r in out}
+    assert by_ref["m://1"]["n_bytes"] == 6
+    assert by_ref["m://2"]["n_bytes"] == 0
+    assert len(by_ref["m://1"]["features"]) == 16
+
+
+def test_multimodal_real_mode_raises():
+    from soupflow.data.multimodal import MediaDecodeActor
+    with pytest.raises(NotImplementedError):
+        MediaDecodeActor(mode="real")
+
+
+def test_token_stats_batch():
+    from soupflow.data.textstats import token_stats_batch
+    tbl = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": ["hello world foo"]})
+    out = token_stats_batch(tbl).to_pylist()[0]
+    assert out["n_tokens"] == 3
+    assert out["n_chars_measured"] == 15
+    assert out["n_alpha"] == 13
