@@ -240,3 +240,81 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     inter = len(a & b)
     union = len(a | b)
     return inter / union if union else 0.0
+
+
+def ngram_jaccard_near_dups(ds, threshold: float = 0.8,
+                            shingle_k: int = 3, num_perm: int = 64,
+                            bands: int = 16):
+    """n-gram Jaccard near-dup pairs → (doc_id, dup_of, jaccard_x100).
+
+    Candidate generation is MinHash banding (ONE groupby co-locates
+    candidates); verification is EXACT n-gram Jaccard computed inside
+    the group — no second shuffle. Texts ride along with the band rows
+    so verification needs no lookup join."""
+    rows_per_band = num_perm // bands
+
+    # text rides along with the signature (computed in one stage)
+    # instead of being re-attached later via a join
+    def sig_and_text(batch: pa.Table) -> pa.Table:
+        actor = MinHashActor(num_perm=num_perm, shingle_k=shingle_k)
+        sig_tbl = actor(batch)
+        return sig_tbl.append_column("text", batch.column("text"))
+
+    sigs = ds.map_batches(sig_and_text, batch_format="pyarrow")
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        sig_lists = batch.column("sig").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_keys, out_docs, out_texts = [], [], []
+        for doc_id, sig, text in zip(doc_ids, sig_lists, texts):
+            for b in range(bands):
+                chunk = tuple(sig[b * rows_per_band:(b + 1) *
+                                  rows_per_band])
+                key = hashlib.blake2b(
+                    (str(b) + ":" + ",".join(map(str, chunk))).encode(),
+                    digest_size=8).hexdigest()
+                out_keys.append(key)
+                out_docs.append(doc_id)
+                out_texts.append(text)
+        return pa.table({
+            "band_key": pa.array(out_keys, pa.string()),
+            "doc_id": pa.array(out_docs),
+            "text": pa.array(out_texts, pa.string()),
+        })
+
+    banded = sigs.map_batches(to_bands, batch_format="pyarrow")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "dup_of": pd.Series([], dtype="int64"),
+            "jaccard_x100": pd.Series([], dtype="int64")})
+        if len(group) < 2:
+            return empty
+        g = group.sort_values("doc_id").reset_index(drop=True)
+        ids = g["doc_id"].to_list()
+        texts = g["text"].to_list()
+        shingle_sets = [set(map(int, _shingle_hashes(t or "",
+                                                     shingle_k)))
+                        for t in texts]
+        out_doc, out_dup, out_j = [], [], []
+        for i in range(1, len(g)):
+            for j in range(i):
+                a, b = shingle_sets[i], shingle_sets[j]
+                union = len(a | b)
+                jac = (len(a & b) / union) if union else 1.0
+                if jac >= threshold:
+                    out_doc.append(ids[i])
+                    out_dup.append(ids[j])
+                    out_j.append(int(round(jac * 100)))
+                    break
+        return pd.DataFrame({"doc_id": out_doc, "dup_of": out_dup,
+                             "jaccard_x100": out_j})
+
+    pairs = banded.groupby("band_key").map_groups(
+        verify, batch_format="pandas")
+    from ray.data.aggregate import Max, Min
+    return pairs.groupby("doc_id").aggregate(
+        Min("dup_of", alias_name="dup_of"),
+        Max("jaccard_x100", alias_name="jaccard_x100"))

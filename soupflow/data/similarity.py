@@ -167,3 +167,112 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, n_centroids: int = 16,
 
     return candidates.groupby("query_id").map_groups(
         final_topk, batch_format="pandas")
+
+
+# -- embedding-cosine near-duplicate detection ------------------------------
+
+def embed_near_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
+                    col: str = "embedding"):
+    """Exact cosine near-dup pairs → (id_a, id_b) with id_a < id_b and
+    cosine >= threshold.
+
+    Baseline pattern (same as brute_force_topk): the comparison matrix
+    is broadcast ONCE via ``ray.put`` and read inside every map task;
+    each batch does one float64 matmul against it and emits only the
+    over-threshold pairs. Exact (full recall) — the corpus-side matrix
+    must fit in the object store; use embed_near_dups_lsh as the scale
+    path when it doesn't."""
+    import ray
+
+    all_rows = ds.select_columns([id_col, col]).take_all()
+    all_rows.sort(key=lambda r: r[id_col])
+    full_ids = np.array([r[id_col] for r in all_rows], dtype=np.int64)
+    full_mat = _normalize(np.array([r[col] for r in all_rows],
+                                   dtype=np.float64))
+    handle = ray.put((full_ids, full_mat))  # broadcast once
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_b, mat_b = ray.get(handle)
+        m = _normalize(_batch_matrix(batch, col))
+        ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+        scores = m @ mat_b.T  # (batch, corpus)
+        # emit each unordered pair once: batch id < corpus id
+        bi, ci = np.nonzero(scores >= threshold)
+        keep = ids[bi] < ids_b[ci]
+        return pa.table({
+            "id_a": pa.array(ids[bi][keep], pa.int64()),
+            "id_b": pa.array(ids_b[ci][keep], pa.int64()),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+class HyperplaneLshActor:
+    """Random-hyperplane signature stage: the projection matrix is
+    generated once per actor from a fixed seed; per batch one matmul
+    then sign-bit packing into band keys."""
+
+    def __init__(self, dim: int, n_bits: int = 8, bands: int = 8,
+                 seed: int = 42, col: str = "embedding") -> None:
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((dim, n_bits * bands))
+        self.n_bits = n_bits
+        self.bands = bands
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.col))
+        bits = (m @ self.planes) > 0  # (rows, n_bits*bands)
+        ids = batch.column("vec_id").to_pylist()
+        embs = batch.column(self.col).to_pylist()
+        out_key, out_id, out_emb = [], [], []
+        for r in range(bits.shape[0]):
+            for b in range(self.bands):
+                chunk = bits[r, b * self.n_bits:(b + 1) * self.n_bits]
+                key = f"{b}:{int(''.join('1' if x else '0' for x in chunk), 2):04x}"
+                out_key.append(key)
+                out_id.append(ids[r])
+                out_emb.append(embs[r])
+        return pa.table({
+            "band_key": pa.array(out_key, pa.string()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "embedding": pa.array(out_emb),
+        })
+
+
+def embed_near_dups_lsh(ds, threshold: float = 0.95, n_bits: int = 8,
+                        bands: int = 8, id_col: str = "vec_id",
+                        col: str = "embedding"):
+    """Scale path: random-hyperplane LSH bands → ONE groupby on the
+    band key co-locates candidates → exact cosine verification inside
+    the group. Approximate (recall < 1 possible for pairs near the
+    threshold); emits each surviving pair once (min band wins)."""
+    import ray
+
+    dim = len(ds.take(1)[0][col])
+    cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    banded = ds.map_batches(
+        HyperplaneLshActor, batch_format="pyarrow",
+        concurrency=(1, cpus),
+        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits,
+                               "bands": bands, "col": col})
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        g = group.sort_values("vec_id").reset_index(drop=True)
+        m = _normalize(np.array(g["embedding"].to_list(),
+                                dtype=np.float64))
+        ids = g["vec_id"].to_numpy()
+        scores = m @ m.T
+        ai, bi = np.nonzero(np.triu(scores >= threshold, k=1))
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi]})
+
+    pairs = banded.groupby("band_key").map_groups(
+        verify, batch_format="pandas")
+    # a pair can surface from several bands — dedup with one groupby
+    from ray.data.aggregate import Count
+    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_bands"))
+    return uniq.select_columns(["id_a", "id_b"])

@@ -305,6 +305,101 @@ def q_multimodal(sf_dir: str):
     return decoded.select_columns(["media_ref", "kind", "n_bytes"])
 
 
+def q_ngram_jaccard_dups(sf_dir: str):
+    from .data.dedup import ngram_jaccard_near_dups
+    return ngram_jaccard_near_dups(_read(sf_dir, "documents"),
+                                   threshold=0.8)
+
+
+def q_embed_near_dups(sf_dir: str):
+    from .data.similarity import embed_near_dups
+    return embed_near_dups(_read(sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_embed_near_dups_lsh(sf_dir: str):
+    from .data.similarity import embed_near_dups_lsh
+    return embed_near_dups_lsh(_read(sf_dir, "embeddings"),
+                               threshold=0.4)
+
+
+class XmlExtractActor:
+    """XML path (XmlTreeBuilder): parse a generated XML doc per row,
+    read back element text + attribute (SURVEY §2.2 XML parser)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .xmlparser import XmlTreeBuilder
+        doc_ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        vals, attrs = [], []
+        for doc_id, lang, text in zip(doc_ids, langs, texts):
+            head = (text or "").split(" ", 1)[0]
+            xml = (f"<?xml version=\"1.0\"?><feed>"
+                   f"<entry id=\"e{doc_id}\" lang=\"{lang}\">"
+                   f"<title>{head}</title></entry></feed>")
+            doc = XmlTreeBuilder().parse(xml, "")
+            entry = doc.select("entry")[0]
+            vals.append(entry.select("title")[0].text())
+            attrs.append(entry.attr("lang"))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "title": pa.array(vals, pa.string()),
+            "lang_attr": pa.array(attrs, pa.string()),
+        })
+
+
+def q_xml_extract(sf_dir: str):
+    return _read(sf_dir, "documents").map_batches(
+        XmlExtractActor, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, _cpus()))
+
+
+class NthChildActor:
+    """Structural pseudo-selectors: build <li> per token, count
+    li:nth-child(2n) and li:last-child text (SelectorTest parity over
+    distributed batches)."""
+
+    def __init__(self) -> None:
+        from .selector import parse_query
+        self.even = parse_query("li:nth-child(2n)")
+        self.last = parse_query("li:last-child")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .parser import parse
+        from .selector import collect
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_even, last_txt = [], []
+        for text in texts:
+            toks = (text or "").split()
+            html = "<ul>" + "".join(f"<li>{t}</li>" for t in toks) \
+                + "</ul>"
+            doc = parse(html)
+            n_even.append(len(collect(self.even, doc)))
+            last = collect(self.last, doc)
+            last_txt.append(last[0].text() if last else "")
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_even": pa.array(n_even, pa.int64()),
+            "last_token": pa.array(last_txt, pa.string()),
+        })
+
+
+def q_nth_child(sf_dir: str):
+    return _read(sf_dir, "documents").map_batches(
+        NthChildActor, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, _cpus()))
+
+
+def q_top_docs(sf_dir: str):
+    """Distributed sort + limit (skew diagnostics pattern,
+    SURVEY §2.9)."""
+    ds = _read(sf_dir, "documents") \
+        .select_columns(["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"],
+                   descending=[True, False]).limit(10)
+
+
 # -- engine-level aggregates / joins ---------------------------------------
 
 def q_agg_lineitem(sf_dir: str):
@@ -382,6 +477,12 @@ QUERIES = {
     "lang_id": q_lang_id,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
+    "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "embed_near_dups": q_embed_near_dups,
+    "embed_near_dups_lsh": q_embed_near_dups_lsh,
+    "xml_extract": q_xml_extract,
+    "nth_child": q_nth_child,
+    "top_docs": q_top_docs,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "multimodal": q_multimodal,
@@ -458,6 +559,31 @@ ORACLE_SQL = {
     """,
     "lang_counts": """
         SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    """,
+    "embed_near_dups": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+              >= 0.4
+    """,
+    "xml_extract": """
+        SELECT doc_id,
+               coalesce(split_part(trim(text), ' ', 1), '') AS title,
+               lang AS lang_attr
+        FROM documents
+    """,
+    "nth_child": """
+        SELECT doc_id,
+               length(regexp_split_to_array(trim(text), '\\s+')) // 2
+                 AS n_even,
+               regexp_split_to_array(trim(text), '\\s+')[-1]
+                 AS last_token
+        FROM documents
+    """,
+    "top_docs": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 10
     """,
     "ann_topk": """
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

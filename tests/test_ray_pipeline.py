@@ -169,3 +169,59 @@ def test_token_stats_batch():
     assert out["n_tokens"] == 3
     assert out["n_chars_measured"] == 15
     assert out["n_alpha"] == 13
+
+
+def test_ngram_jaccard_near_dups_finds_planted_pair(ray_session):
+    import ray.data
+
+    from soupflow.data.dedup import ngram_jaccard_near_dups
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet field toward the distant hill")
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + " tonight"},  # near-dup of 1
+            {"doc_id": 3, "text": "completely different words here "
+                                  "about gardens and rivers and stone"}]
+    ds = ray.data.from_items(rows)
+    out = {r["doc_id"]: r for r in
+           ngram_jaccard_near_dups(ds, threshold=0.5).take_all()}
+    assert 2 in out and out[2]["dup_of"] == 1
+    assert out[2]["jaccard_x100"] >= 50
+    assert 3 not in out
+
+
+def test_embed_near_dups_exact_and_lsh(ray_session):
+    import numpy as np
+    import ray.data
+
+    from soupflow.data.similarity import (embed_near_dups,
+                                          embed_near_dups_lsh)
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((30, 16))
+    vecs[11] = vecs[10] + 0.01 * rng.standard_normal(16)  # planted dup
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(30)]
+    ds = ray.data.from_items(rows)
+
+    exact = {(r["id_a"], r["id_b"])
+             for r in embed_near_dups(ds, threshold=0.95).take_all()}
+    assert (10, 11) in exact
+
+    lsh = {(r["id_a"], r["id_b"])
+           for r in embed_near_dups_lsh(ds, threshold=0.95).take_all()}
+    assert (10, 11) in lsh
+    assert lsh <= exact  # LSH verifies exactly, so no false positives
+
+
+def test_xml_extract_query(ray_session):
+    from soupflow.queries import QUERIES
+    rows = QUERIES["xml_extract"](SF).take_all()
+    assert len(rows) == 500
+    assert all(r["lang_attr"] for r in rows)
+
+
+def test_top_docs_sorted(ray_session):
+    from soupflow.queries import QUERIES
+    rows = QUERIES["top_docs"](SF).take_all()
+    assert len(rows) == 10
+    chars = [r["n_chars"] for r in rows]
+    assert chars == sorted(chars, reverse=True)
