@@ -152,14 +152,16 @@ class Node:
         return self
 
     def has_attr(self, key: str) -> bool:
+        if self.attributes is None:
+            return False
         if key.startswith("abs:"):
             k = key[4:]
-            if self.attributes is not None and \
-                    self.attributes.has_key_ignore_case(k):
-                return bool(self.abs_url(k))
-            return False
-        return self.attributes is not None and \
-            self.attributes.has_key_ignore_case(key)
+            if self.attributes.has_key_ignore_case(k) and \
+                    self.abs_url(k):
+                return True
+            # fall through: a literal "abs:x" attribute also counts
+            # (reference Node.hasAttr, NodeTest testLiteralAbsPrefix)
+        return self.attributes.has_key_ignore_case(key)
 
     def remove_attr(self, key: str) -> "Node":
         if self.attributes is not None:
@@ -241,6 +243,11 @@ class Node:
             self._reparent(c)
             self.child_nodes.insert(index, c)
         self._reindex(index)
+
+    def child_nodes_copy(self) -> list["Node"]:
+        """Independent deep copies of the children (reference
+        Node.childNodesCopy, Node.swift:436)."""
+        return [c.clone() for c in self.child_nodes]
 
     def remove_child(self, child: "Node") -> None:
         i = child.sibling_index
@@ -339,19 +346,14 @@ class Node:
                 node = node.child_nodes[0]
                 depth += 1
             else:
-                while node is not None and node.next_sibling() is None \
-                        and depth > 0:
+                while node is not self and node.next_sibling() is None:
                     visitor.tail(node, depth)
                     node = node.parent_node
                     depth -= 1
-                if node is None:
-                    break
                 visitor.tail(node, depth)
                 if node is self:
                     break
                 node = node.next_sibling()
-        if node is self:
-            visitor.tail(node, depth)
 
     # -- serialization ----------------------------------------------------
     def outer_html(self) -> str:
@@ -403,6 +405,19 @@ class TextNode(LeafNode):
 
     def is_blank(self) -> bool:
         return is_blank(self._text)
+
+    # "text" pseudo-attribute (reference TextNode.swift TEXT_KEY)
+    def attr(self, key: str) -> str:
+        if key == "text":
+            return self.text()
+        return super().attr(key)
+
+    def set_attr(self, key: str, value: str) -> "TextNode":
+        if key == "text":
+            self._text = value
+            return self
+        super().set_attr(key, value)
+        return self
 
     def split_text(self, offset: int) -> "TextNode":
         head, tail = self._text[:offset], self._text[offset:]
@@ -567,6 +582,14 @@ class Element(Node):
         if not isinstance(p, Element):
             return [self]
         return p.children()
+
+    def sibling_elements(self) -> list["Element"]:
+        """Parent's element children excluding self; empty for orphans
+        (reference Element.siblingElements)."""
+        p = self.parent_node
+        if not isinstance(p, Element):
+            return []
+        return [c for c in p.children() if c is not self]
 
     def next_element_sibling(self) -> Optional["Element"]:
         n = self.next_sibling()
@@ -967,6 +990,11 @@ class Document(Element):
 
     def node_name(self) -> str:
         return "#document"
+
+    def create_element(self, tag_name: str) -> "Element":
+        """Unattached element owned by this doc (reference
+        Document.createElement, Document.swift:147)."""
+        return Element(tag_for(tag_name), self.base_uri)
 
     @staticmethod
     def create_shell(base_uri: str = "") -> "Document":

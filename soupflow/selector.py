@@ -81,6 +81,32 @@ class TokenQueue:
             self.pos += 1
         return self.queue[start:self.pos]
 
+    def consume_to(self, seq: str) -> str:
+        return self.consume_to_any(seq)
+
+    def chomp_to_ignore_case(self, seq: str) -> str:
+        """Consume (and return) up to a case-insensitive match of seq,
+        chomping the match itself; to EOF if absent (reference
+        TokenQueue.chompToIgnoreCase)."""
+        idx = self.queue.lower().find(seq.lower(), self.pos)
+        if idx == -1:
+            out = self.queue[self.pos:]
+            self.pos = len(self.queue)
+            return out
+        out = self.queue[self.pos:idx]
+        self.pos = idx + len(seq)
+        return out
+
+    def consume_word(self) -> str:
+        start = self.pos
+        while self.matches_word():
+            self.pos += 1
+        return self.queue[start:self.pos]
+
+    def add_first(self, seq: str) -> None:
+        self.queue = seq + self.queue[self.pos:]
+        self.pos = 0
+
     def chomp_balanced(self, open_ch: str, close_ch: str) -> str:
         """Consume a balanced (...) / [...] run; returns contents.
         Tolerates unbalanced input at EOF and skips quoted sections

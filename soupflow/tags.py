@@ -149,7 +149,9 @@ def tag_for(name: str, preserve_case: bool = False) -> Tag:
                   form_list=base.form_list, form_submit=base.form_submit,
                   known=True)
     else:
-        tag = Tag(name, is_block=False, format_as_block=False, known=False)
+        # reference Tag.swift:238-241 — unknown tags take the block-tag
+        # trait set with only isBlock cleared (formatAsBlock stays true)
+        tag = Tag(name, is_block=False, format_as_block=True, known=False)
     if len(_UNKNOWN_CACHE) < _UNKNOWN_CACHE_MAX:
         _UNKNOWN_CACHE[key] = tag
     return tag

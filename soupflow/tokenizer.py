@@ -147,9 +147,10 @@ class CharacterReader:
     __slots__ = ("s", "pos", "len", "_mark")
 
     def __init__(self, s: str) -> None:
-        # normalize newlines like the reference input prep (\r\n, \r -> \n)
-        if "\r" in s:
-            s = s.replace("\r\n", "\n").replace("\r", "\n")
+        # NO newline normalization: the reference keeps \r in the input
+        # and treats it as plain whitespace in the state tables
+        # (Tokeniser.swift:45, CharacterReader.swift:1523); quoted
+        # attribute values preserve \r\n (AttributeParseTest.swift:31-37)
         self.s = s
         self.pos = 0
         self.len = len(s)
