@@ -520,9 +520,11 @@ class XmlDeclaration(LeafNode):
         return self._name
 
     def get_whole_declaration(self) -> str:
+        """Attributes-only form, e.g. 'version="1" encoding="UTF-8"'
+        (reference XmlDeclaration.getWholeDeclaration)."""
         from .serializer import attributes_html
         attrs = attributes_html(self) if self.attributes else ""
-        return f"{self._name}{attrs}"
+        return attrs.strip()
 
     def shallow_clone(self) -> "XmlDeclaration":
         x = XmlDeclaration(self._name, self.base_uri,
@@ -980,16 +982,70 @@ class OutputSettings:
 
 
 class Document(Element):
-    __slots__ = ("output_settings", "quirks_mode", "location")
+    __slots__ = ("output_settings", "quirks_mode", "location",
+                 "update_meta_charset")
 
     def __init__(self, base_uri: str = "") -> None:
         super().__init__(tag_for("#root", preserve_case=True), base_uri)
         self.output_settings = OutputSettings()
         self.quirks_mode = "noQuirks"  # noQuirks | quirks | limitedQuirks
         self.location = base_uri
+        self.update_meta_charset = False
 
     def node_name(self) -> str:
         return "#document"
+
+    def set_text(self, text: str) -> "Element":
+        """Replace body text, preserving document structure (reference
+        Document.text override)."""
+        body = self.body()
+        if body is not None:
+            body.set_text(text)
+            return self
+        return super().set_text(text)
+
+    def charset(self) -> str:
+        return self.output_settings.charset
+
+    def set_charset(self, charset: str) -> None:
+        """Set output charset + sync the meta charset element / XML
+        declaration (reference Document.charset /
+        ensureMetaCharsetElement)."""
+        self.update_meta_charset = True
+        self.output_settings.charset = charset
+        self._ensure_meta_charset()
+
+    def _ensure_meta_charset(self) -> None:
+        if not self.update_meta_charset:
+            return
+        cs = self.output_settings.charset
+        if self.output_settings.syntax == "html":
+            metas = self.select("meta[charset]")
+            head = self.head()
+            if metas:
+                meta = metas[0]
+            elif head is not None:
+                meta = head.append_element("meta")
+            else:
+                return
+            meta.set_attr("charset", cs)
+            for m in self.select("meta[name=charset]"):
+                m.remove()
+        else:
+            first = self.child_nodes[0] if self.child_nodes else None
+            if isinstance(first, XmlDeclaration) and \
+                    first.name() == "xml":
+                first.set_attr("encoding", cs)
+                if first.attr("version"):
+                    first.set_attr("version", "1.0")
+            else:
+                decl = XmlDeclaration("xml", self.base_uri)
+                decl.set_attr("version", "1.0")
+                decl.set_attr("encoding", cs)
+                self.prepend_child(decl)
+
+    def has_same_value(self, other: "Document") -> bool:
+        return self.outer_html() == other.outer_html()
 
     def create_element(self, tag_name: str) -> "Element":
         """Unattached element owned by this doc (reference

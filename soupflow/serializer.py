@@ -78,12 +78,14 @@ def _attrs_html(node: Node, accum: list[str], out: OutputSettings) -> None:
     for key, value in node.attributes.items():
         accum.append(" ")
         accum.append(key)
-        collapse = value is None or (
-            value == "" and out.syntax == "html"
-            and key.lower() in BOOLEAN_ATTRIBUTES)
+        # xml syntax always writes ="" (reference DocumentTest
+        # testHtmlAndXmlSyntax: <img async=""> in xml, <img async> in html)
+        collapse = out.syntax == "html" and (
+            value is None or
+            (value == "" and key.lower() in BOOLEAN_ATTRIBUTES))
         if not collapse:
             accum.append('="')
-            accum.append(escape(value, out.escape_mode, out.charset,
+            accum.append(escape(value or "", out.escape_mode, out.charset,
                                 in_attribute=True))
             accum.append('"')
 

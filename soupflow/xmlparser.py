@@ -65,13 +65,23 @@ class XmlTreeBuilder:
     def _insert_start(self, t: TagTok) -> None:
         tag = tag_for(self.settings.normalise_tag(t.name or ""),
                       self.settings.preserve_tag_case)
+        if t.self_closing and not tag.is_self_closing():
+            # per-element copy — never mutate the interned registry Tag
+            # (reference keeps a separate self-closing unknown-tag cache,
+            # Tag.swift UnknownTagCache.selfClosingTags)
+            from .tags import Tag
+            tag = Tag(tag.name, is_block=tag.is_block,
+                      format_as_block=tag.format_as_block,
+                      can_contain_inline=tag.can_contain_inline,
+                      empty=tag.empty, self_closing=True,
+                      preserve_whitespace=tag.preserve_whitespace,
+                      form_list=tag.form_list,
+                      form_submit=tag.form_submit, known=tag.known)
         el = Element(tag, self.base_uri)
         for k, v in self.settings.normalise_attributes(t.attrs).items():
             el._attrs().put(k, v)
         self._current().append_child_node(el)
-        if t.self_closing:
-            tag.self_closing = True
-        else:
+        if not t.self_closing:
             self.stack.append(el)
 
     def _insert_comment(self, t: CommentTok) -> None:
