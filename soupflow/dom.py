@@ -237,12 +237,20 @@ class Node:
             self.append_child_node(c)
 
     def insert_children_at(self, index: int, children: list["Node"]) -> None:
+        n = len(self.child_nodes)
         if index < 0:
-            index = len(self.child_nodes) + 1 + index
+            index = n + 1 + index  # -1 == append
+        if not (0 <= index <= n):
+            raise ValueError("insert position out of bounds")
         for c in reversed(list(children)):
             self._reparent(c)
             self.child_nodes.insert(index, c)
         self._reindex(index)
+
+    def has_same_value(self, other: "Node") -> bool:
+        """Content equality (reference Node.hasSameValue: identical
+        outer html)."""
+        return self is other or self.outer_html() == other.outer_html()
 
     def child_nodes_copy(self) -> list["Node"]:
         """Independent deep copies of the children (reference
@@ -306,9 +314,12 @@ class Node:
         if self.parent_node is not None:
             self.replace_with(wrapper)
         deepest.append_child_node(self)
-        # remaining fragment nodes go after the wrapper
+        # remaining fragment nodes are appended INTO the wrapper
+        # (reference Node.wrap remainder handling, Node.swift:723)
         for remainder in nodes[1:]:
-            wrapper.after_node(remainder)
+            if remainder.parent_node is not None:
+                remainder.parent_node.remove_child(remainder)
+            wrapper.append_child_node(remainder)
         return self
 
     def unwrap(self) -> Optional["Node"]:
@@ -458,6 +469,17 @@ class DataNode(LeafNode):
 
     def get_whole_data(self) -> str:
         return self._data
+
+    # "data" pseudo-attribute (reference DataNode lazy materialize)
+    def attr(self, key: str) -> str:
+        if key == "data":
+            return self._data
+        return super().attr(key)
+
+    def has_attr(self, key: str) -> bool:
+        if key == "data":
+            return True
+        return super().has_attr(key)
 
     def set_whole_data(self, data: str) -> None:
         self._data = data
@@ -625,9 +647,10 @@ class Element(Node):
 
     # -- ancestry ---------------------------------------------------------
     def parents(self) -> list["Element"]:
+        # stops before the #root element (reference accumulateParents)
         out = []
         p = self.parent_node
-        while isinstance(p, Element):
+        while isinstance(p, Element) and p.tag.name != "#root":
             out.append(p)
             p = p.parent_node
         return out
@@ -642,12 +665,14 @@ class Element(Node):
         return self
 
     def append_element(self, tag_name: str) -> "Element":
-        el = Element(tag_for(tag_name), self.base_uri)
+        # manual element creation preserves caller's case (reference
+        # ElementTest testAddNewElement)
+        el = Element(tag_for(tag_name, preserve_case=True), self.base_uri)
         self.append_child_node(el)
         return el
 
     def prepend_element(self, tag_name: str) -> "Element":
-        el = Element(tag_for(tag_name), self.base_uri)
+        el = Element(tag_for(tag_name, preserve_case=True), self.base_uri)
         self.prepend_child(el)
         return el
 
@@ -905,6 +930,83 @@ class Element(Node):
                 if isinstance(n, Element) and n.has_attr(key)
                 and n.attr(key).lower() == lvalue]
 
+    # Remaining getElementsBy* sugar family (reference
+    # Element.swift:1215-1695) — thin wrappers over the evaluators.
+    def _collect(self, evaluator) -> list["Element"]:
+        from .selector import collect
+        return collect(evaluator, self)
+
+    def get_elements_by_attribute_starting(
+            self, key_prefix: str) -> list["Element"]:
+        from .selector import AttributeStarting
+        return self._collect(AttributeStarting(key_prefix.strip()))
+
+    def get_elements_by_attribute_value_not(
+            self, key: str, value: str) -> list["Element"]:
+        from .selector import AttributeWithValueNot
+        return self._collect(AttributeWithValueNot(key.strip(), value))
+
+    def get_elements_by_attribute_value_starting(
+            self, key: str, prefix: str) -> list["Element"]:
+        from .selector import AttributeWithValueStarting
+        return self._collect(AttributeWithValueStarting(key.strip(),
+                                                        prefix))
+
+    def get_elements_by_attribute_value_ending(
+            self, key: str, suffix: str) -> list["Element"]:
+        from .selector import AttributeWithValueEnding
+        return self._collect(AttributeWithValueEnding(key.strip(),
+                                                      suffix))
+
+    def get_elements_by_attribute_value_containing(
+            self, key: str, needle: str) -> list["Element"]:
+        from .selector import AttributeWithValueContaining
+        return self._collect(AttributeWithValueContaining(key.strip(),
+                                                          needle))
+
+    def get_elements_by_attribute_value_matching(
+            self, key: str, regex: str) -> list["Element"]:
+        from .selector import AttributeWithValueMatching
+        return self._collect(AttributeWithValueMatching(key.strip(),
+                                                        regex))
+
+    def get_elements_by_index_less_than(self, index: int) -> list["Element"]:
+        from .selector import IndexLessThan
+        return self._collect(IndexLessThan(index))
+
+    def get_elements_by_index_greater_than(self,
+                                           index: int) -> list["Element"]:
+        from .selector import IndexGreaterThan
+        return self._collect(IndexGreaterThan(index))
+
+    def get_elements_by_index_equals(self, index: int) -> list["Element"]:
+        from .selector import IndexEquals
+        return self._collect(IndexEquals(index))
+
+    def get_elements_containing_text(self, text: str) -> list["Element"]:
+        from .selector import ContainsText
+        return self._collect(ContainsText(text))
+
+    def get_elements_containing_own_text(self,
+                                         text: str) -> list["Element"]:
+        from .selector import ContainsOwnText
+        return self._collect(ContainsOwnText(text))
+
+    def get_elements_matching_text(self, regex: str) -> list["Element"]:
+        from .selector import MatchesText
+        return self._collect(MatchesText(regex))
+
+    def get_elements_matching_own_text(self, regex: str) -> list["Element"]:
+        from .selector import MatchesOwnText
+        return self._collect(MatchesOwnText(regex))
+
+    def replace_child(self, out: "Node", new_in: "Node") -> None:
+        """Replace direct child `out` with `new_in` (reference
+        Node.replaceChild)."""
+        if out.parent_node is not self:
+            raise ValueError("node to replace is not a child")
+        out.replace_with(new_in)
+
     def get_all_elements(self) -> list["Element"]:
         return [n for n in self.iter_subtree() if isinstance(n, Element)]
 
@@ -913,19 +1015,31 @@ class Element(Node):
         from .serializer import serialize_children
         return serialize_children(self)
 
+    @staticmethod
+    def _css_escape(ident: str) -> str:
+        # backslash-escape chars not valid bare in a CSS identifier
+        # (reference cssSelector escaping, ElementTest css-path tests)
+        return "".join(
+            c if (c.isalnum() or c in "-_" or not c.isascii())
+            else "\\" + c
+            for c in ident)
+
     def css_selector(self) -> str:
         """A unique CSS selector path for this element
         (reference Element.swift cssSelector)."""
         if self.id():
-            return "#" + self.id()
+            return "#" + self._css_escape(self.id())
         tag = self.tag.name.replace(":", "|")
-        classes = ".".join(self.class_names())
+        classes = ".".join(self._css_escape(c)
+                           for c in self.class_names())
         selector = tag + ("." + classes if classes else "")
         p = self.parent_node
         if not isinstance(p, Element) or isinstance(p, Document):
             return selector
         from .selector import select
-        if len(select(selector, p)) > 1:
+        # uniqueness among the parent's IMMEDIATE children (reference
+        # selects "> tag.classes", Element.swift:1084-1087)
+        if len(select("> " + selector, p)) > 1:
             selector += f":nth-child({self.element_sibling_index() + 1})"
         return p.css_selector() + " > " + selector
 
@@ -1044,8 +1158,6 @@ class Document(Element):
                 decl.set_attr("encoding", cs)
                 self.prepend_child(decl)
 
-    def has_same_value(self, other: "Document") -> bool:
-        return self.outer_html() == other.outer_html()
 
     def create_element(self, tag_name: str) -> "Element":
         """Unattached element owned by this doc (reference

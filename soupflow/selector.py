@@ -171,7 +171,10 @@ class TokenQueue:
         n = len(q)
         while self.pos < n:
             c = q[self.pos]
-            if c.isalnum() or c in "-_\\" or not c.isascii():
+            if c == "\\" and self.pos + 1 < n:
+                # backslash escape: take the escaped char too
+                self.pos += 2
+            elif c.isalnum() or c in "-_" or not c.isascii():
                 self.pos += 1
             else:
                 break
@@ -755,7 +758,13 @@ class QueryParser:
         tq = self.tq
         sb: list[str] = []
         while not tq.is_empty():
-            if tq.matches_cs("("):
+            if tq.matches_cs("\\"):
+                # escaped char: keep backslash + next char literal so
+                # `\(` never opens a balanced group
+                sb.append(tq.consume())
+                if not tq.is_empty():
+                    sb.append(tq.consume())
+            elif tq.matches_cs("("):
                 sb.append("(")
                 sb.append(tq.chomp_balanced("(", ")"))
                 sb.append(")")
@@ -772,9 +781,11 @@ class QueryParser:
     def _find_elements(self) -> None:
         tq = self.tq
         if tq.match_chomp("#"):
-            self.evals.append(IdIs(tq.consume_css_identifier()))
+            self.evals.append(IdIs(
+                TokenQueue.unescape(tq.consume_css_identifier())))
         elif tq.match_chomp("."):
-            self.evals.append(ClassIs(tq.consume_css_identifier().strip()))
+            self.evals.append(ClassIs(
+                TokenQueue.unescape(tq.consume_css_identifier().strip())))
         elif tq.matches_word() or tq.matches_cs("*|"):
             self._by_tag()
         elif tq.matches_cs("["):

@@ -117,14 +117,15 @@ class HtmlTreeBuilder:
             name = context.tag.normal_name
             tk = self.tokeniser
             from . import tokenizer as tz
-            if name in ("title", "textarea"):
+            # reference HtmlTreeBuilder.parseFragment:102-115 — title/
+            # textarea AND the frames set start in Rcdata; lastStartTag is
+            # NOT seeded, so the no-end-tag-coming divergence can't fire
+            # and bare markup becomes text (ElementTest testSetHtmlTitle)
+            if name in ("title", "textarea", "iframe", "noembed",
+                        "noframes", "style", "xmp"):
                 tk.state = tz.rcdata_state
-            elif name in ("iframe", "noembed", "noframes", "style", "xmp"):
-                tk.state = tz.rawtext_state
             elif name == "script":
                 tk.state = tz.script_data_state
-            elif name == "plaintext":
-                tk.state = tz.data_state
             else:
                 tk.state = tz.data_state
             root = Element(tag_for("html"), base_uri)
@@ -138,9 +139,6 @@ class HtmlTreeBuilder:
                     self.form_element = el
                     break
                 el = el.parent_node
-            if name in ("title", "textarea", "script"):
-                # seed last start tag for appropriate end-tag matching
-                tk.last_start_tag = name
         self._run_parser()
         if context is not None and root is not None:
             return list(root.child_nodes)
