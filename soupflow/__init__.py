@@ -11,6 +11,7 @@ Core per-document library (this package root):
 Ray pipeline layers: soupflow.extract, soupflow.pipeline, soupflow.data.*
 """
 
+from .elements import Elements
 from .dom import (Attributes, Comment, DataNode, Document, DocumentType,
                   Element, FormElement, Node, OutputSettings, TextNode,
                   XmlDeclaration)
@@ -21,6 +22,7 @@ from .tags import Tag, tag_for
 __version__ = "0.1.0"
 
 __all__ = [
+    "Elements",
     "Attributes", "Comment", "DataNode", "Document", "DocumentType",
     "Element", "FormElement", "Node", "OutputSettings", "TextNode",
     "XmlDeclaration", "Tag", "tag_for", "parse", "parse_html", "parse_xml",

@@ -891,9 +891,10 @@ class Element(Node):
         return self
 
     # -- select (delegates to selector engine) -----------------------------
-    def select(self, query: str) -> list["Element"]:
+    def select(self, query: str) -> "Element":
+        from .elements import Elements
         from .selector import select
-        return select(query, self)
+        return Elements(select(query, self))
 
     def select_first(self, query: str) -> Optional["Element"]:
         result = self.select(query)

@@ -368,8 +368,11 @@ class IsFirstChild(Evaluator):
     __slots__ = ()
 
     def matches(self, root, element):
+        # never matches the query root itself (reference
+        # Evaluator.swift:708-715, jsoup issue #274)
         p = element.parent()
-        return p is not None and not isinstance(p, Document) and \
+        return element is not root and p is not None and \
+            not isinstance(p, Document) and \
             element.element_sibling_index() == 0
 
 
@@ -378,7 +381,7 @@ class IsLastChild(Evaluator):
 
     def matches(self, root, element):
         p = element.parent()
-        if p is None or isinstance(p, Document):
+        if element is root or p is None or isinstance(p, Document):
             return False
         siblings = p.children()
         return bool(siblings) and siblings[-1] is element
