@@ -58,17 +58,42 @@ def exact_dedup(ds, text_col: str = "text"):
 
 # -- MinHash + LSH ----------------------------------------------------------
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    words = text.split()
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i:i + k])
-                    for i in range(len(words) - k + 1)]
+# position-mix multipliers for combining word hashes into shingle
+# hashes (odd 64-bit constants; splitmix64 increments)
+_POS_MIX = np.array([0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
+                     0x94D049BB133111EB, 0xD6E8FEB86659FD93,
+                     0xA5A5A5A5A5A5A5A5, 0xC2B2AE3D27D4EB4F,
+                     0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                    dtype=np.uint64)
+
+
+def _word_hash_array(words: list[str]) -> np.ndarray:
     return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8)
-                        .digest(), "big") for s in shingles),
-        dtype=np.uint64, count=len(shingles))
+        (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8)
+                        .digest(), "big") for w in words),
+        dtype=np.uint64, count=len(words))
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of word k-shingles: one blake2b per WORD, shingles formed
+    by a vectorized position-weighted xor mix (k ≤ 8)."""
+    words = text.split()
+    if not words:
+        return np.array([int.from_bytes(
+            hashlib.blake2b(b"", digest_size=8).digest(), "big")],
+            dtype=np.uint64)
+    wh = _word_hash_array(words)
+    with np.errstate(over="ignore"):
+        if len(words) < k:
+            acc = np.zeros(1, dtype=np.uint64)
+            for j in range(len(words)):
+                acc ^= wh[j:j + 1] * _POS_MIX[j % len(_POS_MIX)]
+            return acc
+        n = len(words) - k + 1
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            acc ^= wh[j:j + n] * _POS_MIX[j % len(_POS_MIX)]
+    return acc
 
 
 class MinHashActor:
@@ -103,18 +128,31 @@ class MinHashActor:
         })
 
 
+_MINHASH_CACHE: dict = {}
+
+
+def _minhash_task(num_perm: int, shingle_k: int):
+    def fn(batch):
+        key = (num_perm, shingle_k)
+        actor = _MINHASH_CACHE.get(key)
+        if actor is None:
+            actor = _MINHASH_CACHE[key] = MinHashActor(
+                num_perm=num_perm, shingle_k=shingle_k)
+        return actor(batch)
+    fn.__name__ = "task_minhash"
+    return fn
+
+
 def minhash_lsh_buckets(ds, num_perm: int = 64, bands: int = 16,
                         shingle_k: int = 3):
     """documents → (band_key, doc_id) pairs via banding; ONE groupby on
     band_key co-locates near-dup candidates."""
     rows_per_band = num_perm // bands
 
-    import ray
-    cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    # task-based: MinHashActor instance cached per worker process
+    # (same amortization as an actor pool, no pool upscaling stalls)
     sigs = ds.map_batches(
-        MinHashActor, batch_format="pyarrow", concurrency=(1, cpus),
-        fn_constructor_kwargs={"num_perm": num_perm,
-                               "shingle_k": shingle_k})
+        _minhash_task(num_perm, shingle_k), batch_format="pyarrow")
 
     def to_bands(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -140,44 +178,73 @@ def minhash_lsh_buckets(ds, num_perm: int = 64, bands: int = 16,
 def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3):
     """→ (doc_id, dup_of) pairs: docs sharing an LSH bucket with a
-    smaller doc_id. Approximate transitive closure: per-bucket min."""
-    buckets = minhash_lsh_buckets(ds, num_perm, bands, shingle_k)
+    smaller doc_id. Approximate transitive closure: per-bucket min.
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_id": [], "dup_of": []})
-        keeper = group["doc_id"].min()
-        dups = group[group["doc_id"] != keeper]
-        return pd.DataFrame({"doc_id": dups["doc_id"],
-                             "dup_of": keeper})
+    Scale shape: ONE C-path groupby-aggregate over the band rows
+    (min doc_id + count per bucket) instead of per-bucket map_groups
+    (python/pandas per group is the bottleneck at millions of tiny
+    buckets). Buckets with ≥2 docs — the actual duplicate clusters, a
+    tiny fraction of the corpus — are broadcast once via ray.put and
+    joined map-side."""
+    import ray
+    from ray.data.aggregate import Count, Min
 
-    pairs = buckets.groupby("band_key").map_groups(
-        emit_pairs, batch_format="pandas")
+    # materialize the (doc_id, band_key) rows: they feed BOTH the
+    # bucket aggregate and the map-side join below, and are tiny
+    # relative to the corpus (two narrow columns; spillable)
+    buckets = minhash_lsh_buckets(ds, num_perm, bands,
+                                  shingle_k).materialize()
+    agg = buckets.groupby("band_key").aggregate(
+        Min("doc_id", alias_name="keeper"),
+        Count(alias_name="n"))
+    dup_buckets = agg.filter(expr="n >= 2")
+    keeper_by_band = {r["band_key"]: r["keeper"]
+                      for r in dup_buckets.take_all()}
+    handle = ray.put(keeper_by_band)  # broadcast once
+
+    def attach(batch: pa.Table) -> pa.Table:
+        mapping = ray.get(handle)
+        keys = batch.column("band_key").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out_doc, out_dup = [], []
+        for key, doc_id in zip(keys, ids):
+            keeper = mapping.get(key)
+            if keeper is not None and keeper != doc_id:
+                out_doc.append(doc_id)
+                out_dup.append(keeper)
+        id_type = batch.column("doc_id").type
+        return pa.table({"doc_id": pa.array(out_doc, id_type),
+                         "dup_of": pa.array(out_dup, id_type)})
+
+    pairs = buckets.map_batches(attach, batch_format="pyarrow")
     # same pair can surface from several bands; dedup via groupby min
-    from ray.data.aggregate import Min
     return pairs.groupby("doc_id").aggregate(
         Min("dup_of", alias_name="dup_of"))
 
 
 # -- SimHash ----------------------------------------------------------------
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
 def simhash_batch(batch: pa.Table, *, bits: int = 64) -> pa.Table:
-    """64-bit SimHash over word features (weight = term frequency)."""
+    """64-bit SimHash over word features (weight = term frequency).
+    Vectorized: per doc one (n_words, 64) bit matrix and one sum."""
     texts = batch.column("text").to_pylist()
     out = []
     for t in texts:
-        acc = np.zeros(bits, dtype=np.int64)
-        for word in (t or "").split():
-            h = int.from_bytes(
-                hashlib.blake2b(word.encode(), digest_size=8).digest(),
-                "big")
-            bits_arr = np.array([(h >> i) & 1 for i in range(bits)],
-                                dtype=np.int64)
-            acc += bits_arr * 2 - 1
-        sim = 0
-        for i in range(bits):
-            if acc[i] > 0:
-                sim |= (1 << i)
+        words = (t or "").split()
+        if not words:
+            out.append(-(1 << 63))
+            continue
+        hashes = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8)
+                            .digest(), "big") for w in words),
+            dtype=np.uint64, count=len(words))
+        bit_matrix = (hashes[:, None] >> _BIT_SHIFTS) & np.uint64(1)
+        acc = bit_matrix.astype(np.int64).sum(axis=0) * 2 - len(words)
+        sim = int(((acc > 0).astype(np.uint64) <<
+                   _BIT_SHIFTS).sum(dtype=np.uint64))
         out.append(sim - (1 << 63))  # store as signed int64
     return pa.table({
         "doc_id": batch.column("doc_id"),
@@ -247,43 +314,59 @@ def ngram_jaccard_near_dups(ds, threshold: float = 0.8,
                             bands: int = 16):
     """n-gram Jaccard near-dup pairs → (doc_id, dup_of, jaccard_x100).
 
-    Candidate generation is MinHash banding (ONE groupby co-locates
-    candidates); verification is EXACT n-gram Jaccard computed inside
-    the group — no second shuffle. Texts ride along with the band rows
-    so verification needs no lookup join."""
+    Two-phase scale shape:
+      1. MinHash banding WITHOUT text (narrow rows) → ONE C-path
+         groupby-count finds buckets with ≥2 docs; the duplicate bucket
+         keys (tiny: real dup clusters only) are broadcast via ray.put.
+      2. A second map over the corpus re-bands only CANDIDATE docs,
+         attaching text solely for rows landing in a duplicate bucket;
+         ONE groupby co-locates those few rows; exact n-gram Jaccard
+         verifies inside the group.
+    Full text is never shuffled for non-candidate documents."""
+    import ray
+    from ray.data.aggregate import Count, Max, Min
+
     rows_per_band = num_perm // bands
 
-    # text rides along with the signature (computed in one stage)
-    # instead of being re-attached later via a join
-    def sig_and_text(batch: pa.Table) -> pa.Table:
-        actor = MinHashActor(num_perm=num_perm, shingle_k=shingle_k)
-        sig_tbl = actor(batch)
-        return sig_tbl.append_column("text", batch.column("text"))
+    buckets = minhash_lsh_buckets(ds, num_perm, bands,
+                                  shingle_k).materialize()
+    agg = buckets.groupby("band_key").aggregate(Count(alias_name="n"))
+    dup_keys = {r["band_key"]
+                for r in agg.filter(expr="n >= 2").take_all()}
+    handle = ray.put(dup_keys)  # broadcast once
 
-    sigs = ds.map_batches(sig_and_text, batch_format="pyarrow")
-
-    def to_bands(batch: pa.Table) -> pa.Table:
+    def band_candidates(batch: pa.Table) -> pa.Table:
+        """Re-band; emit (band_key, doc_id, text) only for duplicate
+        buckets (text attached only for candidates)."""
+        keys_of_interest = ray.get(handle)
+        key = (num_perm, shingle_k)
+        actor = _MINHASH_CACHE.get(key)
+        if actor is None:
+            actor = _MINHASH_CACHE[key] = MinHashActor(
+                num_perm=num_perm, shingle_k=shingle_k)
         doc_ids = batch.column("doc_id").to_pylist()
-        sig_lists = batch.column("sig").to_pylist()
         texts = batch.column("text").to_pylist()
         out_keys, out_docs, out_texts = [], [], []
-        for doc_id, sig, text in zip(doc_ids, sig_lists, texts):
+        for doc_id, text in zip(doc_ids, texts):
+            sig = actor.signature(text or "")
             for b in range(bands):
                 chunk = tuple(sig[b * rows_per_band:(b + 1) *
                                   rows_per_band])
-                key = hashlib.blake2b(
+                bkey = hashlib.blake2b(
                     (str(b) + ":" + ",".join(map(str, chunk))).encode(),
                     digest_size=8).hexdigest()
-                out_keys.append(key)
-                out_docs.append(doc_id)
-                out_texts.append(text)
+                if bkey in keys_of_interest:
+                    out_keys.append(bkey)
+                    out_docs.append(doc_id)
+                    out_texts.append(text)
+        id_type = batch.column("doc_id").type
         return pa.table({
             "band_key": pa.array(out_keys, pa.string()),
-            "doc_id": pa.array(out_docs),
+            "doc_id": pa.array(out_docs, id_type),
             "text": pa.array(out_texts, pa.string()),
         })
 
-    banded = sigs.map_batches(to_bands, batch_format="pyarrow")
+    banded = ds.map_batches(band_candidates, batch_format="pyarrow")
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
@@ -314,7 +397,6 @@ def ngram_jaccard_near_dups(ds, threshold: float = 0.8,
 
     pairs = banded.groupby("band_key").map_groups(
         verify, batch_format="pandas")
-    from ray.data.aggregate import Max, Min
     return pairs.groupby("doc_id").aggregate(
         Min("dup_of", alias_name="dup_of"),
         Max("jaccard_x100", alias_name="jaccard_x100"))
