@@ -100,10 +100,11 @@ def run_extract_partition(files: list[str], out_dir: str, pid: int, *,
     """One streaming partition: read files → extract → write + manifest."""
     import ray.data
 
+    from .io import read_corpus
+
     t0 = time.monotonic()
     in_bytes = sum(os.path.getsize(f) for f in files)
-    ds = ray.data.read_parquet(files,
-                               override_num_blocks=override_num_blocks)
+    ds = read_corpus(files, override_num_blocks=override_num_blocks)
     def kernel(batch):
         # task-based kernel: compiled state is a per-worker-process
         # singleton (see soupflow.extract.get_extract_kernel — measured
@@ -120,8 +121,9 @@ def run_extract_partition(files: list[str], out_dir: str, pid: int, *,
     )
     part_dir = os.path.join(out_dir, PARTS_DIR, f"{pid:05d}")
     os.makedirs(part_dir, exist_ok=True)
-    ds.write_parquet(part_dir)
-    rows = ray.data.read_parquet(part_dir).count()
+    from .io import write_corpus
+    write_corpus(ds, part_dir)
+    rows = read_corpus(part_dir).count()
     wall = time.monotonic() - t0
     manifest = {
         "partition_id": pid,

@@ -51,10 +51,11 @@ class DoctypeTok(Token):
 
 class TagTok(Token):
     __slots__ = ("name", "attrs", "self_closing", "_attr_name", "_attr_value",
-                 "_has_attr_value", "_has_attr_name", "start")
+                 "_has_attr_value", "_has_attr_name", "start", "_normal")
 
     def __init__(self, start: bool) -> None:
         self.start = start
+        self._normal: Optional[str] = None
         self.name: Optional[str] = None
         self.attrs: dict[str, str] = {}
         self.self_closing = False
@@ -65,6 +66,7 @@ class TagTok(Token):
 
     def append_tag_name(self, s: str) -> None:
         self.name = s if self.name is None else self.name + s
+        self._normal = None
 
     def append_attr_name(self, s: str) -> None:
         self._has_attr_name = True
@@ -93,7 +95,11 @@ class TagTok(Token):
         self.new_attribute()
 
     def normal_name(self) -> str:
-        return (self.name or "").lower()
+        # cached: called many times per token in the tree builder
+        n = self._normal
+        if n is None:
+            n = self._normal = (self.name or "").lower()
+        return n
 
     def to_source_string(self) -> str:
         """Round-trip-ish source form, used when a tag token must be

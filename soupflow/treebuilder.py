@@ -46,6 +46,57 @@ HTML_DEFAULT = ParseSettings(False, False)
 PRESERVE_CASE = ParseSettings(True, True)
 
 
+class ElementStack(list):
+    """Open-elements stack with O(1) identity membership — keeps
+    reconstruct_formatting_elements / on_stack linear on deep DOMs
+    (pathological nesting was quadratic with a plain list scan)."""
+
+    __slots__ = ("_ids",)
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._ids: dict[int, int] = {}
+
+    def _inc(self, el) -> None:
+        i = id(el)
+        self._ids[i] = self._ids.get(i, 0) + 1
+
+    def _dec(self, el) -> None:
+        i = id(el)
+        n = self._ids.get(i, 0) - 1
+        if n <= 0:
+            self._ids.pop(i, None)
+        else:
+            self._ids[i] = n
+
+    def append(self, el) -> None:
+        super().append(el)
+        self._inc(el)
+
+    def pop(self, index: int = -1):
+        el = super().pop(index)
+        self._dec(el)
+        return el
+
+    def insert(self, index: int, el) -> None:
+        super().insert(index, el)
+        self._inc(el)
+
+    def __delitem__(self, index) -> None:
+        el = self[index]
+        super().__delitem__(index)
+        self._dec(el)
+
+    def __setitem__(self, index, el) -> None:
+        old = self[index]
+        super().__setitem__(index, el)
+        self._dec(old)
+        self._inc(el)
+
+    def contains_el(self, el) -> bool:
+        return id(el) in self._ids
+
+
 class HtmlTreeBuilder:
     """One instance per parse; never shared across documents."""
 
@@ -75,7 +126,7 @@ class HtmlTreeBuilder:
         self.reader: Optional[CharacterReader] = None
         self.tokeniser: Optional[Tokeniser] = None
         self.doc: Optional[Document] = None
-        self.stack: list[Element] = []
+        self.stack: ElementStack = ElementStack()
         self.base_uri = ""
         self.current_token = None
         self.errors: Optional[list] = None
@@ -151,7 +202,7 @@ class HtmlTreeBuilder:
         self.reader = CharacterReader(html)
         self.errors = errors
         self.tokeniser = Tokeniser(self.reader, errors)
-        self.stack = []
+        self.stack = ElementStack()
         self.base_uri = base_uri
 
     def _run_parser(self) -> None:
@@ -303,7 +354,7 @@ class HtmlTreeBuilder:
         return self.stack.pop()
 
     def on_stack(self, el: Element) -> bool:
-        return any(e is el for e in self.stack)
+        return self.stack.contains_el(el)
 
     def get_from_stack(self, name: str) -> Optional[Element]:
         for el in reversed(self.stack):

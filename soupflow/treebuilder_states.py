@@ -276,34 +276,34 @@ def _anything_else_after_head(t, tb) -> bool:
 
 # -- InBody constants --------------------------------------------------------
 
-_START_TO_HEAD = ("base", "basefont", "bgsound", "command", "link", "meta",
-                  "noframes", "script", "style", "title")
-_P_CLOSERS = ("address", "article", "aside", "blockquote", "center",
+_START_TO_HEAD = frozenset(("base", "basefont", "bgsound", "command", "link", "meta",
+                  "noframes", "script", "style", "title"))
+_P_CLOSERS = frozenset(("address", "article", "aside", "blockquote", "center",
               "details", "dir", "div", "dl", "fieldset", "figcaption",
               "figure", "footer", "header", "hgroup", "menu", "nav", "ol",
-              "p", "section", "summary", "ul")
-_HEADINGS = ("h1", "h2", "h3", "h4", "h5", "h6")
-_PRE_LISTING = ("pre", "listing")
-_DD_DT = ("dd", "dt")
-_FORMATTERS = ("b", "big", "code", "em", "font", "i", "s", "small",
-               "strike", "strong", "tt", "u")
-_APPLETS = ("applet", "marquee", "object")
-_EMPTY_FORMATTERS = ("area", "br", "embed", "img", "keygen", "wbr")
-_MEDIA = ("param", "source", "track")
-_INPUT_ATTRIBS = ("name", "action", "prompt")
-_OPTIONS = ("optgroup", "option")
-_RUBY = ("rp", "rt")
-_IN_TABLE_DROP = ("caption", "col", "colgroup", "frame", "head", "tbody",
-                  "td", "tfoot", "th", "thead", "tr")
-_END_CLOSERS = ("address", "article", "aside", "blockquote", "button",
+              "p", "section", "summary", "ul"))
+_HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+_PRE_LISTING = frozenset(("pre", "listing"))
+_DD_DT = frozenset(("dd", "dt"))
+_FORMATTERS = frozenset(("b", "big", "code", "em", "font", "i", "s", "small",
+               "strike", "strong", "tt", "u"))
+_APPLETS = frozenset(("applet", "marquee", "object"))
+_EMPTY_FORMATTERS = frozenset(("area", "br", "embed", "img", "keygen", "wbr"))
+_MEDIA = frozenset(("param", "source", "track"))
+_INPUT_ATTRIBS = frozenset(("name", "action", "prompt"))
+_OPTIONS = frozenset(("optgroup", "option"))
+_RUBY = frozenset(("rp", "rt"))
+_IN_TABLE_DROP = frozenset(("caption", "col", "colgroup", "frame", "head", "tbody",
+                  "td", "tfoot", "th", "thead", "tr"))
+_END_CLOSERS = frozenset(("address", "article", "aside", "blockquote", "button",
                 "center", "details", "dir", "div", "dl", "fieldset",
                 "figcaption", "figure", "footer", "header", "hgroup",
                 "listing", "menu", "nav", "ol", "pre", "section", "summary",
-                "ul")
-_END_ADOPTION_FORMATTERS = ("a", "b", "big", "code", "em", "font", "i",
+                "ul"))
+_END_ADOPTION_FORMATTERS = frozenset(("a", "b", "big", "code", "em", "font", "i",
                             "nobr", "s", "small", "strike", "strong", "tt",
-                            "u")
-_END_TABLE_FOSTERS = ("table", "tbody", "tfoot", "thead", "tr")
+                            "u"))
+_END_TABLE_FOSTERS = frozenset(("table", "tbody", "tfoot", "thead", "tr"))
 
 
 def in_body(t, tb) -> bool:
@@ -319,16 +319,16 @@ def in_body(t, tb) -> bool:
             tb.insert_character(t)
             tb.frameset_ok = False
         return True
+    if isinstance(t, TagTok):  # most common after characters
+        if t.start:
+            return _in_body_start(t, tb)
+        return _in_body_end(t, tb)
     if isinstance(t, CommentTok):
         tb.insert_comment(t)
         return True
     if isinstance(t, DoctypeTok):
         tb.error("doctype out of place")
         return False
-    if isinstance(t, TagTok):
-        if t.start:
-            return _in_body_start(t, tb)
-        return _in_body_end(t, tb)
     if isinstance(t, EOFTok):
         return True
     return True
@@ -514,6 +514,7 @@ def _in_body_start(t, tb) -> bool:
     if name == "image":
         if tb.get_from_stack("svg") is None:
             t.name = "img"
+            t._normal = None  # invalidate cached normal_name
             return tb.process(t)
         tb.insert(t)
         return True

@@ -664,3 +664,23 @@ def test_truncated_html_variants_do_not_crash():
     for html in variants:
         doc = sf.parse(html)
         assert doc.body() is not None
+
+
+def test_deep_nesting_is_linear_ish():
+    # reference StackOverflow393Test: deep nesting must neither recurse
+    # nor blow up quadratically (ElementStack O(1) membership)
+    import time
+    depth = 20000
+    html = "<i>" * depth + "text" + "</i>" * depth
+    t0 = time.monotonic()
+    doc = sf.parse(html)
+    assert time.monotonic() - t0 < 5.0
+    assert doc.text() == "text"
+
+
+def test_attribute_storm():
+    # reference AttributeStormProfileTest: thousands of attributes
+    html = "<p " + " ".join(f"a{i}=v{i}" for i in range(5000)) + ">x</p>"
+    p = sf.parse(html).select("p")[0]
+    assert p._attrs().size() == 5000
+    assert p.attr("a4999") == "v4999"
