@@ -127,6 +127,69 @@ class Elements(list):
     def size(self) -> int:
         return len(self)
 
+    # -- structure --------------------------------------------------------
+    def parents(self) -> "Elements":
+        """Union of ancestors across elements, document order, deduped
+        (reference Elements.parents)."""
+        seen: set[int] = set()
+        out = Elements()
+        for el in self:
+            for p in el.parents():
+                if id(p) not in seen:
+                    seen.add(id(p))
+                    out.append(p)
+        return out
+
+    def forms(self) -> list:
+        from .dom import FormElement
+        return [el for el in self if isinstance(el, FormElement)]
+
+    def traverse(self, visitor) -> "Elements":
+        for el in self:
+            el.traverse(visitor)
+        return self
+
+    # -- bulk html mutations ----------------------------------------------
+    def append_html(self, html: str) -> "Elements":
+        for el in self:
+            el.append_html(html)
+        return self
+
+    def prepend_html(self, html: str) -> "Elements":
+        for el in self:
+            el.prepend_html(html)
+        return self
+
+    def set_html(self, html: str) -> "Elements":
+        for el in self:
+            el.set_html(html)
+        return self
+
+    def before_html(self, html: str) -> "Elements":
+        for el in self:
+            el.before_html(html)
+        return self
+
+    def after_html(self, html: str) -> "Elements":
+        for el in self:
+            el.after_html(html)
+        return self
+
+    def wrap(self, html: str) -> "Elements":
+        for el in self:
+            el.wrap(html)
+        return self
+
+    def unwrap(self) -> "Elements":
+        for el in self:
+            el.unwrap()
+        return self
+
+    def set_tag_name(self, tag_name: str) -> "Elements":
+        for el in self:
+            el.set_tag_name(tag_name)
+        return self
+
     # -- bulk mutations ---------------------------------------------------
     def remove(self) -> "Elements":  # type: ignore[override]
         """Remove every element from its DOM (reference Elements.remove;

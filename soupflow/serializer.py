@@ -144,6 +144,10 @@ def _head(node: Node, accum: list[str], depth: int,
             accum.append("<!DOCTYPE")
         if name:
             accum.append(" " + name)
+        if not pub_sys_key and pub:
+            # constructed doctype with a public id still emits PUBLIC
+            # (reference DocumentTypeTest testOuterHtmlGeneration)
+            pub_sys_key = "PUBLIC"
         if pub_sys_key:
             accum.append(" " + pub_sys_key)
         if pub:
