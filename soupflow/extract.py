@@ -202,19 +202,27 @@ class ExtractActor:
         doc_ids = batch.column("doc_id").to_pylist()
         spans_in = batch.column("spans").to_pylist()
         out_spans: list[list[dict]] = []
+        errors: list[Optional[str]] = []
         for spans in spans_in:
-            html = assemble_html(spans or [])
             try:
+                html = assemble_html(spans or [])
                 out = extract_document(
                     html, self.base_uri, whitelist=self.whitelist,
                     drop_boilerplate=self.drop_boilerplate,
                     link_density_threshold=self.link_density_threshold)
-            except Exception:  # never fail a batch for one bad doc
+                err = None
+            except Exception as e:  # never fail a batch for one bad doc
                 out = []
+                err = f"{type(e).__name__}: {e}"[:500]
             out_spans.append(out)
+            errors.append(err)
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.string()),
             "spans": pa.array(out_spans, pa.list_(SPAN_STRUCT)),
+            # per-doc error instead of task failure (north rule): rows
+            # with error != null carry empty spans and are filterable
+            # downstream without re-reading the corpus
+            "error": pa.array(errors, pa.string()),
         })
 
 

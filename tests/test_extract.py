@@ -111,3 +111,32 @@ def test_actor_media_refs_survive():
         out_inserted = [r for r in out_refs if r.startswith("media://")]
         it = iter(in_refs)
         assert all(any(r == x for x in it) for r in out_inserted)
+
+
+def test_bad_document_emits_error_row_not_failure(monkeypatch):
+    """North rule: a pathological doc yields (doc_id, error), never a
+    task failure."""
+    import soupflow.extract as ex
+
+    real = ex.extract_document
+
+    def flaky(html, *a, **k):
+        if "poison" in html:
+            raise ValueError("boom")
+        return real(html, *a, **k)
+
+    monkeypatch.setattr(ex, "extract_document", flaky)
+    tbl = pa.table({
+        "doc_id": pa.array(["ok", "bad"], pa.string()),
+        "spans": pa.array([
+            [{"kind": "text", "text": "<p>fine</p>", "media_ref": "",
+              "offset": 0}],
+            [{"kind": "text", "text": "<p>poison</p>", "media_ref": "",
+              "offset": 0}],
+        ], pa.list_(ex.SPAN_STRUCT)),
+    })
+    out = ex.ExtractActor()(tbl)
+    rows = out.to_pylist()
+    assert rows[0]["error"] is None and rows[0]["spans"]
+    assert rows[1]["error"] == "ValueError: boom"
+    assert rows[1]["spans"] == []

@@ -1,0 +1,77 @@
+"""Property-based robustness: arbitrary input never crashes the parser,
+and one parse→serialize round reaches a serialization fixed point
+(reference has no property tests — this guards the 100-TB 'never fail
+a task for one bad doc' contract at the kernel level)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import soupflow as sf
+from soupflow.extract import assemble_html, extract_document
+
+_markup_bits = st.sampled_from([
+    "<div>", "</div>", "<p", ">", "<", "&", "&amp;", "&#x41;", "&bogus;",
+    "<!--", "-->", "<!doctype html>", "<script>", "</script>", "<table>",
+    "<td>", "</table>", "<b>", "<i>", "</b>", "'", '"', "=", "/", "\x00",
+    "\r\n", " ", "π", "𝔮", "<![CDATA[", "]]>", "<?pi?>", "<a href=",
+    "<title>", "</textarea>", "<svg>", "<math>", "<select>", "<frameset>",
+])
+_soup = st.lists(
+    st.one_of(_markup_bits, st.text(max_size=12)), max_size=40
+).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_soup)
+def test_parse_never_crashes(html):
+    doc = sf.parse(html)
+    doc.outer_html()
+    doc.text()
+    doc.select("a, p, div:first-child")
+
+
+def _flat_html(html):
+    doc = sf.parse(html)
+    doc.output_settings.pretty_print = False
+    return doc.outer_html()
+
+
+@settings(max_examples=150, deadline=None)
+@given(_soup)
+def test_serialization_fixed_point(html):
+    # after one parse→serialize round (pretty-printer off — indentation
+    # legitimately becomes whitespace text on reparse, as in the
+    # reference), output is stable
+    once = _flat_html(html)
+    twice = _flat_html(once)
+    assert _flat_html(twice) == twice
+
+
+@settings(max_examples=150, deadline=None)
+@given(_soup)
+def test_xml_parse_never_crashes(xml):
+    doc = sf.parse_xml(xml)
+    doc.outer_html()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=60))
+def test_extract_document_total(text):
+    # extraction over arbitrary reassembled spans is total
+    spans = [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+    out = extract_document(assemble_html(spans))
+    for s in out:
+        assert s["kind"] in ("text", "media")
+
+
+@settings(max_examples=150, deadline=None)
+@given(_soup)
+def test_clean_idempotent_content(html):
+    # re-cleaning cleaned output changes nothing content-wise (the
+    # pretty printer may re-flow whitespace, as in the reference)
+    from soupflow import clean
+    from soupflow.textutil import normalise_whitespace
+    once = clean(html, "", None)
+    twice = clean(once, "", None)
+    assert sf.parse(twice).text() == sf.parse(once).text()
+    assert normalise_whitespace(twice) == normalise_whitespace(once)
