@@ -96,8 +96,15 @@ def run_extract_partition(files: list[str], out_dir: str, pid: int, *,
                           link_density_threshold: float = 0.0,
                           concurrency: Optional[int] = None,
                           batch_size: int = 128,
+                          salt_buckets: Optional[int] = None,
                           override_num_blocks: Optional[int] = None) -> dict:
-    """One streaming partition: read files → extract → write + manifest."""
+    """One streaming partition: read files → extract → write + manifest.
+
+    ``salt_buckets``: optional skew pre-pass for corpora with known
+    pathological deep-DOM documents — adds a cost-hint salt column and
+    shuffles rows across that many blocks so heavy docs spread instead
+    of clustering in one straggler block. One extra all-to-all per
+    partition; leave off for uniform corpora."""
     import ray.data
 
     from .io import read_corpus
@@ -105,6 +112,10 @@ def run_extract_partition(files: list[str], out_dir: str, pid: int, *,
     t0 = time.monotonic()
     in_bytes = sum(os.path.getsize(f) for f in files)
     ds = read_corpus(files, override_num_blocks=override_num_blocks)
+    if salt_buckets:
+        ds = salt_by_cost(ds, salt_buckets)
+        ds = ds.repartition(salt_buckets, shuffle=True)
+        ds = ds.drop_columns(["salt"])
     def kernel(batch):
         # task-based kernel: compiled state is a per-worker-process
         # singleton (see soupflow.extract.get_extract_kernel — measured
@@ -152,6 +163,7 @@ def run_extract(input_path: str, output_dir: str, *,
                 files_per_partition: int = 4,
                 concurrency: Optional[int] = None,
                 batch_size: int = 128,
+                salt_buckets: Optional[int] = None,
                 resume: bool = True) -> list[dict]:
     """Full resumable extraction run over a directory of parquet files."""
     files = list_input_files(input_path)
@@ -165,5 +177,6 @@ def run_extract(input_path: str, output_dir: str, *,
             part_files, output_dir, pid, whitelist=whitelist,
             drop_boilerplate=drop_boilerplate,
             link_density_threshold=link_density_threshold,
-            concurrency=concurrency, batch_size=batch_size))
+            concurrency=concurrency, batch_size=batch_size,
+            salt_buckets=salt_buckets))
     return manifests

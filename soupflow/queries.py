@@ -450,6 +450,24 @@ def q_join_broadcast(sf_dir: str):
     return joined.groupby("segment").aggregate(Count(alias_name="n"))
 
 
+def q_orders_pruned(sf_dir: str):
+    """Prune at the read: column projection + row-group predicate pushed
+    into the parquet scan (only 2 columns and matching row groups leave
+    storage), then a small groupby."""
+    import pyarrow.dataset as pads
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+        filter=(pads.field("o_totalprice") > 150000.0))
+    return ds.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n"),
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"))
+
+
 def q_events_daily(sf_dir: str):
     """Windowed-style aggregate: events per user per day (partial
     per-block combine, then the small groupby)."""
@@ -496,6 +514,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "multimodal": q_multimodal,
+    "orders_pruned": q_orders_pruned,
     "agg_lineitem": q_agg_lineitem,
     "join_broadcast": q_join_broadcast,
     "events_daily": q_events_daily,
@@ -612,6 +631,14 @@ ORACLE_SQL = {
                'image' AS kind,
                octet_length(CAST(text AS BLOB)) AS n_bytes
         FROM documents
+    """,
+    "orders_pruned": """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders WHERE o_totalprice > 150000.0
+        GROUP BY o_orderpriority
     """,
     "agg_lineitem": """
         SELECT l_returnflag, l_linestatus,

@@ -225,3 +225,24 @@ def test_top_docs_sorted(ray_session):
     assert len(rows) == 10
     chars = [r["n_chars"] for r in rows]
     assert chars == sorted(chars, reverse=True)
+
+
+def test_salted_extract_matches_unsalted(interleaved_dir, tmp_path,
+                                         ray_session):
+    """Skew salting (cost-hint salt + shuffle) must not change results,
+    only block placement."""
+    from soupflow.pipeline import run_extract
+    plain = str(tmp_path / "plain")
+    salted = str(tmp_path / "salted")
+    run_extract(interleaved_dir, plain, files_per_partition=3)
+    run_extract(interleaved_dir, salted, files_per_partition=3,
+                salt_buckets=4)
+    import ray.data
+
+    def spans_by_doc(out):
+        rows = ray.data.read_parquet(f"{out}/parts/00000").take_all()
+        return {r["doc_id"]: r["spans"] for r in rows}
+
+    a, b = spans_by_doc(plain), spans_by_doc(salted)
+    assert a.keys() == b.keys()
+    assert a == b
