@@ -335,268 +335,372 @@ def in_body(t, tb) -> bool:
 
 
 def _in_body_start(t, tb) -> bool:
-    name = t.normal_name()
-    if name == "a":
-        if tb.get_active_formatting_element("a") is not None:
-            tb.error("a inside a")
-            tb.process_end("a")
-            remaining = tb.get_from_stack("a")
-            if remaining is not None:
-                tb.remove_from_active_formatting_elements(remaining)
-                tb.remove_from_stack(remaining)
-        tb.reconstruct_formatting_elements()
-        a = tb.insert(t)
-        tb.push_active_formatting_elements(a)
-        return True
-    if name in _EMPTY_FORMATTERS:
-        tb.reconstruct_formatting_elements()
-        tb.insert_empty(t)
-        tb.frameset_ok = False
-        return True
-    if name in _P_CLOSERS:
-        if tb.in_button_scope("p"):
-            tb.process_end("p")
-        tb.insert(t)
-        return True
-    if name == "span":
-        tb.reconstruct_formatting_elements()
-        tb.insert(t)
-        return True
-    if name == "li":
-        tb.frameset_ok = False
-        for i in range(len(tb.stack) - 1, 0, -1):
-            el = tb.stack[i]
-            el_name = el.tag.normal_name
-            if el_name == "li":
-                tb.process_end("li")
-                break
-            if tb.is_special(el) and el_name not in ("address", "div", "p"):
-                break
-        if tb.in_button_scope("p"):
-            tb.process_end("p")
-        tb.insert(t)
-        return True
-    if name == "html":
-        tb.error("html in body")
-        if tb.stack:
-            html_el = tb.stack[0]
-            if t.attrs:
-                for k, v in tb.settings.normalise_attributes(
-                        t.attrs).items():
-                    if not html_el.has_attr(k):
-                        html_el._attrs().put(k, v)
-        return True
-    if name in _START_TO_HEAD:
-        return tb.process_in(t, in_head)
-    if name == "body":
-        tb.error("body in body")
-        if len(tb.stack) == 1 or (len(tb.stack) > 2 and
-                                  tb.stack[1].tag.normal_name != "body"):
-            return False
-        tb.frameset_ok = False
-        body_el = tb.stack[1]
-        if t.attrs:
-            for k, v in tb.settings.normalise_attributes(t.attrs).items():
-                if not body_el.has_attr(k):
-                    body_el._attrs().put(k, v)
-        return True
-    if name == "frameset":
-        tb.error("frameset in body")
-        if len(tb.stack) == 1 or (len(tb.stack) > 2 and
-                                  tb.stack[1].tag.normal_name != "body"):
-            return False
-        if not tb.frameset_ok:
-            return False
-        second = tb.stack[1]
-        if second.parent_node is not None:
-            second.remove()
-        while len(tb.stack) > 1:
-            tb.pop()
-        tb.insert(t)
-        tb.transition(in_frameset)
-        return True
-    if name in _HEADINGS:
-        if tb.in_button_scope("p"):
-            tb.process_end("p")
-        if tb.current_element() is not None and \
-                tb.current_element().tag.normal_name in _HEADINGS:
-            tb.error("heading in heading")
-            tb.pop()
-        tb.insert(t)
-        return True
-    if name in _PRE_LISTING:
-        if tb.in_button_scope("p"):
-            tb.process_end("p")
-        tb.insert(t)
-        tb.reader.match_consume("\n")
-        tb.frameset_ok = False
-        return True
-    if name == "form":
-        if tb.form_element is not None:
-            tb.error("form in form")
-            return False
-        if tb.in_button_scope("p"):
-            tb.process_end("p")
-        tb.insert_form(t, True)
-        return True
-    if name in _DD_DT:
-        tb.frameset_ok = False
-        for i in range(len(tb.stack) - 1, 0, -1):
-            el = tb.stack[i]
-            el_name = el.tag.normal_name
-            if el_name in _DD_DT:
-                tb.process_end(el_name)
-                break
-            if tb.is_special(el) and el_name not in ("address", "div", "p"):
-                break
-        if tb.in_button_scope("p"):
-            tb.process_end("p")
-        tb.insert(t)
-        return True
-    if name == "plaintext":
-        if tb.in_button_scope("p"):
-            tb.process_end("p")
-        tb.insert(t)
-        tb.tokeniser.state = tz.plaintext_state
-        return True
-    if name == "button":
-        if tb.in_button_scope("button"):
-            tb.error("button in button")
-            tb.process_end("button")
-            return tb.process(t)
-        tb.reconstruct_formatting_elements()
-        tb.insert(t)
-        tb.frameset_ok = False
-        return True
-    if name in _FORMATTERS:
-        tb.reconstruct_formatting_elements()
-        el = tb.insert(t)
-        tb.push_active_formatting_elements(el)
-        return True
-    if name == "nobr":
-        tb.reconstruct_formatting_elements()
-        if tb.in_scope("nobr"):
-            tb.error("nobr in nobr")
-            tb.process_end("nobr")
-            tb.reconstruct_formatting_elements()
-        el = tb.insert(t)
-        tb.push_active_formatting_elements(el)
-        return True
-    if name in _APPLETS:
-        tb.reconstruct_formatting_elements()
-        tb.insert(t)
-        tb.insert_marker_to_formatting_elements()
-        tb.frameset_ok = False
-        return True
-    if name == "table":
-        if tb.get_document().quirks_mode != "quirks" and \
-                tb.in_button_scope("p"):
-            tb.process_end("p")
-        tb.insert(t)
-        tb.frameset_ok = False
-        tb.transition(in_table)
-        return True
-    if name == "input":
-        tb.reconstruct_formatting_elements()
-        el = tb.insert_empty(t)
-        if el.attr("type").lower() != "hidden":
-            tb.frameset_ok = False
-        return True
-    if name in _MEDIA:
-        tb.insert_empty(t)
-        return True
-    if name == "hr":
-        if tb.in_button_scope("p"):
-            tb.process_end("p")
-        tb.insert_empty(t)
-        tb.frameset_ok = False
-        return True
-    if name == "image":
-        if tb.get_from_stack("svg") is None:
-            t.name = "img"
-            t._normal = None  # invalidate cached normal_name
-            return tb.process(t)
-        tb.insert(t)
-        return True
-    if name == "isindex":
-        tb.error("isindex")
-        if tb.form_element is not None:
-            return False
-        tb.process_start("form")
-        if "action" in t.attrs and tb.form_element is not None:
-            tb.form_element.set_attr("action", t.attrs["action"])
-        tb.process_start("hr")
-        tb.process_start("label")
-        prompt = t.attrs.get("prompt",
-                             "This is a searchable index. Enter search "
-                             "keywords: ")
-        tok = CharacterTok(prompt)
-        tb.process(tok)
-        input_attrs = {k: v for k, v in t.attrs.items()
-                       if k not in _INPUT_ATTRIBS}
-        input_attrs["name"] = "isindex"
-        tb.process_start("input", input_attrs)
-        tb.process_end("label")
-        tb.process_start("hr")
-        tb.process_end("form")
-        return True
-    if name == "textarea":
-        tb.insert(t)
-        tb.tokeniser.state = tz.rcdata_state
-        tb.mark_insertion_mode()
-        tb.frameset_ok = False
-        tb.transition(text)
-        return True
-    if name == "xmp":
-        if tb.in_button_scope("p"):
-            tb.process_end("p")
-        tb.reconstruct_formatting_elements()
-        tb.frameset_ok = False
-        _handle_rawtext(t, tb)
-        return True
-    if name == "iframe":
-        tb.frameset_ok = False
-        _handle_rawtext(t, tb)
-        return True
-    if name == "noembed":
-        _handle_rawtext(t, tb)
-        return True
-    if name == "select":
-        tb.reconstruct_formatting_elements()
-        tb.insert(t)
-        tb.frameset_ok = False
-        state = tb.state
-        if state in (in_table, in_caption, in_table_body, in_row, in_cell):
-            tb.transition(in_select_in_table)
-        else:
-            tb.transition(in_select)
-        return True
-    if name in _OPTIONS:
-        if tb.current_element() is not None and \
-                tb.current_element().tag.normal_name == "option":
-            tb.process_end("option")
-        tb.reconstruct_formatting_elements()
-        tb.insert(t)
-        return True
-    if name in _RUBY:
-        if tb.in_scope("ruby"):
-            tb.generate_implied_end_tags()
-            if tb.current_element() is not None and \
-                    tb.current_element().tag.normal_name != "ruby":
-                tb.error("rp/rt out of place")
-                tb.pop_stack_to_before("ruby")
-            tb.insert(t)
-        return True
-    if name == "math" or name == "svg":
-        tb.reconstruct_formatting_elements()
-        tb.insert(t)
-        return True
-    if name in _IN_TABLE_DROP:
-        tb.error("token out of place")
-        return False
+    # dict dispatch on tag name (the if/elif chain made common inline
+    # tags like <span> walk ~30 membership tests per element)
+    handler = _IBS_DISPATCH.get(t.normal_name(), _ibs_default)
+    return handler(t, tb)
+
+
+def _ibs_a(t, tb) -> bool:
+    if tb.get_active_formatting_element("a") is not None:
+        tb.error("a inside a")
+        tb.process_end("a")
+        remaining = tb.get_from_stack("a")
+        if remaining is not None:
+            tb.remove_from_active_formatting_elements(remaining)
+            tb.remove_from_stack(remaining)
+    tb.reconstruct_formatting_elements()
+    a = tb.insert(t)
+    tb.push_active_formatting_elements(a)
+    return True
+
+
+def _ibs_empty_formatter(t, tb) -> bool:
+    tb.reconstruct_formatting_elements()
+    tb.insert_empty(t)
+    tb.frameset_ok = False
+    return True
+
+
+def _ibs_p_closer(t, tb) -> bool:
+    if tb.in_button_scope("p"):
+        tb.process_end("p")
+    tb.insert(t)
+    return True
+
+
+def _ibs_span(t, tb) -> bool:
     tb.reconstruct_formatting_elements()
     tb.insert(t)
     return True
+
+
+def _ibs_li(t, tb) -> bool:
+    tb.frameset_ok = False
+    for i in range(len(tb.stack) - 1, 0, -1):
+        el = tb.stack[i]
+        el_name = el.tag.normal_name
+        if el_name == "li":
+            tb.process_end("li")
+            break
+        if tb.is_special(el) and el_name not in ("address", "div", "p"):
+            break
+    if tb.in_button_scope("p"):
+        tb.process_end("p")
+    tb.insert(t)
+    return True
+
+
+def _ibs_html(t, tb) -> bool:
+    tb.error("html in body")
+    if tb.stack:
+        html_el = tb.stack[0]
+        if t.attrs:
+            for k, v in tb.settings.normalise_attributes(
+                    t.attrs).items():
+                if not html_el.has_attr(k):
+                    html_el._attrs().put(k, v)
+    return True
+
+
+def _ibs_to_head(t, tb) -> bool:
+    return tb.process_in(t, in_head)
+
+
+def _ibs_body(t, tb) -> bool:
+    tb.error("body in body")
+    if len(tb.stack) == 1 or (len(tb.stack) > 2 and
+                              tb.stack[1].tag.normal_name != "body"):
+        return False
+    tb.frameset_ok = False
+    body_el = tb.stack[1]
+    if t.attrs:
+        for k, v in tb.settings.normalise_attributes(t.attrs).items():
+            if not body_el.has_attr(k):
+                body_el._attrs().put(k, v)
+    return True
+
+
+def _ibs_frameset(t, tb) -> bool:
+    tb.error("frameset in body")
+    if len(tb.stack) == 1 or (len(tb.stack) > 2 and
+                              tb.stack[1].tag.normal_name != "body"):
+        return False
+    if not tb.frameset_ok:
+        return False
+    second = tb.stack[1]
+    if second.parent_node is not None:
+        second.remove()
+    while len(tb.stack) > 1:
+        tb.pop()
+    tb.insert(t)
+    tb.transition(in_frameset)
+    return True
+
+
+def _ibs_heading(t, tb) -> bool:
+    if tb.in_button_scope("p"):
+        tb.process_end("p")
+    if tb.current_element() is not None and \
+            tb.current_element().tag.normal_name in _HEADINGS:
+        tb.error("heading in heading")
+        tb.pop()
+    tb.insert(t)
+    return True
+
+
+def _ibs_pre_listing(t, tb) -> bool:
+    if tb.in_button_scope("p"):
+        tb.process_end("p")
+    tb.insert(t)
+    tb.reader.match_consume("\n")
+    tb.frameset_ok = False
+    return True
+
+
+def _ibs_form(t, tb) -> bool:
+    if tb.form_element is not None:
+        tb.error("form in form")
+        return False
+    if tb.in_button_scope("p"):
+        tb.process_end("p")
+    tb.insert_form(t, True)
+    return True
+
+
+def _ibs_dd_dt(t, tb) -> bool:
+    tb.frameset_ok = False
+    for i in range(len(tb.stack) - 1, 0, -1):
+        el = tb.stack[i]
+        el_name = el.tag.normal_name
+        if el_name in _DD_DT:
+            tb.process_end(el_name)
+            break
+        if tb.is_special(el) and el_name not in ("address", "div", "p"):
+            break
+    if tb.in_button_scope("p"):
+        tb.process_end("p")
+    tb.insert(t)
+    return True
+
+
+def _ibs_plaintext(t, tb) -> bool:
+    if tb.in_button_scope("p"):
+        tb.process_end("p")
+    tb.insert(t)
+    tb.tokeniser.state = tz.plaintext_state
+    return True
+
+
+def _ibs_button(t, tb) -> bool:
+    if tb.in_button_scope("button"):
+        tb.error("button in button")
+        tb.process_end("button")
+        return tb.process(t)
+    tb.reconstruct_formatting_elements()
+    tb.insert(t)
+    tb.frameset_ok = False
+    return True
+
+
+def _ibs_formatter(t, tb) -> bool:
+    tb.reconstruct_formatting_elements()
+    el = tb.insert(t)
+    tb.push_active_formatting_elements(el)
+    return True
+
+
+def _ibs_nobr(t, tb) -> bool:
+    tb.reconstruct_formatting_elements()
+    if tb.in_scope("nobr"):
+        tb.error("nobr in nobr")
+        tb.process_end("nobr")
+        tb.reconstruct_formatting_elements()
+    el = tb.insert(t)
+    tb.push_active_formatting_elements(el)
+    return True
+
+
+def _ibs_applet(t, tb) -> bool:
+    tb.reconstruct_formatting_elements()
+    tb.insert(t)
+    tb.insert_marker_to_formatting_elements()
+    tb.frameset_ok = False
+    return True
+
+
+def _ibs_table(t, tb) -> bool:
+    if tb.get_document().quirks_mode != "quirks" and \
+            tb.in_button_scope("p"):
+        tb.process_end("p")
+    tb.insert(t)
+    tb.frameset_ok = False
+    tb.transition(in_table)
+    return True
+
+
+def _ibs_input(t, tb) -> bool:
+    tb.reconstruct_formatting_elements()
+    el = tb.insert_empty(t)
+    if el.attr("type").lower() != "hidden":
+        tb.frameset_ok = False
+    return True
+
+
+def _ibs_media(t, tb) -> bool:
+    tb.insert_empty(t)
+    return True
+
+
+def _ibs_hr(t, tb) -> bool:
+    if tb.in_button_scope("p"):
+        tb.process_end("p")
+    tb.insert_empty(t)
+    tb.frameset_ok = False
+    return True
+
+
+def _ibs_image(t, tb) -> bool:
+    if tb.get_from_stack("svg") is None:
+        t.name = "img"
+        t._normal = None  # invalidate cached normal_name
+        return tb.process(t)
+    tb.insert(t)
+    return True
+
+
+def _ibs_isindex(t, tb) -> bool:
+    tb.error("isindex")
+    if tb.form_element is not None:
+        return False
+    tb.process_start("form")
+    if "action" in t.attrs and tb.form_element is not None:
+        tb.form_element.set_attr("action", t.attrs["action"])
+    tb.process_start("hr")
+    tb.process_start("label")
+    prompt = t.attrs.get("prompt",
+                         "This is a searchable index. Enter search "
+                         "keywords: ")
+    tok = CharacterTok(prompt)
+    tb.process(tok)
+    input_attrs = {k: v for k, v in t.attrs.items()
+                   if k not in _INPUT_ATTRIBS}
+    input_attrs["name"] = "isindex"
+    tb.process_start("input", input_attrs)
+    tb.process_end("label")
+    tb.process_start("hr")
+    tb.process_end("form")
+    return True
+
+
+def _ibs_textarea(t, tb) -> bool:
+    tb.insert(t)
+    tb.tokeniser.state = tz.rcdata_state
+    tb.mark_insertion_mode()
+    tb.frameset_ok = False
+    tb.transition(text)
+    return True
+
+
+def _ibs_xmp(t, tb) -> bool:
+    if tb.in_button_scope("p"):
+        tb.process_end("p")
+    tb.reconstruct_formatting_elements()
+    tb.frameset_ok = False
+    _handle_rawtext(t, tb)
+    return True
+
+
+def _ibs_iframe(t, tb) -> bool:
+    tb.frameset_ok = False
+    _handle_rawtext(t, tb)
+    return True
+
+
+def _ibs_noembed(t, tb) -> bool:
+    _handle_rawtext(t, tb)
+    return True
+
+
+def _ibs_select(t, tb) -> bool:
+    tb.reconstruct_formatting_elements()
+    tb.insert(t)
+    tb.frameset_ok = False
+    state = tb.state
+    if state in (in_table, in_caption, in_table_body, in_row, in_cell):
+        tb.transition(in_select_in_table)
+    else:
+        tb.transition(in_select)
+    return True
+
+
+def _ibs_option(t, tb) -> bool:
+    if tb.current_element() is not None and \
+            tb.current_element().tag.normal_name == "option":
+        tb.process_end("option")
+    tb.reconstruct_formatting_elements()
+    tb.insert(t)
+    return True
+
+
+def _ibs_ruby(t, tb) -> bool:
+    if tb.in_scope("ruby"):
+        tb.generate_implied_end_tags()
+        if tb.current_element() is not None and \
+                tb.current_element().tag.normal_name != "ruby":
+            tb.error("rp/rt out of place")
+            tb.pop_stack_to_before("ruby")
+        tb.insert(t)
+    return True
+
+
+def _ibs_math_svg(t, tb) -> bool:
+    tb.reconstruct_formatting_elements()
+    tb.insert(t)
+    return True
+
+
+def _ibs_table_drop(t, tb) -> bool:
+    tb.error("token out of place")
+    return False
+
+
+def _ibs_default(t, tb) -> bool:
+    tb.reconstruct_formatting_elements()
+    tb.insert(t)
+    return True
+
+
+def _build_ibs_dispatch() -> dict:
+    d = {"a": _ibs_a, "span": _ibs_span, "li": _ibs_li,
+         "html": _ibs_html, "body": _ibs_body, "frameset": _ibs_frameset,
+         "form": _ibs_form, "plaintext": _ibs_plaintext,
+         "button": _ibs_button, "nobr": _ibs_nobr, "table": _ibs_table,
+         "input": _ibs_input, "hr": _ibs_hr, "image": _ibs_image,
+         "isindex": _ibs_isindex, "textarea": _ibs_textarea,
+         "xmp": _ibs_xmp, "iframe": _ibs_iframe,
+         "noembed": _ibs_noembed, "select": _ibs_select,
+         "math": _ibs_math_svg, "svg": _ibs_math_svg}
+    for group, handler in (
+            (_EMPTY_FORMATTERS, _ibs_empty_formatter),
+            (_P_CLOSERS, _ibs_p_closer),
+            (_START_TO_HEAD, _ibs_to_head),
+            (_HEADINGS, _ibs_heading),
+            (_PRE_LISTING, _ibs_pre_listing),
+            (_DD_DT, _ibs_dd_dt),
+            (_FORMATTERS, _ibs_formatter),
+            (_APPLETS, _ibs_applet),
+            (_MEDIA, _ibs_media),
+            (_OPTIONS, _ibs_option),
+            (_RUBY, _ibs_ruby),
+            (_IN_TABLE_DROP, _ibs_table_drop)):
+        for name in group:
+            assert name not in d, f"in-body dispatch collision: {name}"
+            d[name] = handler
+    return d
+
+
+_IBS_DISPATCH = _build_ibs_dispatch()
 
 
 def _in_body_end(t, tb) -> bool:
