@@ -254,7 +254,13 @@ def simhash_batch(batch: pa.Table, *, bits: int = 64) -> pa.Table:
 
 def simhash_near_dups(ds, max_hamming: int = 3):
     """Banding on 4×16-bit chunks: docs sharing a chunk are candidates;
-    verified by Hamming distance inside the co-located group."""
+    verified by Hamming distance inside the co-located group.
+
+    Single-phase on purpose: chunk rows are 12 bytes (no text payload),
+    so ONE groupby+map_groups is cheaper than the two-phase
+    broadcast shape used by minhash/ngram — measured 2.2s vs 7.0s at
+    sf0.1. Revisit only if per-group python overhead dominates at
+    billions of single-doc chunks."""
     hashed = ds.map_batches(simhash_batch, batch_format="pyarrow")
 
     def to_chunks(batch: pa.Table) -> pa.Table:
