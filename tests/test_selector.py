@@ -585,3 +585,84 @@ def test_compound_attribute_selector_with_special_body_tags():
     assert len(doc.select("div[id='info-id']")) == 1
     assert len(doc.select("div[data-type='info-data']")) == 1
     assert len(doc.select("div[id='info-id'][data-type='info-data']")) == 1
+
+
+def test_selectors_match_after_complex_mutations():
+    # SelectorTest.swift:305-348 — in this engine there is no query
+    # cache/fast-path split; the contract is select stays correct
+    # through every kind of mutation
+    html = ("<div id=wrap>"
+            "<article id=a1 class=card data-x=1><h2 id=h1>One</h2>"
+            "<p id=p1 class=lead>Lead</p><p id=p2 class=note>Note</p>"
+            "</article>"
+            "<article id=a2 class=card><h2 id=h2>Two</h2>"
+            "<p id=p3 class=lead>Lead</p><p id=p4 class=body>Body</p>"
+            "<p id=p5 class=note>Note</p></article>"
+            "<section id=s1 class=box><p id=p6 class=note>Note</p>"
+            "</section>"
+            "<nav id=n1><a id=l1 href=/one>One</a><a id=l2>Two</a></nav>"
+            "<ul id=u1><li id=li1>Alpha</li><li id=li2>Beta</li>"
+            "<li id=li3>Gamma</li></ul>"
+            "</div>")
+    doc = sf.parse(html)
+
+    a1 = doc.get_element_by_id("a1")
+    a1.remove_attr("data-x")
+    a1.add_class("featured")
+    doc.get_element_by_id("a2").set_tag_name("section")
+    doc.get_element_by_id("p4").remove()
+    doc.get_element_by_id("p3").after_html(
+        '<p id=p3b class=note>Note2</p>')
+    replacement = sf.parse('<span id=p5r class=note>Note</span>') \
+        .select("span")[0]
+    doc.get_element_by_id("p5").replace_with(replacement)
+    doc.get_element_by_id("l2").set_attr("href", "/two")
+    doc.get_element_by_id("s1").append_html(
+        '<p id=p6b class=lead>Lead2</p>')
+    doc.get_element_by_id("p6").wrap('<span id=sp1></span>')
+    doc.get_element_by_id("sp1").unwrap()
+    doc.get_element_by_id("li2").remove()
+
+    from soupflow.selector import collect, parse_query
+    selectors = [
+        "article.featured:has(h2 + p.lead ~ p.note)",
+        "section.card:has(p.lead + p.note)",
+        "section.box:has(p.note) + nav",
+        "nav > a[href]",
+        "ul > li + li",
+        "[data-x]",
+        "section:has(p.lead):not(:has(p.body + p.note))",
+        ".note",
+    ]
+    for selector in selectors:
+        slow = [e.id() for e in collect(parse_query(selector), doc)]
+        fast = [e.id() for e in doc.select(selector)]
+        assert slow == fast, selector
+
+    # spot-check the semantic results too
+    assert [e.id() for e in doc.select("[data-x]")] == []
+    assert [e.id() for e in doc.select("nav > a[href]")] == ["l1", "l2"]
+    assert [e.id() for e in doc.select("ul > li + li")] == ["li3"]
+
+
+def test_select_attribute_value_hot_key_order():  # SelectorTest.swift:376-382
+    doc = sf.parse("<a href=one id=1></a><a href=two id=2></a>"
+                   "<a href=one id=3></a>")
+    els = doc.select("[href=one]")
+    assert [e.id() for e in els] == ["1", "3"]
+
+
+def test_select_results_follow_mutation():  # SelectorTest.swift:384-393
+    doc = sf.parse("<div id=one class=hit></div><div id=two></div>")
+    root = doc.body()
+    assert len(root.select(".hit")) == 1
+    assert len(root.select(".hit")) == 1
+    doc.get_element_by_id("two").add_class("hit")
+    assert len(root.select(".hit")) == 2
+
+
+def test_select_supplementary_character():  # SelectorTest.swift:1009-1016
+    s = chr(135361)
+    doc = sf.parse(f"<div k{s}='{s}'>^{s}$/div>")
+    assert doc.select(f"div[k{s}]")[0].tag_name() == "div"
+    assert doc.select(f"div:containsOwn({s})")[0].tag_name() == "div"
