@@ -130,8 +130,10 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
             {"n": [sum(len(s) for s in b.column("spans").to_pylist())]}),
         batch_format="pyarrow").sum("n")
     wall = time.monotonic() - t0
+    in_bytes = sum(os.path.getsize(f) for f in files)
     return {"docs": n_docs, "wall_s": wall,
             "docs_per_s": round(n_docs / wall, 2),
+            "mb_per_s": round(in_bytes / wall / 1e6, 2),
             "total_spans": int(total_spans),
             "num_cpus": num_cpus}
 
@@ -212,6 +214,7 @@ def main() -> None:
             "num_cpus": NUM_CPUS,
             "docs": headline["docs"],
             "docs_per_s": headline["docs_per_s"],
+            "mb_per_s": headline["mb_per_s"],
             "total_spans": headline["total_spans"],
         }))
     finally:

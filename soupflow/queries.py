@@ -47,8 +47,10 @@ def _cpus() -> int:
 
 
 def _read(sf_dir: str, table: str):
-    import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+    # Lance-first with parquet fallback (production corpus is Lance;
+    # the test tables are parquet)
+    from .io import read_corpus
+    return read_corpus(f"{sf_dir}/{table}.parquet")
 
 
 # -- HTML engine queries ----------------------------------------------------
