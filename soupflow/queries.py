@@ -452,6 +452,40 @@ def q_join_broadcast(sf_dir: str):
     return joined.groupby("segment").aggregate(Count(alias_name="n"))
 
 
+def q_extract_manifest(sf_dir: str):
+    """Resumable pipeline surface: documents → interleaved input files →
+    run_extract (partitioned write + manifest) → manifest summary.
+    Deterministic: 4 equal input files, 2 partitions."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .pipeline import run_extract
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/soupflow_manifest_q/{tag}"
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    shutil.rmtree(base, ignore_errors=True)
+    import os
+    os.makedirs(in_dir)
+    n = docs.num_rows
+    half = n // 2
+    # partition 0 = first half (2 files), partition 1 = rest (2 files)
+    bounds = [0, half // 2, half, half + (n - half) // 2, n]
+    for i in range(4):
+        chunk = docs.slice(bounds[i], bounds[i + 1] - bounds[i])
+        pq.write_table(docs_to_interleaved(chunk),
+                       f"{in_dir}/in-{i}.parquet")
+    manifests = run_extract(in_dir, out_dir, files_per_partition=2)
+    return pa.table({
+        "partition_id": pa.array(
+            [m["partition_id"] for m in manifests], pa.int64()),
+        "row_count": pa.array(
+            [m["row_count"] for m in manifests], pa.int64()),
+    })
+
+
 def q_orders_pruned(sf_dir: str):
     """Prune at the read: column projection + row-group predicate pushed
     into the parquet scan (only 2 columns and matching row groups leave
@@ -516,6 +550,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "multimodal": q_multimodal,
+    "extract_manifest": q_extract_manifest,
     "orders_pruned": q_orders_pruned,
     "agg_lineitem": q_agg_lineitem,
     "join_broadcast": q_join_broadcast,
@@ -632,6 +667,13 @@ ORACLE_SQL = {
         SELECT 'media://doc/' || doc_id AS media_ref,
                'image' AS kind,
                octet_length(CAST(text AS BLOB)) AS n_bytes
+        FROM documents
+    """,
+    "extract_manifest": """
+        SELECT 0 AS partition_id, count(*) // 2 AS row_count
+        FROM documents
+        UNION ALL
+        SELECT 1 AS partition_id, count(*) - count(*) // 2 AS row_count
         FROM documents
     """,
     "orders_pruned": """
