@@ -276,3 +276,68 @@ def embed_near_dups_lsh(ds, threshold: float = 0.95, n_bits: int = 8,
     uniq = pairs.groupby(["id_a", "id_b"]).aggregate(
         Count(alias_name="n_bands"))
     return uniq.select_columns(["id_a", "id_b"])
+
+
+# -- distributed k-means (the real IVF centroid builder) --------------------
+
+def kmeans(ds, k: int = 16, iters: int = 5, id_col: str = "vec_id",
+           col: str = "embedding"):
+    """Distributed Lloyd's k-means over the embedding column.
+
+    Scale shape per iteration: centroids are broadcast once via
+    ``ray.put``; each batch does ONE matmul assignment and emits only
+    k partial sums + counts (k×dim floats — constant size per block);
+    the tiny partials are collected driver-side and reduced. No
+    shuffle of the corpus, ever. Deterministic init: first k vectors
+    by id.
+
+    Returns (centroids ndarray, assignments Dataset[id_col, cluster]).
+    """
+    import ray
+
+    seed_rows = ds.filter(lambda r: r[id_col] < k).take_all()
+    seed_rows.sort(key=lambda r: r[id_col])
+    centroids = np.array([r[col] for r in seed_rows], dtype=np.float64)
+
+    for _ in range(iters):
+        handle = ray.put(centroids)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(handle)
+            m = _batch_matrix(batch, col)
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, assign, m)
+            np.add.at(counts, assign, 1)
+            return pa.table({
+                "cluster": pa.array(range(len(c)), pa.int32()),
+                "sum": pa.array([row.tolist() for row in sums]),
+                "count": pa.array(counts, pa.int64()),
+            })
+
+        parts = ds.map_batches(partials, batch_format="pyarrow") \
+            .take_all()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for row in parts:
+            sums[row["cluster"]] += np.asarray(row["sum"])
+            counts[row["cluster"]] += row["count"]
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+
+    handle = ray.put(centroids)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(handle)
+        m = _batch_matrix(batch, col)
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(d2.argmin(axis=1).astype("int32"),
+                                pa.int32()),
+        })
+
+    return centroids, ds.map_batches(assign_batch,
+                                     batch_format="pyarrow")

@@ -307,6 +307,17 @@ def q_ann_ivf(sf_dir: str):
                     query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed k-means over embeddings (iterative; rows-only check —
+    Lloyd's iterations are not SQL-expressible). Returns cluster sizes."""
+    from ray.data.aggregate import Count
+
+    from .data.similarity import kmeans
+    _, assignments = kmeans(_read(sf_dir, "embeddings"), k=8, iters=4)
+    return assignments.groupby("cluster").aggregate(
+        Count(alias_name="n"))
+
+
 def q_multimodal(sf_dir: str):
     from .data.multimodal import MediaDecodeActor, \
         media_table_from_documents
@@ -504,6 +515,30 @@ def q_orders_pruned(sf_dir: str):
         Max("o_totalprice", alias_name="max_price"))
 
 
+def q_sessionize(sf_dir: str):
+    """Windowed/stateful operator: per-user sessionization (new session
+    when the gap to the previous event exceeds 30 min). ONE groupby
+    co-locates a user's events; ordering + gap logic run vectorized
+    inside the group (the Ray Data shape for any per-key window)."""
+    import numpy as np
+    import pandas as pd
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group["ts"].sort_values().to_numpy(dtype="datetime64[ns]")
+        if len(ts) == 0:
+            return pd.DataFrame({"user_id": [], "n_sessions": []})
+        gaps_ns = np.diff(ts).astype(np.int64)  # full ns precision
+        n_sessions = 1 + int((gaps_ns > 1_800_000_000_000).sum())
+        return pd.DataFrame({
+            "user_id": [group["user_id"].iloc[0]],
+            "n_sessions": [n_sessions],
+        })
+
+    ds = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(sessions,
+                                            batch_format="pandas")
+
+
 def q_events_daily(sf_dir: str):
     """Windowed-style aggregate: events per user per day (partial
     per-block combine, then the small groupby)."""
@@ -549,11 +584,13 @@ QUERIES = {
     "top_docs": q_top_docs,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "kmeans": q_kmeans,
     "multimodal": q_multimodal,
     "extract_manifest": q_extract_manifest,
     "orders_pruned": q_orders_pruned,
     "agg_lineitem": q_agg_lineitem,
     "join_broadcast": q_join_broadcast,
+    "sessionize": q_sessionize,
     "events_daily": q_events_daily,
 }
 
@@ -696,6 +733,17 @@ ORACLE_SQL = {
         SELECT c_mktsegment AS segment, count(*) AS n
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "sessionize": """
+        SELECT user_id,
+               CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sessions
+        FROM (
+            SELECT user_id,
+                   epoch(ts) - lag(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS gap
+            FROM events)
+        GROUP BY user_id
     """,
     "events_daily": """
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n

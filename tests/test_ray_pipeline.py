@@ -246,3 +246,45 @@ def test_salted_extract_matches_unsalted(interleaved_dir, tmp_path,
     a, b = spans_by_doc(plain), spans_by_doc(salted)
     assert a.keys() == b.keys()
     assert a == b
+
+
+def test_sessionize_oracle_parity(ray_session):
+    from soupflow.queries import QUERIES
+    rows = {r["user_id"]: r["n_sessions"]
+            for r in QUERIES["sessionize"](SF).take_all()}
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = dict(con.execute(
+        "SELECT user_id, 1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)"
+        " FROM (SELECT user_id, epoch(ts) - lag(epoch(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts) AS gap FROM events) "
+        "GROUP BY user_id").fetchall())
+    assert rows == want
+
+
+def test_kmeans_converges_and_covers(ray_session):
+    import numpy as np
+    import ray.data
+
+    from soupflow.data.similarity import kmeans
+    rng = np.random.RandomState(3)
+    # two well-separated blobs; ids 0/1 land in different blobs so the
+    # deterministic first-k init starts one centroid in each
+    a = rng.standard_normal((40, 8)) + 10
+    b = rng.standard_normal((40, 8)) - 10
+    vecs = np.empty((80, 8))
+    vecs[0::2] = a
+    vecs[1::2] = b
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(80)]
+    cents, assigns = kmeans(ray.data.from_items(rows), k=2, iters=5)
+    got = {r["vec_id"]: r["cluster"] for r in assigns.take_all()}
+    evens = {got[i] for i in range(0, 80, 2)}
+    odds = {got[i] for i in range(1, 80, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+    # centroids ended near the blob means
+    dist = min(np.linalg.norm(cents[0] - a.mean(0)),
+               np.linalg.norm(cents[0] - b.mean(0)))
+    assert dist < 1.0
