@@ -705,105 +705,147 @@ _IBS_DISPATCH = _build_ibs_dispatch()
 
 def _in_body_end(t, tb) -> bool:
     name = t.normal_name()
-    if name in _END_ADOPTION_FORMATTERS:
-        return _adoption_agency(t, tb, name)
-    if name in _END_CLOSERS:
-        if not tb.in_scope(name):
-            tb.error("no matching open element")
-            return False
-        tb.generate_implied_end_tags()
-        if tb.current_element() is not None and \
-                tb.current_element().tag.normal_name != name:
-            tb.error("unexpected end tag")
-        tb.pop_stack_to_close(name)
-        return True
-    if name == "span":
+    handler = _IBE_DISPATCH.get(name)
+    if handler is None:
         return _any_other_end_tag(t, tb, name)
-    if name == "li":
-        if not tb.in_list_item_scope(name):
-            tb.error("no matching li")
-            return False
-        tb.generate_implied_end_tags(name)
-        if tb.current_element() is not None and \
-                tb.current_element().tag.normal_name != name:
-            tb.error("unexpected end tag")
-        tb.pop_stack_to_close(name)
-        return True
-    if name == "body":
-        if not tb.in_scope("body"):
-            tb.error("no body")
-            return False
-        tb.transition(after_body)
-        return True
-    if name == "html":
-        notignored = tb.process_end("body")
-        if notignored:
-            return tb.process(t)
-        return True
-    if name == "form":
-        current_form = tb.form_element
-        tb.form_element = None
-        if current_form is None or not tb.in_scope(name):
-            tb.error("no matching form")
-            return False
-        tb.generate_implied_end_tags()
-        if tb.current_element() is not None and \
-                tb.current_element().tag.normal_name != name:
-            tb.error("unexpected end tag")
-        # remove the form element from the stack (not pop-to-close)
-        tb.remove_from_stack(current_form)
-        return True
-    if name == "p":
-        if not tb.in_button_scope(name):
-            tb.error("no matching p")
-            tb.process_start(name)
-            return tb.process(t)
-        tb.generate_implied_end_tags(name)
-        if tb.current_element() is not None and \
-                tb.current_element().tag.normal_name != name:
-            tb.error("unexpected end tag")
-        tb.pop_stack_to_close(name)
-        return True
-    if name in _DD_DT:
-        if not tb.in_scope(name):
-            tb.error("no matching dd/dt")
-            return False
-        tb.generate_implied_end_tags(name)
-        if tb.current_element() is not None and \
-                tb.current_element().tag.normal_name != name:
-            tb.error("unexpected end tag")
-        tb.pop_stack_to_close(name)
-        return True
-    if name in _HEADINGS:
-        if not tb.in_scope(_HEADINGS):
-            tb.error("no matching heading")
-            return False
-        tb.generate_implied_end_tags(name)
-        if tb.current_element() is not None and \
-                tb.current_element().tag.normal_name != name:
-            tb.error("unexpected end tag")
-        tb.pop_stack_to_close(*_HEADINGS)
-        return True
-    if name == "sarcasm":
-        return _any_other_end_tag(t, tb, name)
-    if name in _APPLETS:
-        if not tb.in_scope("name"):
-            pass
-        if not tb.in_scope(name):
-            tb.error("no matching element")
-            return False
-        tb.generate_implied_end_tags()
-        if tb.current_element() is not None and \
-                tb.current_element().tag.normal_name != name:
-            tb.error("unexpected end tag")
-        tb.pop_stack_to_close(name)
-        tb.clear_formatting_elements_to_last_marker()
-        return True
-    if name == "br":
-        tb.error("br end tag")
-        tb.process_start("br")
+    return handler(t, tb, name)
+
+
+def _ibe_adoption(t, tb, name) -> bool:
+    return _adoption_agency(t, tb, name)
+
+
+def _ibe_closer(t, tb, name) -> bool:
+    if not tb.in_scope(name):
+        tb.error("no matching open element")
         return False
+    tb.generate_implied_end_tags()
+    if tb.current_element() is not None and \
+            tb.current_element().tag.normal_name != name:
+        tb.error("unexpected end tag")
+    tb.pop_stack_to_close(name)
+    return True
+
+
+def _ibe_any_other(t, tb, name) -> bool:
     return _any_other_end_tag(t, tb, name)
+
+
+def _ibe_li(t, tb, name) -> bool:
+    if not tb.in_list_item_scope(name):
+        tb.error("no matching li")
+        return False
+    tb.generate_implied_end_tags(name)
+    if tb.current_element() is not None and \
+            tb.current_element().tag.normal_name != name:
+        tb.error("unexpected end tag")
+    tb.pop_stack_to_close(name)
+    return True
+
+
+def _ibe_body(t, tb, name) -> bool:
+    if not tb.in_scope("body"):
+        tb.error("no body")
+        return False
+    tb.transition(after_body)
+    return True
+
+
+def _ibe_html(t, tb, name) -> bool:
+    notignored = tb.process_end("body")
+    if notignored:
+        return tb.process(t)
+    return True
+
+
+def _ibe_form(t, tb, name) -> bool:
+    current_form = tb.form_element
+    tb.form_element = None
+    if current_form is None or not tb.in_scope(name):
+        tb.error("no matching form")
+        return False
+    tb.generate_implied_end_tags()
+    if tb.current_element() is not None and \
+            tb.current_element().tag.normal_name != name:
+        tb.error("unexpected end tag")
+    # remove the form element from the stack (not pop-to-close)
+    tb.remove_from_stack(current_form)
+    return True
+
+
+def _ibe_p(t, tb, name) -> bool:
+    if not tb.in_button_scope(name):
+        tb.error("no matching p")
+        tb.process_start(name)
+        return tb.process(t)
+    tb.generate_implied_end_tags(name)
+    if tb.current_element() is not None and \
+            tb.current_element().tag.normal_name != name:
+        tb.error("unexpected end tag")
+    tb.pop_stack_to_close(name)
+    return True
+
+
+def _ibe_dd_dt(t, tb, name) -> bool:
+    if not tb.in_scope(name):
+        tb.error("no matching dd/dt")
+        return False
+    tb.generate_implied_end_tags(name)
+    if tb.current_element() is not None and \
+            tb.current_element().tag.normal_name != name:
+        tb.error("unexpected end tag")
+    tb.pop_stack_to_close(name)
+    return True
+
+
+def _ibe_heading(t, tb, name) -> bool:
+    if not tb.in_scope(_HEADINGS):
+        tb.error("no matching heading")
+        return False
+    tb.generate_implied_end_tags(name)
+    if tb.current_element() is not None and \
+            tb.current_element().tag.normal_name != name:
+        tb.error("unexpected end tag")
+    tb.pop_stack_to_close(*_HEADINGS)
+    return True
+
+
+def _ibe_applet(t, tb, name) -> bool:
+    if not tb.in_scope(name):
+        tb.error("no matching element")
+        return False
+    tb.generate_implied_end_tags()
+    if tb.current_element() is not None and \
+            tb.current_element().tag.normal_name != name:
+        tb.error("unexpected end tag")
+    tb.pop_stack_to_close(name)
+    tb.clear_formatting_elements_to_last_marker()
+    return True
+
+
+def _ibe_br(t, tb, name) -> bool:
+    tb.error("br end tag")
+    tb.process_start("br")
+    return False
+
+
+def _build_ibe_dispatch() -> dict:
+    d = {"span": _ibe_any_other, "li": _ibe_li, "body": _ibe_body,
+         "html": _ibe_html, "form": _ibe_form, "p": _ibe_p,
+         "sarcasm": _ibe_any_other, "br": _ibe_br}
+    for group, handler in (
+            (_END_ADOPTION_FORMATTERS, _ibe_adoption),
+            (_END_CLOSERS, _ibe_closer),
+            (_DD_DT, _ibe_dd_dt),
+            (_HEADINGS, _ibe_heading),
+            (_APPLETS, _ibe_applet)):
+        for name in group:
+            assert name not in d, f"in-body end dispatch collision: {name}"
+            d[name] = handler
+    return d
+
+
+_IBE_DISPATCH = _build_ibe_dispatch()
 
 
 def _any_other_end_tag(t, tb, name) -> bool:
