@@ -515,6 +515,16 @@ def q_orders_pruned(sf_dir: str):
         Max("o_totalprice", alias_name="max_price"))
 
 
+def q_distinct_sources(sf_dir: str):
+    """Distinct values (set op): groupby-as-unique — the scalable form
+    of DISTINCT (one shuffle on the key, no driver materialization)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents").select_columns(["source"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n")).select_columns(["source"])
+
+
 def q_sessionize(sf_dir: str):
     """Windowed/stateful operator: per-user sessionization (new session
     when the gap to the previous event exceeds 30 min). ONE groupby
@@ -590,6 +600,7 @@ QUERIES = {
     "orders_pruned": q_orders_pruned,
     "agg_lineitem": q_agg_lineitem,
     "join_broadcast": q_join_broadcast,
+    "distinct_sources": q_distinct_sources,
     "sessionize": q_sessionize,
     "events_daily": q_events_daily,
 }
@@ -733,6 +744,9 @@ ORACLE_SQL = {
         SELECT c_mktsegment AS segment, count(*) AS n
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "distinct_sources": """
+        SELECT DISTINCT source FROM documents
     """,
     "sessionize": """
         SELECT user_id,
