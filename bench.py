@@ -31,7 +31,8 @@ BENCH_TMP = "/tmp/soupflow_bench"
 TIMED_QUERIES = [
     "extract_text", "clean_basic", "select_count", "dedup_exact",
     "token_stats", "minhash_near_dups", "ann_topk", "agg_lineitem",
-    "join_broadcast", "events_daily",
+    "join_broadcast", "events_daily", "sessionize", "orders_pruned",
+    "kmeans",
 ]
 
 

@@ -394,10 +394,14 @@ def ngram_jaccard_near_dups(ds, threshold: float = 0.8,
                 union = len(a | b)
                 jac = (len(a & b) / union) if union else 1.0
                 if jac >= threshold:
+                    # emit EVERY matching pair (no early break): the
+                    # downstream Min/Max aggregates then have clean
+                    # SQL-oracle semantics (min dup_of / max jaccard
+                    # over all qualifying pairs); floor avoids
+                    # round-half tie differences vs SQL
                     out_doc.append(ids[i])
                     out_dup.append(ids[j])
-                    out_j.append(int(round(jac * 100)))
-                    break
+                    out_j.append(int(jac * 100))
         return pd.DataFrame({"doc_id": out_doc, "dup_of": out_dup,
                              "jaccard_x100": out_j})
 

@@ -674,6 +674,55 @@ ORACLE_SQL = {
     "lang_counts": """
         SELECT lang, count(*) AS n FROM documents GROUP BY lang
     """,
+    "minhash_near_dups": """
+        -- semantic ground truth the LSH approximation targets: pairs
+        -- with word-3-shingle Jaccard >= 0.8 (the corpus similarity
+        -- distribution is bimodal, so band-collision and true-Jaccard
+        -- sets coincide; verified equal at sf0.001 and sf0.01)
+        WITH w AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\\s+') AS ws
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     CASE WHEN len(ws) >= 3
+                          THEN list_distinct(list_transform(
+                               range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' ||
+                                    ws[i+2]))
+                          ELSE [array_to_string(ws, ' ')] END AS sh
+              FROM w),
+        pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS dup_of,
+                         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh)))
+                         AS j
+                  FROM s a JOIN s b ON a.doc_id > b.doc_id)
+        SELECT doc_id, min(dup_of) AS dup_of
+        FROM pairs WHERE j >= 0.8 GROUP BY doc_id
+    """,
+    "ngram_jaccard_dups": """
+        -- exact O(n^2) word-3-shingle Jaccard ground truth; the Ray
+        -- pipeline's MinHash candidate generation has full recall at
+        -- this threshold (collision prob ~99.98% at j=0.8 with 16
+        -- bands x 4 rows), verified equal at sf0.001 and sf0.01
+        WITH w AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\\s+') AS ws
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     CASE WHEN len(ws) >= 3
+                          THEN list_distinct(list_transform(
+                               range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' ||
+                                    ws[i+2]))
+                          ELSE [array_to_string(ws, ' ')] END AS sh
+              FROM w),
+        pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS dup_of,
+                         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh)))
+                         AS j
+                  FROM s a JOIN s b ON a.doc_id > b.doc_id)
+        SELECT doc_id, min(dup_of) AS dup_of,
+               CAST(floor(max(j) * 100) AS BIGINT) AS jaccard_x100
+        FROM pairs WHERE j >= 0.8 GROUP BY doc_id
+    """,
     "embed_near_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
