@@ -256,6 +256,13 @@ def simhash_near_dups(ds, max_hamming: int = 3):
     """Banding on 4×16-bit chunks: docs sharing a chunk are candidates;
     verified by Hamming distance inside the co-located group.
 
+    Accuracy note (measured on the synthetic corpus): true near-dup
+    pairs span hamming 0–8 while unrelated pairs reach down to 3 — a
+    64-bit SimHash over ~200-word docs cannot fully separate them, so
+    this operator is a coarser recall/precision tradeoff than
+    MinHash+Jaccard (which achieves exact ground truth here) and its
+    driver check is rows-only by design.
+
     Single-phase on purpose: chunk rows are 12 bytes (no text payload),
     so ONE groupby+map_groups is cheaper than the two-phase
     broadcast shape used by minhash/ngram — measured 2.2s vs 7.0s at
