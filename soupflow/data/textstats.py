@@ -92,7 +92,12 @@ _LANG_PROFILES = {
 
 class LangIdActor:
     """Actor-pool language-ID stage: profile tables built once per
-    worker; scoring is a vectorized substring count per profile."""
+    worker; scoring is a vectorized substring count per profile.
+
+    Note: the synthetic documents table's ``lang`` column is random
+    metadata — its TEXT is English-ish for every label — so this
+    content-based detector correctly reports mostly "en" there and its
+    driver check is rows-only (no lang-column oracle by design)."""
 
     def __init__(self) -> None:
         self.profiles = {lang: list(ngrams)
