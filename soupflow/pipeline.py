@@ -131,6 +131,12 @@ def run_extract_partition(files: list[str], out_dir: str, pid: int, *,
         concurrency=concurrency,
     )
     part_dir = os.path.join(out_dir, PARTS_DIR, f"{pid:05d}")
+    # a crashed earlier attempt may have left partial files (no manifest
+    # was written, so we're re-running) — clear them or write_parquet
+    # would ADD files and double-count the partition
+    if os.path.isdir(part_dir):
+        import shutil
+        shutil.rmtree(part_dir)
     os.makedirs(part_dir, exist_ok=True)
     from .io import write_corpus
     write_corpus(ds, part_dir)

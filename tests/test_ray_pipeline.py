@@ -288,3 +288,23 @@ def test_kmeans_converges_and_covers(ray_session):
     dist = min(np.linalg.norm(cents[0] - a.mean(0)),
                np.linalg.norm(cents[0] - b.mean(0)))
     assert dist < 1.0
+
+
+def test_crashed_partition_does_not_double_count(tmp_path, ray_session):
+    """A partition that crashed mid-write (partial parquet, no manifest)
+    must be cleanly rewritten on resume, not appended to."""
+    import pyarrow.parquet as pq
+
+    from soupflow.fixtures import docs_to_interleaved
+    from soupflow.pipeline import run_extract
+    docs = pq.read_table(f"{SF}/documents.parquet").slice(0, 100)
+    tbl = docs_to_interleaved(docs, rich=True)
+    d = str(tmp_path / "in")
+    o = str(tmp_path / "out")
+    os.makedirs(d)
+    pq.write_table(tbl, f"{d}/in.parquet")
+    # simulate the crash: partial output exists, manifest does not
+    os.makedirs(f"{o}/parts/00000", exist_ok=True)
+    pq.write_table(tbl.slice(0, 40), f"{o}/parts/00000/stale.parquet")
+    m = run_extract(d, o)
+    assert m[0]["row_count"] == 100
