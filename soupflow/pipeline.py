@@ -54,7 +54,12 @@ def partition_inputs(files: list[str],
             for i in range(0, len(files), files_per_partition)]
 
 
-def completed_partitions(output_dir: str) -> set[int]:
+def completed_partitions(output_dir: str,
+                         kernel_version: Optional[str] = None) -> set[int]:
+    """Partition ids with a done manifest. If ``kernel_version`` is
+    given, partitions processed by a DIFFERENT kernel are treated as
+    incomplete (lineage-based invalidation: bump the kernel → stale
+    partitions reprocess on the next resume)."""
     mdir = os.path.join(output_dir, MANIFEST_DIR)
     done: set[int] = set()
     if not os.path.isdir(mdir):
@@ -65,8 +70,12 @@ def completed_partitions(output_dir: str) -> set[int]:
         try:
             with open(os.path.join(mdir, name)) as f:
                 m = json.load(f)
-            if m.get("status") == "done":
-                done.add(int(m["partition_id"]))
+            if m.get("status") != "done":
+                continue
+            if kernel_version is not None and \
+                    m.get("kernel_version") != kernel_version:
+                continue
+            done.add(int(m["partition_id"]))
         except (ValueError, KeyError, json.JSONDecodeError):
             continue
     return done
@@ -170,11 +179,16 @@ def run_extract(input_path: str, output_dir: str, *,
                 concurrency: Optional[int] = None,
                 batch_size: int = 128,
                 salt_buckets: Optional[int] = None,
-                resume: bool = True) -> list[dict]:
-    """Full resumable extraction run over a directory of parquet files."""
+                resume: bool = True,
+                strict_kernel: bool = False) -> list[dict]:
+    """Full resumable extraction run over a directory of parquet files.
+
+    ``strict_kernel=True`` invalidates partitions whose manifest was
+    written by a different kernel version (see completed_partitions)."""
     files = list_input_files(input_path)
     partitions = partition_inputs(files, files_per_partition)
-    done = completed_partitions(output_dir) if resume else set()
+    kv = _kernel_version() if strict_kernel else None
+    done = completed_partitions(output_dir, kv) if resume else set()
     manifests = []
     for pid, part_files in enumerate(partitions):
         if pid in done:

@@ -308,3 +308,30 @@ def test_crashed_partition_does_not_double_count(tmp_path, ray_session):
     pq.write_table(tbl.slice(0, 40), f"{o}/parts/00000/stale.parquet")
     m = run_extract(d, o)
     assert m[0]["row_count"] == 100
+
+
+def test_strict_kernel_resume_invalidates_stale_partitions(tmp_path,
+                                                           ray_session):
+    import pyarrow.parquet as pq
+
+    from soupflow.fixtures import docs_to_interleaved
+    from soupflow.pipeline import completed_partitions, run_extract
+    docs = pq.read_table(f"{SF}/documents.parquet").slice(0, 60)
+    tbl = docs_to_interleaved(docs, rich=True)
+    d = str(tmp_path / "in")
+    o = str(tmp_path / "out")
+    os.makedirs(d)
+    pq.write_table(tbl, f"{d}/in.parquet")
+    run_extract(d, o)
+    # default resume: done
+    assert run_extract(d, o) == []
+    # tamper the recorded kernel version -> strict resume reprocesses
+    mpath = os.path.join(o, "manifest", "00000.json")
+    m = json.load(open(mpath))
+    m["kernel_version"] = "stale000000"
+    json.dump(m, open(mpath, "w"))
+    assert completed_partitions(o, "current") == set()
+    redone = run_extract(d, o, strict_kernel=True)
+    assert len(redone) == 1 and redone[0]["row_count"] == 60
+    # non-strict resume still trusts the manifest
+    assert run_extract(d, o) == []
