@@ -151,6 +151,12 @@ def run_extract_partition(files: list[str], out_dir: str, pid: int, *,
     write_corpus(ds, part_dir)
     rows = read_corpus(part_dir).count()
     wall = time.monotonic() - t0
+    try:
+        # per-stage Ray Data execution stats (wall time per operator,
+        # rows, memory) — the "metrics" half of lineage+metrics
+        stage_stats = ds.stats()[:4000]
+    except Exception:
+        stage_stats = None
     manifest = {
         "partition_id": pid,
         "input_files": files,
@@ -161,6 +167,7 @@ def run_extract_partition(files: list[str], out_dir: str, pid: int, *,
         "kernel_version": _kernel_version(),
         "engine_version": __version__,
         "status": "done",
+        "stage_stats": stage_stats,
     }
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
