@@ -429,6 +429,24 @@ def data_state(t: Tokeniser, r: CharacterReader) -> None:
     if c == "&":
         t.advance_transition(char_ref_in_data)
     elif c == "<":
+        # fused fast path for the overwhelmingly common "<letter" and
+        # "</letter" forms: equivalent to tag_open/end_tag_open's
+        # alpha branches, minus two read-loop round trips per tag
+        s, p, n = r.s, r.pos + 1, r.len
+        if p < n:
+            nxt = s[p]
+            if ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):
+                r.pos = p
+                t.create_tag_pending(True)
+                t.transition(tag_name)
+                return
+            if nxt == "/" and p + 1 < n:
+                nxt2 = s[p + 1]
+                if ("a" <= nxt2 <= "z") or ("A" <= nxt2 <= "Z"):
+                    r.pos = p + 1
+                    t.create_tag_pending(False)
+                    t.transition(tag_name)
+                    return
         t.advance_transition(tag_open)
     elif c == NULL:
         t.error("null in data")
