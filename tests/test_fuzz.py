@@ -75,3 +75,35 @@ def test_clean_idempotent_content(html):
     twice = clean(once, "", None)
     assert sf.parse(twice).text() == sf.parse(once).text()
     assert normalise_whitespace(twice) == normalise_whitespace(once)
+
+
+_simple_sel = st.sampled_from([
+    "div", "p", "span", "*", "#a", ".c1", "[href]", "[href=x]",
+    "[href^=h]", "[href$=l]", "[href*=t]", "[href~=x+]", "p.c1",
+    "div#a", ":first-child", ":last-child", ":nth-child(2n+1)",
+    ":nth-of-type(2)", ":only-child", ":empty", ":root",
+    ":contains(x)", ":containsOwn(y)", ":matches(\\d+)", ":lt(3)",
+    ":gt(0)", ":eq(1)", "p:not(.c1)", "div:has(p)", "fb|x",
+])
+_combinator = st.sampled_from([" ", " > ", " + ", " ~ ", ", "])
+_selector = st.builds(
+    lambda parts, combs: "".join(
+        p + c for p, c in zip(parts, combs + [""])),
+    st.lists(_simple_sel, min_size=1, max_size=4),
+    st.lists(_combinator, min_size=0, max_size=3),
+).filter(lambda s: s.strip(", >+~"))
+
+
+@settings(max_examples=300, deadline=None)
+@given(_soup, _selector)
+def test_select_never_crashes(html, selector):
+    doc = sf.parse(html)
+    try:
+        result = doc.select(selector)
+    except Exception as e:
+        from soupflow.selector import SelectorParseError
+        assert isinstance(e, SelectorParseError), (selector, e)
+        return
+    all_els = set(map(id, doc.get_all_elements()))
+    for el in result:
+        assert id(el) in all_els  # results come from this document
