@@ -81,7 +81,8 @@ def _link_density(el: Element) -> float:
 
 
 def extract_spans(root: Element, *, drop_boilerplate: bool = True,
-                  link_density_threshold: float = 0.0) -> list[dict]:
+                  link_density_threshold: float = 0.0,
+                  scorer=None) -> list[dict]:
     """Walk the DOM emitting the ordered span sequence.
 
     Text accumulates with Element.text() whitespace semantics
@@ -89,6 +90,12 @@ def extract_spans(root: Element, *, drop_boilerplate: bool = True,
     boundaries, preserve in pre/textarea/title/plaintext); a new text
     span is cut at each block boundary; media elements flush the current
     segment and emit a media span.
+
+    ``scorer``: optional boilerplate classifier hook — a callable
+    ``(Element) -> bool`` asked for every block-level element; False
+    drops the subtree. Plug a model here (load it once per worker in
+    the actor/kernel constructor); the tag blocklist and link-density
+    heuristics still apply first.
     """
     spans: list[dict] = []
     buf: list[str] = []
@@ -132,6 +139,10 @@ def extract_spans(root: Element, *, drop_boilerplate: bool = True,
                     and node.tag.is_block and name not in ("html", "body"):
                 if _link_density(node) > link_density_threshold:
                     continue
+            if scorer is not None and node is not root \
+                    and node.tag.is_block and name not in ("html", "body"):
+                if not scorer(node):
+                    continue
             if node.tag.is_block or name == "br":
                 flush()
             stack.append((node, True))
@@ -164,7 +175,8 @@ def extract_spans(root: Element, *, drop_boilerplate: bool = True,
 def extract_document(html: str, base_uri: str = "", *,
                      whitelist: Optional[Whitelist] = None,
                      drop_boilerplate: bool = True,
-                     link_density_threshold: float = 0.0) -> list[dict]:
+                     link_density_threshold: float = 0.0,
+                     scorer=None) -> list[dict]:
     doc = parse(html, base_uri)
     if whitelist is not None:
         doc = Cleaner(whitelist).clean(doc)
@@ -172,7 +184,24 @@ def extract_document(html: str, base_uri: str = "", *,
     if body is None:
         return []
     return extract_spans(body, drop_boilerplate=drop_boilerplate,
-                         link_density_threshold=link_density_threshold)
+                         link_density_threshold=link_density_threshold,
+                         scorer=scorer)
+
+
+class TextDensityScorer:
+    """Deterministic boilerplate classifier: keep a block if its text
+    density (text chars per descendant element) is at or above the
+    threshold. Stands in for a learned model — a real classifier loads
+    its weights in __init__ (once per worker) and scores in __call__,
+    exactly like this."""
+
+    def __init__(self, min_chars_per_element: float = 5.0) -> None:
+        self.min_chars_per_element = min_chars_per_element
+
+    def __call__(self, el: Element) -> bool:
+        n_els = 1 + sum(1 for n in el.iter_subtree()
+                        if isinstance(n, Element))
+        return (len(el.text()) / n_els) >= self.min_chars_per_element
 
 
 class ExtractActor:
@@ -189,12 +218,16 @@ class ExtractActor:
     def __init__(self, whitelist: Optional[str] = None,
                  drop_boilerplate: bool = True,
                  link_density_threshold: float = 0.0,
-                 base_uri: str = "") -> None:
+                 base_uri: str = "",
+                 scorer_factory=None) -> None:
         # compiled once per actor (reference: QueryParser cache + Whitelist)
         self.whitelist = Whitelist.by_name(whitelist) if whitelist else None
         self.drop_boilerplate = drop_boilerplate
         self.link_density_threshold = link_density_threshold
         self.base_uri = base_uri
+        # boilerplate-classification hook: the factory runs ONCE per
+        # actor/worker (model load happens here, not per batch)
+        self.scorer = scorer_factory() if scorer_factory else None
         # warm the selector cache used by link-density scoring
         parse_query("a")
 
@@ -209,7 +242,8 @@ class ExtractActor:
                 out = extract_document(
                     html, self.base_uri, whitelist=self.whitelist,
                     drop_boilerplate=self.drop_boilerplate,
-                    link_density_threshold=self.link_density_threshold)
+                    link_density_threshold=self.link_density_threshold,
+                    scorer=self.scorer)
                 err = None
             except Exception as e:  # never fail a batch for one bad doc
                 out = []

@@ -140,3 +140,40 @@ def test_bad_document_emits_error_row_not_failure(monkeypatch):
     assert rows[0]["error"] is None and rows[0]["spans"]
     assert rows[1]["error"] == "ValueError: boom"
     assert rows[1]["spans"] == []
+
+
+def test_scorer_hook_drops_low_density_blocks():
+    from soupflow.extract import TextDensityScorer, extract_document
+    html = ("<div id=main><p>a long paragraph with plenty of meaningful "
+            "text content that scores well</p></div>"
+            "<div id=junk><span><span><span><b>x</b></span></span></span>"
+            "</div>")
+    with_scorer = extract_document(
+        html, scorer=TextDensityScorer(min_chars_per_element=5.0))
+    without = extract_document(html)
+    texts_with = [s["text"] for s in with_scorer if s["kind"] == "text"]
+    texts_without = [s["text"] for s in without if s["kind"] == "text"]
+    assert any("meaningful" in t for t in texts_with)
+    assert not any("x" == t for t in texts_with)
+    assert any("x" == t for t in texts_without)
+
+
+def test_scorer_factory_in_actor():
+    import pyarrow as pa2
+
+    from soupflow.extract import (ExtractActor, SPAN_STRUCT,
+                                  TextDensityScorer)
+    tbl = pa2.table({
+        "doc_id": pa2.array(["d1"], pa2.string()),
+        "spans": pa2.array([[{"kind": "text",
+                              "text": "<div><p>good meaningful longform "
+                                      "content here</p></div>"
+                                      "<div><span><span><b>x</b></span>"
+                                      "</span></div>",
+                              "media_ref": "", "offset": 0}]],
+                           pa2.list_(SPAN_STRUCT)),
+    })
+    actor = ExtractActor(scorer_factory=TextDensityScorer)
+    out = actor(tbl).to_pylist()[0]
+    assert out["error"] is None
+    assert all("x" != s["text"] for s in out["spans"])
