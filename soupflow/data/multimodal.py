@@ -13,6 +13,11 @@ Scale notes: binary payloads dominate block size; use small
 ``batch_size`` (e.g. 16-32) so batch × concurrency fits worker heaps,
 and let the object store spill. Feature outputs are fixed-width
 list<float> columns, friendly to downstream ANN stages.
+
+CPU-sizing rule: never CHAIN fixed-size actor pools whose combined
+concurrency equals the cluster CPUs — the pools pin every CPU and the
+upstream read/task stage starves (observed deadlock). Leave headroom,
+use autoscaling ``(1, n)`` pools, or materialize between pool stages.
 """
 
 from __future__ import annotations
@@ -115,3 +120,74 @@ def media_table_from_documents(batch: pa.Table) -> pa.Table:
                                  pa.string()),
         "doc_id": batch.column("doc_id"),
     })
+
+
+class MediaResizeActor:
+    """Actor-pool resize stage (images): emits a resized payload plus
+    the recorded output dimensions.
+
+    ``mode="real"`` is the PIL integration point (absent here →
+    NotImplementedError); ``mode="fake"`` deterministically resamples
+    the byte stream to ``target_w*target_h`` bytes by striding, so
+    batch sizing / schema / memory behavior are exercised for real.
+    """
+
+    def __init__(self, target_w: int = 64, target_h: int = 64,
+                 mode: str = "fake") -> None:
+        self.target_w = target_w
+        self.target_h = target_h
+        self.mode = mode
+        if mode == "real" and _try_import_pil() is None:
+            raise NotImplementedError(
+                "real resize needs PIL; integration point: "
+                "MediaResizeActor.__call__")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n_out = self.target_w * self.target_h
+        resized = []
+        for payload in payloads:
+            data = payload or b"\x00"
+            arr = np.frombuffer(data, dtype=np.uint8)
+            idx = np.linspace(0, arr.size - 1, n_out).astype(np.int64)
+            resized.append(arr[idx].tobytes())
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("payload",
+                                pa.array(resized, pa.binary()))
+        out = out.append_column(
+            "width", pa.array([self.target_w] * len(resized), pa.int32()))
+        return out.append_column(
+            "height", pa.array([self.target_h] * len(resized),
+                               pa.int32()))
+
+
+class FrameSampleActor:
+    """Actor-pool frame-sampling stage (videos): 1→N row expansion —
+    each payload is split into ``n_frames`` equal chunks, one output
+    row per frame with (media_ref, frame_index, payload). The real
+    codec (pyav) plugs into _sample_real."""
+
+    def __init__(self, n_frames: int = 4, mode: str = "fake") -> None:
+        self.n_frames = n_frames
+        self.mode = mode
+        if mode == "real":
+            raise NotImplementedError(
+                "real frame sampling needs pyav; integration point: "
+                "FrameSampleActor._sample_real")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_refs, out_idx, out_frames = [], [], []
+        for ref, payload in zip(refs, payloads):
+            data = payload or b"\x00"
+            step = max(1, len(data) // self.n_frames)
+            for i in range(self.n_frames):
+                out_refs.append(ref)
+                out_idx.append(i)
+                out_frames.append(data[i * step:(i + 1) * step] or b"\x00")
+        return pa.table({
+            "media_ref": pa.array(out_refs, pa.string()),
+            "frame_index": pa.array(out_idx, pa.int32()),
+            "payload": pa.array(out_frames, pa.binary()),
+        })

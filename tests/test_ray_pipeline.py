@@ -335,3 +335,45 @@ def test_strict_kernel_resume_invalidates_stale_partitions(tmp_path,
     assert len(redone) == 1 and redone[0]["row_count"] == 60
     # non-strict resume still trusts the manifest
     assert run_extract(d, o) == []
+
+
+def test_media_resize_and_frame_sample_stages(ray_session):
+    import ray.data
+
+    from soupflow.data.multimodal import (FrameSampleActor,
+                                          MediaDecodeActor,
+                                          MediaResizeActor,
+                                          media_table_from_documents)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet").limit(40)
+    media = docs.map_batches(media_table_from_documents,
+                             batch_format="pyarrow")
+    resized = media.map_batches(
+        MediaResizeActor, batch_format="pyarrow", batch_size=16,
+        concurrency=2,
+        fn_constructor_kwargs={"target_w": 8, "target_h": 8}) \
+        .materialize()  # release the pool: two chained fixed-size
+    # pools would claim all 4 test CPUs and starve the read stage
+    rows = resized.take_all()
+    assert len(rows) == 40
+    assert all(len(r["payload"]) == 64 and r["width"] == 8 for r in rows)
+    # resized payloads still flow into the decode/feature stage
+    feats = resized.map_batches(
+        MediaDecodeActor, batch_format="pyarrow", batch_size=16,
+        concurrency=2, fn_constructor_kwargs={"mode": "fake"}).take_all()
+    assert all(len(f["features"]) == 16 for f in feats)
+
+    frames = media.map_batches(
+        FrameSampleActor, batch_format="pyarrow", batch_size=16,
+        concurrency=2, fn_constructor_kwargs={"n_frames": 4}).take_all()
+    assert len(frames) == 160  # 1 -> 4 row expansion
+    assert {f["frame_index"] for f in frames} == {0, 1, 2, 3}
+
+
+def test_media_real_modes_raise():
+    import pytest
+
+    from soupflow.data.multimodal import FrameSampleActor, MediaResizeActor
+    with pytest.raises(NotImplementedError):
+        MediaResizeActor(mode="real")
+    with pytest.raises(NotImplementedError):
+        FrameSampleActor(mode="real")
