@@ -377,3 +377,24 @@ def test_media_real_modes_raise():
         MediaResizeActor(mode="real")
     with pytest.raises(NotImplementedError):
         FrameSampleActor(mode="real")
+
+
+def test_distributed_extraction_matches_single_process(ray_session):
+    """SURVEY §2.10 determinism: the distributed pipeline (many blocks,
+    arbitrary task order, shuffled input) produces byte-identical span
+    sequences to the single-process kernel for every conformance doc."""
+    import ray.data
+
+    from soupflow.extract import ExtractActor, extract_batch
+    from soupflow.fixtures import conformance_table
+    tbl = conformance_table()
+    expected = {r["doc_id"]: r["spans"]
+                for r in ExtractActor()(tbl).to_pylist()}
+
+    ds = ray.data.from_arrow(tbl).repartition(13) \
+        .random_shuffle(seed=7) \
+        .map_batches(extract_batch, batch_format="pyarrow",
+                     batch_size=17)
+    got = {r["doc_id"]: r["spans"] for r in ds.take_all()}
+    assert got.keys() == expected.keys()
+    assert got == expected
