@@ -684,3 +684,47 @@ def test_attribute_storm():
     p = sf.parse(html).select("p")[0]
     assert p._attrs().size() == 5000
     assert p.attr("a4999") == "v4999"
+
+
+def test_tag_name_with_multibyte_and_attributes():
+    # HtmlParserTest.swift:414-422
+    doc = sf.parse("<div><x\u03c0\u03b2 class='x'>Hi</x\u03c0\u03b2></div>")
+    els = doc.get_elements_by_tag("x\u03c0\u03b2")
+    assert len(els) == 1
+    assert els[0].tag_name() == "x\u03c0\u03b2"
+    assert els[0].text() == "Hi"
+
+
+def test_parse_does_not_crash_on_unterminated_html_entity():
+    # HtmlParserTest.swift:714-718
+    doc = sf.parse("<a href='&lt")
+    assert doc.body().text() == ""
+
+
+def test_parse_does_not_crash_on_truncated_html():
+    # HtmlParserTest.swift:722-728
+    html = ('<figure class="img-border featured-image"><img width="1600" '
+            'height="800" src="https://9to5mac.com/wp-content/uploads/'
+            'sites/6/2025/08/crash-detection.jpg?quality=82&amp')
+    assert sf.parse(html).body() is not None
+
+
+def test_parse_does_not_crash_on_truncated_html_variants():
+    # HtmlParserTest.swift:730-775
+    variants = [
+        '<a href="', '<a href="&', '<a href="&amp', '<a href="&amp;',
+        "<a href='test&amp", "<div class=", '<div class="test',
+        "<!DOCTYPE", "<!DOCTYPE html", "<!-- comment",
+        "<script>var x = ", "<style>.foo {",
+        '<img src="data:image/png;base64,',
+        '<a href="https://example.com?a=1&',
+        '<a href="https://example.com?a=1&amp',
+        '<a href="https://example.com?a=1&amp;b=2&',
+        "<p>Hello \u00c3", "<p>Hello \u00e2\u20ac",
+        '<p>test</p><img src="foo&', "<table><tr><td>cell&amp",
+        "<", "< ", "</", "<a", "<a ", "<a h", "<a hr", "<a hre",
+        "<a href", "<a href=", "<a href='",
+        "&", "&amp", "&#", "&#x", "&#x4", "&#65",
+    ]
+    for i, html in enumerate(variants):
+        assert sf.parse(html).body() is not None, (i, html)
