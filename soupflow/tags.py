@@ -122,6 +122,31 @@ _REGISTRY = _build_registry()
 _UNKNOWN_CACHE: dict[tuple[str, bool], Tag] = {}
 _UNKNOWN_CACHE_MAX = 512
 
+# self-closing variants cached separately — NEVER mutate an interned
+# Tag (reference keeps UnknownTagCache.selfClosingTags apart too)
+_SELF_CLOSING_CACHE: dict[str, Tag] = {}
+
+
+def as_self_closing(tag: Tag) -> Tag:
+    """A copy of ``tag`` with self_closing=True (cached). Used when a
+    non-void tag appears as <tag/> so only THAT element serializes
+    self-closing, not every future use of the interned tag."""
+    if tag.is_self_closing():
+        return tag
+    cached = _SELF_CLOSING_CACHE.get(tag.name)
+    if cached is not None:
+        return cached
+    copy = Tag(tag.name, is_block=tag.is_block,
+               format_as_block=tag.format_as_block,
+               can_contain_inline=tag.can_contain_inline,
+               empty=tag.empty, self_closing=True,
+               preserve_whitespace=tag.preserve_whitespace,
+               form_list=tag.form_list, form_submit=tag.form_submit,
+               known=tag.known)
+    if len(_SELF_CLOSING_CACHE) < _UNKNOWN_CACHE_MAX:
+        _SELF_CLOSING_CACHE[tag.name] = copy
+    return copy
+
 
 def tag_for(name: str, preserve_case: bool = False) -> Tag:
     """Interned Tag lookup, case-normalizing unless preserve_case.

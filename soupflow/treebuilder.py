@@ -298,14 +298,16 @@ class HtmlTreeBuilder:
 
     def insert_empty(self, start_tag: TagTok) -> Element:
         tag = self._tag_for_token(start_tag)
-        el = Element(tag, self.base_uri, self._attrs_for_token(start_tag))
-        self.insert_node(el)
         if start_tag.self_closing:
             if tag.known:
                 if not tag.is_self_closing():
                     self.tokeniser.error("self-closing known non-void tag")
             else:
-                tag.self_closing = True
+                # per-element copy; never mutate the interned Tag
+                from .tags import as_self_closing
+                tag = as_self_closing(tag)
+        el = Element(tag, self.base_uri, self._attrs_for_token(start_tag))
+        self.insert_node(el)
         return el
 
     def insert_form(self, start_tag: TagTok, on_stack: bool) -> FormElement:

@@ -69,14 +69,8 @@ class XmlTreeBuilder:
             # per-element copy — never mutate the interned registry Tag
             # (reference keeps a separate self-closing unknown-tag cache,
             # Tag.swift UnknownTagCache.selfClosingTags)
-            from .tags import Tag
-            tag = Tag(tag.name, is_block=tag.is_block,
-                      format_as_block=tag.format_as_block,
-                      can_contain_inline=tag.can_contain_inline,
-                      empty=tag.empty, self_closing=True,
-                      preserve_whitespace=tag.preserve_whitespace,
-                      form_list=tag.form_list,
-                      form_submit=tag.form_submit, known=tag.known)
+            from .tags import as_self_closing
+            tag = as_self_closing(tag)
         el = Element(tag, self.base_uri)
         for k, v in self.settings.normalise_attributes(t.attrs).items():
             el._attrs().put(k, v)

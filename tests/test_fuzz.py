@@ -67,14 +67,16 @@ def test_extract_document_total(text):
 @settings(max_examples=150, deadline=None)
 @given(_soup)
 def test_clean_idempotent_content(html):
-    # re-cleaning cleaned output changes nothing content-wise (the
-    # pretty printer may re-flow whitespace, as in the reference)
+    # re-cleaning cleaned output preserves TEXT content. Full markup
+    # idempotence does not hold (for the reference either): cleaning
+    # can un-nest structures — e.g. <a><div><a> is spec-parsed with
+    # the second anchor inside the first's subtree, dropping the div
+    # yields direct <a><a>, which reparses via the adoption agency
+    # into sibling anchors on the next clean.
     from soupflow import clean
-    from soupflow.textutil import normalise_whitespace
     once = clean(html, "", None)
     twice = clean(once, "", None)
     assert sf.parse(twice).text() == sf.parse(once).text()
-    assert normalise_whitespace(twice) == normalise_whitespace(once)
 
 
 _simple_sel = st.sampled_from([
