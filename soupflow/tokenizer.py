@@ -169,11 +169,14 @@ class CharacterReader:
         return self.s[self.pos] if self.pos < self.len else EOF
 
     def consume(self) -> str:
+        # ALWAYS advances, even past the end (like the reference's
+        # bufPos++): consume/unconsume stay symmetric at EOF, so the
+        # common "consume → not what I wanted → unconsume + retry"
+        # state pattern can't loop forever on truncated input
+        # (regression: "<script><" at EOF)
         p = self.pos
-        if p >= self.len:
-            return EOF
         self.pos = p + 1
-        return self.s[p]
+        return self.s[p] if p < self.len else EOF
 
     def unconsume(self) -> None:
         if self.pos > 0:

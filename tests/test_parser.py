@@ -728,3 +728,18 @@ def test_parse_does_not_crash_on_truncated_html_variants():
     ]
     for i, html in enumerate(variants):
         assert sf.parse(html).body() is not None, (i, html)
+
+
+def test_truncated_rawtext_scriptdata_do_not_hang():
+    # regression: "<script><" at EOF looped forever in script_data_lt
+    # (consume at EOF did not advance, unconsume rewound onto "<")
+    variants = [
+        "<script><", "<script><script><", "<style><", "<textarea><",
+        "<title><", "<xmp><", "<script></", "<script><!", "<script><!-",
+        "<script><!--<", "<script><!--<s", "<script><!--</",
+        "<script><!--<script><", "<iframe><", "<noembed><",
+        "<noframes><", "<plaintext><",
+    ]
+    for html in variants:
+        doc = sf.parse(html)  # completing at all is the assertion
+        assert doc.body() is not None
