@@ -259,7 +259,16 @@ class CharacterReader:
         return m.group()
 
     def consume_letter_sequence(self) -> str:
-        return self._consume_matching(_RE_LETTER)
+        # MUST accept exactly the characters matches_letter() accepts
+        # (unicode isalpha, like the reference's Character.isLetter) —
+        # an ASCII-only regex here looped forever on "<!DOCTYPEπ"
+        # because the caller saw a letter but nothing was consumed
+        s, n = self.s, self.len
+        p = start = self.pos
+        while p < n and s[p].isalpha():
+            p += 1
+        self.pos = p
+        return s[start:p]
 
     def consume_digit_sequence(self) -> str:
         return self._consume_matching(_RE_DIGIT)
@@ -268,7 +277,7 @@ class CharacterReader:
         return self._consume_matching(_RE_HEX)
 
     def consume_letter_then_digit(self) -> str:
-        out = self._consume_matching(_RE_LETTER)
+        out = self.consume_letter_sequence()
         out += self._consume_matching(_RE_DIGIT)
         return out
 

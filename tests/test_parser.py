@@ -743,3 +743,13 @@ def test_truncated_rawtext_scriptdata_do_not_hang():
     for html in variants:
         doc = sf.parse(html)  # completing at all is the assertion
         assert doc.body() is not None
+
+
+def test_non_ascii_letters_after_doctype_and_double_escape_do_not_hang():
+    # regression: matches_letter() (unicode isalpha) paired with an
+    # ASCII-only consume_letter_sequence() looped forever
+    for html in ["<!DOCTYPE\u03c0", "<!DOCTYPE\U0001d52e",
+                 "<script><!--<t\u03c0", "<textarea></x\u03c0",
+                 "<title></t\u03c0", "<!DOCTYPE \u03c0\u03b2>ok"]:
+        doc = sf.parse(html)
+        assert doc.body() is not None
