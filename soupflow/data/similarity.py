@@ -8,6 +8,14 @@
  * ivf_topk: the scale path — vectors are bucketed by nearest centroid
    (one groupby on bucket id); queries probe only their nearest
    ``nprobe`` buckets.
+
+Scale hygiene (round 2):
+ * all small-side vector fetches are expression filters (Arrow
+   predicate, C-path) — never per-row Python lambdas;
+ * batch → matrix conversion is a zero-copy Arrow flatten + reshape,
+   not ``to_pylist``;
+ * exact near-dup pairing streams the corpus through the object store
+   in bounded chunks (no whole-table ``take_all`` on the driver).
 """
 
 from __future__ import annotations
@@ -24,7 +32,43 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
-    return np.array(batch.column(col).to_pylist(), dtype=np.float64)
+    """(rows, dim) float64 matrix from a list<float> column.
+
+    Zero-copy path: flatten the list values buffer and reshape — no
+    per-row Python objects. Assumes rectangular, null-free lists
+    (embedding tables); falls back to to_pylist otherwise."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        # combine_chunks returns an Array on recent pyarrow, a
+        # ChunkedArray on older releases — normalize to Array
+        arr = arr.combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = (arr.chunk(0) if arr.num_chunks
+                   else pa.array([], type=pa.list_(pa.float32())))
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    try:
+        vals = arr.flatten().to_numpy(zero_copy_only=False)
+        if vals.size % n:
+            raise ValueError("ragged embedding lists")
+        return vals.reshape(n, -1).astype(np.float64, copy=False)
+    except (ValueError, pa.ArrowInvalid):
+        return np.array(arr.to_pylist(), dtype=np.float64)
+
+
+def _ids_array(batch: pa.Table, id_col: str) -> np.ndarray:
+    return batch.column(id_col).to_numpy(zero_copy_only=False)
+
+
+def _fetch_vectors(ds, ids: list[int], id_col: str, col: str):
+    """Fetch a handful of vectors by id: Arrow expression filter
+    (pushed down C-path — never a per-row Python lambda scan)."""
+    expr = " or ".join(f"({id_col} == {int(i)})" for i in ids)
+    rows = ds.filter(expr=expr).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    mat = np.array([r[col] for r in rows], dtype=np.float64)
+    return [r[id_col] for r in rows], mat
 
 
 def brute_force_topk(ds, query_ids: list[int], k: int = 10,
@@ -32,21 +76,15 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 10,
     """Exact cosine top-k for each query vector → rows
     (query_id, neighbor_id, rank), rank 1-based, ties broken by id."""
     import ray
-    import ray.data
 
-    # small side: fetch the query vectors (tiny filtered read)
-    qds = ds.filter(lambda row: row[id_col] in set(query_ids))
-    qrows = qds.take_all()
-    qrows.sort(key=lambda r: r[id_col])
-    qmat = _normalize(np.array([r[col] for r in qrows],
-                               dtype=np.float64))
-    qids = [r[id_col] for r in qrows]
+    qids, qraw = _fetch_vectors(ds, query_ids, id_col, col)
+    qmat = _normalize(qraw)
     handle = ray.put((qids, qmat))  # broadcast once
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         q_ids, q = ray.get(handle)
         m = _normalize(_batch_matrix(batch, col))
-        ids = np.array(batch.column(id_col).to_pylist())
+        ids = _ids_array(batch, id_col)
         scores = m @ q.T  # (batch, queries)
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(q_ids):
@@ -105,11 +143,14 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, n_centroids: int = 16,
              col: str = "embedding"):
     """Approximate cosine top-k: bucket by nearest centroid, probe the
     nprobe closest buckets per query. Centroids = first n_centroids
-    vectors by id (deterministic; swap in k-means for real corpora)."""
+    vectors by id (deterministic; swap in k-means for real corpora).
+
+    With ``nprobe == n_centroids`` probing is exhaustive and the result
+    is exactly the brute-force top-k (the oracle-checked config); the
+    pruned configs are exercised in pytest."""
     import ray
 
-    seed = ds.filter(
-        lambda row: row[id_col] < n_centroids).take_all()
+    seed = ds.filter(expr=f"{id_col} < {int(n_centroids)}").take_all()
     seed.sort(key=lambda r: r[id_col])
     centroids = np.array([r[col] for r in seed], dtype=np.float64)
     cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
@@ -117,12 +158,8 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, n_centroids: int = 16,
         IvfIndexActor, batch_format="pyarrow", concurrency=(1, cpus),
         fn_constructor_kwargs={"centroids": centroids, "col": col})
 
-    qrows = ds.filter(lambda row: row[id_col] in set(query_ids)) \
-        .take_all()
-    qrows.sort(key=lambda r: r[id_col])
-    qmat = _normalize(np.array([r[col] for r in qrows],
-                               dtype=np.float64))
-    qids = [r[id_col] for r in qrows]
+    qids, qraw = _fetch_vectors(ds, query_ids, id_col, col)
+    qmat = _normalize(qraw)
     cn = _normalize(centroids)
     probes = {qid: set(np.argsort(-(cn @ qmat[i]))[:nprobe].tolist())
               for i, qid in enumerate(qids)}
@@ -131,8 +168,8 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, n_centroids: int = 16,
     def partial_topk(batch: pa.Table) -> pa.Table:
         q_ids, q, probe_map = ray.get(handle)
         m = _normalize(_batch_matrix(batch, col))
-        ids = np.array(batch.column(id_col).to_pylist())
-        buckets = np.array(batch.column("bucket").to_pylist())
+        ids = _ids_array(batch, id_col)
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
         scores = m @ q.T
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(q_ids):
@@ -172,36 +209,44 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, n_centroids: int = 16,
 # -- embedding-cosine near-duplicate detection ------------------------------
 
 def embed_near_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
-                    col: str = "embedding"):
+                    col: str = "embedding", chunk_rows: int = 32768):
     """Exact cosine near-dup pairs → (id_a, id_b) with id_a < id_b and
     cosine >= threshold.
 
-    Baseline pattern (same as brute_force_topk): the comparison matrix
-    is broadcast ONCE via ``ray.put`` and read inside every map task;
-    each batch does one float64 matmul against it and emits only the
-    over-threshold pairs. Exact (full recall) — the corpus-side matrix
-    must fit in the object store; use embed_near_dups_lsh as the scale
-    path when it doesn't."""
+    Chunked block self-join: the corpus is streamed through the driver
+    in ``chunk_rows`` slices, each ``ray.put`` into the object store
+    once (bounded driver memory — never a whole-table ``take_all``).
+    Every map task then scores its batch against each chunk (zero-copy
+    plasma reads) and emits only over-threshold pairs with
+    batch-id < chunk-id, so each unordered pair surfaces exactly once.
+    Exact (full recall) with O(n²/cluster) compute — inherent to exact
+    all-pairs; use embed_near_dups_lsh as the approximate scale path."""
     import ray
 
-    all_rows = ds.select_columns([id_col, col]).take_all()
-    all_rows.sort(key=lambda r: r[id_col])
-    full_ids = np.array([r[id_col] for r in all_rows], dtype=np.int64)
-    full_mat = _normalize(np.array([r[col] for r in all_rows],
-                                   dtype=np.float64))
-    handle = ray.put((full_ids, full_mat))  # broadcast once
+    narrow = ds.select_columns([id_col, col])
+    chunk_refs = []
+    for chunk in narrow.iter_batches(batch_size=chunk_rows,
+                                     batch_format="pyarrow"):
+        ids_c = _ids_array(chunk, id_col).astype(np.int64)
+        mat_c = _normalize(_batch_matrix(chunk, col))
+        chunk_refs.append(ray.put((ids_c, mat_c)))
 
     def pairs(batch: pa.Table) -> pa.Table:
-        ids_b, mat_b = ray.get(handle)
         m = _normalize(_batch_matrix(batch, col))
-        ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
-        scores = m @ mat_b.T  # (batch, corpus)
-        # emit each unordered pair once: batch id < corpus id
-        bi, ci = np.nonzero(scores >= threshold)
-        keep = ids[bi] < ids_b[ci]
+        ids = _ids_array(batch, id_col).astype(np.int64)
+        out_a, out_b = [], []
+        for ref in chunk_refs:
+            ids_c, mat_c = ray.get(ref)
+            scores = m @ mat_c.T  # (batch, chunk)
+            bi, ci = np.nonzero(scores >= threshold)
+            keep = ids[bi] < ids_c[ci]
+            out_a.append(ids[bi][keep])
+            out_b.append(ids_c[ci][keep])
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], np.int64)
         return pa.table({
-            "id_a": pa.array(ids[bi][keep], pa.int64()),
-            "id_b": pa.array(ids_b[ci][keep], pa.int64()),
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
         })
 
     return ds.map_batches(pairs, batch_format="pyarrow")
@@ -209,8 +254,10 @@ def embed_near_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
 
 class HyperplaneLshActor:
     """Random-hyperplane signature stage: the projection matrix is
-    generated once per actor from a fixed seed; per batch one matmul
-    then sign-bit packing into band keys."""
+    generated once per actor from a fixed seed; per batch one matmul,
+    then vectorized sign-bit packing into int64 band keys
+    (band << n_bits | bit-value) and an Arrow ``take`` to replicate the
+    embedding per band row — no per-row Python loop."""
 
     def __init__(self, dim: int, n_bits: int = 8, bands: int = 8,
                  seed: int = 42, col: str = "embedding") -> None:
@@ -222,21 +269,18 @@ class HyperplaneLshActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, self.col))
-        bits = (m @ self.planes) > 0  # (rows, n_bits*bands)
-        ids = batch.column("vec_id").to_pylist()
-        embs = batch.column(self.col).to_pylist()
-        out_key, out_id, out_emb = [], [], []
-        for r in range(bits.shape[0]):
-            for b in range(self.bands):
-                chunk = bits[r, b * self.n_bits:(b + 1) * self.n_bits]
-                key = f"{b}:{int(''.join('1' if x else '0' for x in chunk), 2):04x}"
-                out_key.append(key)
-                out_id.append(ids[r])
-                out_emb.append(embs[r])
+        n = m.shape[0]
+        bits = (m @ self.planes) > 0  # (rows, bands*n_bits)
+        powers = (np.int64(1) << np.arange(self.n_bits, dtype=np.int64))
+        vals = bits.reshape(n, self.bands, self.n_bits) \
+            .astype(np.int64) @ powers
+        band_ids = np.arange(self.bands, dtype=np.int64)
+        keys = ((band_ids << self.n_bits)[None, :] + vals).ravel()
+        take_idx = np.repeat(np.arange(n), self.bands)
         return pa.table({
-            "band_key": pa.array(out_key, pa.string()),
-            "vec_id": pa.array(out_id, pa.int64()),
-            "embedding": pa.array(out_emb),
+            "band_key": pa.array(keys, pa.int64()),
+            "vec_id": batch.column("vec_id").take(take_idx),
+            "embedding": batch.column(self.col).take(take_idx),
         })
 
 
@@ -245,8 +289,11 @@ def embed_near_dups_lsh(ds, threshold: float = 0.95, n_bits: int = 8,
                         col: str = "embedding"):
     """Scale path: random-hyperplane LSH bands → ONE groupby on the
     band key co-locates candidates → exact cosine verification inside
-    the group. Approximate (recall < 1 possible for pairs near the
-    threshold); emits each surviving pair once (min band wins)."""
+    the group. Deterministic (fixed projection seed): the result is
+    exactly {pairs sharing ≥1 band key} ∩ {cosine ≥ threshold}, which
+    the SQL oracle reproduces by baking the same projection matrix into
+    the query (see queries.lsh_oracle_sql). Approximate vs the exact
+    all-pairs op: recall < 1 possible for pairs near the threshold."""
     import ray
 
     dim = len(ds.take(1)[0][col])
@@ -289,13 +336,13 @@ def kmeans(ds, k: int = 16, iters: int = 5, id_col: str = "vec_id",
     k partial sums + counts (k×dim floats — constant size per block);
     the tiny partials are collected driver-side and reduced. No
     shuffle of the corpus, ever. Deterministic init: first k vectors
-    by id.
+    by id (expression-filter fetch, not a Python-lambda scan).
 
     Returns (centroids ndarray, assignments Dataset[id_col, cluster]).
     """
     import ray
 
-    seed_rows = ds.filter(lambda r: r[id_col] < k).take_all()
+    seed_rows = ds.filter(expr=f"{id_col} < {int(k)}").take_all()
     seed_rows.sort(key=lambda r: r[id_col])
     centroids = np.array([r[col] for r in seed_rows], dtype=np.float64)
 

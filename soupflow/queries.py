@@ -302,9 +302,14 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
+    """IVF with exhaustive probing (nprobe == n_centroids): exercises
+    the full bucket/probe machinery while the result is provably the
+    exact top-k, so it shares the ann_topk SQL oracle. The pruned
+    (nprobe < n_centroids) configs are exercised in pytest."""
     from .data.similarity import ivf_topk
     return ivf_topk(_read(sf_dir, "embeddings"),
-                    query_ids=[0, 1, 2, 3, 4], k=10)
+                    query_ids=[0, 1, 2, 3, 4], k=10,
+                    n_centroids=16, nprobe=16)
 
 
 def q_kmeans(sf_dir: str):
@@ -813,3 +818,53 @@ ORACLE_SQL = {
         FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
     """,
 }
+
+# IVF with exhaustive probing returns exactly the brute-force top-k —
+# same oracle as ann_topk (see q_ann_ivf docstring).
+ORACLE_SQL["ann_ivf"] = ORACLE_SQL["ann_topk"]
+
+
+def _lsh_oracle_sql(dim: int = 64, n_bits: int = 8, bands: int = 8,
+                    seed: int = 42, threshold: float = 0.4) -> str:
+    """SQL oracle for embed_near_dups_lsh: the pipeline is fully
+    deterministic (fixed-seed hyperplanes), so the oracle reproduces it
+    exactly — the projection matrix is baked into the query as literals
+    (float64 repr round-trips), band keys are rebuilt per vector with
+    string_agg over sign bits, and candidate pairs sharing a band key
+    are verified with the same cosine >= threshold condition. The sign
+    of the dot product is normalization-invariant, so the SQL skips the
+    normalize step the pipeline applies before the matmul."""
+    rng = __import__("numpy").random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_bits * bands))
+    rows = ",\n            ".join(
+        "(%d, [%s])" % (j, ", ".join(repr(v) for v in planes[:, j]))
+        for j in range(n_bits * bands))
+    return f"""
+        WITH p(pid, plane) AS (VALUES
+            {rows}),
+        b AS (
+          SELECT e.vec_id, p.pid // {n_bits} AS band,
+                 string_agg(
+                   CASE WHEN list_dot_product(
+                          CAST(e.embedding AS DOUBLE[]), p.plane) > 0
+                        THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS key
+          FROM embeddings e CROSS JOIN p
+          GROUP BY e.vec_id, p.pid // {n_bits}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+          FROM b a JOIN b c
+            ON a.band = c.band AND a.key = c.key
+           AND a.vec_id < c.vec_id
+        )
+        SELECT id_a, id_b
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[]))
+              >= {threshold}
+    """
+
+
+ORACLE_SQL["embed_near_dups_lsh"] = _lsh_oracle_sql()
