@@ -59,19 +59,136 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+_MOD61 = (1 << 61) - 1
+_BASE = 257
+
+
+def _mulmod61(a: np.ndarray, b) -> np.ndarray:
+    """Vectorized (a*b) mod 2^61-1 for uint64 operands < 2^61.
+
+    Splits both operands at bit 31 and folds with 2^61 ≡ 1 (mod M):
+    a·b = a1·b1·2^62 + (a1·b0 + a0·b1)·2^31 + a0·b0, where
+    2^62 ≡ 2 and mid·2^31 folds via mid = m1·2^30 + m0 →
+    m1·2^61 + m0·2^31 ≡ m1 + m0·2^31. Every intermediate < 2^63."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    mask31 = np.uint64((1 << 31) - 1)
+    mask30 = np.uint64((1 << 30) - 1)
+    a1, a0 = a >> np.uint64(31), a & mask31
+    b1, b0 = b >> np.uint64(31), b & mask31
+    hi = a1 * b1  # < 2^60
+    mid = a1 * b0 + a0 * b1  # < 2^62
+    m1, m0 = mid >> np.uint64(30), mid & mask30
+    x = (np.uint64(2) * hi + m1 + (m0 << np.uint64(31)) + a0 * b0)
+    x = (x & np.uint64(_MOD61)) + (x >> np.uint64(61))
+    x = (x & np.uint64(_MOD61)) + (x >> np.uint64(61))
+    return np.where(x >= _MOD61, x - np.uint64(_MOD61), x)
+
+
+# 7 bytes pack into one base-257 limb < 257^7 < 2^57 (exact in uint64)
+_PACK = 7
+_P7_SMALL = np.array([_BASE ** (\
+    _PACK - 1 - i) for i in range(_PACK)], dtype=np.uint64)
+_B7 = pow(_BASE, _PACK, _MOD61)  # limb base 257^7 mod M
+_POW_B7 = np.array([1], dtype=np.uint64)  # B7^j mod M, grown on demand
+
+
+def _powers7_desc(length: int) -> np.ndarray:
+    """[B7^(L-1), ..., B7^0] mod 2^61-1 (per-worker cached table,
+    grown by vectorized block doubling)."""
+    global _POW_B7
+    while _POW_B7.size < length:
+        n = _POW_B7.size
+        p_n = int(_mulmod61(_POW_B7[n - 1:n], np.uint64(_B7))[0])
+        _POW_B7 = np.concatenate([_POW_B7,
+                                  _mulmod61(_POW_B7, np.uint64(p_n))])
+    return _POW_B7[:length][::-1]
+
+
+def _rolling_hash(data: bytes) -> int:
+    """Polynomial hash sum(b_i * 257^(L-1-i)) mod 2^61-1 — identical to
+    the byte-at-a-time Horner loop, computed vectorized: bytes are
+    front-zero-padded (value-preserving) and packed 7-per-limb in base
+    257 (limb < 2^57, exact in uint64), one vectorized mulmod against
+    the cached descending limb-base powers, then an O(log L) 8-wise
+    folding-sum reduction (8 terms < 2^61 sum without overflow)."""
+    L = len(data)
+    if L == 0:
+        return 0
+    if L < 128:  # numpy overhead beats the loop only past ~128 bytes
+        h = 0
+        for b in data:
+            h = (h * _BASE + b) % _MOD61
+        return h
+    pad = (-L) % _PACK
+    buf = np.zeros(L + pad, dtype=np.uint64)
+    buf[pad:] = np.frombuffer(data, dtype=np.uint8)
+    g = buf.reshape(-1, _PACK)
+    limbs = np.einsum("ij,j->i", g, _P7_SMALL)  # < 257^7 < 2^57
+    terms = _mulmod61(limbs, _powers7_desc(limbs.size))
+    mod = np.uint64(_MOD61)
+    while terms.size > 1:
+        pad8 = (-terms.size) % 8
+        if pad8:
+            terms = np.concatenate(
+                [terms, np.zeros(pad8, np.uint64)])
+        s = terms.reshape(-1, 8).sum(axis=1)  # 8×(2^61-1) < 2^64
+        s = (s & mod) + (s >> np.uint64(61))  # < 2^61 + 7
+        terms = np.where(s >= mod, s - mod, s)  # < M: safe next level
+    return int(terms[0]) % _MOD61
+
+
+def _rolling_hash_batch(texts: list) -> np.ndarray:
+    """Batch-vectorized rolling hash: every document's bytes are packed
+    into one limb buffer (each doc front-zero-padded to a limb
+    boundary — value-preserving), ONE mulmod pass against per-limb
+    descending powers, then segmented hi/lo split sums (reduceat stays
+    exact: limb < 2^61 splits at bit 32, so per-doc partial sums fit
+    uint64 for docs up to 2^29 limbs ≈ 3.7 GB). Per-doc work is all
+    C-path; Python touches each doc only for the initial byte copy."""
+    enc = [(t or "").encode() for t in texts]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    m = (lens + _PACK - 1) // _PACK  # limbs per doc
+    out = np.zeros(len(enc), dtype=np.int64)
+    nz = np.nonzero(m)[0]
+    if nz.size == 0:
+        return out
+    m_nz = m[nz]
+    total = int((m_nz * _PACK).sum())
+    buf = np.zeros(total, dtype=np.uint64)
+    starts = np.concatenate(
+        [[0], np.cumsum(m_nz * _PACK)[:-1]]).astype(np.int64)
+    for k, i in enumerate(nz):
+        e = enc[i]
+        s = starts[k] + (m[i] * _PACK - lens[i])  # front pad
+        buf[s:s + lens[i]] = np.frombuffer(e, dtype=np.uint8)
+    g = buf.reshape(-1, _PACK)
+    limbs = np.einsum("ij,j->i", g, _P7_SMALL)  # < 257^7 < 2^57
+    ends = np.cumsum(m_nz)
+    seg = np.concatenate([[0], ends[:-1]]).astype(np.int64)
+    doc_of = np.repeat(np.arange(nz.size), m_nz)
+    pos = np.arange(limbs.size, dtype=np.int64) - seg[doc_of]
+    exp = m_nz[doc_of] - 1 - pos  # descending power per limb
+    _powers7_desc(int(m_nz.max()))  # ensure table (ascending index)
+    terms = _mulmod61(limbs, _POW_B7[exp])
+    mask32 = np.uint64((1 << 32) - 1)
+    lo = np.add.reduceat(terms & mask32, seg)  # < m·2^32, exact
+    hi = np.add.reduceat(terms >> np.uint64(32), seg)  # < m·2^29
+    mod = np.uint64(_MOD61)
+    two32 = np.uint64((1 << 32) % _MOD61)
+    h = _mulmod61(hi % mod, two32) + lo % mod  # < 2^62
+    h = (h & mod) + (h >> np.uint64(61))
+    h = np.where(h >= mod, h - mod, h)
+    out[nz] = h.astype(np.int64)
+    return out
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """Content fingerprints: md5 (exact-dup key) + 64-bit rolling hash
-    (shift-invariant-ish document fingerprint)."""
+    """Content fingerprints: md5 (exact-dup key) + 61-bit polynomial
+    rolling hash (batch-vectorized numpy — no per-byte Python loop)."""
     texts = batch.column("text").to_pylist()
     md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
-    rolling = []
-    MOD = (1 << 61) - 1
-    BASE = 257
-    for t in texts:
-        h = 0
-        for b in (t or "").encode():
-            h = (h * BASE + b) % MOD
-        rolling.append(h)
+    rolling = _rolling_hash_batch(texts)
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "fp_md5": pa.array(md5s, pa.string()),
@@ -79,41 +196,182 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-# tiny deterministic n-gram profiles for language ID; heuristic only —
-# real corpora would load fasttext-style profiles in an actor __init__.
-_LANG_PROFILES = {
-    "en": ("the", "and", "ing", "ion", " th", "he "),
-    "es": ("de ", " de", "os ", "la ", " la", "ión"),
-    "de": ("ein", "der", "sch", "ich", "und", "en "),
-    "fr": ("le ", " le", "es ", "de ", "ion", " un"),
-    "zh": ("的", "是", "了", "在", "我", "有"),
+# Character-trigram training corpus for language ID (byte trigrams of
+# UTF-8 text — distinctive for both Latin-script languages and CJK).
+# Small embedded corpus; real deployments would load fasttext-style
+# profiles in the actor __init__ the same way.
+_LANG_TRAIN = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog",
+        "a journey of a thousand miles begins with a single step",
+        "to be or not to be that is the question we ask",
+        "all that glitters is not gold said the wise man",
+        "actions speak louder than words in every language",
+        "the pen is mightier than the sword they say",
+        "practice and patience make a person perfect in the end",
+        "an ice cold morning makes the hard work feel easy",
+        "every person should keep trying when things get hard",
+        "people often say that experience is the best teacher",
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso",
+        "en un lugar de la mancha de cuyo nombre no quiero acordarme",
+        "más vale pájaro en mano que ciento volando por ahí",
+        "no hay mal que por bien no venga dice el refrán",
+        "quien mucho abarca poco aprieta según los mayores",
+        "la pluma es más poderosa que la espada dicen",
+        "la práctica hace al maestro con el paso del tiempo",
+        "cada persona debe seguir intentando cuando algo es difícil",
+        "la experiencia es la mejor maestra de la vida",
+        "una mañana fría de hielo hace el trabajo duro más fácil",
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund",
+        "aller anfang ist schwer aber übung macht den meister",
+        "wer zuletzt lacht lacht am besten sagt man hier",
+        "morgenstund hat gold im mund und das stimmt oft",
+        "was du heute kannst besorgen das verschiebe nicht auf morgen",
+        "die feder ist mächtiger als das schwert heißt es",
+        "übung macht den meister mit der zeit und geduld",
+        "jeder mensch sollte es weiter versuchen wenn etwas schwer ist",
+        "erfahrung ist die beste lehrerin im ganzen leben",
+        "ein eiskalter morgen macht die harte arbeit leichter",
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux",
+        "petit à petit l'oiseau fait son nid dans l'arbre",
+        "il ne faut pas vendre la peau de l'ours avant de l'avoir tué",
+        "qui vivra verra dit le vieux proverbe français",
+        "les bons comptes font les bons amis depuis toujours",
+        "la plume est plus forte que l'épée dit on",
+        "c'est en forgeant que l'on devient forgeron avec le temps",
+        "chaque personne doit continuer d'essayer quand c'est difficile",
+        "l'expérience est la meilleure des écoles de la vie",
+        "un matin glacial rend le travail dur plus facile",
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过了那只懒惰的狗",
+        "千里之行始于足下这是古人的智慧",
+        "三人行必有我师焉择其善者而从之",
+        "学而时习之不亦说乎有朋自远方来",
+        "温故而知新可以为师矣知之为知之",
+        "笔比剑更有力量这句话流传很广",
+        "熟能生巧只要坚持练习就会进步",
+        "每个人遇到困难的时候都应该继续努力",
+        "经验是人生中最好的老师要珍惜",
+        "寒冷的早晨让辛苦的工作变得轻松",
+    ),
+}
+
+# Held-out sentences per language (disjoint from _LANG_TRAIN): the
+# lang_id query synthesizes per-row text from these by the row's
+# declared lang, so `pred_lang = lang` is an exact SQL oracle while the
+# detector genuinely generalizes (it never saw these sentences).
+_LANG_TEST = {
+    "en": (
+        "the early bird catches the worm every single morning",
+        "practice makes perfect when you keep trying hard",
+        "a picture is worth a thousand words to the reader",
+        "better late than never when the road is long",
+    ),
+    "es": (
+        "a quien madruga dios le ayuda todas las mañanas",
+        "el que mucho corre pronto para en el camino",
+        "una imagen vale más que mil palabras para el lector",
+        "más vale tarde que nunca cuando el camino es largo",
+    ),
+    "de": (
+        "wer anderen eine grube gräbt fällt selbst hinein",
+        "die katze lässt das mausen nicht so sagt man",
+        "ein bild sagt mehr als tausend worte für den leser",
+        "besser spät als nie wenn der weg lang ist",
+    ),
+    "fr": (
+        "après la pluie vient toujours le beau temps",
+        "les petits ruisseaux font les grandes rivières",
+        "une image vaut mille mots pour le lecteur attentif",
+        "mieux vaut tard que jamais quand la route est longue",
+    ),
+    "zh": (
+        "水滴石穿绳锯木断坚持就是胜利",
+        "冰冻三尺非一日之寒事情要慢慢来",
+        "一图胜千言读者自然明白其中道理",
+        "亡羊补牢为时未晚遇到问题要及时改正",
+    ),
 }
 
 
-class LangIdActor:
-    """Actor-pool language-ID stage: profile tables built once per
-    worker; scoring is a vectorized substring count per profile.
+def synth_lang_text(lang: str, doc_id: int) -> str:
+    """Deterministic held-out text in `lang`, varied by doc_id (three
+    test sentences chosen by mixed-radix digits of the id)."""
+    pool = _LANG_TEST[lang]
+    m = len(pool)
+    return " ".join(pool[(doc_id // (m ** k)) % m] for k in range(3))
 
-    Note: the synthetic documents table's ``lang`` column is random
-    metadata — its TEXT is English-ish for every label — so this
-    content-based detector correctly reports mostly "en" there and its
-    driver check is rows-only (no lang-column oracle by design)."""
+
+class LangIdActor:
+    """Language-ID stage: a byte-trigram Naive-Bayes profile model
+    (add-0.5 smoothing) trained once per worker from the embedded
+    corpus; scoring is fully vectorized across the batch — one
+    sliding-window code array over the batch's concatenated UTF-8
+    bytes, one np.unique, and one bincount per language. No per-row
+    Python in the hot path."""
 
     def __init__(self) -> None:
-        self.profiles = {lang: list(ngrams)
-                         for lang, ngrams in _LANG_PROFILES.items()}
+        from collections import Counter
+        self.langs = sorted(_LANG_TRAIN)
+        counters = []
+        for lang in self.langs:
+            c: Counter = Counter()
+            for s in _LANG_TRAIN[lang]:
+                bs = s.encode("utf-8")
+                for i in range(len(bs) - 2):
+                    c[(bs[i] << 16) | (bs[i + 1] << 8) | bs[i + 2]] += 1
+            counters.append(c)
+        vocab = sorted(set().union(*counters))
+        self.code_index = {code: i for i, code in enumerate(vocab)}
+        n_langs = len(self.langs)
+        self.W = np.zeros((len(vocab), n_langs))
+        self.default = np.zeros(n_langs)
+        for li, c in enumerate(counters):
+            denom = sum(c.values()) + 0.5 * (len(vocab) + 1)
+            self.default[li] = np.log(0.5 / denom)
+            self.W[:, li] = self.default[li]
+            for code, n in c.items():
+                self.W[self.code_index[code], li] = \
+                    np.log((n + 0.5) / denom)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pandas().fillna("")
-        scores = {}
-        for lang, ngrams in self.profiles.items():
-            s = None
-            for ng in ngrams:
-                c = texts.str.count(re.escape(ng))
-                s = c if s is None else s + c
-            scores[lang] = s
-        df = pd.DataFrame(scores)
-        pred = df.idxmax(axis=1).where(df.max(axis=1) > 0, "und")
+        texts = batch.column("text").to_pylist()
+        enc = [(t or "").encode("utf-8") for t in texts]
+        n = len(enc)
+        data = b"\x00\x00".join(enc)
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        n_langs = len(self.langs)
+        scores = np.zeros((n, n_langs))
+        counts = np.zeros(n, dtype=np.int64)
+        if arr.size >= 3:
+            codes = (arr[:-2] << 16) | (arr[1:-1] << 8) | arr[2:]
+            # doc index per byte position (docs separated by 2 NULs)
+            lens2 = np.array([len(e) + 2 for e in enc], dtype=np.int64)
+            lens2[-1] -= 2
+            doc_of = np.repeat(np.arange(n), lens2)[:codes.size]
+            # drop windows that touch a separator byte
+            valid = (arr[:-2] != 0) & (arr[1:-1] != 0) & (arr[2:] != 0)
+            codes, doc_of = codes[valid], doc_of[valid]
+            uniq, inv = np.unique(codes, return_inverse=True)
+            rows = np.array([self.code_index.get(int(c), -1)
+                             for c in uniq], dtype=np.int64)
+            w = np.where((rows >= 0)[:, None],
+                         self.W[rows.clip(min=0)],
+                         self.default[None, :])  # (U, n_langs)
+            contrib = w[inv]  # (T, n_langs)
+            for li in range(n_langs):
+                scores[:, li] = np.bincount(
+                    doc_of, weights=contrib[:, li], minlength=n)
+            counts = np.bincount(doc_of, minlength=n)
+        pred = [self.langs[int(np.argmax(scores[i]))]
+                if counts[i] > 0 else "und" for i in range(n)]
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "pred_lang": pa.array(pred, pa.string()),

@@ -280,9 +280,28 @@ def q_lang_counts(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    from .data.textstats import LangIdActor
-    return _read(sf_dir, "documents").map_batches(
-        LangIdActor, batch_format="pyarrow", concurrency=2)
+    """Content-based language ID with an exact oracle: per row,
+    synthesize held-out text in the row's declared lang (sentences the
+    trigram model never saw — see textstats._LANG_TEST), then detect.
+    `pred_lang = lang` is the SQL oracle; a miss means the detector
+    actually misclassified genuinely per-language text."""
+    from .data.textstats import LangIdActor, synth_lang_text
+
+    def build(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(
+                [synth_lang_text(lang, d)
+                 for d, lang in zip(doc_ids, langs)], pa.string()),
+        })
+
+    fixture = _read(sf_dir, "documents") \
+        .select_columns(["doc_id", "lang"]) \
+        .map_batches(build, batch_format="pyarrow")
+    return fixture.map_batches(_task(LangIdActor),
+                               batch_format="pyarrow")
 
 
 def q_minhash_near_dups(sf_dir: str):
@@ -678,6 +697,25 @@ ORACLE_SQL = {
     """,
     "lang_counts": """
         SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    """,
+    "lang_id": """
+        -- the query detects language over held-out fixture text
+        -- synthesized in each row's declared lang; exact prediction
+        -- is the oracle (see q_lang_id)
+        SELECT doc_id, lang AS pred_lang FROM documents
+    """,
+    "fingerprint_rolling": """
+        -- byte-wise Horner polynomial hash mod 2^61-1 (documents are
+        -- ASCII, so ord(char) == byte); HUGEINT avoids the int64
+        -- overflow of acc*257
+        SELECT doc_id,
+               CAST(list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT),
+                   list_transform(range(1, length(text)+1),
+                     i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+                 (acc, b) -> (acc * 257 + b) % 2305843009213693951)
+               AS BIGINT) AS fp_rolling
+        FROM documents
     """,
     "minhash_near_dups": """
         -- semantic ground truth the LSH approximation targets: pairs
