@@ -225,90 +225,183 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
 # -- SimHash ----------------------------------------------------------------
 
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+# 64 bits split into 6 blocks (11,11,11,11,10,10). Any pair within
+# Hamming distance 3 differs in at most 3 blocks, so at least 3 of the
+# 6 blocks are identical — every such pair shares at least one of the
+# C(6,3)=20 three-block combination keys (generalized pigeonhole,
+# cf. Manku et al., WWW'07 multi-index scheme). Unlike single-block
+# keys the combined keyspace is ~2^33 per combo (no fixed bucket
+# ceiling): bucket count grows with the corpus and in-bucket O(n²)
+# verify stays tiny because random collisions need 31-33 matching bits.
+_BLOCK_SIZES = (11, 11, 11, 11, 10, 10)
+_BLOCK_OFFS = tuple(int(x) for x in
+                    np.concatenate([[0], np.cumsum(_BLOCK_SIZES)[:-1]]))
+_COMBOS = tuple((a, b, c)
+                for a in range(6) for b in range(a + 1, 6)
+                for c in range(b + 1, 6))
 
 
 def simhash_batch(batch: pa.Table, *, bits: int = 64) -> pa.Table:
-    """64-bit SimHash over word features (weight = term frequency).
-    Vectorized: per doc one (n_words, 64) bit matrix and one sum."""
+    """64-bit SimHash over word features (weight = term frequency),
+    word hash = first 8 bytes of md5 (big-endian) so the SQL oracle can
+    reproduce it with substr(md5(w),1,16).
+
+    Batch-vectorized: md5 runs once per UNIQUE word in the batch; the
+    per-doc bit-majority is one (instances, 64) gather + segmented
+    reduceat over doc boundaries — no per-word Python in the inner
+    accumulation."""
     texts = batch.column("text").to_pylist()
-    out = []
-    for t in texts:
-        words = (t or "").split()
-        if not words:
-            out.append(-(1 << 63))
-            continue
-        hashes = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8)
-                            .digest(), "big") for w in words),
-            dtype=np.uint64, count=len(words))
-        bit_matrix = (hashes[:, None] >> _BIT_SHIFTS) & np.uint64(1)
-        acc = bit_matrix.astype(np.int64).sum(axis=0) * 2 - len(words)
-        sim = int(((acc > 0).astype(np.uint64) <<
-                   _BIT_SHIFTS).sum(dtype=np.uint64))
-        out.append(sim - (1 << 63))  # store as signed int64
+    words_per_doc = [(t or "").split() for t in texts]
+    lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+    out = np.full(len(texts), -(1 << 63), dtype=np.int64)
+    nz = np.nonzero(lens)[0]
+    if nz.size:
+        flat = [w for i in nz for w in words_per_doc[i]]
+        uniq, inv = np.unique(np.array(flat, dtype=object),
+                              return_inverse=True)
+        uhash = np.fromiter(
+            (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+             for w in uniq), dtype=np.uint64, count=len(uniq))
+        ubits = ((uhash[:, None] >> _BIT_SHIFTS) &
+                 np.uint64(1)).astype(np.int64)  # (uniq, 64)
+        inst_bits = ubits[inv]  # (instances, 64)
+        lens_nz = lens[nz]
+        seg = np.concatenate([[0], np.cumsum(lens_nz)[:-1]])
+        ones = np.add.reduceat(inst_bits, seg, axis=0)  # (docs, 64)
+        maj = (2 * ones > lens_nz[:, None])
+        sims = (maj.astype(np.uint64) <<
+                _BIT_SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+        # signed = unsigned − 2^63; in two's complement that's a
+        # top-bit flip, so XOR + reinterpret (no overflow warnings)
+        out[nz] = (sims ^ np.uint64(1 << 63)).view(np.int64)
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "simhash": pa.array(out, pa.int64()),
     })
 
 
+def _combo_key_matrix(sims: np.ndarray) -> np.ndarray:
+    """(20, n) int64 combination keys for an array of signed simhashes.
+    Key layout: combo_id in the high bits, the three block values
+    concatenated below (≤33 bits)."""
+    u = sims.astype(np.int64).view(np.uint64) + np.uint64(1 << 63)
+    n = u.size
+    blocks = [((u >> np.uint64(_BLOCK_OFFS[i])) &
+               np.uint64((1 << _BLOCK_SIZES[i]) - 1)).astype(np.int64)
+              for i in range(6)]
+    keys = np.empty((len(_COMBOS), n), dtype=np.int64)
+    for ci, (a, b, c) in enumerate(_COMBOS):
+        packed = (((blocks[a] << _BLOCK_SIZES[b]) | blocks[b])
+                  << _BLOCK_SIZES[c]) | blocks[c]
+        keys[ci] = (np.int64(ci) << np.int64(34)) | packed
+    return keys
+
+
+def simhash_combo_keys(batch: pa.Table) -> pa.Table:
+    """(combo_key:int64, doc_id, simhash) rows — 20 three-block
+    combination keys per doc, vectorized."""
+    sims = batch.column("simhash").to_numpy(zero_copy_only=False)
+    keys = _combo_key_matrix(sims)
+    take_idx = np.tile(np.arange(sims.size), len(_COMBOS))
+    return pa.table({
+        "combo_key": pa.array(keys.ravel(), pa.int64()),
+        "doc_id": batch.column("doc_id").take(take_idx),
+        "simhash": batch.column("simhash").take(take_idx),
+    })
+
+
+def _hamming_matrix(sims: np.ndarray) -> np.ndarray:
+    x = sims.astype(np.int64).view(np.uint64)
+    xor = x[:, None] ^ x[None, :]
+    return _POP8[xor.view(np.uint8).reshape(x.size, x.size, 8)] \
+        .sum(axis=-1, dtype=np.int16)
+
+
 def simhash_near_dups(ds, max_hamming: int = 3):
-    """Banding on 4×16-bit chunks: docs sharing a chunk are candidates;
-    verified by Hamming distance inside the co-located group.
+    """→ (doc_id, min dup_of) over all pairs with Hamming ≤ max_hamming
+    — exact (full recall) for max_hamming ≤ 3 by the 6-choose-3 block
+    pigeonhole, so it carries a SQL oracle (the O(n²) bit_count join).
 
-    Accuracy note (measured on the synthetic corpus): true near-dup
-    pairs span hamming 0–8 while unrelated pairs reach down to 3 — a
-    64-bit SimHash over ~200-word docs cannot fully separate them, so
-    this operator is a coarser recall/precision tradeoff than
-    MinHash+Jaccard (which achieves exact ground truth here) and its
-    driver check is rows-only by design.
+    Scale shape (two-phase broadcast, like minhash_near_dups but with
+    ZERO verify-side shuffle): the 20 combo keys/doc are ≥31 matching
+    bits, so random collisions are ~2^-31 per combo and the bucket
+    universe grows with the corpus (no fixed ceiling). Phase 1 is ONE
+    C-path groupby-count over the narrow combo rows; the members of
+    buckets with ≥2 docs (true near-dup clusters — a tiny, bounded set,
+    same driver-residency caveat as the minhash keeper map) are pulled
+    once and broadcast via ray.put as combo_key → (ids, simhashes).
+    Phase 2 is a single map over the hashed docs: each doc checks its
+    20 keys against the broadcast map, gathers candidate partners,
+    verifies with a vectorized XOR-popcount, and emits its min smaller
+    partner directly — exactly once per doc, so no final groupby."""
+    import ray
+    from ray.data.aggregate import Count
 
-    Single-phase on purpose: chunk rows are 12 bytes (no text payload),
-    so ONE groupby+map_groups is cheaper than the two-phase
-    broadcast shape used by minhash/ngram — measured 2.2s vs 7.0s at
-    sf0.1. Revisit only if per-group python overhead dominates at
-    billions of single-doc chunks."""
-    hashed = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    # materialized: feeds both the bucket count and the verify map
+    hashed = ds.map_batches(simhash_batch,
+                            batch_format="pyarrow").materialize()
+    keyed = hashed.map_batches(simhash_combo_keys,
+                               batch_format="pyarrow")
+    agg = keyed.groupby("combo_key").aggregate(Count(alias_name="n"))
+    dup_keys = np.sort(np.array(
+        [r["combo_key"] for r in agg.filter(expr="n >= 2").take_all()],
+        dtype=np.int64))
 
-    def to_chunks(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        sims = batch.column("simhash").to_pylist()
-        keys, docs, full = [], [], []
-        for doc_id, s in zip(doc_ids, sims):
-            u = s + (1 << 63)
-            for c in range(4):
-                chunk = (u >> (16 * c)) & 0xFFFF
-                keys.append(f"{c}:{chunk:04x}")
-                docs.append(doc_id)
-                full.append(s)
-        return pa.table({"chunk_key": pa.array(keys, pa.string()),
-                         "doc_id": pa.array(docs),
-                         "simhash": pa.array(full, pa.int64())})
+    # pull only dup-bucket member rows (dup clusters, not the corpus)
+    members: dict = {}
+    if dup_keys.size:
+        dk_ref = ray.put(dup_keys)
 
-    chunked = hashed.map_batches(to_chunks, batch_format="pyarrow")
+        def keep_dup_buckets(batch: pa.Table) -> pa.Table:
+            keys = ray.get(dk_ref)
+            col = batch.column("combo_key") \
+                .to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(col, keys)))
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_id": [], "dup_of": []})
-        g = group.sort_values("doc_id").reset_index(drop=True)
-        sims = g["simhash"].to_list()
-        ids = g["doc_id"].to_list()
+        cand_rows = keyed.map_batches(
+            keep_dup_buckets, batch_format="pyarrow").take_all()
+        for r in cand_rows:
+            members.setdefault(r["combo_key"], []).append(
+                (r["doc_id"], r["simhash"]))
+        members = {k: (np.array([d for d, _ in v], dtype=np.int64),
+                       np.array([s for _, s in v], dtype=np.int64))
+                   for k, v in members.items()}
+    handle = ray.put((dup_keys, members))  # broadcast once
+
+    def emit_min_partner(batch: pa.Table) -> pa.Table:
+        dkeys, mem = ray.get(handle)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sims = batch.column("simhash").to_numpy(zero_copy_only=False)
         out_doc, out_dup = [], []
-        for i in range(1, len(g)):
-            for j in range(i):
-                ham = bin((sims[i] ^ sims[j]) &
-                          0xFFFFFFFFFFFFFFFF).count("1")
-                if ham <= max_hamming:
-                    out_doc.append(ids[i])
-                    out_dup.append(ids[j])
-                    break
-        return pd.DataFrame({"doc_id": out_doc, "dup_of": out_dup})
+        if dkeys.size:
+            keys = _combo_key_matrix(sims)  # (20, n)
+            hot = np.isin(keys, dkeys).any(axis=0)
+            for d in np.nonzero(hot)[0]:
+                parts = [mem[k] for k in keys[:, d].tolist()
+                         if k in mem]
+                if not parts:
+                    continue
+                p_ids = np.concatenate([p[0] for p in parts])
+                p_sims = np.concatenate([p[1] for p in parts])
+                smaller = p_ids < ids[d]
+                if not smaller.any():
+                    continue
+                p_ids, p_sims = p_ids[smaller], p_sims[smaller]
+                xor = p_sims.view(np.uint64) ^ \
+                    np.uint64(int(sims[d]) & ((1 << 64) - 1))
+                ham = _POP8[xor.view(np.uint8).reshape(-1, 8)] \
+                    .sum(axis=1, dtype=np.int16)
+                close = p_ids[ham <= max_hamming]
+                if close.size:
+                    out_doc.append(int(ids[d]))
+                    out_dup.append(int(close.min()))
+        id_type = batch.column("doc_id").type
+        return pa.table({"doc_id": pa.array(out_doc, id_type),
+                         "dup_of": pa.array(out_dup, id_type)})
 
-    pairs = chunked.groupby("chunk_key").map_groups(
-        verify, batch_format="pandas")
-    from ray.data.aggregate import Min
-    return pairs.groupby("doc_id").aggregate(
-        Min("dup_of", alias_name="dup_of"))
+    return hashed.map_batches(emit_min_partner, batch_format="pyarrow")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:

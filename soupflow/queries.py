@@ -717,6 +717,35 @@ ORACLE_SQL = {
                AS BIGINT) AS fp_rolling
         FROM documents
     """,
+    "simhash_near_dups": """
+        -- exact ground truth: O(n²) XOR-popcount join over the same
+        -- md5-low-64 SimHash definition (bit-majority with 2·ones > n,
+        -- ties → 0; stored signed = unsigned − 2^63). The Ray pipeline
+        -- has full recall at hamming ≤ 3 by 6-choose-3 block pigeonhole
+        WITH w AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\\s+') AS ws
+                   FROM documents),
+        h AS (SELECT doc_id,
+                     list_transform(ws, x ->
+                       CAST('0x' || substr(md5(x), 1, 16) AS UBIGINT))
+                       AS hs,
+                     len(ws) AS n
+              FROM w),
+        sh AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 64), b ->
+                   CASE WHEN 2 * list_sum(list_transform(hs, x ->
+                            CAST((x >> CAST(b AS UBIGINT)) & 1
+                                 AS BIGINT))) > n
+                        THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+                        ELSE CAST(0 AS HUGEINT) END))
+                   - CAST(9223372036854775808 AS HUGEINT) AS BIGINT)
+                   AS sim
+               FROM h)
+        SELECT a.doc_id AS doc_id, min(b.doc_id) AS dup_of
+        FROM sh a JOIN sh b ON a.doc_id > b.doc_id
+        WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        GROUP BY a.doc_id
+    """,
     "minhash_near_dups": """
         -- semantic ground truth the LSH approximation targets: pairs
         -- with word-3-shingle Jaccard >= 0.8 (the corpus similarity

@@ -88,20 +88,25 @@ def test_minhash_near_dups_finds_planted_pair(ray_session):
 
 
 def test_simhash_near_dups_finds_planted_pair(ray_session):
+    """Planted pair at hamming 1 (one word of 120 substituted) must be
+    found at max_hamming=3 — the regime where the 6-choose-3 block
+    pigeonhole guarantees full recall."""
     import ray.data
     from soupflow.data.dedup import simhash_near_dups
-    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
-            "lambda mu nu xi omicron pi rho sigma tau " * 4)
-    near = base.replace("sigma", "sugma")
+    words = [f"w{i:03d}" for i in range(120)]
+    base = " ".join(words)
+    near = " ".join(w if i != 1 else "x001"
+                    for i, w in enumerate(words))
     far = "unrelated words entirely here nothing shared at all " * 6
     tbl = pa.table({
         "doc_id": pa.array([1, 2, 3], pa.int64()),
         "text": [base, near, far],
     })
     dups = simhash_near_dups(ray.data.from_arrow(tbl),
-                         max_hamming=8).take_all()
+                             max_hamming=3).take_all()
     pairs = {(r["doc_id"], r["dup_of"]) for r in dups}
     assert (2, 1) in pairs
+    assert all(d != 3 and p != 3 for d, p in pairs)
 
 
 def test_brute_force_topk_matches_numpy(ray_session):

@@ -90,3 +90,50 @@ def test_lang_id_empty_is_und():
     actor = LangIdActor()
     batch = pa.table({"doc_id": [1], "text": [""]})
     assert actor(batch).column("pred_lang").to_pylist() == ["und"]
+
+
+def test_simhash_combo_keyspace_grows_with_corpus():
+    """The 6-choose-3 combination keys must not hit a fixed bucket
+    ceiling (the old 4x16-bit scheme capped at 2^18 buckets): distinct
+    keys should keep growing roughly linearly with corpus size."""
+    from soupflow.data.dedup import simhash_combo_keys
+    rng = np.random.RandomState(7)
+
+    def n_buckets(n_docs):
+        sims = rng.randint(-(1 << 62), 1 << 62, size=n_docs,
+                           dtype=np.int64)
+        batch = pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
+                          "simhash": pa.array(sims, pa.int64())})
+        keys = simhash_combo_keys(batch).column("combo_key")
+        return len(keys.unique())
+
+    small, large = n_buckets(2000), n_buckets(16000)
+    assert large > 6 * small / 2  # ~8x docs -> ~8x distinct keys
+    assert large > (1 << 18)  # provably past the old ceiling
+
+
+def test_simhash_batch_matches_reference_definition():
+    """simhash_batch must equal the scalar md5 bit-majority definition
+    (the SQL oracle computes exactly this)."""
+    import hashlib
+
+    from soupflow.data.dedup import simhash_batch
+
+    def scalar(text):
+        words = text.split()
+        if not words:
+            return -(1 << 63)
+        hs = [int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
+                             "big") for w in words]
+        acc = 0
+        for b in range(64):
+            if 2 * sum((x >> b) & 1 for x in hs) > len(words):
+                acc |= 1 << b
+        return acc - (1 << 63)
+
+    texts = ["hello world hello", "a b c d e f g", "", "single",
+             "the quick brown fox jumps over the lazy dog"]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": texts})
+    got = simhash_batch(batch).column("simhash").to_pylist()
+    assert got == [scalar(t) for t in texts]
