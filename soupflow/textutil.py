@@ -48,20 +48,10 @@ def append_normalised_whitespace(accum: list[str], s: str,
     accumulator is empty or already ends in a space).
     Reference: StringUtil.swift appendNormalisedWhitespace.
     """
-    last_was_white = False
-    reached_non_white = False
-    out = []
-    for ch in s:
-        if ch in _WS_NBSP_SET:
-            if (strip_leading and not reached_non_white) or last_was_white:
-                continue
-            out.append(" ")
-            last_was_white = True
-        else:
-            out.append(ch)
-            last_was_white = False
-            reached_non_white = True
-    accum.append("".join(out))
+    out = _WS_RUN.sub(" ", s)
+    if strip_leading and out.startswith(" "):
+        out = out[1:]  # leading run already collapsed to one space
+    accum.append(out)
 
 
 def normalise_whitespace_fast(s: str, strip_leading: bool) -> str:

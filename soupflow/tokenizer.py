@@ -143,6 +143,27 @@ _RE_RAWTEXT = re.compile(r"[<\x00]")
 _RE_SCRIPT = re.compile(r"[<\x00]")
 _RE_TAGNAME_DELIM = re.compile(r"[\t\n\r\f />\x00]")
 _RE_ATTRNAME_DELIM = re.compile(r"[\t\n\r\f /=>\x00\"'<]")
+
+# Whole-tag fast path: one regex match per well-formed tag instead of
+# ~10 state-function dispatches. Deliberately CONSERVATIVE — the char
+# classes are strict subsets of what the state machine accepts (no
+# entities, NULs, quotes-in-names, missing whitespace between attrs,
+# `/` inside names, empty `=` values...); anything unusual simply
+# fails the match and falls back to the exact state machine, so parity
+# is preserved by construction. Quoted values exclude `&`/NUL because
+# the state machine resolves character references there.
+_RE_FAST_START = re.compile(
+    r'([a-zA-Z][a-zA-Z0-9:_.-]*)'
+    r'((?:[\t\n\r\f ]+[^\t\n\r\f /="\'<>&\x00]+'
+    r'(?:[\t\n\r\f ]*=[\t\n\r\f ]*'
+    r'(?:"[^"&\x00]*"|\'[^\'&\x00]*\'|[^\t\n\r\f >"\'<=`&\x00]+))?'
+    r')*)'
+    r'[\t\n\r\f ]*(/?)>')
+_RE_FAST_ATTR = re.compile(
+    r'[\t\n\r\f ]+([^\t\n\r\f /="\'<>&\x00]+)'
+    r'(?:[\t\n\r\f ]*=[\t\n\r\f ]*'
+    r'("[^"&\x00]*"|\'[^\'&\x00]*\'|[^\t\n\r\f >"\'<=`&\x00]+))?')
+_RE_FAST_END = re.compile(r'([a-zA-Z][a-zA-Z0-9:_.-]*)[\t\n\r\f ]*>')
 _RE_ATTRVAL_UNQ = re.compile(r"[\t\n\r\f &>\x00\"'<=`]")
 _RE_LETTER = re.compile(r"[A-Za-z]+")
 _RE_DIGIT = re.compile(r"[0-9]+")
@@ -442,12 +463,37 @@ def data_state(t: Tokeniser, r: CharacterReader) -> None:
         t.advance_transition(char_ref_in_data)
     elif c == "<":
         # fused fast path for the overwhelmingly common "<letter" and
-        # "</letter" forms: equivalent to tag_open/end_tag_open's
-        # alpha branches, minus two read-loop round trips per tag
+        # "</letter" forms: first try to match the ENTIRE tag with one
+        # conservative regex (see _RE_FAST_START — any unusual syntax
+        # fails the match), else fall into the state machine at the
+        # tag_name state, saving two read-loop round trips per tag
         s, p, n = r.s, r.pos + 1, r.len
         if p < n:
             nxt = s[p]
             if ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):
+                m = _RE_FAST_START.match(s, p)
+                if m is not None:
+                    tok = TagTok(True)
+                    tok.name = m.group(1)
+                    attrs_src = m.group(2)
+                    if attrs_src:
+                        attrs = tok.attrs
+                        for am in _RE_FAST_ATTR.finditer(attrs_src):
+                            an = am.group(1)
+                            if an not in attrs:
+                                av = am.group(2)
+                                if av is None:
+                                    attrs[an] = None
+                                elif av[0] == '"' or av[0] == "'":
+                                    attrs[an] = av[1:-1]
+                                else:
+                                    attrs[an] = av
+                    if m.group(3):
+                        tok.self_closing = True
+                    r.pos = m.end()
+                    t.tag_pending = tok
+                    t.emit(tok)
+                    return
                 r.pos = p
                 t.create_tag_pending(True)
                 t.transition(tag_name)
@@ -455,6 +501,14 @@ def data_state(t: Tokeniser, r: CharacterReader) -> None:
             if nxt == "/" and p + 1 < n:
                 nxt2 = s[p + 1]
                 if ("a" <= nxt2 <= "z") or ("A" <= nxt2 <= "Z"):
+                    m = _RE_FAST_END.match(s, p + 1)
+                    if m is not None:
+                        tok = TagTok(False)
+                        tok.name = m.group(1)
+                        r.pos = m.end()
+                        t.tag_pending = tok
+                        t.emit(tok)
+                        return
                     r.pos = p + 1
                     t.create_tag_pending(False)
                     t.transition(tag_name)

@@ -145,6 +145,9 @@ class HtmlTreeBuilder:
         self.frameset_ok = True
         self.foster_inserts = False
         self.fragment_parsing = False
+        # per-parse raw-token-name → interned Tag memo (skips the
+        # strip/lower + registry lookup on every repeated tag)
+        self._tag_memo: dict[str, "Tag"] = {}
 
     # -- entry points -----------------------------------------------------
     def parse(self, html: str, base_uri: str = "",
@@ -254,15 +257,28 @@ class HtmlTreeBuilder:
 
     # -- insertion --------------------------------------------------------
     def _tag_for_token(self, tok: TagTok) -> Tag:
-        return tag_for(self.settings.normalise_tag(tok.name or ""),
-                       self.settings.preserve_tag_case)
+        name = tok.name or ""
+        tag = self._tag_memo.get(name)
+        if tag is None:
+            if len(self._tag_memo) > 4096:  # adversarial-input bound
+                self._tag_memo.clear()
+            tag = self._tag_memo[name] = tag_for(
+                self.settings.normalise_tag(name),
+                self.settings.preserve_tag_case)
+        return tag
 
     def _attrs_for_token(self, tok: TagTok) -> Optional[Attributes]:
         if not tok.attrs:
             return None
         attrs = Attributes()
-        for k, v in self.settings.normalise_attributes(tok.attrs).items():
-            attrs.put(k, v)
+        if self.settings.preserve_attr_case:
+            attrs._d = dict(tok.attrs)
+        else:
+            d = attrs._d
+            for k, v in tok.attrs.items():
+                lk = k.lower()
+                if lk not in d:
+                    d[lk] = v
         return attrs
 
     def insert(self, start_tag: TagTok) -> Element:

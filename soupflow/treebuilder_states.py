@@ -311,12 +311,9 @@ def in_body(t, tb) -> bool:
         if t.data == "\x00":
             tb.error("null character")
             return False
-        if tb.frameset_ok and _ws_chunk(t.data):
-            tb.reconstruct_formatting_elements()
-            tb.insert_character(t)
-        else:
-            tb.reconstruct_formatting_elements()
-            tb.insert_character(t)
+        tb.reconstruct_formatting_elements()
+        tb.insert_character(t)
+        if tb.frameset_ok and not _ws_chunk(t.data):
             tb.frameset_ok = False
         return True
     if isinstance(t, TagTok):  # most common after characters
@@ -878,6 +875,15 @@ def _adoption_agency(t, tb, name) -> bool:
         format_el = tb.get_active_formatting_element(name)
         if format_el is None:
             return _any_other_end_tag(t, tb, name)
+        if _outer == 0 and tb.stack and tb.stack[-1] is format_el:
+            # well-nested fast path (the overwhelmingly common case):
+            # the formatting element IS the current element, so it is
+            # trivially on-stack and in scope and nothing sits below it
+            # on the stack — no furthest block exists. Equivalent to
+            # the spec path: pop it and drop it from the active list.
+            tb.pop()
+            tb.remove_from_active_formatting_elements(format_el)
+            return True
         if not tb.on_stack(format_el):
             tb.error("formatting element not on stack")
             tb.remove_from_active_formatting_elements(format_el)

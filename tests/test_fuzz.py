@@ -126,3 +126,38 @@ def test_select_never_crashes(html, selector):
     all_els = set(map(id, doc.get_all_elements()))
     for el in result:
         assert id(el) in all_els  # results come from this document
+
+
+def test_fast_tag_path_differential():
+    """The whole-tag regex fast path must be byte-identical to the
+    state machine: parse adversarial tag soup with the fast path on
+    and off and compare serialized DOMs."""
+    import random
+    import re
+
+    import soupflow.tokenizer as tz
+    from soupflow.parser import parse
+
+    never = re.compile(r"(?!x)x")
+    frag = ['<a href="x">', '<b>', '</b>', '</a>', 'text ',
+            '<img src=/i.png>', '<p class = "x y">',
+            "<div id='d' data-x=1>", '</p >', '< p>', '</ p>',
+            '<a foo>', '<a foo=>', '<a/>', '<br/>', '<a / >',
+            '<a b/c>', '<a b=c/>', '<a b="c&amp;d">', '<a b=c&d>',
+            '&amp;', '&', '<!-- c -->', '<a "x">', "<a 'y'>",
+            '<a b==c>', '<a b="">', '<A B=C>', '<a\tb\n=\r"z">',
+            '<a b"c>', '<em x=1 x=2>', '<a b c d>', '"', "'", '>',
+            '<', '</>', '<a b=`x`>', '<a b=<>', '<x-y z=1>',
+            '<a b\x00c=1>', '<a b=c\x00d>', '<foo.bar baz.qux=1>']
+    rng = random.Random(7)
+    for _ in range(1500):
+        s = "".join(rng.choice(frag)
+                    for _ in range(rng.randrange(1, 10)))
+        h1 = parse(s).outer_html()
+        fs, fe = tz._RE_FAST_START, tz._RE_FAST_END
+        tz._RE_FAST_START = tz._RE_FAST_END = never
+        try:
+            h2 = parse(s).outer_html()
+        finally:
+            tz._RE_FAST_START, tz._RE_FAST_END = fs, fe
+        assert h1 == h2, repr(s)
