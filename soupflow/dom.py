@@ -115,8 +115,11 @@ class Attributes:
 
 
 class Node:
+    # _src_range/_end_src_range are set ONLY when the parse ran with
+    # ParseSettings(track_source_ranges=True) — left unset otherwise so
+    # the default parse pays zero per-node cost (lazy slots).
     __slots__ = ("parent_node", "child_nodes", "attributes", "base_uri",
-                 "sibling_index")
+                 "sibling_index", "_src_range", "_end_src_range")
 
     def __init__(self, base_uri: str = "") -> None:
         self.parent_node: Optional[Node] = None
@@ -124,6 +127,28 @@ class Node:
         self.attributes: Optional[Attributes] = None
         self.base_uri: str = base_uri
         self.sibling_index: int = 0
+
+    # -- source provenance ------------------------------------------------
+    def source_range(self) -> Optional[tuple]:
+        """(start, end) offsets of this node's source in the original
+        input (for an Element: its START tag), or None when the parse
+        did not track ranges. Cf. reference Node.swift sourceRange /
+        SourceRange.swift (internal there; public here)."""
+        try:
+            return self._src_range
+        except AttributeError:
+            return None
+
+    def end_source_range(self) -> Optional[tuple]:
+        """(start, end) offsets of the element's END tag, when one was
+        present in the source and ranges were tracked."""
+        try:
+            return self._end_src_range
+        except AttributeError:
+            return None
+
+    def set_source_range(self, start: int, end: int) -> None:
+        self._src_range = (start, end)
 
     # -- identity ---------------------------------------------------------
     def node_name(self) -> str:

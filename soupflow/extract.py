@@ -82,7 +82,7 @@ def _link_density(el: Element) -> float:
 
 def extract_spans(root: Element, *, drop_boilerplate: bool = True,
                   link_density_threshold: float = 0.0,
-                  scorer=None) -> list[dict]:
+                  scorer=None, provenance: bool = False) -> list[dict]:
     """Walk the DOM emitting the ordered span sequence.
 
     Text accumulates with Element.text() whitespace semantics
@@ -96,26 +96,44 @@ def extract_spans(root: Element, *, drop_boilerplate: bool = True,
     drops the subtree. Plug a model here (load it once per worker in
     the actor/kernel constructor); the tag blocklist and link-density
     heuristics still apply first.
+
+    ``provenance``: when True (and the document was parsed with
+    ``ParseSettings(track_source_ranges=True)``) each span carries
+    src_start/src_end byte offsets back into the raw input — a text
+    span covers its first through last contributing source text node,
+    a media span its element's start tag; -1 when unknown.
     """
     spans: list[dict] = []
     buf: list[str] = []
-    state = {"empty": True, "last_white": False}
+    state = {"empty": True, "last_white": False,
+             "src_start": -1, "src_end": -1}
 
     def flush() -> None:
         if not buf:
             state["empty"] = True
             state["last_white"] = False
+            state["src_start"] = state["src_end"] = -1
             return
         text = "".join(buf).strip()
         buf.clear()
         state["empty"] = True
         state["last_white"] = False
         if text:
-            spans.append({"kind": "text", "text": text, "media_ref": ""})
+            span = {"kind": "text", "text": text, "media_ref": ""}
+            if provenance:
+                span["src_start"] = state["src_start"]
+                span["src_end"] = state["src_end"]
+            spans.append(span)
+        state["src_start"] = state["src_end"] = -1
 
-    def emit_media(ref: str) -> None:
+    def emit_media(ref: str, el: Element) -> None:
         flush()
-        spans.append({"kind": "media", "text": "", "media_ref": ref})
+        span = {"kind": "media", "text": "", "media_ref": ref}
+        if provenance:
+            sr = el.source_range()
+            span["src_start"] = sr[0] if sr else -1
+            span["src_end"] = sr[1] if sr else -1
+        spans.append(span)
 
     # iterative head/tail DFS
     stack: list[tuple[Node, bool]] = [(root, False)]
@@ -133,7 +151,7 @@ def extract_spans(root: Element, *, drop_boilerplate: bool = True,
             if name in MEDIA_TAGS:
                 ref = _media_ref(node)
                 if ref:
-                    emit_media(ref)
+                    emit_media(ref, node)
                 continue
             if link_density_threshold > 0 and node is not root \
                     and node.tag.is_block and name not in ("html", "body"):
@@ -152,11 +170,13 @@ def extract_spans(root: Element, *, drop_boilerplate: bool = True,
         tn = type(node)
         if tn is TextNode or tn is CDataNode:
             t = node.get_whole_text()
+            contributed = False
             if Element._preserve_whitespace(node.parent_node):
                 buf.append(t)
                 if t:
                     state["empty"] = False
                     state["last_white"] = t[-1] == " "
+                    contributed = True
             else:
                 strip_leading = state["empty"] or state["last_white"]
                 before = len(buf)
@@ -165,6 +185,13 @@ def extract_spans(root: Element, *, drop_boilerplate: bool = True,
                 if added:
                     state["empty"] = False
                     state["last_white"] = added[-1] == " "
+                    contributed = True
+            if provenance and contributed:
+                sr = node.source_range()
+                if sr is not None:
+                    if state["src_start"] < 0:
+                        state["src_start"] = sr[0]
+                    state["src_end"] = sr[1]
         # DataNode (script/style payloads) and comments are never content
     flush()
     for i, span in enumerate(spans):
@@ -176,8 +203,13 @@ def extract_document(html: str, base_uri: str = "", *,
                      whitelist: Optional[Whitelist] = None,
                      drop_boilerplate: bool = True,
                      link_density_threshold: float = 0.0,
-                     scorer=None) -> list[dict]:
-    doc = parse(html, base_uri)
+                     scorer=None, provenance: bool = False) -> list[dict]:
+    if provenance:
+        from .treebuilder import HtmlTreeBuilder, ParseSettings
+        doc = HtmlTreeBuilder(ParseSettings(
+            track_source_ranges=True)).parse(html, base_uri)
+    else:
+        doc = parse(html, base_uri)
     if whitelist is not None:
         doc = Cleaner(whitelist).clean(doc)
     body = doc.body()
@@ -185,7 +217,7 @@ def extract_document(html: str, base_uri: str = "", *,
         return []
     return extract_spans(body, drop_boilerplate=drop_boilerplate,
                          link_density_threshold=link_density_threshold,
-                         scorer=scorer)
+                         scorer=scorer, provenance=provenance)
 
 
 class TextDensityScorer:

@@ -51,7 +51,8 @@ class DoctypeTok(Token):
 
 class TagTok(Token):
     __slots__ = ("name", "attrs", "self_closing", "_attr_name", "_attr_value",
-                 "_has_attr_value", "_has_attr_name", "start", "_normal")
+                 "_has_attr_value", "_has_attr_name", "start", "_normal",
+                 "src_start", "src_end")
 
     def __init__(self, start: bool) -> None:
         self.start = start
@@ -59,6 +60,8 @@ class TagTok(Token):
         self.name: Optional[str] = None
         self.attrs: dict[str, str] = {}
         self.self_closing = False
+        self.src_start: Optional[int] = None  # set when tracking source
+        self.src_end: Optional[int] = None
         self._attr_name: list[str] = []
         self._attr_value: list[str] = []
         self._has_attr_value = False
@@ -124,11 +127,13 @@ class CommentTok(Token):
 
 
 class CharacterTok(Token):
-    __slots__ = ("data", "is_cdata")
+    __slots__ = ("data", "is_cdata", "src_start", "src_end")
 
     def __init__(self, data: str, is_cdata: bool = False) -> None:
         self.data = data
         self.is_cdata = is_cdata
+        self.src_start: Optional[int] = None  # set when tracking source
+        self.src_end: Optional[int] = None
 
 
 class EOFTok(Token):
@@ -320,10 +325,12 @@ class CharacterReader:
 class Tokeniser:
     __slots__ = ("reader", "state", "emit_pending", "is_emit_pending",
                  "chars", "tag_pending", "doctype_pending", "comment_pending",
-                 "data_buffer", "last_start_tag", "errors", "_cdata_pending")
+                 "data_buffer", "last_start_tag", "errors", "_cdata_pending",
+                 "track", "chars_start", "chars_end", "last_lt_pos")
 
     def __init__(self, reader: CharacterReader,
-                 errors: Optional[list] = None) -> None:
+                 errors: Optional[list] = None,
+                 track_source: bool = False) -> None:
         self.reader = reader
         self.state = data_state
         self.emit_pending: Optional[Token] = None
@@ -336,9 +343,18 @@ class Tokeniser:
         self.last_start_tag: Optional[str] = None
         self.errors = errors
         self._cdata_pending = False
+        # source-range tracking (ParseSettings.track_source_ranges):
+        # last_lt_pos = offset of the '<' that opened the current tag;
+        # chars_start/end bound the current coalesced character run
+        self.track = track_source
+        self.chars_start = 0
+        self.chars_end = 0
+        self.last_lt_pos = 0
 
     # -- public API -------------------------------------------------------
     def read(self) -> Token:
+        if self.track and not self.chars:
+            self.chars_start = self.reader.pos
         while not self.is_emit_pending:
             self.state(self, self.reader)
         # coalesced chars have priority over the pending token
@@ -347,7 +363,11 @@ class Tokeniser:
             self.chars.clear()
             cdata = self._cdata_pending
             self._cdata_pending = False
-            return CharacterTok(data, cdata)
+            tok = CharacterTok(data, cdata)
+            if self.track:
+                tok.src_start = self.chars_start
+                tok.src_end = self.chars_end
+            return tok
         self.is_emit_pending = False
         tok = self.emit_pending
         self.emit_pending = None
@@ -359,17 +379,25 @@ class Tokeniser:
         self.is_emit_pending = True
         if isinstance(tok, TagTok):
             tok.finalise()
+            if self.track and tok.src_start is not None:
+                tok.src_end = self.reader.pos
             if tok.start:
                 self.last_start_tag = tok.normal_name()
 
     def emit_chars(self, s: str) -> None:
         self.chars.append(s)
+        if self.track:
+            self.chars_end = self.reader.pos
 
     def emit_cdata(self, s: str) -> None:
         self.chars.append(s)
+        if self.track:
+            self.chars_end = self.reader.pos
 
     def create_tag_pending(self, start: bool) -> TagTok:
         self.tag_pending = TagTok(start)
+        if self.track:
+            self.tag_pending.src_start = self.last_lt_pos
         return self.tag_pending
 
     def emit_tag_pending(self) -> None:
@@ -467,6 +495,8 @@ def data_state(t: Tokeniser, r: CharacterReader) -> None:
         # conservative regex (see _RE_FAST_START — any unusual syntax
         # fails the match), else fall into the state machine at the
         # tag_name state, saving two read-loop round trips per tag
+        if t.track:
+            t.last_lt_pos = r.pos
         s, p, n = r.s, r.pos + 1, r.len
         if p < n:
             nxt = s[p]
@@ -474,6 +504,8 @@ def data_state(t: Tokeniser, r: CharacterReader) -> None:
                 m = _RE_FAST_START.match(s, p)
                 if m is not None:
                     tok = TagTok(True)
+                    if t.track:
+                        tok.src_start = p - 1
                     tok.name = m.group(1)
                     attrs_src = m.group(2)
                     if attrs_src:
@@ -504,6 +536,8 @@ def data_state(t: Tokeniser, r: CharacterReader) -> None:
                     m = _RE_FAST_END.match(s, p + 1)
                     if m is not None:
                         tok = TagTok(False)
+                        if t.track:
+                            tok.src_start = p - 1
                         tok.name = m.group(1)
                         r.pos = m.end()
                         t.tag_pending = tok
@@ -534,6 +568,8 @@ def rcdata_state(t: Tokeniser, r: CharacterReader) -> None:
     if c == "&":
         t.advance_transition(char_ref_in_rcdata)
     elif c == "<":
+        if t.track:
+            t.last_lt_pos = r.pos
         t.advance_transition(rcdata_lt)
     elif c == NULL:
         t.error("null in rcdata")
@@ -554,6 +590,8 @@ def char_ref_in_rcdata(t: Tokeniser, r: CharacterReader) -> None:
 def rawtext_state(t: Tokeniser, r: CharacterReader) -> None:
     c = r.current()
     if c == "<":
+        if t.track:
+            t.last_lt_pos = r.pos
         t.advance_transition(rawtext_lt)
     elif c == NULL:
         t.error("null in rawtext")
@@ -568,6 +606,8 @@ def rawtext_state(t: Tokeniser, r: CharacterReader) -> None:
 def script_data_state(t: Tokeniser, r: CharacterReader) -> None:
     c = r.current()
     if c == "<":
+        if t.track:
+            t.last_lt_pos = r.pos
         t.advance_transition(script_data_lt)
     elif c == NULL:
         t.error("null in script data")

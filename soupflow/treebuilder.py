@@ -20,12 +20,17 @@ from .tokenizer import (CharacterReader, CharacterTok, CommentTok,
 
 
 class ParseSettings:
-    __slots__ = ("preserve_tag_case", "preserve_attr_case")
+    __slots__ = ("preserve_tag_case", "preserve_attr_case",
+                 "track_source_ranges")
 
     def __init__(self, preserve_tag_case: bool = False,
-                 preserve_attr_case: bool = False) -> None:
+                 preserve_attr_case: bool = False,
+                 track_source_ranges: bool = False) -> None:
+        # track_source_ranges: record (start, end) source offsets on
+        # nodes (reference ParseSettings.swift:22-66 trackSourceRanges)
         self.preserve_tag_case = preserve_tag_case
         self.preserve_attr_case = preserve_attr_case
+        self.track_source_ranges = track_source_ranges
 
     def normalise_tag(self, name: str) -> str:
         name = name.strip()
@@ -148,6 +153,7 @@ class HtmlTreeBuilder:
         # per-parse raw-token-name → interned Tag memo (skips the
         # strip/lower + registry lookup on every repeated tag)
         self._tag_memo: dict[str, "Tag"] = {}
+        self.track = self.settings.track_source_ranges
 
     # -- entry points -----------------------------------------------------
     def parse(self, html: str, base_uri: str = "",
@@ -204,7 +210,9 @@ class HtmlTreeBuilder:
         self.doc.output_settings.pretty_print = True
         self.reader = CharacterReader(html)
         self.errors = errors
-        self.tokeniser = Tokeniser(self.reader, errors)
+        self.track = self.settings.track_source_ranges
+        self.tokeniser = Tokeniser(self.reader, errors,
+                                   track_source=self.track)
         self.stack = ElementStack()
         self.base_uri = base_uri
 
@@ -297,6 +305,8 @@ class HtmlTreeBuilder:
             return el
         el = Element(self._tag_for_token(start_tag), self.base_uri,
                      self._attrs_for_token(start_tag))
+        if self.track and start_tag.src_start is not None:
+            el._src_range = (start_tag.src_start, start_tag.src_end)
         self.insert_node(el)
         self.stack.append(el)
         return el
@@ -323,6 +333,8 @@ class HtmlTreeBuilder:
                 from .tags import as_self_closing
                 tag = as_self_closing(tag)
         el = Element(tag, self.base_uri, self._attrs_for_token(start_tag))
+        if self.track and start_tag.src_start is not None:
+            el._src_range = (start_tag.src_start, start_tag.src_end)
         self.insert_node(el)
         return el
 
@@ -347,6 +359,8 @@ class HtmlTreeBuilder:
             node: Node = DataNode(data, self.base_uri)
         else:
             node = TextNode(data, self.base_uri)
+        if self.track and tok.src_start is not None:
+            node._src_range = (tok.src_start, tok.src_end)
         # merge into previous text node when possible (keeps one node per run)
         self.insert_node(node)
 
@@ -369,7 +383,14 @@ class HtmlTreeBuilder:
         self.stack.append(el)
 
     def pop(self) -> Element:
-        return self.stack.pop()
+        el = self.stack.pop()
+        if self.track:
+            tok = self.current_token
+            if (isinstance(tok, TagTok) and not tok.start
+                    and tok.src_start is not None
+                    and tok.normal_name() == el.tag.normal_name):
+                el._end_src_range = (tok.src_start, tok.src_end)
+        return el
 
     def on_stack(self, el: Element) -> bool:
         return self.stack.contains_el(el)
@@ -389,7 +410,7 @@ class HtmlTreeBuilder:
 
     def pop_stack_to_close(self, *names: str) -> None:
         while self.stack:
-            el = self.stack.pop()
+            el = self.pop()
             if el.tag.normal_name in names:
                 break
 
