@@ -21,6 +21,15 @@ from .textutil import (append_normalised_whitespace, is_blank,
                        normalise_whitespace, resolve_url)
 
 
+# Global DOM mutation epoch: bumped by every tree/attribute mutation
+# anywhere in the process. The selector-result cache (selector.py) keys
+# its validity on this — one integer increment per mutation is the whole
+# hot-path cost, and any mutation conservatively invalidates all cached
+# select results (reference analogue: Element.swift per-root query
+# index + SLRU cache with dirty tracking, 303-367).
+_DOM_EPOCH = [0]
+
+
 class Attributes:
     """Ordered attribute map. Keys case-sensitive; lookups may fall back
     case-insensitively (reference Attributes.swift:406-414)."""
@@ -46,8 +55,10 @@ class Attributes:
 
     def put(self, key: str, value: Optional[str]) -> None:
         self._d[key] = value
+        _DOM_EPOCH[0] += 1
 
     def put_ignore_case(self, key: str, value: Optional[str]) -> None:
+        _DOM_EPOCH[0] += 1
         lk = key.lower()
         for k in self._d:
             if k.lower() == lk:
@@ -57,8 +68,10 @@ class Attributes:
 
     def remove(self, key: str) -> None:
         self._d.pop(key, None)
+        _DOM_EPOCH[0] += 1
 
     def remove_ignore_case(self, key: str) -> None:
+        _DOM_EPOCH[0] += 1
         lk = key.lower()
         for k in list(self._d):
             if k.lower() == lk:
@@ -89,12 +102,14 @@ class Attributes:
         return self._d.items()
 
     def add_all(self, other: "Attributes") -> None:
+        _DOM_EPOCH[0] += 1
         for k, v in other._d.items():
             self._d[k] = v
 
     def normalize(self) -> None:
         """Lowercase all keys (used when ParseSettings lowercases attrs)."""
         self._d = {k.lower(): v for k, v in self._d.items()}
+        _DOM_EPOCH[0] += 1
 
     def clone(self) -> "Attributes":
         a = Attributes()
@@ -119,7 +134,8 @@ class Node:
     # ParseSettings(track_source_ranges=True) — left unset otherwise so
     # the default parse pays zero per-node cost (lazy slots).
     __slots__ = ("parent_node", "child_nodes", "attributes", "base_uri",
-                 "sibling_index", "_src_range", "_end_src_range")
+                 "sibling_index", "_src_range", "_end_src_range",
+                 "__weakref__")
 
     def __init__(self, base_uri: str = "") -> None:
         self.parent_node: Optional[Node] = None
@@ -252,10 +268,19 @@ class Node:
             child.parent_node.remove_child(child)
         child.parent_node = self
 
+    def append_child_fast(self, child: "Node") -> None:
+        """append_child_node WITHOUT the selector-cache epoch bump —
+        only for bulk construction (tree builders bump the epoch once
+        per parse instead; see HtmlTreeBuilder._run_parser)."""
+        self._reparent(child)
+        child.sibling_index = len(self.child_nodes)
+        self.child_nodes.append(child)
+
     def append_child_node(self, child: "Node") -> None:
         self._reparent(child)
         child.sibling_index = len(self.child_nodes)
         self.child_nodes.append(child)
+        _DOM_EPOCH[0] += 1
 
     def add_children(self, *children: "Node") -> None:
         for c in children:
@@ -271,6 +296,7 @@ class Node:
             self._reparent(c)
             self.child_nodes.insert(index, c)
         self._reindex(index)
+        _DOM_EPOCH[0] += 1
 
     def has_same_value(self, other: "Node") -> bool:
         """Content equality (reference Node.hasSameValue: identical
@@ -294,6 +320,7 @@ class Node:
                 return
         child.parent_node = None
         self._reindex(i)
+        _DOM_EPOCH[0] += 1
 
     def remove(self) -> None:
         if self.parent_node is not None:
@@ -603,6 +630,7 @@ class Element(Node):
 
     def set_tag_name(self, name: str) -> "Element":
         self.tag = tag_for(name)
+        _DOM_EPOCH[0] += 1
         return self
 
     def is_block(self) -> bool:

@@ -12,6 +12,8 @@ safe to cache per Ray actor (see soupflow.extract).
 from __future__ import annotations
 
 import re
+import weakref
+from collections import OrderedDict
 from typing import Optional
 
 from .dom import Comment, Document, DocumentType, Element, Node, TextNode, \
@@ -1010,9 +1012,53 @@ def collect(evaluator: Evaluator, root: Element) -> list[Element]:
     return out
 
 
+# SLRU select-result cache (reference Element.swift:303-367,3175-3255:
+# per-root query index + SLRU result cache). Validity is keyed on the
+# global DOM mutation epoch (dom._DOM_EPOCH): ANY mutation anywhere
+# invalidates everything, so the cache only serves the read-heavy
+# many-selects-per-document window — exactly where it pays. The whole
+# cache is dropped at the first select after an epoch change, so stale
+# entries never pin dead DOMs in a long-lived worker. Entries guard
+# against id() reuse with a weakref identity check.
+_SLRU_MAX = 128  # per segment
+_SEL_PROBATION: OrderedDict = OrderedDict()
+_SEL_PROTECTED: OrderedDict = OrderedDict()
+_SEL_EPOCH = [-1]
+
+
 def select(query: str, root: Element) -> list[Element]:
-    evaluator = parse_query(query)
-    return collect(evaluator, root)
+    from .dom import _DOM_EPOCH
+    epoch = _DOM_EPOCH[0]
+    if epoch != _SEL_EPOCH[0]:
+        _SEL_PROBATION.clear()
+        _SEL_PROTECTED.clear()
+        _SEL_EPOCH[0] = epoch
+    else:
+        key = (id(root), query)
+        entry = _SEL_PROTECTED.get(key)
+        if entry is not None:
+            if entry[0]() is root:
+                _SEL_PROTECTED.move_to_end(key)
+                return list(entry[1])
+            del _SEL_PROTECTED[key]
+        else:
+            entry = _SEL_PROBATION.pop(key, None)
+            if entry is not None:
+                if entry[0]() is root:  # 2nd hit → promote
+                    _SEL_PROTECTED[key] = entry
+                    if len(_SEL_PROTECTED) > _SLRU_MAX:
+                        demoted = _SEL_PROTECTED.popitem(last=False)
+                        _SEL_PROBATION[demoted[0]] = demoted[1]
+                    return list(entry[1])
+    result = collect(parse_query(query), root)
+    try:
+        ref = weakref.ref(root)
+    except TypeError:
+        return result
+    _SEL_PROBATION[(id(root), query)] = (ref, result)
+    if len(_SEL_PROBATION) > _SLRU_MAX:
+        _SEL_PROBATION.popitem(last=False)
+    return list(result)
 
 
 def select_many(query: str, roots: list[Element]) -> list[Element]:

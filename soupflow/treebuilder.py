@@ -189,7 +189,7 @@ class HtmlTreeBuilder:
             else:
                 tk.state = tz.data_state
             root = Element(tag_for("html"), base_uri)
-            self.doc.append_child_node(root)
+            self.doc.append_child_fast(root)
             self.stack.append(root)
             self.reset_insertion_mode()
             # set up the form element to nearest form ancestor
@@ -217,12 +217,16 @@ class HtmlTreeBuilder:
         self.base_uri = base_uri
 
     def _run_parser(self) -> None:
+        from .dom import _DOM_EPOCH
         tk = self.tokeniser
         while True:
             token = tk.read()
             self.process(token)
             if isinstance(token, EOFTok):
                 break
+        # builders append via append_child_fast (no per-node epoch
+        # bump); one bump here keeps the selector cache correct
+        _DOM_EPOCH[0] += 1
 
     # -- token processing -------------------------------------------------
     def process(self, token) -> bool:
@@ -366,13 +370,13 @@ class HtmlTreeBuilder:
 
     def insert_node(self, node: Node) -> None:
         if not self.stack:
-            self.doc.append_child_node(node)
+            self.doc.append_child_fast(node)
         elif self.foster_inserts and isinstance(node, (Element, TextNode)) \
                 and self.current_element().tag.normal_name in (
                     "table", "tbody", "tfoot", "thead", "tr"):
             self.insert_in_foster_parent(node)
         else:
-            self.current_element().append_child_node(node)
+            self.current_element().append_child_fast(node)
         # wire up form controls
         if isinstance(node, Element) and node.tag.form_list:
             if self.form_element is not None:
@@ -668,10 +672,10 @@ class HtmlTreeBuilder:
                 return
             foster = self.above_on_stack(last_table)
             if foster is not None:
-                foster.append_child_node(node)
+                foster.append_child_fast(node)
                 return
         if self.stack:
-            self.stack[0].append_child_node(node)
+            self.stack[0].append_child_fast(node)
 
     # -- base uri ---------------------------------------------------------
     def maybe_set_base_uri(self, base: Element) -> None:

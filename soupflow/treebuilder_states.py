@@ -42,7 +42,7 @@ def initial(t, tb) -> bool:
         name = tb.settings.normalise_tag(t.get_name())
         doctype = DocumentType(name, t.get_public_id(), t.get_system_id(),
                                tb.base_uri, t.pub_sys_key or "")
-        tb.get_document().append_child_node(doctype)
+        tb.get_document().append_child_fast(doctype)
         if t.force_quirks or name != "html" or \
                 t.get_public_id() or \
                 (t.get_system_id() and t.get_system_id() !=
@@ -928,7 +928,7 @@ def _adoption_agency(t, tb, name) -> bool:
             node = replacement
             if last_node.parent_node is not None:
                 last_node.remove()
-            node.append_child_node(last_node)
+            node.append_child_fast(last_node)
             last_node = node
         if common_ancestor is not None:
             if last_node.parent_node is not None:
@@ -936,13 +936,13 @@ def _adoption_agency(t, tb, name) -> bool:
             if common_ancestor.tag.normal_name in _END_TABLE_FOSTERS:
                 tb.insert_in_foster_parent(last_node)
             else:
-                common_ancestor.append_child_node(last_node)
+                common_ancestor.append_child_fast(last_node)
         adopter = Element(format_el.tag, tb.base_uri)
         if format_el.attributes is not None:
             adopter.attributes = format_el.attributes.clone()
         for child in list(furthest_block.child_nodes):
-            adopter.append_child_node(child)
-        furthest_block.append_child_node(adopter)
+            adopter.append_child_fast(child)
+        furthest_block.append_child_fast(adopter)
         tb.remove_from_active_formatting_elements(format_el)
         tb.remove_from_stack(format_el)
         tb.insert_on_stack_after(furthest_block, adopter)

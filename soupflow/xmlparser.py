@@ -36,6 +36,8 @@ class XmlTreeBuilder:
             self._process(token)
             if isinstance(token, EOFTok):
                 break
+        from .dom import _DOM_EPOCH
+        _DOM_EPOCH[0] += 1  # builder appends are epoch-bump-free
         return self.doc
 
     def parse_fragment(self, fragment: str,
@@ -54,13 +56,13 @@ class XmlTreeBuilder:
         elif isinstance(t, CommentTok):
             self._insert_comment(t)
         elif isinstance(t, CharacterTok):
-            self._current().append_child_node(
+            self._current().append_child_fast(
                 TextNode(t.data, self.base_uri))
         elif isinstance(t, DoctypeTok):
             dt = DocumentType(self.settings.normalise_tag(t.get_name()),
                               t.get_public_id(), t.get_system_id(),
                               self.base_uri)
-            self._current().append_child_node(dt)
+            self._current().append_child_fast(dt)
 
     def _insert_start(self, t: TagTok) -> None:
         tag = tag_for(self.settings.normalise_tag(t.name or ""),
@@ -74,7 +76,7 @@ class XmlTreeBuilder:
         el = Element(tag, self.base_uri)
         for k, v in self.settings.normalise_attributes(t.attrs).items():
             el._attrs().put(k, v)
-        self._current().append_child_node(el)
+        self._current().append_child_fast(el)
         if not t.self_closing:
             self.stack.append(el)
 
@@ -94,7 +96,7 @@ class XmlTreeBuilder:
                     self.base_uri, data.startswith("!"))
                 if el.attributes is not None:
                     node.attributes = el.attributes.clone()
-        self._current().append_child_node(node)
+        self._current().append_child_fast(node)
 
     def _pop_to_close(self, t: TagTok) -> None:
         name = self.settings.normalise_tag(t.name or "")
