@@ -59,3 +59,64 @@ def write_corpus(ds, path: str, *, corpus_format: str = "auto",
         ds.write_lance(path, **kwargs)
     else:
         ds.write_parquet(path, **kwargs)
+
+
+class StreamReader:
+    """Chunked delimiter-based line reader over a file — parity with
+    reference Sources/StreamReader.swift:10 (nextLine/rewind/close),
+    plus Python iteration. Reads ``chunk_size`` bytes at a time and
+    returns decoded lines without the delimiter; the final unterminated
+    line is returned at EOF."""
+
+    def __init__(self, path: str, delimiter: str = "\n",
+                 encoding: str = "utf-8", chunk_size: int = 4096) -> None:
+        self._fh = open(path, "rb")
+        self._delim = delimiter.encode(encoding)
+        self._encoding = encoding
+        self._chunk_size = chunk_size
+        self._buffer = b""
+        self._at_eof = False
+
+    def next_line(self):
+        """Next line (delimiter stripped), or None at EOF."""
+        if self._fh is None:
+            raise ValueError("attempt to read from closed StreamReader")
+        while True:
+            i = self._buffer.find(self._delim)
+            if i >= 0:
+                line = self._buffer[:i]
+                self._buffer = self._buffer[i + len(self._delim):]
+                return line.decode(self._encoding)
+            if self._at_eof:
+                if self._buffer:
+                    line, self._buffer = self._buffer, b""
+                    return line.decode(self._encoding)
+                return None
+            chunk = self._fh.read(self._chunk_size)
+            if chunk:
+                self._buffer += chunk
+            else:
+                self._at_eof = True
+
+    def rewind(self) -> None:
+        self._fh.seek(0)
+        self._buffer = b""
+        self._at_eof = False
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    def __iter__(self):
+        while True:
+            line = self.next_line()
+            if line is None:
+                return
+            yield line
+
+    def __enter__(self) -> "StreamReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
