@@ -256,53 +256,95 @@ class HyperplaneLshActor:
     """Random-hyperplane signature stage: the projection matrix is
     generated once per actor from a fixed seed; per batch one matmul,
     then vectorized sign-bit packing into int64 band keys
-    (band << n_bits | bit-value) and an Arrow ``take`` to replicate the
-    embedding per band row — no per-row Python loop."""
+    (band << n_bits | bit-value) — no per-row Python loop.
+
+    ``payload``: attach the embedding to each band row (only used for
+    the candidate pass over duplicate buckets, never for the full
+    corpus). ``only_keys``: sorted int64 band keys — rows whose key is
+    not in the set are dropped (np.isin, C-path)."""
 
     def __init__(self, dim: int, n_bits: int = 8, bands: int = 8,
-                 seed: int = 42, col: str = "embedding") -> None:
+                 seed: int = 42, col: str = "embedding",
+                 payload: bool = False, only_keys=None) -> None:
         rng = np.random.RandomState(seed)
         self.planes = rng.standard_normal((dim, n_bits * bands))
         self.n_bits = n_bits
         self.bands = bands
         self.col = col
+        self.payload = payload
+        if only_keys is not None:
+            import ray
+            if isinstance(only_keys, ray.ObjectRef):
+                only_keys = ray.get(only_keys)  # once per actor
+        self.only_keys = only_keys
+
+    def band_keys(self, m: np.ndarray) -> np.ndarray:
+        """(rows, bands) int64 band keys for a normalized matrix."""
+        bits = (m @ self.planes) > 0  # (rows, bands*n_bits)
+        powers = (np.int64(1) << np.arange(self.n_bits, dtype=np.int64))
+        vals = bits.reshape(m.shape[0], self.bands, self.n_bits) \
+            .astype(np.int64) @ powers
+        band_ids = np.arange(self.bands, dtype=np.int64)
+        return (band_ids << self.n_bits)[None, :] + vals
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, self.col))
         n = m.shape[0]
-        bits = (m @ self.planes) > 0  # (rows, bands*n_bits)
-        powers = (np.int64(1) << np.arange(self.n_bits, dtype=np.int64))
-        vals = bits.reshape(n, self.bands, self.n_bits) \
-            .astype(np.int64) @ powers
-        band_ids = np.arange(self.bands, dtype=np.int64)
-        keys = ((band_ids << self.n_bits)[None, :] + vals).ravel()
+        keys = self.band_keys(m).ravel()
         take_idx = np.repeat(np.arange(n), self.bands)
-        return pa.table({
+        if self.only_keys is not None:
+            keep = np.isin(keys, self.only_keys)
+            keys, take_idx = keys[keep], take_idx[keep]
+        cols = {
             "band_key": pa.array(keys, pa.int64()),
             "vec_id": batch.column("vec_id").take(take_idx),
-            "embedding": batch.column(self.col).take(take_idx),
-        })
+        }
+        if self.payload:
+            cols["embedding"] = batch.column(self.col).take(take_idx)
+        return pa.table(cols)
 
 
 def embed_near_dups_lsh(ds, threshold: float = 0.95, n_bits: int = 8,
                         bands: int = 8, id_col: str = "vec_id",
                         col: str = "embedding"):
-    """Scale path: random-hyperplane LSH bands → ONE groupby on the
-    band key co-locates candidates → exact cosine verification inside
-    the group. Deterministic (fixed projection seed): the result is
-    exactly {pairs sharing ≥1 band key} ∩ {cosine ≥ threshold}, which
-    the SQL oracle reproduces by baking the same projection matrix into
-    the query (see queries.lsh_oracle_sql). Approximate vs the exact
-    all-pairs op: recall < 1 possible for pairs near the threshold."""
+    """Scale path: random-hyperplane LSH bands → candidates co-located
+    by band key → exact cosine verification inside the group.
+    Deterministic (fixed projection seed): the result is exactly
+    {pairs sharing ≥1 band key} ∩ {cosine ≥ threshold}, which the SQL
+    oracle reproduces by baking the same projection matrix into the
+    query (see queries._lsh_oracle_sql). Approximate vs the exact
+    all-pairs op: recall < 1 possible for pairs near the threshold.
+
+    Two-phase scale shape (like ngram_jaccard / simhash): phase 1
+    shuffles only narrow (band_key, vec_id) rows through ONE C-path
+    groupby-count; the duplicate-bucket keys (true candidate clusters,
+    a tiny set) are broadcast via ray.put; phase 2 re-bands the corpus
+    map-side and attaches the embedding payload ONLY for rows landing
+    in a duplicate bucket, so full vectors are never duplicated ×bands
+    through a shuffle."""
     import ray
+    from ray.data.aggregate import Count
 
     dim = len(ds.take(1)[0][col])
     cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
-    banded = ds.map_batches(
+    lsh_kwargs = {"dim": dim, "n_bits": n_bits, "bands": bands,
+                  "col": col}
+    narrow = ds.map_batches(
+        HyperplaneLshActor, batch_format="pyarrow",
+        concurrency=(1, cpus), fn_constructor_kwargs=lsh_kwargs)
+    agg = narrow.groupby("band_key").aggregate(Count(alias_name="n"))
+    dup_keys = np.sort(np.array(
+        [r["band_key"] for r in agg.filter(expr="n >= 2").take_all()],
+        dtype=np.int64))
+    if dup_keys.size == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64())}))
+    candidates = ds.map_batches(
         HyperplaneLshActor, batch_format="pyarrow",
         concurrency=(1, cpus),
-        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits,
-                               "bands": bands, "col": col})
+        fn_constructor_kwargs={**lsh_kwargs, "payload": True,
+                               "only_keys": ray.put(dup_keys)})
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
@@ -316,10 +358,9 @@ def embed_near_dups_lsh(ds, threshold: float = 0.95, n_bits: int = 8,
         ai, bi = np.nonzero(np.triu(scores >= threshold, k=1))
         return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi]})
 
-    pairs = banded.groupby("band_key").map_groups(
+    pairs = candidates.groupby("band_key").map_groups(
         verify, batch_format="pandas")
     # a pair can surface from several bands — dedup with one groupby
-    from ray.data.aggregate import Count
     uniq = pairs.groupby(["id_a", "id_b"]).aggregate(
         Count(alias_name="n_bands"))
     return uniq.select_columns(["id_a", "id_b"])

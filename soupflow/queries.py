@@ -935,3 +935,49 @@ def _lsh_oracle_sql(dim: int = 64, n_bits: int = 8, bands: int = 8,
 
 
 ORACLE_SQL["embed_near_dups_lsh"] = _lsh_oracle_sql()
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
+    """SQL oracle for the distributed k-means query: Lloyd's iterations
+    are UNROLLED into chained CTEs (assignment by list_distance with
+    row_number tie-break on cluster id — same first-min semantics as
+    numpy argmin; centroid update = per-dimension avg with empty
+    clusters keeping their previous centroid via LEFT JOIN coalesce,
+    matching the nonzero-mask update in similarity.kmeans). Distances:
+    sqrt-L2 in SQL vs squared-L2 in numpy — same argmin (monotone)."""
+    parts = [f"""
+        pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+        c0 AS (SELECT vec_id AS cluster, v FROM pts
+               WHERE vec_id < {k})"""]
+    for it in range(1, iters + 1):
+        parts.append(f"""
+        a{it} AS (
+          SELECT vec_id, cluster FROM (
+            SELECT p.vec_id, c.cluster,
+                   row_number() OVER (
+                     PARTITION BY p.vec_id
+                     ORDER BY list_distance(p.v, c.v), c.cluster) AS rn
+            FROM pts p CROSS JOIN c{it - 1} c) WHERE rn = 1),
+        m{it} AS (
+          SELECT cluster, list(m ORDER BY dim) AS v FROM (
+            SELECT a.cluster, r.dim, avg(p.v[r.dim]) AS m
+            FROM a{it} a JOIN pts p USING (vec_id)
+            CROSS JOIN range(1, {dim + 1}) r(dim)
+            GROUP BY a.cluster, r.dim) GROUP BY cluster),
+        c{it} AS (
+          SELECT old.cluster, coalesce(n.v, old.v) AS v
+          FROM c{it - 1} old LEFT JOIN m{it} n USING (cluster))""")
+    return "WITH " + ",".join(parts) + f"""
+        , afinal AS (
+          SELECT vec_id, cluster FROM (
+            SELECT p.vec_id, c.cluster,
+                   row_number() OVER (
+                     PARTITION BY p.vec_id
+                     ORDER BY list_distance(p.v, c.v), c.cluster) AS rn
+            FROM pts p CROSS JOIN c{iters} c) WHERE rn = 1)
+        SELECT CAST(cluster AS INTEGER) AS cluster, count(*) AS n
+        FROM afinal GROUP BY cluster"""
+
+
+ORACLE_SQL["kmeans"] = _kmeans_oracle_sql()
