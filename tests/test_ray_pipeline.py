@@ -403,3 +403,20 @@ def test_distributed_extraction_matches_single_process(ray_session):
     got = {r["doc_id"]: r["spans"] for r in ds.take_all()}
     assert got.keys() == expected.keys()
     assert got == expected
+
+
+def test_minhash_partitioned_join_matches_broadcast(ray_session):
+    """The distributed hash-join escape hatch (for keeper maps too big
+    to broadcast) must produce exactly the broadcast path's result."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from soupflow.data.dedup import minhash_near_dups
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    ds = ray.data.from_arrow(docs)
+    a = sorted((r["doc_id"], r["dup_of"]) for r in
+               minhash_near_dups(ds, join="broadcast").take_all())
+    ds2 = ray.data.from_arrow(docs)
+    b = sorted((r["doc_id"], r["dup_of"]) for r in
+               minhash_near_dups(ds2, join="partitioned",
+                                 num_partitions=4).take_all())
+    assert a == b and len(a) > 0
