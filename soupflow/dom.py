@@ -34,12 +34,19 @@ class Attributes:
     """Ordered attribute map. Keys case-sensitive; lookups may fall back
     case-insensitively (reference Attributes.swift:406-414)."""
 
-    __slots__ = ("_d",)
+    __slots__ = ("_d", "_owner")
 
     def __init__(self) -> None:
         # value None = declared with no value (a "boolean attribute");
         # rendered as bare key, read as "" (reference BooleanAttribute.swift)
         self._d: dict[str, Optional[str]] = {}
+        # owning node, for source-dirty propagation (patch serializer);
+        # None for detached attribute maps
+        self._owner = None
+
+    def _owner_dirty(self) -> None:
+        if self._owner is not None:
+            self._owner._mark_src_dirty()
 
     def get(self, key: str) -> str:
         return self._d.get(key) or ""
@@ -56,9 +63,11 @@ class Attributes:
     def put(self, key: str, value: Optional[str]) -> None:
         self._d[key] = value
         _DOM_EPOCH[0] += 1
+        self._owner_dirty()
 
     def put_ignore_case(self, key: str, value: Optional[str]) -> None:
         _DOM_EPOCH[0] += 1
+        self._owner_dirty()
         lk = key.lower()
         for k in self._d:
             if k.lower() == lk:
@@ -69,9 +78,11 @@ class Attributes:
     def remove(self, key: str) -> None:
         self._d.pop(key, None)
         _DOM_EPOCH[0] += 1
+        self._owner_dirty()
 
     def remove_ignore_case(self, key: str) -> None:
         _DOM_EPOCH[0] += 1
+        self._owner_dirty()
         lk = key.lower()
         for k in list(self._d):
             if k.lower() == lk:
@@ -103,6 +114,7 @@ class Attributes:
 
     def add_all(self, other: "Attributes") -> None:
         _DOM_EPOCH[0] += 1
+        self._owner_dirty()
         for k, v in other._d.items():
             self._d[k] = v
 
@@ -110,10 +122,11 @@ class Attributes:
         """Lowercase all keys (used when ParseSettings lowercases attrs)."""
         self._d = {k.lower(): v for k, v in self._d.items()}
         _DOM_EPOCH[0] += 1
+        self._owner_dirty()
 
     def clone(self) -> "Attributes":
         a = Attributes()
-        a._d = dict(self._d)
+        a._d = dict(self._d)  # _owner stays None: detached copy
         return a
 
     def dataset(self) -> dict[str, str]:
@@ -135,7 +148,7 @@ class Node:
     # the default parse pays zero per-node cost (lazy slots).
     __slots__ = ("parent_node", "child_nodes", "attributes", "base_uri",
                  "sibling_index", "_src_range", "_end_src_range",
-                 "__weakref__")
+                 "_src_dirty", "__weakref__")
 
     def __init__(self, base_uri: str = "") -> None:
         self.parent_node: Optional[Node] = None
@@ -166,6 +179,13 @@ class Node:
     def set_source_range(self, start: int, end: int) -> None:
         self._src_range = (start, end)
 
+    def _mark_src_dirty(self) -> None:
+        """Mark this node's source projection stale (patch serializer:
+        the node's subtree must be re-serialized rather than spliced
+        from the original source). Lazy slot — zero cost until the
+        first mutation."""
+        self._src_dirty = True
+
     # -- identity ---------------------------------------------------------
     def node_name(self) -> str:
         raise NotImplementedError
@@ -174,6 +194,8 @@ class Node:
     def _attrs(self) -> Attributes:
         if self.attributes is None:
             self.attributes = Attributes()
+        if self.attributes._owner is None:
+            self.attributes._owner = self
         return self.attributes
 
     def attr(self, key: str) -> str:
@@ -281,6 +303,7 @@ class Node:
         child.sibling_index = len(self.child_nodes)
         self.child_nodes.append(child)
         _DOM_EPOCH[0] += 1
+        self._src_dirty = True
 
     def add_children(self, *children: "Node") -> None:
         for c in children:
@@ -297,6 +320,7 @@ class Node:
             self.child_nodes.insert(index, c)
         self._reindex(index)
         _DOM_EPOCH[0] += 1
+        self._src_dirty = True
 
     def has_same_value(self, other: "Node") -> bool:
         """Content equality (reference Node.hasSameValue: identical
@@ -321,6 +345,7 @@ class Node:
         child.parent_node = None
         self._reindex(i)
         _DOM_EPOCH[0] += 1
+        self._src_dirty = True
 
     def remove(self) -> None:
         if self.parent_node is not None:
@@ -465,6 +490,7 @@ class TextNode(LeafNode):
 
     def set_text(self, text: str) -> None:
         self._text = text
+        self._mark_src_dirty()
 
     def is_blank(self) -> bool:
         return is_blank(self._text)
@@ -478,6 +504,7 @@ class TextNode(LeafNode):
     def set_attr(self, key: str, value: str) -> "TextNode":
         if key == "text":
             self._text = value
+            self._mark_src_dirty()
             return self
         super().set_attr(key, value)
         return self
@@ -485,6 +512,7 @@ class TextNode(LeafNode):
     def split_text(self, offset: int) -> "TextNode":
         head, tail = self._text[:offset], self._text[offset:]
         self._text = head
+        self._mark_src_dirty()
         tail_node = TextNode(tail, self.base_uri)
         self.after_node(tail_node)
         return tail_node
@@ -535,6 +563,7 @@ class DataNode(LeafNode):
 
     def set_whole_data(self, data: str) -> None:
         self._data = data
+        self._mark_src_dirty()
 
     def shallow_clone(self) -> "DataNode":
         return DataNode(self._data, self.base_uri)
@@ -617,6 +646,8 @@ class Element(Node):
         self.tag: Tag = tag_for(tag) if isinstance(tag, str) else tag
         if attributes is not None:
             self.attributes = attributes
+            if attributes._owner is None:
+                attributes._owner = self
 
     # -- identity ---------------------------------------------------------
     def node_name(self) -> str:
@@ -631,6 +662,7 @@ class Element(Node):
     def set_tag_name(self, name: str) -> "Element":
         self.tag = tag_for(name)
         _DOM_EPOCH[0] += 1
+        self._mark_src_dirty()
         return self
 
     def is_block(self) -> bool:
@@ -1151,7 +1183,7 @@ class OutputSettings:
 
 class Document(Element):
     __slots__ = ("output_settings", "quirks_mode", "location",
-                 "update_meta_charset")
+                 "update_meta_charset", "source")
 
     def __init__(self, base_uri: str = "") -> None:
         super().__init__(tag_for("#root", preserve_case=True), base_uri)
@@ -1159,6 +1191,21 @@ class Document(Element):
         self.quirks_mode = "noQuirks"  # noQuirks | quirks | limitedQuirks
         self.location = base_uri
         self.update_meta_charset = False
+        # raw input retained by tracked parses — enables the patch
+        # serializer (reference Document.swift sourceBuffer)
+        self.source: Optional[str] = None
+
+    def patched_outer_html(self) -> Optional[str]:
+        """Source-faithful serialization (reference
+        Document.swift:551-594 patchedOuterHtml): returns the ORIGINAL
+        source with only the mutated subtrees re-serialized and spliced
+        in place; unmodified regions keep their exact input bytes
+        (entities, quoting, whitespace). Requires a parse with
+        ``ParseSettings(track_source_ranges=True)``. Returns None when
+        unavailable (untracked parse, or a mutation on a node without a
+        complete source range) — fall back to ``outer_html()``."""
+        from .serializer import patched_outer_html
+        return patched_outer_html(self)
 
     def node_name(self) -> str:
         return "#document"

@@ -182,3 +182,70 @@ def _tail(node: Node, accum: list[str], depth: int,
             accum.append("</")
             accum.append(tag.name)
             accum.append(">")
+
+
+# -- patch-based re-serialization -------------------------------------------
+
+def _full_source_range(node: Node):
+    """The node's complete extent in the original source, or None.
+    Elements need both tag ranges (start..end-tag end) unless they are
+    void/self-closing childless tags (start tag IS the extent); leaf
+    nodes' recorded range already covers them fully."""
+    sr = node.source_range()
+    if sr is None:
+        return None
+    if isinstance(node, Element):
+        er = node.end_source_range()
+        if er is not None:
+            return (sr[0], er[1])
+        if not node.child_nodes and node.tag.is_self_closing():
+            return sr
+        return None
+    return sr
+
+
+def _collect_patches(node: Node, ancestor_patched: bool,
+                     patches: list, out: OutputSettings) -> bool:
+    """DFS collecting (start, end, replacement) for the highest dirty
+    nodes (reference Document.sourcePatches, Document.swift:451-491).
+    Returns False when a dirty node cannot be patched (no complete
+    range) — the caller must fall back to full serialization."""
+    dirty = getattr(node, "_src_dirty", False)
+    if dirty and not ancestor_patched:
+        fr = _full_source_range(node)
+        if fr is None:
+            return False
+        patches.append((fr[0], fr[1], serialize(node, out)))
+        return True  # subtree fully covered by the replacement
+    for child in node.child_nodes:
+        if not _collect_patches(child, ancestor_patched, patches, out):
+            return False
+    return True
+
+
+def patched_outer_html(doc) -> str | None:
+    """Splice re-serialized dirty subtrees into the retained source
+    (reference Document.patchedOuterHtmlUTF8, Document.swift:551-594).
+    None when the document has no retained source or a mutation is not
+    patchable; an unmodified document returns its source verbatim."""
+    src = getattr(doc, "source", None)
+    if src is None:
+        return None
+    out = doc.output_settings.clone()
+    out.pretty_print = False  # replacements inline into raw source
+    patches: list = []
+    if not _collect_patches(doc, False, patches, out):
+        return None
+    if not patches:
+        return src
+    patches.sort(key=lambda p: p[0])
+    pieces = []
+    cursor = 0
+    for start, end, replacement in patches:
+        if start < cursor or end > len(src):
+            return None  # overlapping/invalid ranges — bail
+        pieces.append(src[cursor:start])
+        pieces.append(replacement)
+        cursor = end
+    pieces.append(src[cursor:])
+    return "".join(pieces)

@@ -160,6 +160,19 @@ class HtmlTreeBuilder:
               errors: Optional[list] = None) -> Document:
         self._init_parse(html, base_uri, errors)
         self._run_parser()
+        if self.track:
+            self.doc.source = html  # enables the patch serializer
+            # parse-time construction may have marked nodes dirty
+            # (e.g. doctype attrs) — the freshly parsed tree IS the
+            # source; only post-parse mutations count as dirty
+            stack = [self.doc]
+            while stack:
+                n = stack.pop()
+                try:
+                    del n._src_dirty
+                except AttributeError:
+                    pass
+                stack.extend(n.child_nodes)
         return self.doc
 
     def parse_fragment(self, fragment: str, context: Optional[Element],
