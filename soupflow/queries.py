@@ -551,26 +551,13 @@ def q_distinct_sources(sf_dir: str):
 
 def q_sessionize(sf_dir: str):
     """Windowed/stateful operator: per-user sessionization (new session
-    when the gap to the previous event exceeds 30 min). ONE groupby
-    co-locates a user's events; ordering + gap logic run vectorized
-    inside the group (the Ray Data shape for any per-key window)."""
-    import numpy as np
-    import pandas as pd
-
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group["ts"].sort_values().to_numpy(dtype="datetime64[ns]")
-        if len(ts) == 0:
-            return pd.DataFrame({"user_id": [], "n_sessions": []})
-        gaps_ns = np.diff(ts).astype(np.int64)  # full ns precision
-        n_sessions = 1 + int((gaps_ns > 1_800_000_000_000).sum())
-        return pd.DataFrame({
-            "user_id": [group["user_id"].iloc[0]],
-            "n_sessions": [n_sessions],
-        })
-
-    ds = _read(sf_dir, "events").select_columns(["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(sessions,
-                                            batch_format="pandas")
+    when the gap to the previous event exceeds 30 min). Fully
+    vectorized hierarchical-stitch shape (data/windows.py) — one global
+    sort, numpy segment reduces per block, NO per-key Python (the
+    groupby().map_groups per-group call overhead dominates at 10^8
+    users)."""
+    from .data.windows import sessionize
+    return sessionize(_read(sf_dir, "events"), gap_s=1800.0)
 
 
 def q_events_daily(sf_dir: str):

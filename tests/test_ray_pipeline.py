@@ -420,3 +420,32 @@ def test_minhash_partitioned_join_matches_broadcast(ray_session):
                minhash_near_dups(ds2, join="partitioned",
                                  num_partitions=4).take_all())
     assert a == b and len(a) > 0
+
+
+def test_sessionize_vectorized_boundary_stitching(ray_session):
+    """Session gaps that straddle block boundaries must be counted
+    exactly once (the hierarchical stitch's whole job). Forces many
+    tiny blocks so users split across blocks."""
+    import numpy as np
+    import ray.data
+    from soupflow.data.windows import sessionize
+    rng = np.random.RandomState(3)
+    rows = []
+    expect = {}
+    base = np.datetime64("2025-01-01T00:00:00", "ns")
+    for uid in range(20):
+        t = base + np.timedelta64(uid, "h")
+        sessions = 1
+        for i in range(rng.randint(5, 40)):
+            if i > 0 and rng.rand() < 0.25:
+                t += np.timedelta64(31, "m")  # new session
+                sessions += 1
+            else:
+                t += np.timedelta64(rng.randint(1, 20), "m")
+            rows.append({"user_id": uid, "ts": t.astype(object)})
+        expect[uid] = sessions
+    rng.shuffle(rows)
+    ds = ray.data.from_items(rows).repartition(13)  # split users
+    got = {r["user_id"]: r["n_sessions"]
+           for r in sessionize(ds, stitch_passes=2).take_all()}
+    assert got == expect
