@@ -140,11 +140,11 @@ def extract_spans(root: Element, *, drop_boilerplate: bool = True,
     while stack:
         node, is_tail = stack.pop()
         if is_tail:
-            if isinstance(node, Element) and node.tag.is_block:
-                flush()
+            flush()  # tail markers are pushed only for block elements
             continue
         if isinstance(node, Element):
-            name = node.tag.normal_name
+            tag = node.tag
+            name = tag.normal_name
             if drop_boilerplate and name in BOILERPLATE_TAGS \
                     and node is not root:
                 continue
@@ -153,17 +153,19 @@ def extract_spans(root: Element, *, drop_boilerplate: bool = True,
                 if ref:
                     emit_media(ref, node)
                 continue
-            if link_density_threshold > 0 and node is not root \
-                    and node.tag.is_block and name not in ("html", "body"):
-                if _link_density(node) > link_density_threshold:
+            is_block = tag.is_block
+            if is_block and node is not root \
+                    and name not in ("html", "body"):
+                if link_density_threshold > 0 and \
+                        _link_density(node) > link_density_threshold:
                     continue
-            if scorer is not None and node is not root \
-                    and node.tag.is_block and name not in ("html", "body"):
-                if not scorer(node):
+                if scorer is not None and not scorer(node):
                     continue
-            if node.tag.is_block or name == "br":
+            if is_block:
                 flush()
-            stack.append((node, True))
+                stack.append((node, True))
+            elif name == "br":
+                flush()
             for child in reversed(node.child_nodes):
                 stack.append((child, False))
             continue
