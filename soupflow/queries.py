@@ -354,6 +354,15 @@ def q_multimodal(sf_dir: str):
     return decoded.select_columns(["media_ref", "kind", "n_bytes"])
 
 
+def q_dedup_components(sf_dir: str):
+    """Near-dup connected components: every document labeled with the
+    smallest doc_id reachable through verified Jaccard>=0.8 pairs —
+    the cluster-and-keep-one dedup primitive, computed by distributed
+    min-label propagation (see data/dedup.jaccard_components)."""
+    from .data.dedup import jaccard_components
+    return jaccard_components(_read(sf_dir, "documents"), threshold=0.8)
+
+
 def q_ngram_jaccard_dups(sf_dir: str):
     from .data.dedup import ngram_jaccard_near_dups
     return ngram_jaccard_near_dups(_read(sf_dir, "documents"),
@@ -598,6 +607,7 @@ QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "dedup_components": q_dedup_components,
     "embed_near_dups": q_embed_near_dups,
     "embed_near_dups_lsh": q_embed_near_dups_lsh,
     "xml_extract": q_xml_extract,
@@ -781,6 +791,37 @@ ORACLE_SQL = {
         SELECT doc_id, min(dup_of) AS dup_of,
                CAST(floor(max(j) * 100) AS BIGINT) AS jaccard_x100
         FROM pairs WHERE j >= 0.8 GROUP BY doc_id
+    """,
+    "dedup_components": """
+        -- ground truth: connected components over the exact O(n^2)
+        -- Jaccard>=0.8 pair graph (recursive min-label reachability);
+        -- the Ray pipeline computes the same graph via full-recall
+        -- MinHash candidates + distributed label propagation
+        WITH RECURSIVE
+        w AS (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents),
+        s AS (SELECT doc_id,
+                     CASE WHEN len(ws) >= 3
+                          THEN list_distinct(list_transform(
+                               range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' ||
+                                    ws[i+2]))
+                          ELSE [array_to_string(ws, ' ')] END AS sh
+              FROM w),
+        p AS (SELECT a.doc_id AS a, b.doc_id AS b
+              FROM s a JOIN s b ON a.doc_id > b.doc_id
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh)))
+                    >= 0.8),
+        edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        reach(doc, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.doc
+        )
+        SELECT doc AS doc_id, min(lab) AS component
+        FROM reach GROUP BY doc
     """,
     "embed_near_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -449,3 +449,28 @@ def test_sessionize_vectorized_boundary_stitching(ray_session):
     got = {r["user_id"]: r["n_sessions"]
            for r in sessionize(ds, stitch_passes=2).take_all()}
     assert got == expect
+
+
+def test_jaccard_components_chain(ray_session):
+    """A chain A~B~C (A and C NOT directly similar) must land in one
+    component — exactly what pairwise min-dup_of cannot express."""
+    import ray.data
+    from soupflow.data.dedup import jaccard_components
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    words = base.split()
+    mid = " ".join(words[2:] + ["extra", "tokens"])      # ~B: near A
+    far = " ".join(words[4:] + ["extra", "tokens", "more", "words"])
+    other = "totally unrelated content about rivers and stones " * 3
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+        "text": [base, mid, far, other],
+    })
+    out = {r["doc_id"]: r["component"] for r in jaccard_components(
+        ray.data.from_arrow(tbl), threshold=0.5).take_all()}
+    assert out[1] == out[2] == 1
+    assert out[9] == 9
+    # 3 joins the chain iff it is near 2 (construction-dependent), but
+    # every doc must be labeled
+    assert set(out) == {1, 2, 3, 9}
