@@ -363,6 +363,47 @@ def q_dedup_components(sf_dir: str):
     return jaccard_components(_read(sf_dir, "documents"), threshold=0.8)
 
 
+def q_training_pipeline(sf_dir: str):
+    """Flagship training-data composition — what a corpus run chains
+    end-to-end: quality filter → exact dedup (md5 keeper) → near-dup
+    connected components → keep one representative per cluster →
+    token counts. Every stage is the already-oracle-checked operator;
+    the oracle chains the same CTEs (incl. recursive components)."""
+    import ray
+
+    from .data.dedup import exact_dedup, jaccard_components
+    from .data.textstats import quality_batch, token_stats_batch
+
+    docs = _read(sf_dir, "documents")
+
+    def quality_filter(batch: pa.Table) -> pa.Table:
+        # quality_batch rows align 1:1 with the input batch — filter
+        # inline, nothing ever leaves the workers
+        q = quality_batch(batch)
+        return batch.filter(q.column("is_quality").combine_chunks())
+
+    survivors = docs.map_batches(quality_filter,
+                                 batch_format="pyarrow")
+    # exact dedup keeps min-doc_id per identical text, distributed
+    deduped = exact_dedup(survivors).drop_columns(["fp"]).materialize()
+    # near-dup representatives: only CLUSTER MEMBERS can be non-reps,
+    # so the exclusion set is dup-cluster-sized — broadcastable
+    non_reps = {r["doc_id"]
+                for r in jaccard_components(deduped, threshold=0.8)
+                .filter(expr="doc_id != component").take_all()}
+    nr_ref = ray.put(non_reps)
+
+    def keep_reps(batch: pa.Table) -> pa.Table:
+        drop = ray.get(nr_ref)
+        mask = [i not in drop
+                for i in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    return deduped.map_batches(keep_reps, batch_format="pyarrow") \
+        .map_batches(token_stats_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens"])
+
+
 def q_ngram_jaccard_dups(sf_dir: str):
     from .data.dedup import ngram_jaccard_near_dups
     return ngram_jaccard_near_dups(_read(sf_dir, "documents"),
@@ -607,6 +648,7 @@ QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "training_pipeline": q_training_pipeline,
     "dedup_components": q_dedup_components,
     "embed_near_dups": q_embed_near_dups,
     "embed_near_dups_lsh": q_embed_near_dups_lsh,
@@ -791,6 +833,54 @@ ORACLE_SQL = {
         SELECT doc_id, min(dup_of) AS dup_of,
                CAST(floor(max(j) * 100) AS BIGINT) AS jaccard_x100
         FROM pairs WHERE j >= 0.8 GROUP BY doc_id
+    """,
+    "training_pipeline": """
+        -- end-to-end composition of the individually-oracled stages:
+        -- quality filter -> md5 keeper dedup -> near-dup components
+        -- (recursive reachability) -> representatives -> token counts
+        WITH RECURSIVE
+        qual AS (
+          SELECT doc_id, text FROM documents
+          WHERE (length(regexp_split_to_array(trim(text), '\\s+'))
+                   BETWEEN 5 AND 100000)
+            AND ((length(replace(text, ' ', '')) * 100) //
+                 greatest(length(regexp_split_to_array(trim(text),
+                          '\\s+')), 1) <= 1200)),
+        ded AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM qual) WHERE rn = 1),
+        w AS (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM ded),
+        s AS (SELECT doc_id,
+                     CASE WHEN len(ws) >= 3
+                          THEN list_distinct(list_transform(
+                               range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' ||
+                                    ws[i+2]))
+                          ELSE [array_to_string(ws, ' ')] END AS sh
+              FROM w),
+        p AS (SELECT a.doc_id AS a, b.doc_id AS b
+              FROM s a JOIN s b ON a.doc_id > b.doc_id
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh)))
+                    >= 0.8),
+        edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        reach(doc, lab) AS (
+            SELECT doc_id, doc_id FROM ded
+            UNION
+            SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.doc
+        ),
+        comp AS (SELECT doc, min(lab) AS component
+                 FROM reach GROUP BY doc)
+        SELECT d.doc_id,
+               length(regexp_split_to_array(trim(d.text), '\\s+'))
+                 AS n_tokens
+        FROM ded d JOIN comp c ON c.doc = d.doc_id
+        WHERE c.component = d.doc_id
     """,
     "dedup_components": """
         -- ground truth: connected components over the exact O(n^2)
