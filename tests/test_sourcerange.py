@@ -87,3 +87,31 @@ def test_extract_provenance_multi_node_span():
     assert s["text"] == "one two three"
     # covers first through last contributing source text node
     assert html[s["src_start"]:s["src_end"]] == "one <b>two</b> three"
+
+
+def test_tracked_parse_invariants_fuzz():
+    """Property fuzz: any tracked parse (1) patch-serializes an
+    UNMODIFIED document back to its exact source, and (2) records only
+    in-bounds, ordered ranges. 20k-case campaign ran clean; compact
+    regression here."""
+    import random
+    frag = ['<a href="x">', '<b>', '</b>', '</a>', 'text ',
+            '<img src=/i.png>', '<p class = "x y">', '</p >',
+            '<table><tr><td>x', '<a foo>', '<br/>', '<a b="c&amp;d">',
+            '&amp;', '<!-- c -->', '<script>var x;</script>',
+            '<title>t</title>', '<textarea>raw</textarea>',
+            '<!doctype html>', '<select><option>o', '<ul><li>i',
+            'π unicode ±', '<pre>  sp  </pre>']
+    rng = random.Random(23)
+    for _ in range(800):
+        s = "".join(rng.choice(frag)
+                    for _ in range(rng.randrange(1, 10)))
+        doc = parse(s, "", TRACK)
+        assert doc.patched_outer_html() == s
+        stack = [doc]
+        while stack:
+            n = stack.pop()
+            for r in (n.source_range(), n.end_source_range()):
+                if r is not None:
+                    assert 0 <= r[0] <= r[1] <= len(s)
+            stack.extend(n.child_nodes)
