@@ -45,15 +45,58 @@ def exact_dedup_groups(ds, text_col: str = "text"):
 
 
 def exact_dedup(ds, text_col: str = "text"):
-    """Keep one representative row per distinct text (min doc_id)."""
+    """Keep one representative row per distinct text (min doc_id).
+
+    Scale shape — NO per-group Python over the full key space (a
+    map_groups keep-first makes every distinct document a Python group
+    call): ONE sort on (fp, doc_id) makes each key's global first row
+    the first row of its first batch, a vectorized block-local filter
+    keeps batch-leading rows per key, and only the batch-BOUNDARY keys
+    (one per batch — a tiny broadcast set) need a per-group fix-up for
+    runs that straddle batches."""
+    import ray
+    from ray.data.aggregate import Count
+
+    with_fp = ds.map_batches(
+        lambda b: _hash_col_batch(b, text_col), batch_format="pyarrow")
+    ordered = with_fp.sort(["fp", "doc_id"])
+
+    def local_first(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        fps = batch.column("fp").to_pylist()
+        mask = [True] + [fps[i] != fps[i - 1]
+                         for i in range(1, len(fps))]
+        return batch.filter(pa.array(mask))
+
+    cand = ordered.map_batches(local_first,
+                               batch_format="pyarrow").materialize()
+    # keys that can be duplicated = the first key of each batch
+    firsts = cand.map_batches(
+        lambda b: pa.table({"fp": b.column("fp").slice(0, 1)})
+        if b.num_rows else pa.table({"fp": pa.array([], pa.string())}),
+        batch_format="pyarrow").take_all()
+    boundary = {r["fp"] for r in firsts}
+    b_ref = ray.put(boundary)
+
+    def split(keep_boundary: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = ray.get(b_ref)
+            mask = [(f in keys) == keep_boundary
+                    for f in batch.column("fp").to_pylist()]
+            return batch.filter(pa.array(mask))
+        fn.__name__ = f"split_boundary_{keep_boundary}"
+        return fn
+
+    clean = cand.map_batches(split(False), batch_format="pyarrow")
 
     def first_per_group(group: pd.DataFrame) -> pd.DataFrame:
         return group.nsmallest(1, "doc_id")
 
-    with_fp = ds.map_batches(
-        lambda b: _hash_col_batch(b, text_col), batch_format="pyarrow")
-    return with_fp.groupby("fp").map_groups(first_per_group,
-                                            batch_format="pandas")
+    fixed = cand.map_batches(split(True), batch_format="pyarrow") \
+        .groupby("fp").map_groups(first_per_group,
+                                  batch_format="pandas")
+    return clean.union(fixed)
 
 
 # -- MinHash + LSH ----------------------------------------------------------

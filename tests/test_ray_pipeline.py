@@ -474,3 +474,18 @@ def test_jaccard_components_chain(ray_session):
     # 3 joins the chain iff it is near 2 (construction-dependent), but
     # every doc must be labeled
     assert set(out) == {1, 2, 3, 9}
+
+
+def test_exact_dedup_keep_first_across_batches(ray_session):
+    """Duplicate runs straddling sorted-batch boundaries must still
+    keep exactly the min-doc_id row per distinct text (the boundary
+    fix-up's whole job)."""
+    import ray.data
+    from soupflow.data.dedup import exact_dedup
+    texts = [f"text {i % 23}" for i in range(400)]
+    tbl = pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                    "text": texts})
+    out = exact_dedup(ray.data.from_arrow(tbl).repartition(9)) \
+        .take_all()
+    got = sorted((r["text"], r["doc_id"]) for r in out)
+    assert got == sorted((f"text {k}", k) for k in range(23))
