@@ -19,7 +19,7 @@ from .parser import (parse, parse_body_fragment, parse_fragment_for_context,
                      parse_html, parse_xml, unescape_entities)
 from .tags import Tag, tag_for
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Elements",
