@@ -30,9 +30,10 @@ BENCH_TMP = "/tmp/soupflow_bench"
 # queries timed in the non-headline section (subset: one per family)
 TIMED_QUERIES = [
     "extract_text", "clean_basic", "select_count", "dedup_exact",
-    "token_stats", "minhash_near_dups", "ann_topk", "agg_lineitem",
-    "join_broadcast", "events_daily", "sessionize", "orders_pruned",
-    "kmeans",
+    "token_stats", "minhash_near_dups", "simhash_near_dups",
+    "ann_topk", "agg_lineitem", "join_broadcast", "events_daily",
+    "sessionize", "orders_pruned", "kmeans", "lang_id",
+    "fingerprint_rolling", "training_pipeline",
 ]
 
 
