@@ -35,6 +35,14 @@ SPAN_STRUCT = pa.struct([
     ("media_ref", pa.string()),
     ("offset", pa.int32()),
 ])
+SPAN_PROV_STRUCT = pa.struct([
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+    ("src_start", pa.int64()),
+    ("src_end", pa.int64()),
+])
 SPAN_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("spans", pa.list_(SPAN_STRUCT)),
@@ -253,7 +261,8 @@ class ExtractActor:
                  drop_boilerplate: bool = True,
                  link_density_threshold: float = 0.0,
                  base_uri: str = "",
-                 scorer_factory=None) -> None:
+                 scorer_factory=None,
+                 provenance: bool = False) -> None:
         # compiled once per actor (reference: QueryParser cache + Whitelist)
         self.whitelist = Whitelist.by_name(whitelist) if whitelist else None
         self.drop_boilerplate = drop_boilerplate
@@ -262,6 +271,9 @@ class ExtractActor:
         # boilerplate-classification hook: the factory runs ONCE per
         # actor/worker (model load happens here, not per batch)
         self.scorer = scorer_factory() if scorer_factory else None
+        # provenance: spans additionally carry src_start/src_end byte
+        # offsets into the assembled HTML (source-range tracking)
+        self.provenance = provenance
         # warm the selector cache used by link-density scoring
         parse_query("a")
 
@@ -277,16 +289,17 @@ class ExtractActor:
                     html, self.base_uri, whitelist=self.whitelist,
                     drop_boilerplate=self.drop_boilerplate,
                     link_density_threshold=self.link_density_threshold,
-                    scorer=self.scorer)
+                    scorer=self.scorer, provenance=self.provenance)
                 err = None
             except Exception as e:  # never fail a batch for one bad doc
                 out = []
                 err = f"{type(e).__name__}: {e}"[:500]
             out_spans.append(out)
             errors.append(err)
+        span_type = SPAN_PROV_STRUCT if self.provenance else SPAN_STRUCT
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.string()),
-            "spans": pa.array(out_spans, pa.list_(SPAN_STRUCT)),
+            "spans": pa.array(out_spans, pa.list_(span_type)),
             # per-doc error instead of task failure (north rule): rows
             # with error != null carry empty spans and are filterable
             # downstream without re-reading the corpus

@@ -489,3 +489,18 @@ def test_exact_dedup_keep_first_across_batches(ray_session):
         .take_all()
     got = sorted((r["text"], r["doc_id"]) for r in out)
     assert got == sorted((f"text {k}", k) for k in range(23))
+
+
+def test_extract_actor_provenance_schema(ray_session, interleaved_dir):
+    import ray.data
+    from soupflow.extract import SPAN_PROV_STRUCT, ExtractActor
+    ds = ray.data.read_parquet(interleaved_dir)
+    out = ds.map_batches(ExtractActor, batch_format="pyarrow",
+                         batch_size=32, concurrency=1,
+                         fn_constructor_kwargs={"provenance": True})
+    tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    assert tbl.schema.field("spans").type == pa.list_(SPAN_PROV_STRUCT)
+    row = tbl.to_pylist()[0]
+    text_spans = [s for s in row["spans"] if s["kind"] == "text"]
+    assert text_spans and all(
+        s["src_end"] > s["src_start"] >= 0 for s in text_spans)
