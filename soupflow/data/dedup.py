@@ -117,15 +117,17 @@ def _word_hash_array(words: list[str]) -> np.ndarray:
         dtype=np.uint64, count=len(words))
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of word k-shingles: one blake2b per WORD, shingles formed
-    by a vectorized position-weighted xor mix (k ≤ 8)."""
+def _shingle_hashes(text: str, k: int = 3,
+                    word_hasher=None) -> np.ndarray:
+    """Hashes of word k-shingles: one blake2b per WORD (memoizable via
+    ``word_hasher``), shingles formed by a vectorized position-weighted
+    xor mix (k ≤ 8)."""
     words = text.split()
     if not words:
         return np.array([int.from_bytes(
             hashlib.blake2b(b"", digest_size=8).digest(), "big")],
             dtype=np.uint64)
-    wh = _word_hash_array(words)
+    wh = (word_hasher or _word_hash_array)(words)
     with np.errstate(over="ignore"):
         if len(words) < k:
             acc = np.zeros(1, dtype=np.uint64)
@@ -152,9 +154,28 @@ class MinHashActor:
                              dtype=np.uint64)
         self.num_perm = num_perm
         self.shingle_k = shingle_k
+        # per-worker word→hash memo: natural-language vocabulary is
+        # tiny relative to token count, so the blake2b per WORD
+        # amortizes to ~one per distinct word per worker
+        self._word_memo: dict[str, int] = {}
+
+    def _word_hashes(self, words: list[str]) -> np.ndarray:
+        memo = self._word_memo
+        if len(memo) > 2_000_000:  # adversarial-vocabulary bound
+            memo.clear()
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = memo.get(w)
+            if h is None:
+                h = memo[w] = int.from_bytes(
+                    hashlib.blake2b(w.encode(),
+                                    digest_size=8).digest(), "big")
+            out[i] = h
+        return out
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.shingle_k)
+        sh = _shingle_hashes(text, self.shingle_k,
+                             word_hasher=self._word_hashes)
         if sh.size == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
         # (num_perm, n_shingles) universal hashing, min per row
