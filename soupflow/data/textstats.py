@@ -39,22 +39,47 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# small English stopword set for the stopword-ratio signal (public
+# knowledge; fixed so the SQL oracle can embed the same list)
+STOPWORDS = ("a", "an", "and", "are", "as", "at", "be", "by", "for",
+             "from", "has", "in", "is", "it", "of", "on", "or", "that",
+             "the", "to", "was", "were", "with")
+_PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
-    """Quality signals: token count, mean token length ×100 (int), and an
-    is_quality flag (length in [5, 100000] tokens, mean token len ≤ 12)."""
+    """Quality signals: token count, mean token length ×100,
+    punctuation ratio ×1000 (ASCII punctuation chars / chars),
+    stopword ratio ×1000 (stopword tokens / tokens), and an is_quality
+    flag (length in [5, 100000] tokens, mean token len ≤ 12).
+    All vectorized pandas string kernels."""
     texts = batch.column("text").to_pandas().fillna("")
     n_tokens = texts.str.split().str.len().fillna(0).astype("int64")
     n_alpha = texts.str.replace(" ", "", regex=False).str.len() \
         .astype("int64")
+    n_chars = texts.str.len().astype("int64")
     mean_len_x100 = np.where(n_tokens > 0,
                              (n_alpha * 100) // n_tokens.clip(lower=1),
                              0).astype("int64")
+    n_punct = texts.str.count(_PUNCT_RE).astype("int64")
+    punct_x1000 = np.where(n_chars > 0,
+                           (n_punct * 1000) // n_chars.clip(lower=1),
+                           0).astype("int64")
+    sw = set(STOPWORDS)
+    n_stop = texts.map(
+        lambda t: sum(1 for w in t.split() if w in sw)) \
+        .astype("int64")
+    stop_x1000 = np.where(n_tokens > 0,
+                          (n_stop * 1000) // n_tokens.clip(lower=1),
+                          0).astype("int64")
     is_quality = (n_tokens >= 5) & (n_tokens <= 100000) & \
         (mean_len_x100 <= 1200)
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_tokens": pa.array(n_tokens, pa.int64()),
         "mean_token_len_x100": pa.array(mean_len_x100, pa.int64()),
+        "punct_ratio_x1000": pa.array(punct_x1000, pa.int64()),
+        "stopword_ratio_x1000": pa.array(stop_x1000, pa.int64()),
         "is_quality": pa.array(is_quality, pa.bool_()),
     })
 

@@ -724,6 +724,17 @@ ORACLE_SQL = {
                (length(replace(text, ' ', '')) * 100) //
                  greatest(length(regexp_split_to_array(trim(text),
                           '\\s+')), 1) AS mean_token_len_x100,
+               (length(regexp_extract_all(text,
+                  '[!-/:-@\\[-`{-~]')) * 1000) //
+                 greatest(length(text), 1) AS punct_ratio_x1000,
+               (length(list_filter(
+                  regexp_split_to_array(trim(text), '\\s+'),
+                  x -> list_contains(['a','an','and','are','as','at',
+                       'be','by','for','from','has','in','is','it',
+                       'of','on','or','that','the','to','was','were',
+                       'with'], x))) * 1000) //
+                 greatest(length(regexp_split_to_array(trim(text),
+                          '\\s+')), 1) AS stopword_ratio_x1000,
                (length(regexp_split_to_array(trim(text), '\\s+'))
                   BETWEEN 5 AND 100000)
                  AND ((length(replace(text, ' ', '')) * 100) //
