@@ -616,6 +616,48 @@ def ngram_jaccard_near_dups(ds, threshold: float = 0.8,
 
 # -- near-duplicate connected components ------------------------------------
 
+def components_from_pairs(pairs_ds, docs_ds, *, pair_a: str,
+                          pair_b: str, id_col: str,
+                          out_col: str = "component"):
+    """Generic connected components over an undirected pair graph:
+    union-find (by min root, path compression) over the collected pair
+    rows — bounded by the dup-cluster size class, see BASELINE.md —
+    then ONE broadcast of the component map and a map-side label pass
+    over docs_ds. Returns (id_col, out_col) for every row of docs_ds;
+    singletons label themselves."""
+    import ray
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pairs_ds.select_columns([pair_a, pair_b]).take_all():
+        ra, rb = find(r[pair_a]), find(r[pair_b])
+        if ra != rb:  # union by MIN root → labels are component minima
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    comp = {d: find(d) for d in list(parent)}
+    handle = ray.put(comp)  # broadcast once (dup-cluster ids only)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        mapping = ray.get(handle)
+        ids = batch.column(id_col).to_pylist()
+        return pa.table({
+            id_col: batch.column(id_col),
+            out_col: pa.array([mapping.get(i, i) for i in ids],
+                              batch.column(id_col).type),
+        })
+
+    return docs_ds.select_columns([id_col]).map_batches(
+        attach, batch_format="pyarrow")
+
+
 def jaccard_components(ds, threshold: float = 0.8, shingle_k: int = 3,
                        num_perm: int = 64, bands: int = 16):
     """→ (doc_id, component) for EVERY document: component = the
@@ -631,37 +673,7 @@ def jaccard_components(ds, threshold: float = 0.8, shingle_k: int = 3,
     every document is labeled map-side — the corpus itself is never
     shuffled. For dup graphs beyond driver memory, shard the pair list
     and union-find the spill in passes (components compose)."""
-    import ray
-
     pairs = _jaccard_pair_stream(ds, threshold, shingle_k, num_perm,
                                  bands)
-    parent: dict = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for r in pairs.select_columns(["doc_id", "dup_of"]).take_all():
-        ra, rb = find(r["doc_id"]), find(r["dup_of"])
-        if ra != rb:  # union by MIN root → labels are component minima
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    comp = {d: find(d) for d in list(parent)}
-    handle = ray.put(comp)  # broadcast once (dup-cluster docs only)
-
-    def attach(batch: pa.Table) -> pa.Table:
-        mapping = ray.get(handle)
-        ids = batch.column("doc_id").to_pylist()
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "component": pa.array(
-                [mapping.get(i, i) for i in ids],
-                batch.column("doc_id").type),
-        })
-
-    return ds.select_columns(["doc_id"]).map_batches(
-        attach, batch_format="pyarrow")
+    return components_from_pairs(pairs, ds, pair_a="doc_id",
+                                 pair_b="dup_of", id_col="doc_id")

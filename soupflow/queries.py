@@ -410,6 +410,18 @@ def q_ngram_jaccard_dups(sf_dir: str):
                                    threshold=0.8)
 
 
+def q_embed_components(sf_dir: str):
+    """Embedding-space near-dup clusters: connected components over the
+    exact cosine>=0.4 pair graph (chunked-broadcast exact pairs →
+    union-find → broadcast label map; see dedup.components_from_pairs)."""
+    from .data.dedup import components_from_pairs
+    from .data.similarity import embed_near_dups
+    ds = _read(sf_dir, "embeddings")
+    pairs = embed_near_dups(ds, threshold=0.4)
+    return components_from_pairs(pairs, ds, pair_a="id_a",
+                                 pair_b="id_b", id_col="vec_id")
+
+
 def q_embed_near_dups(sf_dir: str):
     from .data.similarity import embed_near_dups
     return embed_near_dups(_read(sf_dir, "embeddings"), threshold=0.4)
@@ -651,6 +663,7 @@ QUERIES = {
     "training_pipeline": q_training_pipeline,
     "dedup_components": q_dedup_components,
     "embed_near_dups": q_embed_near_dups,
+    "embed_components": q_embed_components,
     "embed_near_dups_lsh": q_embed_near_dups_lsh,
     "xml_extract": q_xml_extract,
     "nth_child": q_nth_child,
@@ -922,6 +935,25 @@ ORACLE_SQL = {
             SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.doc
         )
         SELECT doc AS doc_id, min(lab) AS component
+        FROM reach GROUP BY doc
+    """,
+    "embed_components": """
+        -- connected components over the exact cosine>=0.4 pair graph
+        -- (recursive min-label reachability; singletons label selves)
+        WITH RECURSIVE
+        p AS (SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.4),
+        edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        reach(doc, lab) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.doc
+        )
+        SELECT doc AS vec_id, min(lab) AS component
         FROM reach GROUP BY doc
     """,
     "embed_near_dups": """
