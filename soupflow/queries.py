@@ -212,9 +212,26 @@ def q_entities(sf_dir: str):
         _task(EntitiesActor), batch_format="pyarrow", batch_size=256)
 
 
+def _summarize_spans(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans = batch.column("spans").to_pylist()
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "n_spans": pa.array([len(s) for s in spans], pa.int64()),
+        "n_media": pa.array(
+            [sum(1 for x in s if x["kind"] == "media")
+             for s in spans], pa.int64()),
+        "text_chars": pa.array(
+            [sum(len(x["text"]) for x in s if x["kind"] == "text")
+             for s in spans], pa.int64()),
+    })
+
+
 def q_extract_interleaved(sf_dir: str):
     """Full interleaved pipeline over rich synthetic pages (flagship;
-    rows-only driver check — spans are not SQL-expressible)."""
+    rows-only driver check — the rich pages' spans are split at
+    sha1-keyed character positions, not SQL-expressible; the SAME
+    plumbing is oracle-checked by extract_interleaved_simple)."""
     ds = _read(sf_dir, "documents")
 
     def build(batch: pa.Table) -> pa.Table:
@@ -223,22 +240,25 @@ def q_extract_interleaved(sf_dir: str):
     interleaved = ds.map_batches(build, batch_format="pyarrow")
     extracted = interleaved.map_batches(
         extract_batch, batch_format="pyarrow", batch_size=128)
+    return extracted.map_batches(_summarize_spans,
+                                 batch_format="pyarrow")
 
-    def summarize(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        spans = batch.column("spans").to_pylist()
-        return pa.table({
-            "doc_id": pa.array(doc_ids, pa.string()),
-            "n_spans": pa.array([len(s) for s in spans], pa.int64()),
-            "n_media": pa.array(
-                [sum(1 for x in s if x["kind"] == "media")
-                 for s in spans], pa.int64()),
-            "text_chars": pa.array(
-                [sum(len(x["text"]) for x in s if x["kind"] == "text")
-                 for s in spans], pa.int64()),
-        })
 
-    return extracted.map_batches(summarize, batch_format="pyarrow")
+def q_extract_interleaved_simple(sf_dir: str):
+    """The SAME interleaved plumbing (docs → span rows → assemble →
+    extract_batch → summary) over the oracle-friendly page shape, so
+    the flagship path gets a hard rows+schema+hash driver check:
+    per doc exactly [text, media, tail-text] spans."""
+    ds = _read(sf_dir, "documents")
+
+    def build(batch: pa.Table) -> pa.Table:
+        return docs_to_interleaved(batch, rich=False)
+
+    interleaved = ds.map_batches(build, batch_format="pyarrow")
+    extracted = interleaved.map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=128)
+    return extracted.map_batches(_summarize_spans,
+                                 batch_format="pyarrow")
 
 
 # -- training-data operators ------------------------------------------------
@@ -650,6 +670,7 @@ QUERIES = {
     "select_count": q_select_count,
     "entities": q_entities,
     "extract_interleaved": q_extract_interleaved,
+    "extract_interleaved_simple": q_extract_interleaved_simple,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "quality": q_quality,
@@ -712,6 +733,16 @@ ORACLE_SQL = {
     "entities": """
         SELECT doc_id,
                '<' || text || '> & "q" AB' AS decoded
+        FROM documents
+    """,
+    "extract_interleaved_simple": """
+        -- the oracle-friendly page yields exactly three spans per doc:
+        -- main text, the media ref, and "tail {doc_id}"
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(3 AS BIGINT) AS n_spans,
+               CAST(1 AS BIGINT) AS n_media,
+               length(trim(text)) + 5 +
+                 length(CAST(doc_id AS VARCHAR)) AS text_chars
         FROM documents
     """,
     "dedup_exact": """
