@@ -183,8 +183,11 @@ class Node:
         """Mark this node's source projection stale (patch serializer:
         the node's subtree must be re-serialized rather than spliced
         from the original source). Lazy slot — zero cost until the
-        first mutation."""
+        first mutation. Also bumps the selector-cache epoch: any content
+        mutation can change `:contains(...)` / text-dependent selector
+        results, and an extra epoch bump only costs a cache miss."""
         self._src_dirty = True
+        _DOM_EPOCH[0] += 1
 
     # -- identity ---------------------------------------------------------
     def node_name(self) -> str:
@@ -362,6 +365,8 @@ class Node:
         new_node.parent_node = p
         new_node.sibling_index = i
         self.parent_node = None
+        _DOM_EPOCH[0] += 1
+        p._src_dirty = True
 
     def before_node(self, node: "Node") -> None:
         p = self.parent_node
@@ -803,6 +808,8 @@ class Element(Node):
         for c in self.child_nodes:
             c.parent_node = None
         self.child_nodes.clear()
+        _DOM_EPOCH[0] += 1
+        self._src_dirty = True
         return self
 
     def set_html(self, html: str) -> "Element":

@@ -82,3 +82,32 @@ def test_patched_equals_parse_of_patched():
     doc.output_settings.pretty_print = False  # compare non-pretty
     assert parse(out).body().html() == parse(
         doc.outer_html()).body().html()
+
+
+def test_replace_with_patches_parent():
+    # regression: replace_with left no dirty node, so patched_outer_html
+    # silently returned the ORIGINAL source, dropping the mutation
+    doc = parse(HTML, "", TRACK)
+    doc.select("b")[0].replace_with(Element(tag_for("i"), ""))
+    out = doc.patched_outer_html()
+    assert out is None or "<i></i>" in out
+    if out is not None:
+        assert "<b>bold</b>" not in out
+
+
+def test_empty_patches_element():
+    doc = parse(HTML, "", TRACK)
+    doc.select("div")[0].empty()
+    out = doc.patched_outer_html()
+    assert out is None or '<div class="keep"></div>' in out
+    if out is not None:
+        assert "bold" not in out
+
+
+def test_wrap_does_not_silently_drop():
+    doc = parse(HTML, "", TRACK)
+    doc.select("p")[0].wrap("<section></section>")
+    out = doc.patched_outer_html()
+    # either a correct patch or an honest None — never the stale source
+    if out is not None:
+        assert "<section>" in out

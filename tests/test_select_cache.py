@@ -57,3 +57,41 @@ def test_warm_select_is_fast():
     doc2.select("p.lead[href=one]")
     cold = time.perf_counter() - t0
     assert cold / max(warm, 1e-9) > 10  # measured ~500x
+
+def test_cache_invalidated_by_replace_with():
+    # regression: replace_with used to skip the epoch bump, so a warm
+    # select() on the same root returned stale pre-mutation elements
+    doc = _doc()
+    n = len(doc.select("p.lead"))
+    from soupflow.dom import Element
+    from soupflow.tags import tag_for
+    doc.select("p")[0].replace_with(Element(tag_for("em"), ""))
+    assert len(doc.select("p.lead")) == n - 1
+
+
+def test_cache_invalidated_by_empty():
+    doc = _doc()
+    assert len(doc.select("p.lead")) == 300
+    doc.select("div")[0].empty()
+    assert len(doc.select("p.lead")) == 0
+
+
+def test_cache_invalidated_by_set_html():
+    doc = _doc()
+    assert len(doc.select("span")) == 300
+    doc.select("div")[0].set_html("<i>only</i>")
+    assert len(doc.select("span")) == 0
+    assert len(doc.select("i")) == 1
+
+
+def test_cache_invalidated_by_set_text():
+    # :contains() depends on text content, so text mutation must
+    # invalidate too (epoch bump now lives in _mark_src_dirty)
+    doc = _doc()
+    n = len(doc.select("p:contains(x0)"))
+    assert n >= 1
+    from soupflow.dom import TextNode
+    tn = doc.select("p")[0].child_nodes[0]
+    assert isinstance(tn, TextNode)
+    tn.set_text("zzz")
+    assert len(doc.select("p:contains(x0)")) == n - 1
