@@ -432,12 +432,18 @@ def q_ngram_jaccard_dups(sf_dir: str):
 
 def q_embed_components(sf_dir: str):
     """Embedding-space near-dup clusters: connected components over the
-    exact cosine>=0.4 pair graph (chunked-broadcast exact pairs →
-    union-find → broadcast label map; see dedup.components_from_pairs)."""
+    deterministic LSH cosine>=0.4 pair graph (banded hyperplane
+    candidates → exact in-bucket verify → union-find → broadcast label
+    map; see similarity.embed_near_dups_lsh, dedup.components_from_pairs).
+
+    Scale note: the pair source is the two-phase LSH stream — no
+    O(n²) stage anywhere in this lineage. The exact all-pairs variant
+    (embed_near_dups) remains its own oracle-checked query and serves
+    as the small-corpus recall baseline for the LSH config."""
     from .data.dedup import components_from_pairs
-    from .data.similarity import embed_near_dups
+    from .data.similarity import embed_near_dups_lsh
     ds = _read(sf_dir, "embeddings")
-    pairs = embed_near_dups(ds, threshold=0.4)
+    pairs = embed_near_dups_lsh(ds, threshold=0.4)
     return components_from_pairs(pairs, ds, pair_a="id_a",
                                  pair_b="id_b", id_col="vec_id")
 
@@ -968,25 +974,8 @@ ORACLE_SQL = {
         SELECT doc AS doc_id, min(lab) AS component
         FROM reach GROUP BY doc
     """,
-    "embed_components": """
-        -- connected components over the exact cosine>=0.4 pair graph
-        -- (recursive min-label reachability; singletons label selves)
-        WITH RECURSIVE
-        p AS (SELECT a.vec_id AS a, b.vec_id AS b
-              FROM embeddings a JOIN embeddings b
-                ON a.vec_id < b.vec_id
-              WHERE list_cosine_similarity(
-                      CAST(a.embedding AS DOUBLE[]),
-                      CAST(b.embedding AS DOUBLE[])) >= 0.4),
-        edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
-        reach(doc, lab) AS (
-            SELECT vec_id, vec_id FROM embeddings
-            UNION
-            SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.doc
-        )
-        SELECT doc AS vec_id, min(lab) AS component
-        FROM reach GROUP BY doc
-    """,
+    # "embed_components" oracle is built below from the shared LSH pair
+    # CTEs (the pipeline's scale-safe pair source).
     "embed_near_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1083,23 +1072,25 @@ ORACLE_SQL = {
 ORACLE_SQL["ann_ivf"] = ORACLE_SQL["ann_topk"]
 
 
-def _lsh_oracle_sql(dim: int = 64, n_bits: int = 8, bands: int = 8,
-                    seed: int = 42, threshold: float = 0.4) -> str:
-    """SQL oracle for embed_near_dups_lsh: the pipeline is fully
-    deterministic (fixed-seed hyperplanes), so the oracle reproduces it
-    exactly — the projection matrix is baked into the query as literals
-    (float64 repr round-trips), band keys are rebuilt per vector with
-    string_agg over sign bits, and candidate pairs sharing a band key
-    are verified with the same cosine >= threshold condition. The sign
-    of the dot product is normalization-invariant, so the SQL skips the
-    normalize step the pipeline applies before the matmul."""
+def _lsh_pair_ctes(dim: int = 64, n_bits: int = 8, bands: int = 8,
+                   seed: int = 42, threshold: float = 0.4) -> str:
+    """Shared CTE block reproducing embed_near_dups_lsh's pair set in
+    SQL: the pipeline is fully deterministic (fixed-seed hyperplanes),
+    so the oracle reproduces it exactly — the projection matrix is
+    baked into the query as literals (float64 repr round-trips), band
+    keys are rebuilt per vector with string_agg over sign bits, and
+    candidate pairs sharing a band key are verified with the same
+    cosine >= threshold condition. The sign of the dot product is
+    normalization-invariant, so the SQL skips the normalize step the
+    pipeline applies before the matmul. Exposes CTE ``lshp(id_a,
+    id_b)``."""
     rng = __import__("numpy").random.RandomState(seed)
     planes = rng.standard_normal((dim, n_bits * bands))
     rows = ",\n            ".join(
         "(%d, [%s])" % (j, ", ".join(repr(v) for v in planes[:, j]))
         for j in range(n_bits * bands))
     return f"""
-        WITH p(pid, plane) AS (VALUES
+        p(pid, plane) AS (VALUES
             {rows}),
         b AS (
           SELECT e.vec_id, p.pid // {n_bits} AS band,
@@ -1115,18 +1106,35 @@ def _lsh_oracle_sql(dim: int = 64, n_bits: int = 8, bands: int = 8,
           FROM b a JOIN b c
             ON a.band = c.band AND a.key = c.key
            AND a.vec_id < c.vec_id
+        ),
+        lshp AS (
+          SELECT id_a, id_b
+          FROM cand
+          JOIN embeddings ea ON ea.vec_id = id_a
+          JOIN embeddings eb ON eb.vec_id = id_b
+          WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[]))
+                >= {threshold}
+        )"""
+
+
+ORACLE_SQL["embed_near_dups_lsh"] = (
+    "WITH " + _lsh_pair_ctes() + "\n        SELECT id_a, id_b FROM lshp")
+
+# embed_components consumes the SAME deterministic LSH pair stream the
+# pipeline does (scale path — no O(n^2) stage), so its oracle is the
+# recursive min-label reachability over exactly those pairs.
+ORACLE_SQL["embed_components"] = (
+    "WITH RECURSIVE " + _lsh_pair_ctes() + """,
+        edges AS (SELECT id_a AS a, id_b AS b FROM lshp
+                  UNION ALL SELECT id_b, id_a FROM lshp),
+        reach(doc, lab) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.doc
         )
-        SELECT id_a, id_b
-        FROM cand
-        JOIN embeddings ea ON ea.vec_id = id_a
-        JOIN embeddings eb ON eb.vec_id = id_b
-        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                     CAST(eb.embedding AS DOUBLE[]))
-              >= {threshold}
-    """
-
-
-ORACLE_SQL["embed_near_dups_lsh"] = _lsh_oracle_sql()
+        SELECT doc AS vec_id, min(lab) AS component
+        FROM reach GROUP BY doc""")
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
