@@ -1,21 +1,22 @@
 """Windowed / per-key-ordered aggregates without per-group Python.
 
-The Ray Data shape for a per-key window at 10^8+ keys: a global sort
+The Ray Data shape for a per-key window at 10^8+ keys: ONE global sort
 co-locates and orders each key's rows, then every block computes
 VECTORIZED per-key run summaries (numpy segment reduces — no Python
-per key), and summaries are stitched hierarchically (each stitch pass
-is the same vectorized kernel over far fewer rows) until one block
-holds everything for the final emit. Per-key Python never runs —
-unlike groupby().map_groups, whose per-group call overhead dominates
-when there are millions of tiny groups.
+per key). Keys fully interior to a block are finished right there and
+emitted; only runs touching a block EDGE (first/last run of the block
+— at most 2 per block, independent of key count) need cross-block
+merging, and that tiny set goes through one groupby fixup. No
+single-block barrier, no repartition(1), no per-key Python on the
+interior path.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
-
-_SUMMARY_SCHEMA = ["user_id", "first_ts", "last_ts", "n_breaks"]
+import pyarrow.compute as pc
 
 
 def _segment_summaries(uids: np.ndarray, first_ts: np.ndarray,
@@ -47,69 +48,75 @@ def _segment_summaries(uids: np.ndarray, first_ts: np.ndarray,
             total_breaks)
 
 
-def _stitch_batch(batch: pa.Table, gap_ns: int) -> pa.Table:
-    if batch.num_rows == 0:
-        return pa.table({
-            "user_id": pa.array([], pa.int64()),
-            "first_ts": pa.array([], pa.int64()),
-            "last_ts": pa.array([], pa.int64()),
-            "n_breaks": pa.array([], pa.int64())})
-    uids = batch.column("user_id").to_numpy(zero_copy_only=False)
-    f = batch.column("first_ts").to_numpy(zero_copy_only=False)
-    l_ = batch.column("last_ts").to_numpy(zero_copy_only=False)
-    b = batch.column("n_breaks").to_numpy(zero_copy_only=False)
-    u2, f2, l2, b2 = _segment_summaries(uids, f, l_, b, gap_ns)
-    return pa.table({
-        "user_id": pa.array(u2, pa.int64()),
-        "first_ts": pa.array(f2, pa.int64()),
-        "last_ts": pa.array(l2, pa.int64()),
-        "n_breaks": pa.array(b2, pa.int64())})
-
-
 def sessionize(ds, gap_s: float = 1800.0, user_col: str = "user_id",
-               ts_col: str = "ts", stitch_passes: int = 1):
+               ts_col: str = "ts"):
     """→ (user_id, n_sessions): a new session starts when the gap to
     the user's previous event exceeds ``gap_s``.
 
     Shape: ONE global sort on (user, ts) → vectorized per-block run
-    summaries → ``stitch_passes`` hierarchical stitch rounds (sort over
-    the shrunken summaries, ~1 row per user per block) → final
-    single-block stitch + emit. No per-key Python anywhere; at 10^12
-    events raise stitch_passes so each round's output fits a block."""
+    summaries. A run that is neither the first nor the last run of its
+    block is a COMPLETE user (the sort made each user's rows globally
+    contiguous), so it's finalized map-side with zero further movement.
+    Edge runs — ≤2 per block, so the set is O(num_blocks), not
+    O(num_users) — are merged by one small groupby (per-group work is
+    a handful of rows). The narrow summary table is materialized once
+    to feed both consumers without re-running the sort."""
     gap_ns = int(gap_s * 1e9)
 
     def to_summaries(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "first_ts": pa.array([], pa.int64()),
+                "last_ts": pa.array([], pa.int64()),
+                "n_breaks": pa.array([], pa.int64()),
+                "is_edge": pa.array([], pa.bool_())})
         ts = batch.column(ts_col)
         if pa.types.is_timestamp(ts.type):
             # normalize any unit (s/ms/us/ns) to ns before int64
             ts = ts.cast(pa.timestamp("ns")).cast(pa.int64())
         else:
             ts = ts.cast(pa.int64())
-        t = pa.table({
-            "user_id": batch.column(user_col),
-            "first_ts": ts,
-            "last_ts": ts,
-            "n_breaks": pa.array(
-                np.zeros(batch.num_rows, dtype=np.int64)),
-        })
-        return _stitch_batch(t, gap_ns)
+        uids = batch.column(user_col).to_numpy(zero_copy_only=False)
+        t = ts.to_numpy(zero_copy_only=False)
+        zeros = np.zeros(batch.num_rows, dtype=np.int64)
+        u2, f2, l2, b2 = _segment_summaries(uids, t, t, zeros, gap_ns)
+        edge = np.zeros(u2.size, dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        return pa.table({
+            "user_id": pa.array(u2, pa.int64()),
+            "first_ts": pa.array(f2, pa.int64()),
+            "last_ts": pa.array(l2, pa.int64()),
+            "n_breaks": pa.array(b2, pa.int64()),
+            "is_edge": pa.array(edge)})
 
     summaries = ds.select_columns([user_col, ts_col]) \
         .sort([user_col, ts_col]) \
-        .map_batches(to_summaries, batch_format="pyarrow")
-    for _ in range(stitch_passes):
-        summaries = summaries.sort(["user_id", "first_ts"]) \
-            .map_batches(lambda b: _stitch_batch(b, gap_ns),
-                         batch_format="pyarrow")
+        .map_batches(to_summaries, batch_format="pyarrow") \
+        .materialize()  # narrow rows; feeds two consumers below
 
-    def final(batch: pa.Table) -> pa.Table:
-        merged = _stitch_batch(batch, gap_ns)
+    def finish_interior(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "user_id": merged.column("user_id"),
-            "n_sessions": pa.compute.add(
-                merged.column("n_breaks"), 1),
+            "user_id": batch.column("user_id"),
+            "n_sessions": pc.add(batch.column("n_breaks"),
+                                 pa.scalar(1, pa.int64())),
         })
 
-    # final stitch needs every key's remaining summaries in ONE block
-    return summaries.sort(["user_id", "first_ts"]) \
-        .repartition(1).map_batches(final, batch_format="pyarrow")
+    interior = summaries.filter(expr="is_edge == False") \
+        .map_batches(finish_interior, batch_format="pyarrow")
+
+    def fix_edges(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("first_ts")
+        f = g["first_ts"].to_numpy()
+        l_ = g["last_ts"].to_numpy()
+        breaks = int(g["n_breaks"].sum()) + \
+            int(((f[1:] - l_[:-1]) > gap_ns).sum())
+        return pd.DataFrame({
+            "user_id": g["user_id"].iloc[:1].reset_index(drop=True),
+            "n_sessions": pd.Series([breaks + 1], dtype="int64")})
+
+    edges = summaries.filter(expr="is_edge == True") \
+        .groupby("user_id").map_groups(fix_edges, batch_format="pandas")
+
+    return interior.union(edges)

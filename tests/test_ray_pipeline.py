@@ -447,7 +447,7 @@ def test_sessionize_vectorized_boundary_stitching(ray_session):
     rng.shuffle(rows)
     ds = ray.data.from_items(rows).repartition(13)  # split users
     got = {r["user_id"]: r["n_sessions"]
-           for r in sessionize(ds, stitch_passes=2).take_all()}
+           for r in sessionize(ds).take_all()}
     assert got == expect
 
 
