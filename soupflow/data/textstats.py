@@ -18,24 +18,58 @@ import pyarrow.compute as pc
 
 _TOKEN_RE = re.compile(r"\s+")
 # BPE-ish subword splitter: words, numbers, punctuation runs
-_BPEISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+# (RE2-compatible — no lookarounds — so Arrow's C++ kernel can run it)
+_BPEISH_PAT = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+_BPEISH_RE = re.compile(_BPEISH_PAT)
+
+
+def _text_array(batch: pa.Table, col: str = "text") -> pa.Array:
+    arr = pc.fill_null(batch.column(col), "")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def _ws_tokens(arr: pa.Array):
+    """Whitespace-split once (Arrow C++ kernel, Python str.split
+    semantics modulo kept empty edge tokens) → (list offsets as numpy,
+    flat token Array). Segment sums over any per-token predicate are
+    then one cumsum + offset gather."""
+    toks = pc.utf8_split_whitespace(arr)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy()
+    return offs - offs[0], pc.list_flatten(toks)
+
+
+def _segment_sum(hits: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    cs = np.concatenate([np.zeros(1, np.int64),
+                         np.cumsum(hits, dtype=np.int64)])
+    return cs[offs[1:]] - cs[offs[:-1]]
 
 
 def token_stats_batch(batch: pa.Table) -> pa.Table:
     """doc_id, n_tokens (whitespace), n_subtokens (BPE-ish regex),
-    n_chars_measured, n_alpha (non-space chars)."""
-    texts = batch.column("text").to_pandas().fillna("")
-    n_tokens = texts.str.split().str.len().fillna(0).astype("int64")
-    n_subtokens = texts.map(lambda t: len(_BPEISH_RE.findall(t)))
-    n_chars = texts.str.len().astype("int64")
-    n_alpha = texts.str.replace(" ", "", regex=False).str.len() \
-        .astype("int64")
+    n_chars_measured, n_alpha (non-space chars).
+
+    All counts are Arrow C++ kernels (RE2 regex count, whitespace
+    split, substring count) — zero per-row Python."""
+    arr = _text_array(batch)
+    offs, flat = _ws_tokens(arr)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n_tokens = _segment_sum(nonempty, offs)
+    n_subtokens = pc.count_substring_regex(arr, _BPEISH_PAT) \
+        .cast(pa.int64())
+    n_chars = pc.utf8_length(arr).cast(pa.int64())
+    # non-space chars, matching replace(" ", "").len semantics
+    n_alpha = pc.subtract(n_chars,
+                          pc.count_substring(arr, " ").cast(pa.int64()))
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_tokens": pa.array(n_tokens, pa.int64()),
-        "n_subtokens": pa.array(n_subtokens, pa.int64()),
-        "n_chars_measured": pa.array(n_chars, pa.int64()),
-        "n_alpha": pa.array(n_alpha, pa.int64()),
+        "n_subtokens": n_subtokens,
+        "n_chars_measured": n_chars,
+        "n_alpha": n_alpha,
     })
 
 
@@ -44,7 +78,9 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
 STOPWORDS = ("a", "an", "and", "are", "as", "at", "be", "by", "for",
              "from", "has", "in", "is", "it", "of", "on", "or", "that",
              "the", "to", "was", "were", "with")
-_PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
+_PUNCT_PAT = r"[!-/:-@\[-`{-~]"
+_PUNCT_RE = re.compile(_PUNCT_PAT)
+_STOPWORD_ARR = None  # lazy pa.array of STOPWORDS (per process)
 
 
 def quality_batch(batch: pa.Table) -> pa.Table:
@@ -52,23 +88,33 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     punctuation ratio ×1000 (ASCII punctuation chars / chars),
     stopword ratio ×1000 (stopword tokens / tokens), and an is_quality
     flag (length in [5, 100000] tokens, mean token len ≤ 12).
-    All vectorized pandas string kernels."""
-    texts = batch.column("text").to_pandas().fillna("")
-    n_tokens = texts.str.split().str.len().fillna(0).astype("int64")
-    n_alpha = texts.str.replace(" ", "", regex=False).str.len() \
-        .astype("int64")
-    n_chars = texts.str.len().astype("int64")
+
+    All Arrow C++ kernels: ONE whitespace split feeds both the token
+    count and the stopword membership (is_in hash lookup over the flat
+    token stream + cumsum segment sum) — zero per-row Python."""
+    global _STOPWORD_ARR
+    if _STOPWORD_ARR is None:
+        _STOPWORD_ARR = pa.array(list(STOPWORDS))
+    arr = _text_array(batch)
+    offs, flat = _ws_tokens(arr)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n_tokens = pd.Series(_segment_sum(nonempty, offs))
+    n_chars_a = pc.utf8_length(arr).cast(pa.int64())
+    n_alpha = pc.subtract(
+        n_chars_a, pc.count_substring(arr, " ").cast(pa.int64())) \
+        .to_numpy(zero_copy_only=False)
+    n_chars = n_chars_a.to_numpy(zero_copy_only=False)
     mean_len_x100 = np.where(n_tokens > 0,
                              (n_alpha * 100) // n_tokens.clip(lower=1),
                              0).astype("int64")
-    n_punct = texts.str.count(_PUNCT_RE).astype("int64")
+    n_punct = pc.count_substring_regex(arr, _PUNCT_PAT) \
+        .cast(pa.int64()).to_numpy(zero_copy_only=False)
     punct_x1000 = np.where(n_chars > 0,
-                           (n_punct * 1000) // n_chars.clip(lower=1),
+                           (n_punct * 1000) // np.maximum(n_chars, 1),
                            0).astype("int64")
-    sw = set(STOPWORDS)
-    n_stop = texts.map(
-        lambda t: sum(1 for w in t.split() if w in sw)) \
-        .astype("int64")
+    hits = pc.is_in(flat, value_set=_STOPWORD_ARR) \
+        .to_numpy(zero_copy_only=False)
+    n_stop = _segment_sum(hits, offs)
     stop_x1000 = np.where(n_tokens > 0,
                           (n_stop * 1000) // n_tokens.clip(lower=1),
                           0).astype("int64")
