@@ -44,59 +44,67 @@ def exact_dedup_groups(ds, text_col: str = "text"):
     return agg
 
 
-def exact_dedup(ds, text_col: str = "text"):
+def exact_dedup(ds, text_col: str = "text", join: str = "broadcast",
+                num_partitions: int = 32):
     """Keep one representative row per distinct text (min doc_id).
 
-    Scale shape — NO per-group Python over the full key space (a
-    map_groups keep-first makes every distinct document a Python group
-    call): ONE sort on (fp, doc_id) makes each key's global first row
-    the first row of its first batch, a vectorized block-local filter
-    keeps batch-leading rows per key, and only the batch-BOUNDARY keys
-    (one per batch — a tiny broadcast set) need a per-group fix-up for
-    runs that straddle batches."""
+    Scale shape — the text column NEVER enters a shuffle: a narrow
+    (fp, doc_id) projection carries the ONE groupby (min doc_id +
+    count per content hash), and only groups with n >= 2 — the
+    duplicate clusters, a tiny fraction of the corpus — produce any
+    cross-worker state. The keep decision is then made map-side over
+    the original rows (recomputing fp is cheap C hashing; re-sorting
+    the corpus text over the network is not).
+
+    ``join``: "broadcast" (default) ships the duplicate fp → keeper_id
+    map once via ray.put — dup-cluster-sized (~40 B per duplicate
+    GROUP, independent of corpus size). "partitioned" keeps everything
+    distributed for dup maps beyond driver memory: the dropped doc_ids
+    come from a narrow hash join, then ONE corpus-wide left_anti hash
+    join on doc_id (hash partitioning, no range-sampling sort).
+
+    Output schema = input columns + fp (kept for compatibility with
+    group-level consumers)."""
     import ray
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Min
 
-    with_fp = ds.map_batches(
-        lambda b: _hash_col_batch(b, text_col), batch_format="pyarrow")
-    ordered = with_fp.sort(["fp", "doc_id"])
+    def narrow_fp(batch: pa.Table) -> pa.Table:
+        t = _hash_col_batch(batch, text_col)
+        return t.select(["fp", "doc_id"])
+    narrow_fp.__name__ = "project_fp_doc_id"
 
-    def local_first(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        fps = batch.column("fp").to_pylist()
-        mask = [True] + [fps[i] != fps[i - 1]
-                         for i in range(1, len(fps))]
-        return batch.filter(pa.array(mask))
+    narrow = ds.map_batches(narrow_fp, batch_format="pyarrow")
+    dup_groups = narrow.groupby("fp").aggregate(
+        Min("doc_id", alias_name="keeper_id"),
+        Count(alias_name="n")).filter(expr="n >= 2") \
+        .select_columns(["fp", "keeper_id"])
 
-    cand = ordered.map_batches(local_first,
-                               batch_format="pyarrow").materialize()
-    # keys that can be duplicated = the first key of each batch
-    firsts = cand.map_batches(
-        lambda b: pa.table({"fp": b.column("fp").slice(0, 1)})
-        if b.num_rows else pa.table({"fp": pa.array([], pa.string())}),
-        batch_format="pyarrow").take_all()
-    boundary = {r["fp"] for r in firsts}
-    b_ref = ray.put(boundary)
+    if join == "partitioned":
+        dropped = narrow.join(
+            dup_groups, join_type="inner",
+            num_partitions=num_partitions, on=("fp",)) \
+            .filter(expr="doc_id != keeper_id") \
+            .select_columns(["doc_id"])
+        kept = ds.map_batches(
+            lambda b: _hash_col_batch(b, text_col),
+            batch_format="pyarrow").join(
+            dropped, join_type="left_anti",
+            num_partitions=num_partitions, on=("doc_id",))
+        return kept
 
-    def split(keep_boundary: bool):
-        def fn(batch: pa.Table) -> pa.Table:
-            keys = ray.get(b_ref)
-            mask = [(f in keys) == keep_boundary
-                    for f in batch.column("fp").to_pylist()]
-            return batch.filter(pa.array(mask))
-        fn.__name__ = f"split_boundary_{keep_boundary}"
-        return fn
+    dup_map = {r["fp"]: r["keeper_id"] for r in dup_groups.take_all()}
+    handle = ray.put(dup_map)  # broadcast once
 
-    clean = cand.map_batches(split(False), batch_format="pyarrow")
+    def keep(batch: pa.Table) -> pa.Table:
+        mapping = ray.get(handle)
+        with_fp = _hash_col_batch(batch, text_col)
+        fps = with_fp.column("fp").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        mask = [mapping.get(f, i) == i for f, i in zip(fps, ids)]
+        return with_fp.filter(pa.array(mask))
+    keep.__name__ = "drop_non_keepers"
 
-    def first_per_group(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, "doc_id")
-
-    fixed = cand.map_batches(split(True), batch_format="pyarrow") \
-        .groupby("fp").map_groups(first_per_group,
-                                  batch_format="pandas")
-    return clean.union(fixed)
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 # -- MinHash + LSH ----------------------------------------------------------

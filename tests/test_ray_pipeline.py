@@ -491,6 +491,24 @@ def test_exact_dedup_keep_first_across_batches(ray_session):
     assert got == sorted((f"text {k}", k) for k in range(23))
 
 
+def test_exact_dedup_partitioned_matches_broadcast(ray_session):
+    """The distributed (join="partitioned") escape hatch must keep the
+    exact same rows as the broadcast dup-map path."""
+    import ray.data
+    from soupflow.data.dedup import exact_dedup
+    texts = [f"text {i % 23}" for i in range(400)]
+    tbl = pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                    "text": texts})
+    ds = ray.data.from_arrow(tbl).repartition(9)
+    bc = sorted((r["text"], r["doc_id"], r["fp"])
+                for r in exact_dedup(ds).take_all())
+    pt = sorted((r["text"], r["doc_id"], r["fp"])
+                for r in exact_dedup(ds, join="partitioned",
+                                     num_partitions=4).take_all())
+    assert bc == pt
+    assert [t for t, _, _ in bc] == sorted(f"text {k}" for k in range(23))
+
+
 def test_extract_actor_provenance_schema(ray_session, interleaved_dir):
     import ray.data
     from soupflow.extract import SPAN_PROV_STRUCT, ExtractActor
