@@ -149,9 +149,18 @@ def _shingle_hashes(text: str, k: int = 3,
     return acc
 
 
+_EMPTY_WORD_HASH = int.from_bytes(
+    hashlib.blake2b(b"", digest_size=8).digest(), "big")
+
+
 class MinHashActor:
     """Signature stage: permutation params generated once per actor
-    (seeded), signatures computed vectorized per document."""
+    (seeded), signatures computed batch-vectorized.
+
+    Word hashing follows the simhash pattern: ONE np.unique over the
+    batch's flat word stream, blake2b only on unique words (further
+    amortized by the per-worker memo), then a gather back to
+    instances — the per-occurrence Python dict loop is gone."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3,
                  seed: int = 42) -> None:
@@ -167,7 +176,7 @@ class MinHashActor:
         # amortizes to ~one per distinct word per worker
         self._word_memo: dict[str, int] = {}
 
-    def _word_hashes(self, words: list[str]) -> np.ndarray:
+    def _word_hashes(self, words) -> np.ndarray:
         memo = self._word_memo
         if len(memo) > 2_000_000:  # adversarial-vocabulary bound
             memo.clear()
@@ -182,21 +191,85 @@ class MinHashActor:
         return out
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.shingle_k,
-                             word_hasher=self._word_hashes)
-        if sh.size == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        # (num_perm, n_shingles) universal hashing, min per row
-        vals = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+        return self.signatures_batch([text])[0]
+
+    def _doc_shingles(self, texts) -> list[np.ndarray]:
+        """Per-doc shingle-hash arrays, word hashing batched: unique
+        words once per batch, gather to instances, position-mix per
+        doc (identical arithmetic to _shingle_hashes)."""
+        k = self.shingle_k
+        words_per_doc = [(t or "").split() for t in texts]
+        lens = np.array([len(w) for w in words_per_doc],
+                        dtype=np.int64)
+        flat = [w for ws in words_per_doc for w in ws]
+        if flat:
+            uniq, inv = np.unique(np.array(flat, dtype=object),
+                                  return_inverse=True)
+            inst = self._word_hashes(uniq)[inv]
+        else:
+            inst = np.empty(0, dtype=np.uint64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        out: list[np.ndarray] = []
+        with np.errstate(over="ignore"):
+            for d in range(len(texts)):
+                wh = inst[offs[d]:offs[d + 1]]
+                n_w = wh.size
+                if n_w == 0:
+                    out.append(np.array([_EMPTY_WORD_HASH],
+                                        dtype=np.uint64))
+                    continue
+                if n_w < k:
+                    acc = np.zeros(1, dtype=np.uint64)
+                    for j in range(n_w):
+                        acc ^= wh[j:j + 1] * _POS_MIX[j % len(_POS_MIX)]
+                else:
+                    m = n_w - k + 1
+                    acc = np.zeros(m, dtype=np.uint64)
+                    for j in range(k):
+                        acc ^= wh[j:j + m] * _POS_MIX[j % len(_POS_MIX)]
+                out.append(acc)
+        return out
+
+    def signatures_batch(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signatures. The universal-hash
+        min runs over the CONCATENATED shingle stream with ONE
+        minimum.reduceat per chunk (chunks bound the
+        num_perm × n_shingles temporary to ~32 MB)."""
+        doc_sh = self._doc_shingles(texts)
+        n = len(doc_sh)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        max_sh = max(1, 4_000_000 // self.num_perm)
+        start = 0
+        while start < n:
+            end, tot = start, 0
+            while end < n and (end == start
+                               or tot + doc_sh[end].size <= max_sh):
+                tot += doc_sh[end].size
+                end += 1
+            sh = (doc_sh[start] if end == start + 1
+                  else np.concatenate(doc_sh[start:end]))
+            with np.errstate(over="ignore"):
+                vals = (self.a[:, None] * sh[None, :]
+                        + self.b[:, None]) % _MERSENNE
+            seg = np.concatenate(
+                [[0], np.cumsum([s.size for s in
+                                 doc_sh[start:end]])[:-1]]).astype(
+                np.int64)
+            sigs[start:end] = np.minimum.reduceat(
+                vals, seg, axis=1).T
+            start = end
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = [self.signature(t or "") for t in texts]
+        sigs = self.signatures_batch(texts)
+        flat = pa.array(sigs.ravel(), pa.uint64())
+        offsets = pa.array(
+            np.arange(0, (len(texts) + 1) * self.num_perm,
+                      self.num_perm, dtype=np.int32))
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "sig": pa.array([s.tolist() for s in sigs],
-                            pa.list_(pa.uint64())),
+            "sig": pa.ListArray.from_arrays(offsets, flat),
         })
 
 
@@ -215,33 +288,48 @@ def _minhash_task(num_perm: int, shingle_k: int):
     return fn
 
 
+def _band_key_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) int64 band keys: splitmix-style fold of each
+    band's signature rows with the band index mixed in. Identical
+    signature chunks → identical keys (the LSH property); random
+    cross-chunk collisions are 2⁻⁶⁴-scale, same as the blake2b
+    hexdigest keys this replaces — but computed fully vectorized and
+    shuffled as 8-byte ints instead of 16-char strings."""
+    n, num_perm = sigs.shape
+    rpb = num_perm // bands
+    s3 = sigs.reshape(n, bands, rpb)
+    with np.errstate(over="ignore"):
+        h = np.full((n, bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
+        for j in range(rpb):
+            h = (h ^ s3[:, :, j]) * np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(31)
+        h ^= (np.arange(bands, dtype=np.uint64)[None, :]
+              * np.uint64(0x94D049BB133111EB))
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xD6E8FEB86659FD93)
+        h ^= h >> np.uint64(29)
+    return h.view(np.int64)
+
+
 def minhash_lsh_buckets(ds, num_perm: int = 64, bands: int = 16,
                         shingle_k: int = 3):
     """documents → (band_key, doc_id) pairs via banding; ONE groupby on
     band_key co-locates near-dup candidates."""
-    rows_per_band = num_perm // bands
-
     # task-based: MinHashActor instance cached per worker process
     # (same amortization as an actor pool, no pool upscaling stalls)
     sigs = ds.map_batches(
         _minhash_task(num_perm, shingle_k), batch_format="pyarrow")
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        sig_lists = batch.column("sig").to_pylist()
-        out_keys, out_docs = [], []
-        for doc_id, sig in zip(doc_ids, sig_lists):
-            for b in range(bands):
-                chunk = tuple(sig[b * rows_per_band:(b + 1) *
-                                  rows_per_band])
-                key = hashlib.blake2b(
-                    (str(b) + ":" + ",".join(map(str, chunk))).encode(),
-                    digest_size=8).hexdigest()
-                out_keys.append(key)
-                out_docs.append(doc_id)
+        col = batch.column("sig")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        sig_m = flat.astype(np.uint64, copy=False).reshape(-1, num_perm)
+        keys = _band_key_matrix(sig_m, bands)
+        idx = np.repeat(np.arange(sig_m.shape[0]), bands)
         return pa.table({
-            "band_key": pa.array(out_keys, pa.string()),
-            "doc_id": pa.array(out_docs),
+            "band_key": pa.array(keys.ravel(), pa.int64()),
+            "doc_id": batch.column("doc_id").take(pa.array(idx)),
         })
 
     return sigs.map_batches(to_bands, batch_format="pyarrow")
@@ -295,23 +383,30 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
 
         pairs = joined.map_batches(emit, batch_format="pyarrow")
     else:
-        keeper_by_band = {r["band_key"]: r["keeper"]
-                          for r in dup_buckets.take_all()}
-        handle = ray.put(keeper_by_band)  # broadcast once
+        dup_rows = dup_buckets.take_all()
+        bk = np.array([r["band_key"] for r in dup_rows],
+                      dtype=np.int64)
+        kp = np.array([r["keeper"] for r in dup_rows], dtype=np.int64)
+        order = np.argsort(bk)
+        handle = ray.put((bk[order], kp[order]))  # broadcast once
 
         def attach(batch: pa.Table) -> pa.Table:
-            mapping = ray.get(handle)
-            keys = batch.column("band_key").to_pylist()
-            ids = batch.column("doc_id").to_pylist()
-            out_doc, out_dup = [], []
-            for key, doc_id in zip(keys, ids):
-                keeper = mapping.get(key)
-                if keeper is not None and keeper != doc_id:
-                    out_doc.append(doc_id)
-                    out_dup.append(keeper)
+            bk_s, kp_s = ray.get(handle)
+            keys = batch.column("band_key") \
+                .to_numpy(zero_copy_only=False)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             id_type = batch.column("doc_id").type
-            return pa.table({"doc_id": pa.array(out_doc, id_type),
-                             "dup_of": pa.array(out_dup, id_type)})
+            if bk_s.size == 0 or keys.size == 0:
+                return pa.table({
+                    "doc_id": pa.array([], id_type),
+                    "dup_of": pa.array([], id_type)})
+            pos = np.searchsorted(bk_s, keys)
+            pos_c = np.minimum(pos, bk_s.size - 1)
+            keeper = kp_s[pos_c]
+            mask = (bk_s[pos_c] == keys) & (keeper != ids)
+            return pa.table({
+                "doc_id": pa.array(ids[mask], id_type),
+                "dup_of": pa.array(keeper[mask], id_type)})
 
         pairs = buckets.map_batches(attach, batch_format="pyarrow")
     # same pair can surface from several bands; dedup via groupby min
@@ -529,44 +624,39 @@ def _jaccard_pair_stream(ds, threshold: float = 0.8,
     import ray
     from ray.data.aggregate import Count
 
-    rows_per_band = num_perm // bands
-
     buckets = minhash_lsh_buckets(ds, num_perm, bands,
                                   shingle_k).materialize()
     agg = buckets.groupby("band_key").aggregate(Count(alias_name="n"))
-    dup_keys = {r["band_key"]
-                for r in agg.filter(expr="n >= 2").take_all()}
-    handle = ray.put(dup_keys)  # broadcast once
+    dup_keys = np.sort(np.array(
+        [r["band_key"] for r in agg.filter(expr="n >= 2").take_all()],
+        dtype=np.int64))
+    handle = ray.put(dup_keys)  # broadcast once (sorted int64 keys)
 
     def band_candidates(batch: pa.Table) -> pa.Table:
-        """Re-band; emit (band_key, doc_id, text) only for duplicate
-        buckets (text attached only for candidates)."""
-        keys_of_interest = ray.get(handle)
+        """Re-band (batch-vectorized signatures + key matrix); emit
+        (band_key, doc_id, text) only for duplicate buckets —
+        membership via searchsorted against the broadcast sorted
+        keys, text attached only for candidate rows."""
+        keys_sorted = ray.get(handle)
         key = (num_perm, shingle_k)
         actor = _MINHASH_CACHE.get(key)
         if actor is None:
             actor = _MINHASH_CACHE[key] = MinHashActor(
                 num_perm=num_perm, shingle_k=shingle_k)
-        doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_keys, out_docs, out_texts = [], [], []
-        for doc_id, text in zip(doc_ids, texts):
-            sig = actor.signature(text or "")
-            for b in range(bands):
-                chunk = tuple(sig[b * rows_per_band:(b + 1) *
-                                  rows_per_band])
-                bkey = hashlib.blake2b(
-                    (str(b) + ":" + ",".join(map(str, chunk))).encode(),
-                    digest_size=8).hexdigest()
-                if bkey in keys_of_interest:
-                    out_keys.append(bkey)
-                    out_docs.append(doc_id)
-                    out_texts.append(text)
-        id_type = batch.column("doc_id").type
+        sigs = actor.signatures_batch(texts)
+        keys = _band_key_matrix(sigs, bands).ravel()
+        if keys_sorted.size and keys.size:
+            pos = np.minimum(np.searchsorted(keys_sorted, keys),
+                             keys_sorted.size - 1)
+            mask = keys_sorted[pos] == keys
+        else:
+            mask = np.zeros(keys.size, dtype=bool)
+        take = pa.array(np.repeat(np.arange(len(texts)), bands)[mask])
         return pa.table({
-            "band_key": pa.array(out_keys, pa.string()),
-            "doc_id": pa.array(out_docs, id_type),
-            "text": pa.array(out_texts, pa.string()),
+            "band_key": pa.array(keys[mask], pa.int64()),
+            "doc_id": batch.column("doc_id").take(take),
+            "text": batch.column("text").take(take),
         })
 
     banded = ds.map_batches(band_candidates, batch_format="pyarrow")
