@@ -166,10 +166,13 @@ def main() -> None:
         # is measured BOTH before and after the pipeline runs and the
         # mean is used for normalization, and (b) GRAFT_SCALING_TRIALS
         # (default 1) repeats the whole measurement and keeps the
-        # best-raw-efficiency trial — the pipeline's scaling ability is
-        # the quantity of interest, not the co-tenant's schedule.
+        # best-pipeline-efficiency trial — the pipeline's scaling
+        # ability is the quantity of interest, not the co-tenant's
+        # schedule — while recording EVERY trial's numbers in
+        # all_trials so the spread is visible next to the headline.
         trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "1"))
         best = None
+        all_trials = []
         for _trial in range(trials):
             cpu_before = raw_cpu_scaling()
             results = {}
@@ -210,9 +213,18 @@ def main() -> None:
                 "trials": trials,
                 "sf": SF_DIR,
             }
+            all_trials.append({
+                "efficiency": efficiency,
+                "raw_cpu_ceiling": ceiling,
+                "normalized_efficiency": normalized,
+                "docs_per_s_8cpus": tput8,
+                "docs_per_s_32cpus": tput32,
+            })
             if best is None or efficiency > best[0]["value"]:
                 best = (report, results)
         report, results = best
+        report["all_trials"] = all_trials
+        report["selection"] = "best pipeline efficiency over trials"
         print(json.dumps(report))
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/SCALING.json", "w") as f:

@@ -92,15 +92,24 @@ def exact_dedup(ds, text_col: str = "text", join: str = "broadcast",
             num_partitions=num_partitions, on=("doc_id",))
         return kept
 
-    dup_map = {r["fp"]: r["keeper_id"] for r in dup_groups.take_all()}
-    handle = ray.put(dup_map)  # broadcast once
+    dup_rows = dup_groups.take_all()
+    fp_s = np.array([r["fp"] for r in dup_rows])
+    kp_s = np.array([r["keeper_id"] for r in dup_rows], dtype=np.int64)
+    order = np.argsort(fp_s)
+    handle = ray.put((fp_s[order], kp_s[order]))  # broadcast once
 
     def keep(batch: pa.Table) -> pa.Table:
-        mapping = ray.get(handle)
+        fp_sorted, kp_sorted = ray.get(handle)
         with_fp = _hash_col_batch(batch, text_col)
-        fps = with_fp.column("fp").to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        mask = [mapping.get(f, i) == i for f, i in zip(fps, ids)]
+        if fp_sorted.size == 0:
+            return with_fp
+        fps = np.asarray(with_fp.column("fp").to_pylist())
+        ids = with_fp.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(fp_sorted, fps),
+                         fp_sorted.size - 1)
+        # keep rows whose fp is not a dup-group key, or that ARE the
+        # group's keeper
+        mask = (fp_sorted[pos] != fps) | (kp_sorted[pos] == ids)
         return with_fp.filter(pa.array(mask))
     keep.__name__ = "drop_non_keepers"
 

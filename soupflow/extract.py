@@ -107,9 +107,13 @@ def extract_spans(root: Element, *, drop_boilerplate: bool = True,
 
     ``provenance``: when True (and the document was parsed with
     ``ParseSettings(track_source_ranges=True)``) each span carries
-    src_start/src_end byte offsets back into the raw input — a text
-    span covers its first through last contributing source text node,
-    a media span its element's start tag; -1 when unknown.
+    src_start/src_end character (code-point) offsets back into the
+    raw input string — slice with ``src[start:end]`` on the Python
+    str, NOT on its encoded bytes (they differ on non-ASCII input;
+    these are the same str-slicing semantics patched_outer_html
+    uses). A text span covers its first through last contributing
+    source text node, a media span its element's start tag; -1 when
+    unknown.
     """
     spans: list[dict] = []
     buf: list[str] = []
