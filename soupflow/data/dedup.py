@@ -520,7 +520,9 @@ def _hamming_matrix(sims: np.ndarray) -> np.ndarray:
         .sum(axis=-1, dtype=np.int16)
 
 
-def simhash_near_dups(ds, max_hamming: int = 3):
+def simhash_near_dups(ds, max_hamming: int = 3,
+                      join: str = "broadcast",
+                      num_partitions: int = 32):
     """→ (doc_id, min dup_of) over all pairs with Hamming ≤ max_hamming
     — exact (full recall) for max_hamming ≤ 3 by the 6-choose-3 block
     pigeonhole, so it carries a SQL oracle (the O(n²) bit_count join).
@@ -536,9 +538,18 @@ def simhash_near_dups(ds, max_hamming: int = 3):
     Phase 2 is a single map over the hashed docs: each doc checks its
     20 keys against the broadcast map, gathers candidate partners,
     verifies with a vectorized XOR-popcount, and emits its min smaller
-    partner directly — exactly once per doc, so no final groupby."""
+    partner directly — exactly once per doc, so no final groupby.
+
+    ``join="partitioned"``: overflow path for dup-bucket member maps
+    beyond driver memory — everything stays distributed: an inner hash
+    join keeps only candidate narrow rows (combo_key, doc_id, simhash:
+    24 B/row), ONE groupby(combo_key) co-locates each duplicate
+    bucket, a vectorized pairwise XOR-popcount verifies inside the
+    group, and a final groupby(doc_id).min folds per-bucket emissions
+    to the per-doc min partner. Output identical to broadcast mode
+    (parity-tested)."""
     import ray
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Min
 
     # materialized: feeds both the bucket count and the verify map
     hashed = ds.map_batches(simhash_batch,
@@ -546,6 +557,48 @@ def simhash_near_dups(ds, max_hamming: int = 3):
     keyed = hashed.map_batches(simhash_combo_keys,
                                batch_format="pyarrow")
     agg = keyed.groupby("combo_key").aggregate(Count(alias_name="n"))
+
+    if join == "partitioned":
+        # repartition: aggregate output can carry zero-schema empty
+        # partition blocks that break the Arrow hash join (see
+        # _components_labels_partitioned); one int64 column, cheap.
+        dup_key_ds = agg.filter(expr="n >= 2") \
+            .select_columns(["combo_key"]).repartition(num_partitions)
+        cand = keyed.join(dup_key_ds, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("combo_key",))
+
+        def verify(group: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "dup_of": pd.Series([], dtype="int64")})
+            m = len(group)
+            if m < 2:
+                return empty
+            ids = group["doc_id"].to_numpy(dtype=np.int64)
+            sims = np.ascontiguousarray(
+                group["simhash"].to_numpy(dtype=np.int64)) \
+                .view(np.uint64)
+            order = np.argsort(ids)
+            ids, sims = ids[order], sims[order]
+            xor = sims[:, None] ^ sims[None, :]
+            ham = _POP8[xor.view(np.uint8).reshape(m, m, 8)] \
+                .sum(axis=2, dtype=np.int16)
+            close = ham <= max_hamming
+            out_doc, out_dup = [], []
+            for i in range(1, m):
+                js = np.nonzero(close[i, :i])[0]
+                if js.size:  # ids sorted → first hit is the min id
+                    out_doc.append(int(ids[i]))
+                    out_dup.append(int(ids[js[0]]))
+            return pd.DataFrame({"doc_id": out_doc,
+                                 "dup_of": out_dup})
+
+        pairs = cand.groupby("combo_key").map_groups(
+            verify, batch_format="pandas")
+        return pairs.groupby("doc_id").aggregate(
+            Min("dup_of", alias_name="dup_of"))
+
     dup_keys = np.sort(np.array(
         [r["combo_key"] for r in agg.filter(expr="n >= 2").take_all()],
         dtype=np.int64))
@@ -723,16 +776,120 @@ def ngram_jaccard_near_dups(ds, threshold: float = 0.8,
 
 # -- near-duplicate connected components ------------------------------------
 
+def _components_labels_partitioned(pairs_ds, *, pair_a: str,
+                                   pair_b: str,
+                                   num_partitions: int = 32,
+                                   max_iters: int = 50):
+    """Fully-distributed connected-components labels → (node, label)
+    for every node in the pair stream, label = component min doc_id.
+    Iterative min-label propagation expressed entirely in Ray Data:
+    each round is ONE partitioned hash join (neighbor labels onto
+    edges) + ONE groupby-min; labels are monotonically non-increasing,
+    so a Sum(label) fixed point detects convergence (O(cluster
+    diameter) rounds — near-clique LSH dup clusters converge in 2).
+    Nothing touches the driver except the per-round checksum."""
+    from ray.data.aggregate import Min, Sum
+    import pyarrow.compute as pc
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        t1 = pa.table({"u": batch.column(pair_a),
+                       "v": batch.column(pair_b)})
+        t2 = pa.table({"u": batch.column(pair_b),
+                       "v": batch.column(pair_a)})
+        return pa.concat_tables([t1, t2])
+
+    edges = pairs_ds.select_columns([pair_a, pair_b]).map_batches(
+        both_dirs, batch_format="pyarrow").materialize()
+
+    # initial label = min(self, min neighbor): one propagation folded
+    # into the seeding groupby
+    def seed_label(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("u"),
+            "label": pc.min_element_wise(batch.column("u"),
+                                         batch.column("label")),
+        })
+
+    # repartition before every materialize: hash-shuffle aggregates
+    # emit empty partitions as ZERO-SCHEMA blocks, map_batches skips
+    # empty blocks (so no UDF can normalize them), and a schema-less
+    # block in any right-side join partition fails the Arrow hash
+    # join with "No match for FieldRef". Labels are two int64
+    # columns, so the extra narrow shuffle is noise next to the join.
+    lab = edges.groupby("u").aggregate(
+        Min("v", alias_name="label")).map_batches(
+        seed_label, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        row = lab.aggregate(Sum("label", alias_name="s"))
+        cur_sum = row["s"] if row else 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        # map_batches projection, NOT select_columns: Ray 2.49's
+        # projection pushdown drops the right join key ("node") from
+        # the shared `lab` plan when a select_columns sits directly on
+        # a right_on join whose right side also feeds self_lab,
+        # failing the Arrow hash join with "No match for FieldRef".
+        prop = edges.join(
+            lab, join_type="inner", num_partitions=num_partitions,
+            on=("v",), right_on=("node",)) \
+            .map_batches(lambda b: b.select(["u", "label"]),
+                         batch_format="pyarrow")
+        self_lab = lab.map_batches(
+            lambda b: pa.table({"u": b.column("node"),
+                                "label": b.column("label")}),
+            batch_format="pyarrow")
+        lab = prop.union(self_lab).groupby("u").aggregate(
+            Min("label", alias_name="label")).map_batches(
+            lambda b: pa.table({"node": b.column("u"),
+                                "label": b.column("label")}),
+            batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
+    return lab
+
+
 def components_from_pairs(pairs_ds, docs_ds, *, pair_a: str,
                           pair_b: str, id_col: str,
-                          out_col: str = "component"):
-    """Generic connected components over an undirected pair graph:
-    union-find (by min root, path compression) over the collected pair
-    rows — bounded by the dup-cluster size class, see BASELINE.md —
-    then ONE broadcast of the component map and a map-side label pass
-    over docs_ds. Returns (id_col, out_col) for every row of docs_ds;
-    singletons label themselves."""
+                          out_col: str = "component",
+                          join: str = "broadcast",
+                          num_partitions: int = 32):
+    """Generic connected components over an undirected pair graph.
+
+    ``join="broadcast"`` (default): union-find (by min root, path
+    compression) over the collected pair rows — bounded by the
+    dup-cluster size class, see BASELINE.md — then ONE broadcast of
+    the component map and a map-side label pass over docs_ds.
+
+    ``join="partitioned"``: the overflow path for dup graphs beyond
+    driver memory — distributed min-label propagation
+    (_components_labels_partitioned) followed by ONE left_outer hash
+    join of the narrow (id) corpus projection against the label
+    table; null labels (singletons) fill with their own id map-side.
+
+    Returns (id_col, out_col) for every row of docs_ds; singletons
+    label themselves."""
     import ray
+    import pyarrow.compute as pc
+
+    if join == "partitioned":
+        labels = _components_labels_partitioned(
+            pairs_ds, pair_a=pair_a, pair_b=pair_b,
+            num_partitions=num_partitions)
+        joined = docs_ds.select_columns([id_col]).join(
+            labels, join_type="left_outer",
+            num_partitions=num_partitions,
+            on=(id_col,), right_on=("node",))
+
+        def finish(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col)
+            filled = pc.coalesce(batch.column("label"), ids)
+            return pa.table({id_col: ids,
+                             out_col: filled.cast(ids.type)})
+
+        return joined.map_batches(finish, batch_format="pyarrow")
 
     parent: dict = {}
 

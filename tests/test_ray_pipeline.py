@@ -509,6 +509,92 @@ def test_exact_dedup_partitioned_matches_broadcast(ray_session):
     assert [t for t, _, _ in bc] == sorted(f"text {k}" for k in range(23))
 
 
+def _high_dup_corpus():
+    """High-dup synthetic corpus: every third base doc gets a near-dup
+    variant, so dup clusters are dense (the regime where broadcast
+    maps would be largest relative to the corpus)."""
+    base = [f"the quick brown fox jumps over the lazy dog {i} extra "
+            "words here for shingles and stable simhash bits"
+            for i in range(60)]
+    ids, texts, did = [], [], 0
+    for i, b in enumerate(base):
+        ids.append(did); texts.append(b); did += 1
+        if i % 3 == 0:
+            ids.append(did); texts.append(b + " tail"); did += 1
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": texts})
+
+
+def test_simhash_partitioned_matches_broadcast(ray_session):
+    """The fully-distributed simhash verify (inner-join candidate
+    filter + per-bucket groupby popcount) must emit exactly the
+    broadcast member-map path's (doc_id, dup_of) rows."""
+    import ray.data
+    from soupflow.data.dedup import simhash_near_dups
+    tbl = _high_dup_corpus()
+    bc = sorted((r["doc_id"], r["dup_of"]) for r in
+                simhash_near_dups(ray.data.from_arrow(tbl)).take_all())
+    pt = sorted((r["doc_id"], r["dup_of"]) for r in
+                simhash_near_dups(ray.data.from_arrow(tbl),
+                                  join="partitioned",
+                                  num_partitions=4).take_all())
+    assert bc == pt and len(bc) > 0
+
+
+def test_components_partitioned_matches_broadcast(ray_session):
+    """Distributed min-label propagation must produce the same
+    component labels as the driver-side union-find, including
+    transitive chains and singleton self-labels."""
+    import pandas as pd
+    import ray.data
+    from soupflow.data.dedup import components_from_pairs
+    # chains (1-2-3), (5-6), (7-8-9) plus singletons; edges given in
+    # both orientations worth of asymmetry (a<b and a>b mixed)
+    pairs = ray.data.from_pandas(pd.DataFrame(
+        {"a": [1, 3, 5, 8, 8], "b": [2, 2, 6, 7, 9]}))
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(range(12))}))
+    bc = sorted((r["doc_id"], r["component"]) for r in
+                components_from_pairs(pairs, docs, pair_a="a",
+                                      pair_b="b",
+                                      id_col="doc_id").take_all())
+    pt = sorted((r["doc_id"], r["component"]) for r in
+                components_from_pairs(pairs, docs, pair_a="a",
+                                      pair_b="b", id_col="doc_id",
+                                      join="partitioned",
+                                      num_partitions=4).take_all())
+    assert bc == pt
+    got = dict(pt)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[5] == got[6] == 5
+    assert got[7] == got[8] == got[9] == 7
+    assert got[0] == 0 and got[4] == 4 and got[11] == 11
+
+
+def test_components_partitioned_high_dup_jaccard(ray_session):
+    """End-to-end parity on a real pair stream: jaccard candidate
+    pairs from the high-dup corpus, labeled via both component
+    paths."""
+    import ray.data
+    from soupflow.data.dedup import (_jaccard_pair_stream,
+                                     components_from_pairs)
+    tbl = _high_dup_corpus()
+    ds = ray.data.from_arrow(tbl)
+    pairs = _jaccard_pair_stream(ds, threshold=0.5).materialize()
+    docs = ray.data.from_arrow(tbl.select(["doc_id"]))
+    bc = sorted((r["doc_id"], r["component"]) for r in
+                components_from_pairs(pairs, docs, pair_a="doc_id",
+                                      pair_b="dup_of",
+                                      id_col="doc_id").take_all())
+    pt = sorted((r["doc_id"], r["component"]) for r in
+                components_from_pairs(pairs, docs, pair_a="doc_id",
+                                      pair_b="dup_of",
+                                      id_col="doc_id",
+                                      join="partitioned",
+                                      num_partitions=4).take_all())
+    assert bc == pt and len(bc) == tbl.num_rows
+
+
 def test_extract_actor_provenance_schema(ray_session, interleaved_dir):
     import ray.data
     from soupflow.extract import SPAN_PROV_STRUCT, ExtractActor
