@@ -608,3 +608,53 @@ def test_extract_actor_provenance_schema(ray_session, interleaved_dir):
     text_spans = [s for s in row["spans"] if s["kind"] == "text"]
     assert text_spans and all(
         s["src_end"] > s["src_start"] >= 0 for s in text_spans)
+
+
+def test_interleaved_flagship_matches_golden_fixture(ray_session):
+    """The rich interleaved flagship (the one driver query with no SQL
+    oracle — its spans split at sha1-keyed positions) is pinned by a
+    committed golden parquet: per-doc span-sequence sha256 over
+    (kind, text) pairs, generated once at sf0.001 and reviewed.
+    Catches any regression in page assembly, tokenizer, tree builder
+    or the extract walk on the exact driver input."""
+    import hashlib
+
+    import ray.data
+    from soupflow.extract import extract_batch
+    from soupflow.fixtures import docs_to_interleaved
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet").repartition(5)
+
+    def build(b):
+        return docs_to_interleaved(b, rich=True, heavy_tail=0.001)
+
+    ext = ds.map_batches(build, batch_format="pyarrow") \
+        .map_batches(extract_batch, batch_format="pyarrow",
+                     batch_size=128)
+    got = {}
+    stats = {}
+    for r in ext.take_all():
+        h = hashlib.sha256()
+        for s in r["spans"]:
+            h.update(s["kind"].encode())
+            h.update(b"\x00")
+            h.update((s["text"] or "").encode())
+            h.update(b"\x01")
+        got[r["doc_id"]] = h.hexdigest()
+        stats[r["doc_id"]] = (
+            len(r["spans"]),
+            sum(1 for s in r["spans"] if s["kind"] == "media"),
+            sum(len(s["text"]) for s in r["spans"]
+                if s["kind"] == "text"))
+
+    exp = pq.read_table(
+        os.path.join(os.path.dirname(__file__), "fixtures",
+                     "interleaved_golden_sf0001.parquet")).to_pylist()
+    assert len(exp) == 500
+    exp_hash = {r["doc_id"]: r["span_sha256"] for r in exp}
+    exp_stat = {r["doc_id"]: (r["n_spans"], r["n_media"],
+                              r["text_chars"]) for r in exp}
+    assert got == exp_hash
+    assert stats == exp_stat
+    # the fixture itself must keep exercising the media-split path
+    assert sum(1 for r in exp if r["n_media"] > 0) > 200
