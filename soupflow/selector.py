@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import re
 import weakref
+from bisect import bisect_left, bisect_right
 from collections import OrderedDict
 from typing import Optional
 
@@ -997,7 +998,7 @@ def parse_query(query: str) -> Evaluator:
 
 # -- Collector / select -----------------------------------------------------
 
-def collect(evaluator: Evaluator, root: Element) -> list[Element]:
+def _collect_dfs(evaluator: Evaluator, root: Element) -> list[Element]:
     """DFS the subtree under root, collecting matching elements in
     document order (reference Collector.collect)."""
     out: list[Element] = []
@@ -1010,6 +1011,186 @@ def collect(evaluator: Evaluator, root: Element) -> list[Element]:
             if node.child_nodes:
                 stack.extend(reversed(node.child_nodes))
     return out
+
+
+# -- lazy per-document query index ------------------------------------------
+# Reference: Element.swift:303-345 (lazy per-root tag/id/class indexes),
+# Collector.swift:177+ (index-seeded candidate sets), CssSelector.swift:
+# 511-1086 (fast query plan for simple selectors). One DFS over the
+# TOPMOST root numbers every element (enter/exit intervals) and buckets
+# it by tag normal-name, exact id value and lowercased class name. A
+# collect() whose evaluator carries a simple Tag/Id/Class predicate on
+# the candidate element then scans only that bucket, testing subtree
+# membership with an O(1) interval check — so e.g. the extract kernel's
+# per-block select("a") costs O(#anchors) instead of O(subtree) per
+# block. Built lazily on the SECOND collect against the same tree in
+# the same mutation epoch (a single select is cheaper as a plain DFS);
+# invalidated wholesale on any DOM epoch bump, same policy as the SLRU
+# result cache below.
+
+class _RootIndex:
+    __slots__ = ("order", "by_tag", "by_id", "by_class", "_els",
+                 "_enters")
+
+    def __init__(self, top: Element) -> None:
+        # One walk builds the enter/exit intervals and the tag buckets
+        # (one dict get + list appends per element). id/class buckets
+        # need per-element attribute scans, so they build lazily on
+        # the first id/class-seeded query (many workloads — e.g. the
+        # extract kernel's select("a") — never pay for them).
+        order: dict = {}
+        by_tag: dict = {}
+        els: list = []
+        enters: list = []
+        counter = 0
+        stack: list = [(top, False)]
+        while stack:
+            node, is_exit = stack.pop()
+            if is_exit:
+                order[id(node)][1] = counter
+                continue
+            if not isinstance(node, Element):
+                continue
+            counter += 1
+            order[id(node)] = [counter, counter]
+            els.append(node)
+            enters.append(counter)
+            # buckets are (enter_numbers, elements) parallel lists in
+            # document order — candidates within a subtree [lo, hi]
+            # come out of ONE bisect range, O(log A + k) per select
+            b = by_tag.get(node.tag.normal_name)
+            if b is None:
+                by_tag[node.tag.normal_name] = b = ([], [])
+            b[0].append(counter)
+            b[1].append(node)
+            if node.child_nodes:
+                stack.append((node, True))
+                for child in reversed(node.child_nodes):
+                    stack.append((child, False))
+        self.order = order
+        self.by_tag = by_tag
+        self.by_id = None
+        self.by_class = None
+        self._els = els
+        self._enters = enters
+
+    def _build_attr_buckets(self) -> None:
+        by_id: dict = {}
+        by_class: dict = {}
+        for pos, node in zip(self._enters, self._els):
+            idv = node.id()
+            if idv:
+                b = by_id.get(idv)
+                if b is None:
+                    by_id[idv] = b = ([], [])
+                b[0].append(pos)
+                b[1].append(node)
+            attrs = node.attributes
+            cls = attrs.get_ignore_case("class") if attrs is not None \
+                else ""
+            if cls:
+                for c in cls.split():
+                    c = c.lower()
+                    b = by_class.get(c)
+                    if b is None:
+                        by_class[c] = b = ([], [])
+                    b[0].append(pos)
+                    b[1].append(node)
+        self.by_id = by_id
+        self.by_class = by_class
+
+    def candidates(self, key, lo: int, hi: int) -> list:
+        kind, val = key
+        if kind == "tag":
+            bucket = self.by_tag.get(val)
+        else:
+            if self.by_id is None:
+                self._build_attr_buckets()
+            bucket = (self.by_id if kind == "id"
+                      else self.by_class).get(val)
+        if bucket is None:
+            return []
+        enters, els = bucket
+        i = bisect_left(enters, lo)
+        j = bisect_right(enters, hi, i)
+        return els[i:j]
+
+
+def _seed_key(ev: Evaluator):
+    """(kind, value) bucket that is COMPLETE for ev (superset of its
+    matches), or None. Only predicates on the candidate element itself
+    qualify: combinators wrap the left side in Parent/ImmediateParent/
+    PreviousSibling structurals (QueryParser._combinator), so direct
+    And members are always candidate-element predicates."""
+    if isinstance(ev, TagIs):
+        return ("tag", ev.name)
+    if isinstance(ev, IdIs):
+        return ("id", ev.id)
+    if isinstance(ev, ClassIs):
+        # has_class compares case-insensitively; index keys lowercase
+        return ("cls", ev.cls.lower())
+    if isinstance(ev, And):
+        for sub in reversed(ev.evaluators):
+            if isinstance(sub, (TagIs, IdIs, ClassIs, And)):
+                key = _seed_key(sub)
+                if key is not None:
+                    return key
+    return None
+
+
+_QI_MAX = 16
+_QUERY_INDEX: OrderedDict = OrderedDict()  # id(top) -> (wref, idx|None)
+_QI_EPOCH = [-1]
+
+
+def _top_root(root: Element):
+    top = root
+    while top.parent_node is not None:
+        top = top.parent_node
+    return top
+
+
+def collect(evaluator: Evaluator, root: Element) -> list[Element]:
+    """Collect elements under root matching evaluator, in document
+    order. Seeds candidates from the lazy per-document index when the
+    evaluator carries a simple tag/id/class predicate; falls back to
+    the full DFS otherwise."""
+    from .dom import _DOM_EPOCH
+    key = _seed_key(evaluator)
+    if key is None:
+        return _collect_dfs(evaluator, root)
+    epoch = _DOM_EPOCH[0]
+    if epoch != _QI_EPOCH[0]:
+        _QUERY_INDEX.clear()
+        _QI_EPOCH[0] = epoch
+    top = _top_root(root)
+    if not isinstance(top, Element):
+        return _collect_dfs(evaluator, root)
+    entry = _QUERY_INDEX.get(id(top))
+    if entry is None or entry[0]() is not top:
+        # first touch this epoch: mark seen, stay on the DFS path
+        try:
+            _QUERY_INDEX[id(top)] = (weakref.ref(top), None)
+        except TypeError:
+            return _collect_dfs(evaluator, root)
+        if len(_QUERY_INDEX) > _QI_MAX:
+            _QUERY_INDEX.popitem(last=False)
+        return _collect_dfs(evaluator, root)
+    idx = entry[1]
+    if idx is None:
+        idx = _RootIndex(top)
+        _QUERY_INDEX[id(top)] = (entry[0], idx)
+    _QUERY_INDEX.move_to_end(id(top))
+    span = idx.order.get(id(root))
+    if span is None:  # root not under top (shouldn't happen) — bail
+        return _collect_dfs(evaluator, root)
+    lo, hi = span
+    cands = idx.candidates(key, lo, hi)
+    # bare TagIs/IdIs buckets ARE the exact match set; everything else
+    # (incl. ClassIs, whose bucket is a case-folded superset) re-tests
+    if type(evaluator) in (TagIs, IdIs):
+        return cands
+    return [el for el in cands if evaluator.matches(root, el)]
 
 
 # SLRU select-result cache (reference Element.swift:303-367,3175-3255:
