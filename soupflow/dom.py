@@ -297,9 +297,13 @@ class Node:
         """append_child_node WITHOUT the selector-cache epoch bump —
         only for bulk construction (tree builders bump the epoch once
         per parse instead; see HtmlTreeBuilder._run_parser)."""
-        self._reparent(child)
-        child.sibling_index = len(self.child_nodes)
-        self.child_nodes.append(child)
+        # _reparent inlined (hottest call in the tree builder)
+        if child.parent_node is not None:
+            child.parent_node.remove_child(child)
+        child.parent_node = self
+        cn = self.child_nodes
+        child.sibling_index = len(cn)
+        cn.append(child)
 
     def append_child_node(self, child: "Node") -> None:
         self._reparent(child)
@@ -481,7 +485,13 @@ class TextNode(LeafNode):
     __slots__ = ("_text",)
 
     def __init__(self, text: str, base_uri: str = "") -> None:
-        super().__init__(base_uri)
+        # Node.__init__ flattened: one TextNode per text run makes this
+        # one of the hottest allocations in the tree builder
+        self.parent_node = None
+        self.child_nodes = []
+        self.attributes = None
+        self.base_uri = base_uri
+        self.sibling_index = 0
         self._text = text
 
     def node_name(self) -> str:
@@ -647,12 +657,18 @@ class Element(Node):
 
     def __init__(self, tag: Tag | str, base_uri: str = "",
                  attributes: Optional[Attributes] = None) -> None:
-        super().__init__(base_uri)
+        # Node.__init__ flattened (hot: one per element)
+        self.parent_node = None
+        self.child_nodes = []
+        self.base_uri = base_uri
+        self.sibling_index = 0
         self.tag: Tag = tag_for(tag) if isinstance(tag, str) else tag
         if attributes is not None:
             self.attributes = attributes
             if attributes._owner is None:
                 attributes._owner = self
+        else:
+            self.attributes = None
 
     # -- identity ---------------------------------------------------------
     def node_name(self) -> str:

@@ -62,8 +62,11 @@ class TagTok(Token):
         self.self_closing = False
         self.src_start: Optional[int] = None  # set when tracking source
         self.src_end: Optional[int] = None
-        self._attr_name: list[str] = []
-        self._attr_value: list[str] = []
+        # attr fragment buffers are lazily allocated: most tags (and
+        # every fast-path tag) never touch them, so the common case
+        # skips two list allocations per tag
+        self._attr_name: Optional[list[str]] = None
+        self._attr_value: Optional[list[str]] = None
         self._has_attr_value = False
         self._has_attr_name = False
 
@@ -73,11 +76,17 @@ class TagTok(Token):
 
     def append_attr_name(self, s: str) -> None:
         self._has_attr_name = True
-        self._attr_name.append(s)
+        if self._attr_name is None:
+            self._attr_name = [s]
+        else:
+            self._attr_name.append(s)
 
     def append_attr_value(self, s: str) -> None:
         self._has_attr_value = True
-        self._attr_value.append(s)
+        if self._attr_value is None:
+            self._attr_value = [s]
+        else:
+            self._attr_value.append(s)
 
     def set_empty_attr_value(self) -> None:
         self._has_attr_value = True
@@ -86,11 +95,16 @@ class TagTok(Token):
         if self._has_attr_name:
             name = "".join(self._attr_name).strip()
             if name and name not in self.attrs:
-                # None = declared with no value (serializes as bare key)
-                self.attrs[name] = "".join(self._attr_value) \
-                    if self._has_attr_value else None
-        self._attr_name.clear()
-        self._attr_value.clear()
+                # None = declared with no value (serializes as bare key);
+                # _has_attr_value with no buffer = declared empty ("")
+                if not self._has_attr_value:
+                    self.attrs[name] = None
+                elif self._attr_value is None:
+                    self.attrs[name] = ""
+                else:
+                    self.attrs[name] = "".join(self._attr_value)
+        self._attr_name = None
+        self._attr_value = None
         self._has_attr_value = False
         self._has_attr_name = False
 
@@ -326,7 +340,8 @@ class Tokeniser:
     __slots__ = ("reader", "state", "emit_pending", "is_emit_pending",
                  "chars", "tag_pending", "doctype_pending", "comment_pending",
                  "data_buffer", "last_start_tag", "errors", "_cdata_pending",
-                 "track", "chars_start", "chars_end", "last_lt_pos")
+                 "track", "chars_start", "chars_end", "last_lt_pos",
+                 "_pool_start", "_pool_end")
 
     def __init__(self, reader: CharacterReader,
                  errors: Optional[list] = None,
@@ -340,6 +355,11 @@ class Tokeniser:
         self.doctype_pending: Optional[DoctypeTok] = None
         self.comment_pending: Optional[CommentTok] = None
         self.data_buffer: list[str] = []
+        # reusable fast-path tag tokens (consumed within one process()
+        # cycle by the tree builder, so a single instance per kind is
+        # safe — mirrors the reference's reusable Token.StartTag)
+        self._pool_start = TagTok(True)
+        self._pool_end = TagTok(False)
         self.last_start_tag: Optional[str] = None
         self.errors = errors
         self._cdata_pending = False
@@ -377,8 +397,9 @@ class Tokeniser:
     def emit(self, tok: Token) -> None:
         self.emit_pending = tok
         self.is_emit_pending = True
-        if isinstance(tok, TagTok):
-            tok.finalise()
+        if tok.__class__ is TagTok:
+            if tok._has_attr_name or tok._has_attr_value:
+                tok.new_attribute()
             if self.track and tok.src_start is not None:
                 tok.src_end = self.reader.pos
             if tok.start:
@@ -486,75 +507,100 @@ class Tokeniser:
 
 
 def data_state(t: Tokeniser, r: CharacterReader) -> None:
-    c = r.current()
-    if c == "&":
-        t.advance_transition(char_ref_in_data)
-    elif c == "<":
-        # fused fast path for the overwhelmingly common "<letter" and
-        # "</letter" forms: first try to match the ENTIRE tag with one
-        # conservative regex (see _RE_FAST_START — any unusual syntax
-        # fails the match), else fall into the state machine at the
-        # tag_name state, saving two read-loop round trips per tag
-        if t.track:
-            t.last_lt_pos = r.pos
-        s, p, n = r.s, r.pos + 1, r.len
-        if p < n:
-            nxt = s[p]
-            if ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):
-                m = _RE_FAST_START.match(s, p)
+    # internal loop: a text run followed by '<' (the dominant document
+    # shape) is handled in ONE state call — the text-run branch loops
+    # back to the top instead of bouncing through the read loop again
+    s, n = r.s, r.len
+    while True:
+        p = r.pos
+        c = s[p] if p < n else EOF
+        if c != "<":
+            if c == "&":
+                t.advance_transition(char_ref_in_data)
+            elif c == EOF:
+                t.emit(EOFTok())
+            elif c == NULL:
+                t.error("null in data")
+                t.emit_chars(r.consume())
+            else:
+                # inlined consume_to_any_re(_RE_DATA) + emit_chars
+                m = _RE_DATA.search(s, p)
+                end = n if m is None else m.start()
+                r.pos = end
+                t.chars.append(s[p:end])
+                if t.track:
+                    t.chars_end = end
+                continue
+            return
+        _data_tag_open(t, r)
+        return
+
+
+def _data_tag_open(t: Tokeniser, r: CharacterReader) -> None:
+    # fused fast path for the overwhelmingly common "<letter" and
+    # "</letter" forms: first try to match the ENTIRE tag with one
+    # conservative regex (see _RE_FAST_START — any unusual syntax
+    # fails the match), else fall into the state machine at the
+    # tag_name state, saving two read-loop round trips per tag
+    if t.track:
+        t.last_lt_pos = r.pos
+    s, p, n = r.s, r.pos + 1, r.len
+    if p < n:
+        nxt = s[p]
+        if ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):
+            m = _RE_FAST_START.match(s, p)
+            if m is not None:
+                # pooled token (reference reuses Token.StartTag the
+                # same way): tags are fully consumed by the tree
+                # builder inside process() — _attrs_for_token copies
+                # the dict — so one reusable instance is safe
+                tok = t._pool_start
+                tok._normal = None
+                attrs = tok.attrs
+                if attrs:
+                    tok.attrs = attrs = {}
+                if t.track:
+                    tok.src_start = p - 1
+                tok.name, attrs_src, slash = m.group(1, 2, 3)
+                if attrs_src:
+                    for am in _RE_FAST_ATTR.finditer(attrs_src):
+                        an = am.group(1)
+                        if an not in attrs:
+                            av = am.group(2)
+                            if av is None:
+                                attrs[an] = None
+                            elif av[0] == '"' or av[0] == "'":
+                                attrs[an] = av[1:-1]
+                            else:
+                                attrs[an] = av
+                tok.self_closing = True if slash else False
+                r.pos = m.end()
+                t.tag_pending = tok
+                t.emit(tok)
+                return
+            r.pos = p
+            t.create_tag_pending(True)
+            t.transition(tag_name)
+            return
+        if nxt == "/" and p + 1 < n:
+            nxt2 = s[p + 1]
+            if ("a" <= nxt2 <= "z") or ("A" <= nxt2 <= "Z"):
+                m = _RE_FAST_END.match(s, p + 1)
                 if m is not None:
-                    tok = TagTok(True)
+                    tok = t._pool_end  # see start-tag pool note
+                    tok._normal = None
                     if t.track:
                         tok.src_start = p - 1
                     tok.name = m.group(1)
-                    attrs_src = m.group(2)
-                    if attrs_src:
-                        attrs = tok.attrs
-                        for am in _RE_FAST_ATTR.finditer(attrs_src):
-                            an = am.group(1)
-                            if an not in attrs:
-                                av = am.group(2)
-                                if av is None:
-                                    attrs[an] = None
-                                elif av[0] == '"' or av[0] == "'":
-                                    attrs[an] = av[1:-1]
-                                else:
-                                    attrs[an] = av
-                    if m.group(3):
-                        tok.self_closing = True
                     r.pos = m.end()
                     t.tag_pending = tok
                     t.emit(tok)
                     return
-                r.pos = p
-                t.create_tag_pending(True)
+                r.pos = p + 1
+                t.create_tag_pending(False)
                 t.transition(tag_name)
                 return
-            if nxt == "/" and p + 1 < n:
-                nxt2 = s[p + 1]
-                if ("a" <= nxt2 <= "z") or ("A" <= nxt2 <= "Z"):
-                    m = _RE_FAST_END.match(s, p + 1)
-                    if m is not None:
-                        tok = TagTok(False)
-                        if t.track:
-                            tok.src_start = p - 1
-                        tok.name = m.group(1)
-                        r.pos = m.end()
-                        t.tag_pending = tok
-                        t.emit(tok)
-                        return
-                    r.pos = p + 1
-                    t.create_tag_pending(False)
-                    t.transition(tag_name)
-                    return
-        t.advance_transition(tag_open)
-    elif c == NULL:
-        t.error("null in data")
-        t.emit_chars(r.consume())
-    elif c == EOF:
-        t.emit(EOFTok())
-    else:
-        t.emit_chars(r.consume_to_any_re(_RE_DATA))
+    t.advance_transition(tag_open)
 
 
 def char_ref_in_data(t: Tokeniser, r: CharacterReader) -> None:

@@ -51,6 +51,9 @@ HTML_DEFAULT = ParseSettings(False, False)
 PRESERVE_CASE = ParseSettings(True, True)
 
 
+_FOSTER_TABLE_NAMES = frozenset(("table", "tbody", "tfoot", "thead", "tr"))
+
+
 class ElementStack(list):
     """Open-elements stack with O(1) identity membership — keeps
     reconstruct_formatting_elements / on_stack linear on deep DOMs
@@ -232,10 +235,13 @@ class HtmlTreeBuilder:
     def _run_parser(self) -> None:
         from .dom import _DOM_EPOCH
         tk = self.tokeniser
+        read = tk.read
         while True:
-            token = tk.read()
-            self.process(token)
-            if isinstance(token, EOFTok):
+            token = read()
+            # inlined self.process(token) — one call/token saved
+            self.current_token = token
+            self.state(token, self)
+            if token.__class__ is EOFTok:
                 break
         # builders append via append_child_fast (no per-node epoch
         # bump); one bump here keeps the selector cache correct
@@ -369,8 +375,12 @@ class HtmlTreeBuilder:
         self.insert_node(node)
 
     def insert_character(self, tok: CharacterTok) -> None:
+        # specialized insert_node: text/data nodes are never form
+        # controls, and the script/style vs foster cases are mutually
+        # exclusive, so the generic isinstance checks are skipped
         data = tok.data
-        cur = self.current_element()
+        stack = self.stack
+        cur = stack[-1] if stack else None
         name = cur.tag.normal_name if cur is not None else ""
         if name in ("script", "style"):
             node: Node = DataNode(data, self.base_uri)
@@ -378,18 +388,25 @@ class HtmlTreeBuilder:
             node = TextNode(data, self.base_uri)
         if self.track and tok.src_start is not None:
             node._src_range = (tok.src_start, tok.src_end)
-        # merge into previous text node when possible (keeps one node per run)
-        self.insert_node(node)
-
-    def insert_node(self, node: Node) -> None:
-        if not self.stack:
+        if cur is None:
             self.doc.append_child_fast(node)
-        elif self.foster_inserts and isinstance(node, (Element, TextNode)) \
-                and self.current_element().tag.normal_name in (
-                    "table", "tbody", "tfoot", "thead", "tr"):
+        elif self.foster_inserts and name in _FOSTER_TABLE_NAMES:
             self.insert_in_foster_parent(node)
         else:
-            self.current_element().append_child_fast(node)
+            cur.append_child_fast(node)
+
+    def insert_node(self, node: Node) -> None:
+        stack = self.stack
+        if not stack:
+            self.doc.append_child_fast(node)
+        else:
+            cur = stack[-1]
+            if self.foster_inserts \
+                    and isinstance(node, (Element, TextNode)) \
+                    and cur.tag.normal_name in _FOSTER_TABLE_NAMES:
+                self.insert_in_foster_parent(node)
+            else:
+                cur.append_child_fast(node)
         # wire up form controls
         if isinstance(node, Element) and node.tag.form_list:
             if self.form_element is not None:
@@ -603,8 +620,13 @@ class HtmlTreeBuilder:
         return aa == ba
 
     def reconstruct_formatting_elements(self) -> None:
-        last = self.last_formatting_element()
-        if last is None or self.on_stack(last):
+        # inlined last_formatting_element + on_stack: this runs once
+        # per character run / element insert in body
+        fe_list = self.formatting_elements
+        if not fe_list:
+            return
+        last = fe_list[-1]
+        if last is None or id(last) in self.stack._ids:
             return
         fe = self.formatting_elements
         pos = len(fe) - 1

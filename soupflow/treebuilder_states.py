@@ -307,7 +307,10 @@ _END_TABLE_FOSTERS = frozenset(("table", "tbody", "tfoot", "thead", "tr"))
 
 
 def in_body(t, tb) -> bool:
-    if isinstance(t, CharacterTok):
+    # exact-class dispatch: the token classes are final, and this
+    # function runs once per token of every in-body document
+    cls = t.__class__
+    if cls is CharacterTok:
         if t.data == "\x00":
             tb.error("null character")
             return False
@@ -316,17 +319,17 @@ def in_body(t, tb) -> bool:
         if tb.frameset_ok and not _ws_chunk(t.data):
             tb.frameset_ok = False
         return True
-    if isinstance(t, TagTok):  # most common after characters
+    if cls is TagTok:  # most common after characters
         if t.start:
             return _in_body_start(t, tb)
         return _in_body_end(t, tb)
-    if isinstance(t, CommentTok):
+    if cls is CommentTok:
         tb.insert_comment(t)
         return True
-    if isinstance(t, DoctypeTok):
+    if cls is DoctypeTok:
         tb.error("doctype out of place")
         return False
-    if isinstance(t, EOFTok):
+    if cls is EOFTok:
         return True
     return True
 
@@ -950,7 +953,7 @@ def _adoption_agency(t, tb, name) -> bool:
 
 
 def text(t, tb) -> bool:
-    if isinstance(t, CharacterTok):
+    if t.__class__ is CharacterTok:
         tb.insert_character(t)
         return True
     if isinstance(t, EOFTok):
