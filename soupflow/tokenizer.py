@@ -576,7 +576,13 @@ def _data_tag_open(t: Tokeniser, r: CharacterReader) -> None:
                 tok.self_closing = True if slash else False
                 r.pos = m.end()
                 t.tag_pending = tok
-                t.emit(tok)
+                # inlined emit(): pooled tokens never carry pending
+                # attr fragments, so finalise is a no-op
+                t.emit_pending = tok
+                t.is_emit_pending = True
+                if t.track:
+                    tok.src_end = r.pos
+                t.last_start_tag = tok.normal_name()
                 return
             r.pos = p
             t.create_tag_pending(True)
@@ -594,7 +600,11 @@ def _data_tag_open(t: Tokeniser, r: CharacterReader) -> None:
                     tok.name = m.group(1)
                     r.pos = m.end()
                     t.tag_pending = tok
-                    t.emit(tok)
+                    # inlined emit() (end tag: last_start_tag untouched)
+                    t.emit_pending = tok
+                    t.is_emit_pending = True
+                    if t.track:
+                        tok.src_end = r.pos
                     return
                 r.pos = p + 1
                 t.create_tag_pending(False)
