@@ -224,6 +224,8 @@ def main() -> None:
                 best = (report, results)
         report, results = best
         report["all_trials"] = all_trials
+        effs = sorted(t["efficiency"] for t in all_trials)
+        report["median_efficiency"] = effs[len(effs) // 2]
         report["selection"] = "best pipeline efficiency over trials"
         print(json.dumps(report))
         os.makedirs("BENCH", exist_ok=True)

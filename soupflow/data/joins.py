@@ -1,0 +1,227 @@
+"""Distributed as-of join (point-in-time lookup) for Ray Data.
+
+The reference engine has no temporal join; this is part of the
+training-data operator surface (feature backfill: "attach the latest
+fact row at or before each event's timestamp").
+
+Shape — the same one-global-sort + vectorized-block + tiny-edge-fixup
+used by data/windows.py sessionize: tag both sides, union them into a
+single narrow stream, ONE ``sort((key, ts, side, tie))`` co-locates
+and orders each key's rows, then every block resolves its left rows
+with a numpy forward-fill (no per-key Python). Rows whose match could
+live in an earlier block — only UNMATCHED left rows of each block's
+FIRST key run, plus each block's last-run trailing right row; both
+O(num_blocks), independent of key count — go through one small
+``groupby(key).map_groups`` fixup.
+
+Partitioning assumption: a single key's rows may span blocks freely
+(the edge fixup handles it); per-fixup-group work is bounded by the
+number of blocks the key touches plus the unmatched lefts of boundary
+runs, not by the key's total row count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_I64 = pa.int64()
+
+
+def _ts_to_i64(col):
+    if pa.types.is_timestamp(col.type):
+        return col.cast(pa.timestamp("ns")).cast(_I64)
+    return col.cast(_I64)
+
+
+def asof_join(left, right, *, left_on: str, right_on: str,
+              left_ts: str, right_ts: str, payload: list[str],
+              left_cols: list[str], tie: str):
+    """For each left row: the right row with equal key and
+    ``right_ts <= left_ts`` maximizing (right_ts, tie) — i.e. a
+    backward as-of join with a deterministic tie-break. Returns
+    ``left_cols`` (timestamps carried as int64 ns — callers cast
+    back) + ``matched_<payload>`` columns, null when no right row
+    qualifies. ``tie`` must be one of ``payload``.
+    """
+    assert tie in payload
+    rtypes = {f.name: f.type for f in right.schema().base_schema}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            "k": batch.column(left_on).cast(_I64),
+            "t": _ts_to_i64(batch.column(left_ts)),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "tie_o": pa.nulls(n, _I64),
+        }
+        for c in payload:
+            cols[f"r_{c}"] = pa.nulls(n, rtypes[c])
+        for c in left_cols:
+            col = batch.column(c)
+            cols[f"l_{c}"] = _ts_to_i64(col) \
+                if pa.types.is_timestamp(col.type) else col
+        return pa.table(cols)
+    tag_left.__name__ = "tag_left"
+
+    # left carry-col types after the timestamp normalization above
+    ltypes = {f.name: (_I64 if pa.types.is_timestamp(f.type)
+                       else f.type)
+              for f in left.schema().base_schema}
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            "k": batch.column(right_on).cast(_I64),
+            "t": _ts_to_i64(batch.column(right_ts)),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "tie_o": batch.column(tie).cast(_I64),
+        }
+        for c in payload:
+            cols[f"r_{c}"] = batch.column(c)
+        for c in left_cols:
+            cols[f"l_{c}"] = pa.nulls(n, ltypes[c])
+        return pa.table(cols)
+    tag_right.__name__ = "tag_right"
+
+    lt = left.select_columns(
+        sorted({left_on, left_ts, *left_cols})) \
+        .map_batches(tag_left, batch_format="pyarrow")
+    rt = right.select_columns(
+        sorted({right_on, right_ts, *payload})) \
+        .map_batches(tag_right, batch_format="pyarrow")
+
+    # rights sort BEFORE lefts at equal (k, t) (side 0 < 1) so an
+    # equal-timestamp fact is visible to the event; among equal
+    # (k, t) rights the max-``tie`` one sorts last and wins the fill
+    merged = lt.union(rt).sort(["k", "t", "side", "tie_o"])
+
+    def _masked_take(col, positions: np.ndarray,
+                     valid: np.ndarray) -> pa.Array:
+        """col[positions] with nulls where ``valid`` is False —
+        vectorized (no per-row Python)."""
+        safe = np.where(valid, positions, 0)
+        taken = pc.take(col, pa.array(safe))
+        if valid.all():
+            return taken
+        return pc.if_else(pa.array(valid), taken,
+                          pa.nulls(1, col.type)[0])
+
+    def resolve_block(batch: pa.Table) -> pa.Table:
+        """Match lefts in-block; emit resolved rows (kind=0) plus the
+        block's first-run unmatched lefts (kind=1) and last-run
+        trailing right (kind=2) for the edge fixup."""
+        n = batch.num_rows
+
+        def shell(kind, kk, tt, tie_vals, lcols, pcols) -> pa.Table:
+            cols = dict(lcols)
+            cols.update(pcols)
+            cols["kind"] = pa.array(kind, pa.int8())
+            cols["k"] = pa.array(kk, _I64)
+            cols["t"] = pa.array(tt, _I64)
+            cols["tie_o"] = pa.array(tie_vals, _I64)
+            return pa.table(cols)
+
+        if n == 0:
+            return shell(
+                [], [], [], [],
+                {c: pa.array([], ltypes[c]) for c in left_cols},
+                {f"matched_{c}": pa.array([], rtypes[c])
+                 for c in payload})
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        idx = np.arange(n, dtype=np.int64)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = k[1:] != k[:-1]
+        starts = idx[change]
+        run_start = starts[np.cumsum(change) - 1]
+        is_right = side == 0
+        last_right = np.where(is_right, idx, -1)
+        np.maximum.accumulate(last_right, out=last_right)
+        matched = np.where(last_right >= run_start, last_right, -1)
+
+        lpos = idx[~is_right]
+        lmatch = matched[~is_right]
+        first_run_end = starts[1] if starts.size > 1 else n
+        unresolved = (lmatch < 0) & (lpos < first_run_end)
+        resolved = ~unresolved
+
+        t_arr = batch.column("t").to_numpy(zero_copy_only=False)
+        rpos = lpos[resolved]
+        rm = lmatch[resolved]
+        has = rm >= 0
+        parts = [shell(
+            np.zeros(rpos.size, dtype=np.int8),
+            k[rpos], np.zeros(rpos.size, dtype=np.int64),
+            np.zeros(rpos.size, dtype=np.int64),
+            {c: pc.take(batch.column(f"l_{c}"), pa.array(rpos))
+             for c in left_cols},
+            {f"matched_{c}": _masked_take(
+                batch.column(f"r_{c}"), rm, has)
+             for c in payload})]
+
+        upos = lpos[unresolved]
+        if upos.size:
+            parts.append(shell(
+                np.ones(upos.size, dtype=np.int8),
+                k[upos], t_arr[upos],
+                np.zeros(upos.size, dtype=np.int64),
+                {c: pc.take(batch.column(f"l_{c}"), pa.array(upos))
+                 for c in left_cols},
+                {f"matched_{c}": pa.nulls(upos.size, rtypes[c])
+                 for c in payload}))
+        tail = int(last_right[-1])
+        if tail >= run_start[-1] and tail >= 0:
+            tie_arr = batch.column("tie_o").to_numpy(
+                zero_copy_only=False)
+            parts.append(shell(
+                np.array([2], dtype=np.int8),
+                [int(k[tail])], [int(t_arr[tail])],
+                [int(tie_arr[tail])],
+                {c: pa.nulls(1, ltypes[c]) for c in left_cols},
+                {f"matched_{c}": pc.take(batch.column(f"r_{c}"),
+                                         pa.array([tail]))
+                 for c in payload}))
+        return pa.concat_tables(parts)
+    resolve_block.__name__ = "asof_resolve_block"
+
+    resolved_all = merged.map_batches(
+        resolve_block, batch_format="pyarrow").materialize()
+
+    done = resolved_all.filter(expr="kind == 0") \
+        .drop_columns(["kind", "k", "t", "tie_o"])
+
+    def _pd_dtype(t: pa.DataType) -> str:
+        return "Int64" if pa.types.is_integer(t) else "float64"
+
+    def fix_edges(group: pd.DataFrame) -> pd.DataFrame:
+        lefts = group[group["kind"] == 1]
+        rights = group[group["kind"] == 2]
+        out = {c: lefts[c].reset_index(drop=True)
+               for c in left_cols}
+        if rights.empty:
+            for c in payload:
+                out[f"matched_{c}"] = pd.array(
+                    [None] * len(lefts), dtype=_pd_dtype(rtypes[c]))
+            return pd.DataFrame(out)
+        r = rights.sort_values(["t", "tie_o"]).reset_index(drop=True)
+        rts = r["t"].to_numpy()
+        pos = np.searchsorted(rts, lefts["t"].to_numpy(),
+                              side="right") - 1
+        has = pos >= 0
+        safe = np.where(has, pos, 0)
+        for c in payload:
+            vals = r[f"matched_{c}"].iloc[safe] \
+                .reset_index(drop=True) \
+                .astype(_pd_dtype(rtypes[c]))
+            vals[~has] = None
+            out[f"matched_{c}"] = vals
+        return pd.DataFrame(out)
+
+    edges = resolved_all.filter(expr="kind > 0") \
+        .groupby("k").map_groups(fix_edges, batch_format="pandas")
+
+    return done.union(edges)

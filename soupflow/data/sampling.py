@@ -1,0 +1,66 @@
+"""Deterministic hash-based dataset splitting / sampling.
+
+Training pipelines need reproducible, data-independent splits that
+(a) need no shuffle or state — pure map-side arithmetic per row,
+(b) are stable under re-runs, repartitioning and corpus growth
+(a doc's split never changes when other docs appear), and (c) can be
+recomputed by any engine (the SQL oracle reproduces the exact same
+assignment with HUGEINT arithmetic).
+
+Hash: splitmix-style multiplicative mix ``(id * PHI64) mod 2^64``
+(Fibonacci hashing constant). Weak cryptographically, perfectly fine
+for unbiased bucket assignment of ids, and expressible both as
+wrapping numpy uint64 multiply and as DuckDB HUGEINT modular
+arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+PHI64 = 11400714819323198485  # 2^64 / golden ratio, odd
+_U64 = 1 << 64
+
+
+def _mix(ids: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return ids.astype(np.uint64) * np.uint64(PHI64)
+
+
+def hash_split(ds, id_col: str = "doc_id",
+               bounds: tuple[int, ...] = (80, 90),
+               names: tuple[str, ...] = ("train", "val", "test")):
+    """→ input rows + ``split`` label: bucket = hash(id) mod 100,
+    split i where bucket < bounds[i] (last name catches the rest)."""
+    assert len(names) == len(bounds) + 1
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        bucket = (_mix(ids) % np.uint64(100)).astype(np.int64)
+        lab = np.full(bucket.size, names[-1], dtype=object)
+        for name, bound in zip(reversed(names[:-1]),
+                               reversed(bounds)):
+            lab[bucket < bound] = name
+        return batch.append_column("split", pa.array(lab, pa.string()))
+    assign.__name__ = "hash_split_assign"
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def hash_sample(ds, frac: float, id_col: str = "doc_id"):
+    """Deterministic ~``frac`` sample: keep rows whose 64-bit hash
+    falls below ``frac * 2^64``. Unlike ``ds.random_sample`` this is
+    reproducible and stable under repartitioning."""
+    threshold = np.uint64(min(int(frac * _U64), _U64 - 1))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_mix(ids) < threshold))
+    keep.__name__ = "hash_sample_filter"
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_threshold(frac: float) -> int:
+    """The integer threshold hash_sample uses — embed this literal in
+    the SQL oracle so both sides compare against the same constant."""
+    return min(int(frac * _U64), _U64 - 1)

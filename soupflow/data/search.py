@@ -1,0 +1,98 @@
+"""Distributed text search scoring: BM25 top-k over a documents table.
+
+Scale shape: ONE streaming pass computes a narrow per-doc stats table
+(doc_id, dl, tf per query term — a handful of ints per doc; the text
+never leaves the map task). Global stats (N, Σdl, per-term document
+frequency) are ONE constant-size aggregate over that narrow table;
+scoring is then map-side with the broadcast constants, and only the
+top-k survives the final sort. No inverted index is materialized —
+for ad-hoc queries over a crawl this touches each doc once; a served
+search system would instead build the (term → postings) index with
+groupby(term), which is the same narrow-table shuffle shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textstats import _segment_sum, _text_array, _ws_tokens
+
+
+def _doc_term_stats(terms):
+    def stats(batch: pa.Table) -> pa.Table:
+        arr = pc.utf8_lower(_text_array(batch))
+        offs, flat = _ws_tokens(arr)
+        nonempty = pc.not_equal(flat, "") \
+            .to_numpy(zero_copy_only=False)
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "dl": pa.array(_segment_sum(nonempty, offs), pa.int64()),
+        }
+        for i, term in enumerate(terms):
+            hits = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            cols[f"tf{i}"] = pa.array(_segment_sum(hits, offs),
+                                      pa.int64())
+        return pa.table(cols)
+    stats.__name__ = "doc_term_stats"
+    return stats
+
+
+def bm25_topk(docs, terms: tuple[str, ...], k: int = 20,
+              k1: float = 1.2, b: float = 0.75):
+    """→ (doc_id, score) for the ``k`` highest-BM25 docs against the
+    bag-of-words query ``terms`` (score > 0 only; ties broken by
+    ascending doc_id so the cut is deterministic).
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene form); per-term
+    contribution idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)),
+    summed in term order (the SQL oracle mirrors the exact expression
+    tree so float results are bit-comparable).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    stats = docs.select_columns(["doc_id", "text"]) \
+        .map_batches(_doc_term_stats(terms), batch_format="pyarrow") \
+        .materialize()  # narrow: (2 + n_terms) ints per doc
+
+    def presence(batch: pa.Table) -> pa.Table:
+        cols = {"dl": batch.column("dl")}
+        for i in range(len(terms)):
+            cols[f"tf{i}"] = batch.column(f"tf{i}")
+            cols[f"p{i}"] = pc.cast(
+                pc.greater(batch.column(f"tf{i}"), 0), pa.int64())
+        return pa.table(cols)
+
+    agg_row = stats.map_batches(presence, batch_format="pyarrow") \
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("dl", alias_name="sum_dl"),
+                   *[Sum(f"p{i}", alias_name=f"df{i}")
+                     for i in range(len(terms))])
+    n_docs = float(agg_row["n_docs"])
+    avgdl = float(agg_row["sum_dl"]) / n_docs
+    idf = [math.log(1.0 + (n_docs - float(agg_row[f"df{i}"]) + 0.5)
+                    / (float(agg_row[f"df{i}"]) + 0.5))
+           for i in range(len(terms))]
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        total = np.zeros(batch.num_rows, dtype=np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        for i in range(len(terms)):
+            tf = batch.column(f"tf{i}") \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            total = total + idf[i] * tf * (k1 + 1.0) / (tf + norm)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "score": pa.array(total, pa.float64()),
+        })
+    score.__name__ = "bm25_score"
+
+    return stats.map_batches(score, batch_format="pyarrow") \
+        .filter(expr="score > 0") \
+        .sort(["score", "doc_id"], descending=[True, False]) \
+        .limit(k)

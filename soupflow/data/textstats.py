@@ -460,3 +460,40 @@ def lang_counts(ds):
     partials = ds.map_batches(partial, batch_format="pyarrow")
     from ray.data.aggregate import Sum
     return partials.groupby("lang").aggregate(Sum("n", alias_name="n"))
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per doc: n_tokens (whitespace),
+    n_distinct tokens, top_count (occurrences of the most frequent
+    token). High top_count/n_tokens or low n_distinct/n_tokens marks
+    degenerate/repetitive documents.
+
+    Vectorized across the whole batch: ONE np.unique factorizes the
+    flat token stream, a second np.unique over combined
+    (doc, token-code) int64 keys yields per-doc-per-token counts, and
+    segment reduces (bincount / maximum.reduceat) collapse them to doc
+    level — no per-row Python."""
+    arr = _text_array(batch)
+    offs, flat = _ws_tokens(arr)
+    n = batch.num_rows
+    flat_np = np.asarray(flat.to_pandas(), dtype=object)
+    seg = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    nonempty = flat_np != ""
+    seg_ne = seg[nonempty]
+    codes = np.unique(flat_np[nonempty], return_inverse=True)[1]
+    vocab = int(codes.max()) + 1 if codes.size else 1
+    pair_keys, pair_counts = np.unique(seg_ne * vocab + codes,
+                                       return_counts=True)
+    pair_seg = pair_keys // vocab
+    n_distinct = np.bincount(pair_seg, minlength=n)
+    n_tokens = np.bincount(seg_ne, minlength=n)
+    top = np.zeros(n, dtype=np.int64)
+    if pair_seg.size:
+        starts = np.nonzero(np.r_[True, pair_seg[1:] != pair_seg[:-1]])[0]
+        top[pair_seg[starts]] = np.maximum.reduceat(pair_counts, starts)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_distinct": pa.array(n_distinct.astype(np.int64), pa.int64()),
+        "top_count": pa.array(top, pa.int64()),
+    })

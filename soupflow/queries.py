@@ -669,6 +669,61 @@ def q_events_daily(sf_dir: str):
         Sum("n", alias_name="n"))
 
 
+def q_asof_join(sf_dir: str):
+    """Temporal as-of join: for each event, the latest order of the
+    same customer at or before the event's timestamp (ties on order
+    date broken by max o_orderkey). Distributed shape: one global
+    (key, ts) sort + vectorized per-block forward-fill + tiny edge
+    fixup — see data/joins.py. No-match rows carry -1 (both sides
+    coalesce, keeping the compare null-free)."""
+    import pyarrow.compute as pc
+
+    from .data.joins import asof_join
+
+    res = asof_join(
+        _read(sf_dir, "events"), _read(sf_dir, "orders"),
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        payload=["o_orderkey"], left_cols=["event_id"],
+        tie="o_orderkey")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "matched_order": pc.fill_null(
+                b.column("matched_o_orderkey"), -1).cast(pa.int64()),
+        })
+    return res.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_bm25(sf_dir: str):
+    """BM25 top-k text search over the documents table (fixed
+    three-term query). One narrow stats pass + one constant-size
+    aggregate + map-side scoring — see data/search.py."""
+    from .data.search import bm25_topk
+    return bm25_topk(_read(sf_dir, "documents"),
+                     terms=("merge", "window", "spark"), k=25)
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by
+    multiplicative id hash (data/sampling.py): pure map-side, stable
+    under repartitioning and corpus growth, reproducible in SQL."""
+    from .data.sampling import hash_split
+    return hash_split(
+        _read(sf_dir, "documents").select_columns(["doc_id"]))
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition/quality signals per document: token
+    count, distinct-token count, top-token frequency (vectorized
+    np.unique factorization — data/textstats.py)."""
+    from .data.textstats import repetition_batch
+    return _read(sf_dir, "documents") \
+        .select_columns(["doc_id", "text"]) \
+        .map_batches(repetition_batch, batch_format="pyarrow")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -706,6 +761,10 @@ QUERIES = {
     "distinct_sources": q_distinct_sources,
     "sessionize": q_sessionize,
     "events_daily": q_events_daily,
+    "asof_join": q_asof_join,
+    "bm25": q_bm25,
+    "hash_split": q_hash_split,
+    "repetition": q_repetition,
 }
 
 ORACLE_SQL = {
@@ -1181,3 +1240,100 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
 
 
 ORACLE_SQL["kmeans"] = _kmeans_oracle_sql()
+
+
+ORACLE_SQL["asof_join"] = """
+    SELECT e.event_id,
+           CAST(coalesce((
+               SELECT o.o_orderkey FROM orders o
+               WHERE o.o_custkey = e.user_id
+                 AND o.o_orderdate <= e.ts
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               LIMIT 1), -1) AS BIGINT) AS matched_order
+    FROM events e
+"""
+
+# mirrors search.bm25_topk's exact float expression tree (same
+# literals, same association order) so scores are bit-comparable
+ORACLE_SQL["bm25"] = """
+    WITH stats AS (
+        SELECT doc_id,
+               CAST(length(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '')) AS DOUBLE) AS dl,
+               CAST(length(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x = 'merge')) AS DOUBLE) AS tf0,
+               CAST(length(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x = 'window')) AS DOUBLE) AS tf1,
+               CAST(length(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x = 'spark')) AS DOUBLE) AS tf2
+        FROM documents),
+    g AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl,
+               CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS df0,
+               CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS df1,
+               CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS df2
+        FROM stats),
+    scored AS (
+        SELECT s.doc_id,
+               ((0.0
+                 + ln(1.0 + (g.n_docs - g.df0 + 0.5) / (g.df0 + 0.5))
+                   * s.tf0 * (1.2 + 1.0)
+                   / (s.tf0 + 1.2 * (1.0 - 0.75 + 0.75 * s.dl
+                                     / g.avgdl)))
+                + ln(1.0 + (g.n_docs - g.df1 + 0.5) / (g.df1 + 0.5))
+                  * s.tf1 * (1.2 + 1.0)
+                  / (s.tf1 + 1.2 * (1.0 - 0.75 + 0.75 * s.dl
+                                    / g.avgdl)))
+               + ln(1.0 + (g.n_docs - g.df2 + 0.5) / (g.df2 + 0.5))
+                 * s.tf2 * (1.2 + 1.0)
+                 / (s.tf2 + 1.2 * (1.0 - 0.75 + 0.75 * s.dl
+                                   / g.avgdl)) AS score
+        FROM stats s CROSS JOIN g)
+    SELECT doc_id, score FROM scored WHERE score > 0
+    ORDER BY score DESC, doc_id LIMIT 25
+"""
+
+# HUGEINT arithmetic reproduces the wrapping uint64 multiply exactly:
+# (id * PHI64) mod 2^64 mod 100
+ORACLE_SQL["hash_split"] = """
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               (CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                 % 18446744073709551616 % 100 AS bucket
+        FROM documents)
+"""
+
+ORACLE_SQL["repetition"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(text, '\\s+'),
+                   x -> x <> '')) AS tok
+        FROM documents),
+    per AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM toks GROUP BY doc_id, tok),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS top_count
+        FROM per GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_distinct, 0) AS n_distinct,
+           coalesce(a.top_count, 0) AS top_count
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
