@@ -712,6 +712,21 @@ def _in_body_end(t, tb) -> bool:
 
 
 def _ibe_adoption(t, tb, name) -> bool:
+    # well-nested fast path, hoisted above the generic algorithm: if
+    # the LAST active-formatting entry is the current element and
+    # matches the tag, it is exactly the formatting element the
+    # adoption agency would select (last matching entry), it is
+    # trivially on-stack/in-scope, and nothing sits below it — pop
+    # both. Skips the two backward scans + call chain per </b></a>.
+    fe = tb.formatting_elements
+    if fe:
+        last = fe[-1]
+        stack = tb.stack
+        if last is not None and stack and stack[-1] is last \
+                and last.tag.normal_name == name:
+            tb.pop()
+            fe.pop()
+            return True
     return _adoption_agency(t, tb, name)
 
 
