@@ -34,6 +34,7 @@ TIMED_QUERIES = [
     "ann_topk", "agg_lineitem", "join_broadcast", "events_daily",
     "sessionize", "orders_pruned", "kmeans", "lang_id",
     "fingerprint_rolling", "training_pipeline",
+    "asof_join", "bm25", "bigram_topk", "range_join",
 ]
 
 

@@ -225,3 +225,78 @@ def asof_join(left, right, *, left_on: str, right_on: str,
         .groupby("k").map_groups(fix_edges, batch_format="pandas")
 
     return done.union(edges)
+
+
+def range_join_count(left, right, *, left_on: str, right_on: str,
+                     left_ts: str, right_ts: str, window_ns: int,
+                     left_id: str, num_partitions: int = 32):
+    """Interval/range join, counting form: per left row, how many
+    right rows share the key and fall in ``[left_ts - window,
+    left_ts]`` (inclusive both ends).
+
+    Distributed shape — time-bucketed replication instead of an
+    all-pairs key join: with bucket width = window, a qualifying
+    right row's bucket is either the left row's bucket or the one
+    before it, so each right row is replicated into exactly TWO
+    (key, bucket) slots and the join is a plain hash join on
+    (key, bucket) — per-task work stays proportional to genuinely
+    close pairs, never to a hot key's full history. Zero-match left
+    rows are kept by unioning a zero-count stream (cheaper than a
+    second left_outer shuffle of the corpus).
+    """
+    def tag_left(batch: pa.Table) -> pa.Table:
+        t = _ts_to_i64(batch.column(left_ts))
+        b = pc.divide(t, window_ns)
+        return pa.table({
+            "jid": batch.column(left_id).cast(_I64),
+            "jk": batch.column(left_on).cast(_I64),
+            "jb": b,
+            "jt": t,
+        })
+    tag_left.__name__ = "range_tag_left"
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        t = _ts_to_i64(batch.column(right_ts)).to_numpy(
+            zero_copy_only=False)
+        k = batch.column(right_on).cast(_I64).to_numpy(
+            zero_copy_only=False)
+        b = t // window_ns
+        return pa.table({
+            "jk": pa.array(np.concatenate([k, k]), _I64),
+            "jb": pa.array(np.concatenate([b, b + 1]), _I64),
+            "rt": pa.array(np.concatenate([t, t]), _I64),
+        })
+    tag_right.__name__ = "range_tag_right_x2"
+
+    lt = left.select_columns(sorted({left_id, left_on, left_ts})) \
+        .map_batches(tag_left, batch_format="pyarrow")
+    rt = right.select_columns(sorted({right_on, right_ts})) \
+        .map_batches(tag_right, batch_format="pyarrow")
+
+    joined = lt.join(rt, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("jk", "jb"))
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        dt = pc.subtract(batch.column("jt"), batch.column("rt"))
+        ok = pc.and_(pc.greater_equal(dt, 0),
+                     pc.less_equal(dt, window_ns))
+        hits = batch.filter(ok)
+        return pa.table({
+            "jid": hits.column("jid"),
+            "c": pa.array(np.ones(hits.num_rows, np.int64), _I64),
+        })
+    in_window.__name__ = "range_window_filter"
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "jid": batch.column("jid"),
+            "c": pa.array(np.zeros(batch.num_rows, np.int64), _I64),
+        })
+    zeros.__name__ = "range_zero_counts"
+
+    from ray.data.aggregate import Sum
+    counts = joined.map_batches(in_window, batch_format="pyarrow") \
+        .union(lt.map_batches(zeros, batch_format="pyarrow")) \
+        .groupby("jid").aggregate(Sum("c", alias_name="n_matches"))
+    return counts

@@ -1,0 +1,91 @@
+"""Order-statistics operators that avoid global sorts.
+
+grouped_topk: top-k rows per key. A full ``sort(key, -order)`` would
+shuffle the whole corpus; instead every block keeps at most k rows per
+key it sees (vectorized lexsort + run-leading-rows mask), so the ONE
+groupby that follows moves ≤ k·num_blocks tiny rows per key, and the
+final per-group merge is over those partials only.
+
+quantiles: exact quantiles of an integer-ish column via a distributed
+value histogram — per-batch ``np.unique`` partials, ONE groupby(value)
+sum over ≤ |domain| narrow rows, then a driver-side cumsum over the
+(bounded) distinct-value table. For unbounded/continuous domains,
+pre-bin the column first (``floor(x / width)``); the histogram shape
+is unchanged. No global sort, no corpus materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _topk_mask(keys: np.ndarray, order: np.ndarray,
+               tie: np.ndarray, k: int) -> np.ndarray:
+    """Row indices (into the original arrays) of the top-k rows per
+    key by (order desc, tie asc) — one lexsort, no Python loop."""
+    perm = np.lexsort((tie, -order, keys))
+    sk = keys[perm]
+    starts = np.nonzero(np.r_[True, sk[1:] != sk[:-1]])[0]
+    run_id = np.cumsum(np.r_[True, sk[1:] != sk[:-1]]) - 1
+    pos_in_run = np.arange(sk.size) - starts[run_id]
+    return perm[pos_in_run < k]
+
+
+def grouped_topk(ds, key: str, order_col: str, k: int, tie: str):
+    """→ input columns filtered to the k rows per ``key`` maximizing
+    (order_col, then min ``tie``). Requires string ``key``,
+    integer-orderable ``order_col``/``tie``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        keys = np.unique(
+            np.asarray(batch.column(key).to_pylist(), dtype=object),
+            return_inverse=True)[1]
+        order = batch.column(order_col).to_numpy(zero_copy_only=False)
+        tiev = batch.column(tie).to_numpy(zero_copy_only=False)
+        idx = _topk_mask(keys, order, tiev, k)
+        return batch.take(pa.array(np.sort(idx)))
+    partial.__name__ = f"topk{k}_partial"
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([order_col, tie],
+                              ascending=[False, True]).head(k)
+        return g.reset_index(drop=True)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).map_groups(final, batch_format="pandas")
+
+
+def quantiles(ds, col: str, q_pcts: tuple[int, ...]):
+    """→ pandas DataFrame (q_pct, value): for each integer percent q,
+    the smallest v with rank(v) ≥ ceil(q·N/100) — integer arithmetic
+    end to end, so any engine reproduces it bit-exactly."""
+    from ray.data.aggregate import Sum
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        vals, counts = np.unique(v, return_counts=True)
+        return pa.table({
+            "v": pa.array(vals.astype(np.int64), pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+    hist.__name__ = f"hist_{col}"
+
+    rows = ds.select_columns([col]) \
+        .map_batches(hist, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("n", alias_name="n")) \
+        .take_all()  # ≤ |distinct values| narrow rows — bounded
+    vs = np.array([r["v"] for r in rows], dtype=np.int64)
+    ns = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(vs)
+    vs, cum = vs[order], np.cumsum(ns[order])
+    total = int(cum[-1]) if cum.size else 0
+    out = []
+    for q in q_pcts:
+        rank = (q * total + 99) // 100
+        pos = int(np.searchsorted(cum, rank))
+        out.append((q, int(vs[min(pos, vs.size - 1)])))
+    return pd.DataFrame(out, columns=["q_pct", "value"])

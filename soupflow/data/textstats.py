@@ -497,3 +497,37 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
         "n_distinct": pa.array(n_distinct.astype(np.int64), pa.int64()),
         "top_count": pa.array(top, pa.int64()),
     })
+
+
+def bigram_topk(docs, k: int = 20):
+    """Corpus-wide top-k word bigrams: per-batch np.unique partial
+    counts (the combiner — only distinct (bigram, n) partials leave
+    the task, never the token stream), ONE groupby(bigram) sum, then
+    a k-row sort. Ties at the cut break by bigram text so the result
+    is deterministic."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = _text_array(batch)
+        offs, flat = _ws_tokens(arr)
+        toks = np.asarray(flat.to_pandas(), dtype=object)
+        seg = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                        np.diff(offs))
+        keep = toks != ""
+        toks, seg = toks[keep], seg[keep]
+        if toks.size < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = seg[:-1] == seg[1:]
+        bigrams = toks[:-1][same] + " " + toks[1:][same]
+        vals, counts = np.unique(bigrams, return_counts=True)
+        return pa.table({
+            "bigram": pa.array(vals, pa.string()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+    partial.__name__ = "bigram_partial"
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n", alias_name="n")) \
+        .sort(["n", "bigram"], descending=[True, False]).limit(k)

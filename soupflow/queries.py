@@ -724,6 +724,76 @@ def q_repetition(sf_dir: str):
         .map_batches(repetition_batch, batch_format="pyarrow")
 
 
+
+
+def q_normalize(sf_dir: str):
+    """Text normalization + PII-style redaction: lowercase, mask
+    emails/long digit runs, collapse whitespace — all Arrow C++ RE2
+    kernels, zero shuffle (data/textnorm.py)."""
+    from .data.textnorm import normalize_redact
+    return normalize_redact(_read(sf_dir, "documents"))
+
+
+def q_props_rollup(sf_dir: str):
+    """Semi-structured extraction: pull the "k" field out of the JSON
+    props string with the Arrow RE2 kernel (no per-row json.loads),
+    pre-aggregate in-batch, ONE small groupby. Money summed in
+    integer cents so the aggregate is float-free
+    (data/semistruct.py)."""
+    from .data.semistruct import props_rollup
+    return props_rollup(_read(sf_dir, "events"))
+
+
+def q_bigram_topk(sf_dir: str):
+    """Corpus-wide top-20 word bigrams with a map-side combiner: only
+    distinct (bigram, n) partials leave each task
+    (data/textstats.py)."""
+    from .data.textstats import bigram_topk
+    return bigram_topk(_read(sf_dir, "documents"), k=20)
+
+
+def q_range_join(sf_dir: str):
+    """Interval join: per event, how many orders of the same customer
+    fall in the trailing 7-day window. Time-bucketed replication
+    (each order lands in exactly 2 (key, bucket) slots) keeps the
+    hash join proportional to close pairs, not key history
+    (data/joins.py)."""
+    from .data.joins import range_join_count
+
+    res = range_join_count(
+        _read(sf_dir, "events"), _read(sf_dir, "orders"),
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        window_ns=7 * 86400 * 10**9, left_id="event_id")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("jid"),
+            "n_matches": b.column("n_matches").cast(pa.int64()),
+        })
+    return res.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_top_per_lang(sf_dir: str):
+    """Grouped top-k without a global sort: per-block top-3-per-lang
+    partials, then a per-key merge over ≤ 3·num_blocks tiny rows
+    (data/rank.py)."""
+    from .data.rank import grouped_topk
+    ds = _read(sf_dir, "documents").select_columns(
+        ["lang", "doc_id", "n_chars"])
+    return grouped_topk(ds, key="lang", order_col="n_chars", k=3,
+                        tie="doc_id")
+
+
+def q_len_quantiles(sf_dir: str):
+    """Exact quantiles via a distributed value histogram (np.unique
+    partials + ONE narrow groupby) — no global sort; integer rank
+    arithmetic end to end (data/rank.py)."""
+    from .data.rank import quantiles
+    return quantiles(_read(sf_dir, "documents"), "n_chars",
+                     (10, 25, 50, 75, 90))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -765,6 +835,12 @@ QUERIES = {
     "bm25": q_bm25,
     "hash_split": q_hash_split,
     "repetition": q_repetition,
+    "normalize": q_normalize,
+    "props_rollup": q_props_rollup,
+    "bigram_topk": q_bigram_topk,
+    "range_join": q_range_join,
+    "top_per_lang": q_top_per_lang,
+    "len_quantiles": q_len_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1336,4 +1412,73 @@ ORACLE_SQL["repetition"] = """
            coalesce(a.n_distinct, 0) AS n_distinct,
            coalesce(a.top_count, 0) AS top_count
     FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+ORACLE_SQL["normalize"] = """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+               lower(text),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g'),
+               '\\s+', ' ', 'g')) AS clean_text,
+           CAST(length(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_emails,
+           CAST(length(regexp_extract_all(text, '[0-9]{6,}'))
+               AS BIGINT) AS n_digit_runs
+    FROM documents
+"""
+
+ORACLE_SQL["props_rollup"] = """
+    SELECT coalesce(TRY_CAST(regexp_extract(props,
+               '"k":\\s*([0-9]+)', 1) AS BIGINT), -1) AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+               AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1
+"""
+
+ORACLE_SQL["bigram_topk"] = """
+    WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(trim(text),
+                   '\\s+'), x -> x <> '') AS w
+        FROM documents),
+    pairs AS (
+        SELECT w[i] || ' ' || w[i + 1] AS bigram
+        FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i))
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+"""
+
+ORACLE_SQL["range_join"] = """
+    SELECT e.event_id,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_matches
+    FROM events e LEFT JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate <= e.ts
+     AND e.ts - INTERVAL 7 DAY <= o.o_orderdate
+    GROUP BY e.event_id
+"""
+
+ORACLE_SQL["top_per_lang"] = """
+    SELECT lang, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents) WHERE rn <= 3
+"""
+
+ORACLE_SQL["len_quantiles"] = """
+    WITH c AS (
+        SELECT n_chars AS v, count(*) AS n
+        FROM documents GROUP BY n_chars),
+    cum AS (SELECT v, sum(n) OVER (ORDER BY v) AS cn FROM c),
+    t AS (SELECT count(*) AS total FROM documents)
+    SELECT q.q_pct, CAST(min(cum.v) AS BIGINT) AS value
+    FROM cum, t, (VALUES (10), (25), (50), (75), (90)) q(q_pct)
+    WHERE cum.cn >= (q.q_pct * t.total + 99) // 100
+    GROUP BY q.q_pct
 """

@@ -199,3 +199,111 @@ def test_repetition_matches_counter_reference(ray_session):
         assert row["n_tokens"] == sum(c.values())
         assert row["n_distinct"] == len(c)
         assert row["top_count"] == (max(c.values()) if c else 0)
+
+
+# -- round-3 batch 2: normalize / semistruct / bigrams / range join /
+#    grouped top-k / quantiles ----------------------------------------------
+
+def test_normalize_redact_reference(ray_session):
+    from soupflow.data.textnorm import normalize_redact_batch
+    texts = ["Contact Bob@Example.COM  now", "id 1234567 x 123",
+             "  Spaces\t\teverywhere \n", ""]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": pa.array(texts)})
+    out = normalize_redact_batch(tbl).to_pylist()
+    assert out[0]["clean_text"] == "contact <EMAIL> now"
+    assert out[0]["n_emails"] == 1
+    assert out[1]["clean_text"] == "id <NUM> x 123"
+    assert out[1]["n_digit_runs"] == 1
+    assert out[2]["clean_text"] == "spaces everywhere"
+    assert out[3]["clean_text"] == ""
+
+
+def test_props_rollup_reference(ray_session):
+    from soupflow.data.semistruct import props_rollup
+    import ray.data
+    tbl = pa.table({
+        "props": pa.array(['{"k": 7}', '{"k": 7}', '{"k":12}',
+                           'garbage', None]),
+        "value": pa.array([1.25, 2.50, 10.00, 3.00, 4.00]),
+    })
+    rows = {r["k"]: r for r in
+            props_rollup(ray.data.from_arrow(tbl).repartition(3))
+            .take_all()}
+    assert rows[7]["n"] == 2 and rows[7]["sum_cents"] == 375
+    assert rows[12]["n"] == 1 and rows[12]["sum_cents"] == 1000
+    assert rows[-1]["n"] == 2 and rows[-1]["sum_cents"] == 700
+
+
+def test_bigram_topk_reference(ray_session):
+    from soupflow.data.textstats import bigram_topk
+    texts = ["a b a b c", "a b", "z z z", ""]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": pa.array(texts)})
+    got = [(r["bigram"], r["n"]) for r in
+           bigram_topk(_ray_ds(tbl, 3), k=3).take_all()]
+    # "a b": 3 (2 in doc0, 1 in doc1); "z z": 2; then "b a": 1
+    # (ties broken by bigram text: "b a" < "b c")
+    assert got == [("a b", 3), ("z z", 2), ("b a", 1)]
+
+
+def test_range_join_count_reference(ray_session):
+    from soupflow.data.joins import range_join_count
+    rng = np.random.default_rng(11)
+    n_l, n_r, W = 200, 300, 50
+    left = pd.DataFrame({
+        "id": np.arange(n_l, dtype=np.int64),
+        "k": rng.integers(0, 8, n_l).astype(np.int64),
+        "t": rng.integers(0, 400, n_l).astype(np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 8, n_r).astype(np.int64),
+        "t": rng.integers(0, 400, n_r).astype(np.int64),
+    })
+    res = range_join_count(
+        _ray_ds(pa.Table.from_pandas(left), 5),
+        _ray_ds(pa.Table.from_pandas(right), 4),
+        left_on="k", right_on="k", left_ts="t", right_ts="t",
+        window_ns=W, left_id="id", num_partitions=4).take_all()
+    got = {r["jid"]: r["n_matches"] for r in res}
+    assert len(got) == n_l
+    for _, row in left.iterrows():
+        want = int(((right["k"] == row["k"]) &
+                    (right["t"] <= row["t"]) &
+                    (right["t"] >= row["t"] - W)).sum())
+        assert got[row["id"]] == want
+
+
+def test_grouped_topk_reference(ray_session):
+    from soupflow.data.rank import grouped_topk
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "de", "fr"], n),
+        "doc_id": np.arange(n, dtype=np.int64),
+        "score": rng.integers(0, 40, n).astype(np.int64),  # forces ties
+    })
+    res = grouped_topk(_ray_ds(pa.Table.from_pandas(df), 7),
+                       key="lang", order_col="score", k=4,
+                       tie="doc_id").take_all()
+    got = {}
+    for r in res:
+        got.setdefault(r["lang"], []).append((r["score"], r["doc_id"]))
+    for lang, sub in df.groupby("lang"):
+        want = sub.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(4)
+        assert sorted(got[lang], key=lambda x: (-x[0], x[1])) == \
+            list(zip(want["score"], want["doc_id"]))
+
+
+def test_quantiles_reference(ray_session):
+    from soupflow.data.rank import quantiles
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 1000, 3000).astype(np.int64)
+    tbl = pa.table({"v": pa.array(vals, pa.int64())})
+    out = quantiles(_ray_ds(tbl, 6), "v", (10, 50, 90, 100))
+    s = np.sort(vals)
+    n = len(vals)
+    for _, row in out.iterrows():
+        rank = (row["q_pct"] * n + 99) // 100
+        assert row["value"] == s[rank - 1]
