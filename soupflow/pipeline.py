@@ -83,18 +83,34 @@ def completed_partitions(output_dir: str,
 
 def salt_by_cost(ds, num_buckets: int = 64):
     """Optional skew pre-pass: route documents to salted buckets by a
-    cheap cost hint (total span bytes), spreading pathological docs.
-    Adds a 'salt' column; follow with ds.repartition(num_buckets)."""
+    cheap cost hint (total span text bytes), spreading pathological
+    docs. Adds a 'salt' column; follow with ds.repartition(num_buckets).
+
+    Fully vectorized (Arrow list-flatten + segment cumsum for the cost
+    hint, pandas siphash for the id) and DETERMINISTIC across worker
+    processes — Python's builtin ``hash`` is seed-randomized per
+    process, which would make resume/debug runs route differently."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        spans = batch.column("spans").to_pylist()
-        doc_ids = batch.column("doc_id").to_pylist()
-        salts = []
-        for doc_id, span_list in zip(doc_ids, spans):
-            cost = sum(len(s.get("text") or "") for s in span_list or [])
-            bucket = (hash(doc_id) ^ (cost // 65536)) % num_buckets
-            salts.append(bucket)
-        return batch.append_column("salt", pa.array(salts, pa.int32()))
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        offs = spans.offsets.to_numpy()
+        offs = offs - offs[0]
+        lens = pc.binary_length(
+            pc.fill_null(spans.flatten().field("text"), "")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])
+        cost = cs[offs[1:]] - cs[offs[:-1]]
+        ids = pd.util.hash_array(
+            np.asarray(batch.column("doc_id").to_pylist(),
+                       dtype=object)).astype(np.int64)
+        salt = ((ids ^ (cost // 65536)) % num_buckets).astype(np.int32)
+        return batch.append_column("salt", pa.array(salt, pa.int32()))
+    add_salt.__name__ = "salt_by_cost"
 
     return ds.map_batches(add_salt, batch_format="pyarrow")
 
