@@ -755,8 +755,9 @@ def q_bigram_topk(sf_dir: str):
 def q_range_join(sf_dir: str):
     """Interval join: per event, how many orders of the same customer
     fall in the trailing 7-day window. Time-bucketed replication
-    (each order lands in exactly 2 (key, bucket) slots) keeps the
-    hash join proportional to close pairs, not key history
+    (each order lands in exactly 2 (key, bucket) slots) + one global
+    sort; interior (key, bucket) runs resolve map-side with
+    searchsorted, only block-edge runs hit a tiny groupby fixup
     (data/joins.py)."""
     from .data.joins import range_join_count
 
@@ -764,7 +765,8 @@ def q_range_join(sf_dir: str):
         _read(sf_dir, "events"), _read(sf_dir, "orders"),
         left_on="user_id", right_on="o_custkey",
         left_ts="ts", right_ts="o_orderdate",
-        window_ns=7 * 86400 * 10**9, left_id="event_id")
+        window_ns=7 * 86400 * 10**9, left_id="event_id",
+        num_partitions=16)
 
     def finalize(b: pa.Table) -> pa.Table:
         return pa.table({
