@@ -35,6 +35,7 @@ TIMED_QUERIES = [
     "sessionize", "orders_pruned", "kmeans", "lang_id",
     "fingerprint_rolling", "training_pipeline",
     "asof_join", "bm25", "bigram_topk", "range_join",
+    "pdf_extract",
 ]
 
 

@@ -787,6 +787,20 @@ def q_top_per_lang(sf_dir: str):
                         tie="doc_id")
 
 
+def q_pdf_extract(sf_dir: str):
+    """PDF/layout parse (north rule): render each document as a real
+    PDF binary (Flate streams, scrambled xref, two-column layout for
+    even doc_ids, full Tm/Td/TD/T*/Tj/TJ/'/" operator mix), then
+    extract reading-order text back out with XY-cut column detection
+    and Courier-metric gap inference. Both stages are zero-shuffle
+    map_batches with payload-capped batches (data/pdflayout.py).
+    Fixed words-per-line layout makes page/line counts closed-form in
+    the word count, so the whole round trip is SQL-checkable."""
+    from .data.pdflayout import extract_pdfs, render_pdfs
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return extract_pdfs(render_pdfs(ds))
+
+
 def q_len_quantiles(sf_dir: str):
     """Exact quantiles via a distributed value histogram (np.unique
     partials + ONE narrow groupby) — no global sort; integer rank
@@ -843,6 +857,7 @@ QUERIES = {
     "range_join": q_range_join,
     "top_per_lang": q_top_per_lang,
     "len_quantiles": q_len_quantiles,
+    "pdf_extract": q_pdf_extract,
 }
 
 ORACLE_SQL = {
@@ -1471,6 +1486,27 @@ ORACLE_SQL["top_per_lang"] = """
                row_number() OVER (PARTITION BY lang
                    ORDER BY n_chars DESC, doc_id) AS rn
         FROM documents) WHERE rn <= 3
+"""
+
+# pdf_extract layout is word-exact by construction: WORDS_PER_LINE=6
+# words per baseline, LINES_PER_PAGE=6 baselines per page, so the
+# extracted reading-order text is the whitespace-normalized input and
+# the page/line counts are closed-form in the word count.
+ORACLE_SQL["pdf_extract"] = r"""
+    WITH w AS (
+        SELECT doc_id,
+               regexp_replace(trim(text), '\s+', ' ', 'g') AS t,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+'))
+               END AS n_words
+        FROM documents)
+    SELECT doc_id,
+           t AS text,
+           GREATEST(1, CAST(CEIL(CEIL(n_words / 6.0) / 6.0) AS BIGINT))
+               AS n_pages,
+           CAST(CEIL(n_words / 6.0) AS BIGINT) AS n_lines,
+           CAST(n_words AS BIGINT) AS n_words
+    FROM w
 """
 
 ORACLE_SQL["len_quantiles"] = """
