@@ -1,0 +1,170 @@
+"""Benchmark decontamination: flag training documents that share any
+word n-gram with a (small) benchmark/eval set.
+
+The published shape (GPT-3 appendix C / The Pile / Gopher): build the
+benchmark side's n-gram set once, then a single map-side membership
+pass over the training corpus — the corpus itself is never shuffled.
+
+Scale shape:
+ * The benchmark set is the SMALL side by definition (eval suites are
+   thousands of docs, not billions). Its n-gram set is reduced to a
+   sorted uint64 hash array and broadcast once via ``ray.put``; every
+   train task reads it zero-copy from the object store.
+ * Train side is ONE zero-shuffle ``map_batches``: whitespace-split
+   via Arrow, n-gram hashes built with a vectorized rolling combine
+   over per-word hashes (np.unique over the batch vocabulary — the
+   simhash/minhash trick), membership via ``np.searchsorted``.
+ * Hashing: per-word splitmix64 over md5-low-64, n-gram hash = ordered
+   polynomial combine. 64-bit collisions are ~n²/2⁶⁴ — negligible at
+   any eval-set size; the DuckDB oracle checks exact string n-grams,
+   so the tests also prove the hash path introduces no error at test
+   scale.
+
+For an eval set too big for one broadcast array the same two-phase
+layout as minhash applies (partitioned hash join on the gram hash);
+not implemented because the premise (eval >> driver memory) does not
+occur for decontamination.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_M64 = (1 << 64) - 1
+
+
+def _word_hashes(words: np.ndarray) -> np.ndarray:
+    """uint64 hash per word — np.unique over the batch's vocabulary,
+    md5 only on uniques, gather back."""
+    uniq, inv = np.unique(words, return_inverse=True)
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+         for w in uniq),
+        dtype=np.uint64, count=len(uniq))
+    return h[inv]
+
+
+def _gram_hashes(wh: np.ndarray, n: int) -> np.ndarray:
+    """Ordered polynomial combine over a sliding window of n word
+    hashes (vectorized: n shifted multiplies, no Python loop over
+    positions)."""
+    if len(wh) < n:
+        return np.empty(0, dtype=np.uint64)
+    out = np.zeros(len(wh) - n + 1, dtype=np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    for j in range(n):
+        out = (out * mult + wh[j:len(wh) - n + 1 + j])  # wraps mod 2^64
+    # splitmix finalize for avalanche
+    out ^= out >> np.uint64(30)
+    out *= np.uint64(0xBF58476D1CE4E5B9)
+    out ^= out >> np.uint64(27)
+    out *= np.uint64(0x94D049BB133111EB)
+    return out ^ (out >> np.uint64(31))
+
+
+# reserved word-hash for the inter-document padding; windows touching
+# it are cross-document artifacts and are masked out on BOTH sides
+_SENT = np.uint64(0xD6E8FEB86659FD93)
+
+
+def _doc_grams(batch: pa.Table, n: int,
+               text_col: str = "text") -> tuple[np.ndarray, np.ndarray]:
+    """→ (doc_index_per_gram, gram_hash) for a batch.
+
+    Fully vectorized: one Arrow whitespace split, per-word hashes via
+    np.unique, then ONE sliding-window combine over a single stream
+    padded with n-1 sentinel hashes between documents. Windows that
+    cross a document boundary contain a sentinel; a validity mask
+    (window fits inside its document) drops them — no per-document
+    Python loop."""
+    nrows = batch.num_rows
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, np.uint64))
+    if nrows == 0:
+        return empty
+    split = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(batch.column(text_col),
+                                             "")), r"\s+")
+    flat = split.combine_chunks() if isinstance(split, pa.ChunkedArray) \
+        else split
+    counts = np.diff(np.asarray(flat.offsets, dtype=np.int64))
+    words = np.asarray(flat.flatten().to_pylist(), dtype=object)
+    word_doc = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+    mask = words != ""   # regex split of '' yields one empty token
+    if not mask.all():
+        words, word_doc = words[mask], word_doc[mask]
+    if len(words) == 0:
+        return empty
+    clean_counts = np.bincount(word_doc, minlength=nrows)
+    wh = _word_hashes(words)
+
+    pad = n - 1
+    starts = (np.concatenate(([0], np.cumsum(clean_counts)))[:-1]
+              + pad * np.arange(nrows, dtype=np.int64))
+    padded = np.full(len(wh) + pad * nrows, _SENT, dtype=np.uint64)
+    word_starts = np.concatenate(([0], np.cumsum(clean_counts)))[:-1]
+    pos_within = np.arange(len(wh)) - np.repeat(word_starts,
+                                                clean_counts)
+    padded[np.repeat(starts, clean_counts) + pos_within] = wh
+
+    grams = _gram_hashes(padded, n)
+    if len(grams) == 0:
+        return empty
+    win = np.arange(len(grams), dtype=np.int64)
+    win_doc = np.searchsorted(starts, win, side="right") - 1
+    np.clip(win_doc, 0, nrows - 1, out=win_doc)
+    rel = win - starts[win_doc]
+    valid = rel <= clean_counts[win_doc] - n
+    return win_doc[valid], grams[valid]
+
+
+def benchmark_gram_set(bench_ds, n: int = 8,
+                       text_col: str = "text") -> np.ndarray:
+    """Distributed reduction of the benchmark side to a sorted unique
+    uint64 gram-hash array (per-task np.unique partials, tiny rows to
+    the driver)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        _, grams = _doc_grams(batch, n, text_col)
+        return pa.table({"g": np.unique(grams)})
+
+    parts = bench_ds.map_batches(partial, batch_format="pyarrow")
+    arrs = [np.asarray(b.column("g"), dtype=np.uint64)
+            for b in parts.iter_batches(batch_format="pyarrow")
+            if b.num_rows]
+    if not arrs:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(arrs))
+
+
+def decontaminate(train_ds, bench_ds, n: int = 8,
+                  text_col: str = "text"):
+    """→ (doc_id, n_contaminated, contaminated): per training doc, how
+    many of its word n-grams appear in the benchmark set.
+
+    ONE broadcast (sorted bench gram hashes) + ONE zero-shuffle
+    map_batches over the training corpus."""
+    import ray
+
+    bench = benchmark_gram_set(bench_ds, n, text_col)
+    handle = ray.put(bench)
+
+    def check(batch: pa.Table) -> pa.Table:
+        bg = ray.get(handle)
+        doc_idx, grams = _doc_grams(batch, n, text_col)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(grams) and len(bg):
+            pos = np.searchsorted(bg, grams)
+            pos = np.minimum(pos, len(bg) - 1)
+            member = bg[pos] == grams
+            np.add.at(hits, doc_idx, member.astype(np.int64))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_contaminated": pa.array(hits, pa.int64()),
+            "contaminated": pa.array(hits > 0),
+        })
+    check.__name__ = "check_contamination"
+
+    return train_ds.map_batches(check, batch_format="pyarrow")

@@ -801,6 +801,30 @@ def q_pdf_extract(sf_dir: str):
     return extract_pdfs(render_pdfs(ds))
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix C shape): flag
+    training docs sharing any word 4-gram with the eval split
+    (doc_id % 13 == 0 here). Bench side reduces to a sorted uint64
+    gram-hash array broadcast once; train side is ONE zero-shuffle
+    map_batches with sentinel-padded vectorized n-gram hashing
+    (data/decontam.py)."""
+    from .data.decontam import decontaminate
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    import pyarrow.compute as pc
+
+    def _split(want_bench: bool):
+        # Ray 2.49 expression filters reject BinOp (% 13) — Arrow mask
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            is_b = pa.array(ids % 13 == 0)
+            return b.filter(is_b if want_bench else pc.invert(is_b))
+        f.__name__ = "bench_rows" if want_bench else "train_rows"
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    return decontaminate(_split(False), _split(True), n=4)
+
+
 def q_len_quantiles(sf_dir: str):
     """Exact quantiles via a distributed value histogram (np.unique
     partials + ONE narrow groupby) — no global sort; integer rank
@@ -858,6 +882,7 @@ QUERIES = {
     "top_per_lang": q_top_per_lang,
     "len_quantiles": q_len_quantiles,
     "pdf_extract": q_pdf_extract,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -1507,6 +1532,31 @@ ORACLE_SQL["pdf_extract"] = r"""
            CAST(CEIL(n_words / 6.0) AS BIGINT) AS n_lines,
            CAST(n_words AS BIGINT) AS n_words
     FROM w
+"""
+
+# decontaminate: exact string 4-grams in SQL vs uint64 gram hashes in
+# the Ray kernel — equality also proves the hash path collision-free
+# at test scale.
+ORACLE_SQL["decontaminate"] = r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''),
+    grams AS (
+        SELECT doc_id, array_to_string(list_slice(w, i, i + 3), ' ')
+               AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+              FROM words WHERE len(w) >= 4)),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0),
+    hits AS (
+        SELECT g2.doc_id, count(*) AS n_contaminated
+        FROM grams g2 JOIN bench USING (g)
+        WHERE g2.doc_id % 13 <> 0
+        GROUP BY g2.doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 13 <> 0
 """
 
 ORACLE_SQL["len_quantiles"] = """
