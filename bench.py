@@ -182,8 +182,9 @@ def main() -> None:
                 env = dict(os.environ)
                 env["RAY_GRAFT_CPUS"] = str(cpus)
                 # larger corpus for scaling runs so compute dominates
-                # fixed startup overhead at 32 CPUs
-                env.setdefault("GRAFT_BENCH_REPLICATE", "16")
+                # fixed startup overhead at 32 CPUs (~1 s of stage
+                # startup is ~20% of a 5 s x16 run but ~6% of x64)
+                env.setdefault("GRAFT_BENCH_REPLICATE", "64")
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--headline-only"],
