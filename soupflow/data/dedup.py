@@ -941,3 +941,64 @@ def jaccard_components(ds, threshold: float = 0.8, shingle_k: int = 3,
                                  bands)
     return components_from_pairs(pairs, ds, pair_a="doc_id",
                                  pair_b="dup_of", id_col="doc_id")
+
+
+def snapshot_dedup(new_ds, prior_ds, text_col: str = "text",
+                   join: str = "broadcast", num_partitions: int = 32):
+    """Incremental (cross-snapshot) dedup: keep only the rows of
+    ``new_ds`` whose content fingerprint does NOT appear in
+    ``prior_ds`` — the per-crawl-increment shape (CommonCrawl-style:
+    dedupe each new snapshot against everything already ingested).
+
+    ``join="broadcast"``: the prior side reduces to its DISTINCT
+    fingerprint array (np.unique per task, one driver union), shipped
+    once via ray.put and probed map-side with searchsorted — the new
+    snapshot never shuffles. Bound: prior DISTINCT fp count × 32 B;
+    beyond driver memory use ``join="partitioned"``: ONE distributed
+    left_anti hash join on fp (both sides stay narrow until the keep
+    decision; text never enters the shuffle on either path).
+
+    Output = new_ds columns + fp."""
+    import ray
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return _hash_col_batch(batch, text_col).select(["fp"])
+    narrow.__name__ = "prior_fp"
+
+    if join == "partitioned":
+        prior_fp = prior_ds.map_batches(narrow,
+                                        batch_format="pyarrow") \
+            .groupby("fp").count().select_columns(["fp"]) \
+            .repartition(num_partitions)
+        return new_ds.map_batches(
+            lambda b: _hash_col_batch(b, text_col),
+            batch_format="pyarrow").join(
+            prior_fp, join_type="left_anti",
+            num_partitions=num_partitions, on=("fp",))
+
+    def fp_partial(batch: pa.Table) -> pa.Table:
+        t = _hash_col_batch(batch, text_col)
+        u = np.unique(np.asarray(t.column("fp").to_pylist(),
+                                 dtype=object))
+        return pa.table({"fp": pa.array(u, pa.string())})
+    fp_partial.__name__ = "prior_fp_partial"
+
+    parts = prior_ds.map_batches(fp_partial, batch_format="pyarrow")
+    arrs = [np.asarray(b.column("fp").to_pylist(), dtype=object)
+            for b in parts.iter_batches(batch_format="pyarrow")
+            if b.num_rows]
+    prior = np.unique(np.concatenate(arrs)) if arrs else \
+        np.empty(0, dtype=object)
+    handle = ray.put(prior)
+
+    def keep_new(batch: pa.Table) -> pa.Table:
+        known = ray.get(handle)
+        t = _hash_col_batch(batch, text_col)
+        if known.size == 0:
+            return t
+        fps = np.asarray(t.column("fp").to_pylist(), dtype=object)
+        pos = np.minimum(np.searchsorted(known, fps), known.size - 1)
+        return t.filter(pa.array(known[pos] != fps))
+    keep_new.__name__ = "drop_known_fps"
+
+    return new_ds.map_batches(keep_new, batch_format="pyarrow")

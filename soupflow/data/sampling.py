@@ -64,3 +64,37 @@ def sample_threshold(frac: float) -> int:
     """The integer threshold hash_sample uses — embed this literal in
     the SQL oracle so both sides compare against the same constant."""
     return min(int(frac * _U64), _U64 - 1)
+
+
+def stratified_sample(ds, key: str, k: int, id_col: str = "doc_id"):
+    """Exact-count stratified sample: the k rows per ``key`` stratum
+    with the smallest id hash — a deterministic 'random' pick that is
+    reproducible, repartition-stable, and engine-independent (the SQL
+    oracle replays the same HUGEINT hash and row_number cut).
+
+    Scale shape: per-block per-stratum top-k partials (numpy) shrink
+    each block to ≤ k rows per stratum BEFORE the one small groupby —
+    the corpus itself never shuffles (same layout as rank.grouped_topk,
+    which this composes). Output = id/key plus ``srank`` (the hash
+    rank actually compared) for auditability."""
+    from .rank import grouped_topk
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # >>1 keeps the order and fits signed int64; negate so
+        # grouped_topk's max-k picks the SMALLEST hashes
+        srank = (_mix(ids) >> np.uint64(1)).astype(np.int64)
+        t = batch.select([key, id_col])
+        t = t.append_column("srank", pa.array(srank, pa.int64()))
+        return t.append_column("neg_srank",
+                               pa.array(-srank, pa.int64()))
+    add_rank.__name__ = "stratum_rank"
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    top = grouped_topk(ranked, key=key, order_col="neg_srank", k=k,
+                       tie=id_col)
+    import pandas as pd
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key, id_col, "srank"]]
+    return top.map_batches(strip, batch_format="pandas")

@@ -825,6 +825,39 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_split(False), _split(True), n=4)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Exact-count stratified sample: 25 docs per language, picked by
+    smallest deterministic id hash — per-block per-stratum top-k
+    partials, one tiny groupby, no corpus shuffle
+    (data/sampling.py stratified_sample over rank.grouped_topk)."""
+    from .data.sampling import stratified_sample
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+    return stratified_sample(ds, key="lang", k=25)
+
+
+def q_snapshot_dedup(sf_dir: str):
+    """Incremental cross-snapshot dedup: docs with doc_id % 3 == 0
+    play the already-ingested prior corpus; the 'new snapshot' keeps
+    only rows whose md5 fingerprint is unseen. Prior side reduces to
+    a distinct-fp broadcast; new side is one zero-shuffle map_batches
+    (data/dedup.py snapshot_dedup; partitioned left_anti escape hatch
+    for prior sets beyond driver memory)."""
+    from .data.dedup import snapshot_dedup
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def _side(prior: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = pa.array(ids % 3 == 0)
+            return b.filter(m if prior else pc.invert(m))
+        f.__name__ = "prior_rows" if prior else "new_rows"
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    return snapshot_dedup(_side(False), _side(True))
+
+
 def q_len_quantiles(sf_dir: str):
     """Exact quantiles via a distributed value histogram (np.unique
     partials + ONE narrow groupby) — no global sort; integer rank
@@ -883,6 +916,8 @@ QUERIES = {
     "len_quantiles": q_len_quantiles,
     "pdf_extract": q_pdf_extract,
     "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
+    "snapshot_dedup": q_snapshot_dedup,
 }
 
 ORACLE_SQL = {
@@ -1532,6 +1567,30 @@ ORACLE_SQL["pdf_extract"] = r"""
            CAST(CEIL(n_words / 6.0) AS BIGINT) AS n_lines,
            CAST(n_words AS BIGINT) AS n_words
     FROM w
+"""
+
+ORACLE_SQL["stratified_sample"] = """
+    SELECT lang, doc_id, srank
+    FROM (
+        SELECT lang, doc_id,
+               CAST(((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                     % 18446744073709551616) // 2 AS BIGINT) AS srank,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ((CAST(doc_id AS HUGEINT)
+                              * 11400714819323198485)
+                             % 18446744073709551616) // 2, doc_id)
+                   AS rn
+        FROM documents)
+    WHERE rn <= 25
+"""
+
+ORACLE_SQL["snapshot_dedup"] = """
+    SELECT d.doc_id, d.text, md5(d.text) AS fp
+    FROM documents d
+    WHERE d.doc_id % 3 <> 0
+      AND md5(d.text) NOT IN (
+          SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)
 """
 
 # decontaminate: exact string 4-grams in SQL vs uint64 gram hashes in

@@ -307,3 +307,59 @@ def test_quantiles_reference(ray_session):
     for _, row in out.iterrows():
         rank = (row["q_pct"] * n + 99) // 100
         assert row["value"] == s[rank - 1]
+
+
+# -- stratified sample + snapshot dedup (round 3) ----------------------------
+
+def test_stratified_sample_exact_count_and_stability(ray_session):
+    from soupflow.data.sampling import stratified_sample
+    rng = np.random.default_rng(11)
+    n = 900
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(n)]),
+    })
+    a = stratified_sample(_ray_ds(tbl, 4), key="lang", k=10).to_pandas()
+    b = stratified_sample(_ray_ds(tbl, 13), key="lang", k=10).to_pandas()
+    assert (a.groupby("lang").size() == 10).all()
+    key = lambda df: sorted(map(tuple, df[["lang", "doc_id"]].values))
+    assert key(a) == key(b), "sample not repartition-stable"
+    # picked docs are exactly the k smallest hashes per stratum
+    from soupflow.data.sampling import _mix
+    ids = np.arange(n, dtype=np.int64)
+    h = (_mix(ids) >> np.uint64(1)).astype(np.int64)
+    for lang in ("en", "de", "fr"):
+        stratum = ids[np.array([lang == ["en", "de", "fr"][i % 3]
+                                for i in range(n)])]
+        want = set(stratum[np.argsort(h[stratum], kind="stable")][:10])
+        got = set(a.loc[a.lang == lang, "doc_id"])
+        assert got == want
+    del rng
+
+
+def test_snapshot_dedup_modes_agree(ray_session):
+    from soupflow.data.dedup import snapshot_dedup
+    texts = [f"doc {i % 7}" for i in range(40)]       # heavy dup rate
+    prior = pa.table({"doc_id": pa.array(range(100, 105)),
+                      "text": pa.array([f"doc {i}" for i in range(5)])})
+    new = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array(texts)})
+    out_b = snapshot_dedup(_ray_ds(new, 3), _ray_ds(prior, 2)) \
+        .to_pandas()
+    out_p = snapshot_dedup(_ray_ds(new, 3), _ray_ds(prior, 2),
+                           join="partitioned", num_partitions=4) \
+        .to_pandas()
+    # prior knows 'doc 0'..'doc 4' → only rows with i%7 in {5, 6} stay
+    want = {i for i in range(40) if i % 7 >= 5}
+    assert set(out_b.doc_id) == want
+    assert set(out_p.doc_id) == want
+    assert set(out_p.columns) >= {"doc_id", "text", "fp"}
+
+
+def test_snapshot_dedup_empty_prior(ray_session):
+    from soupflow.data.dedup import snapshot_dedup
+    new = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["a", "b"])})
+    prior = new.slice(0, 0)
+    out = snapshot_dedup(_ray_ds(new, 1), _ray_ds(prior, 1)).to_pandas()
+    assert set(out.doc_id) == {1, 2}
