@@ -858,6 +858,17 @@ def q_snapshot_dedup(sf_dir: str):
     return snapshot_dedup(_side(False), _side(True))
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (T5/GPT batch packing): deterministic next-fit
+    of docs into 2000-char training sequences within hash buckets —
+    one narrow groupby, per-bucket packing loops over output
+    sequences, not input rows (data/packing.py)."""
+    from .data.packing import pack_sequences
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "n_chars"])
+    return pack_sequences(ds, budget=2000, n_buckets=8)
+
+
 def q_len_quantiles(sf_dir: str):
     """Exact quantiles via a distributed value histogram (np.unique
     partials + ONE narrow groupby) — no global sort; integer rank
@@ -918,6 +929,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "snapshot_dedup": q_snapshot_dedup,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -1567,6 +1579,40 @@ ORACLE_SQL["pdf_extract"] = r"""
            CAST(CEIL(n_words / 6.0) AS BIGINT) AS n_lines,
            CAST(n_words AS BIGINT) AS n_words
     FROM w
+"""
+
+# pack_sequences: next-fit replayed row-by-row; the recursive CTE
+# advances every bucket one row per iteration (unrolled-iteration
+# trick shared with the kmeans oracle).
+ORACLE_SQL["pack_sequences"] = """
+    WITH RECURSIVE ordered AS (
+        SELECT doc_id,
+               CAST(((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                     % 18446744073709551616) % 8 AS BIGINT) AS bucket,
+               n_chars AS sz,
+               row_number() OVER (
+                   PARTITION BY ((CAST(doc_id AS HUGEINT)
+                                  * 11400714819323198485)
+                                 % 18446744073709551616) % 8
+                   ORDER BY doc_id) AS rn
+        FROM documents),
+    packed AS (
+        SELECT bucket, rn, doc_id, sz,
+               sz AS acc,
+               CAST(0 AS BIGINT) AS seq,
+               CAST(0 AS BIGINT) AS seq_pos
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.bucket, o.rn, o.doc_id, o.sz,
+               CASE WHEN p.acc + o.sz > 2000 THEN o.sz
+                    ELSE p.acc + o.sz END,
+               CASE WHEN p.acc + o.sz > 2000 THEN p.seq + 1
+                    ELSE p.seq END,
+               CASE WHEN p.acc + o.sz > 2000 THEN 0
+                    ELSE p.seq_pos + 1 END
+        FROM packed p
+        JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+    SELECT doc_id, bucket, seq, seq_pos FROM packed
 """
 
 ORACLE_SQL["stratified_sample"] = """

@@ -363,3 +363,57 @@ def test_snapshot_dedup_empty_prior(ray_session):
     prior = new.slice(0, 0)
     out = snapshot_dedup(_ray_ds(new, 1), _ray_ds(prior, 1)).to_pandas()
     assert set(out.doc_id) == {1, 2}
+
+
+# -- sequence packing (round 3) ----------------------------------------------
+
+def test_pack_sizes_nextfit_reference():
+    from soupflow.data.packing import _pack_sizes
+    sizes = np.array([5, 5, 5, 12, 3, 3, 3, 3], dtype=np.int64)
+    # budget 10: [5,5] [5] [12] [3,3,3] [3]
+    assert _pack_sizes(sizes, 10).tolist() == [0, 0, 1, 2, 3, 3, 3, 4]
+    # oversized first doc gets its own sequence
+    assert _pack_sizes(np.array([99, 1], dtype=np.int64), 10) \
+        .tolist() == [0, 1]
+    assert _pack_sizes(np.array([], dtype=np.int64), 10).size == 0
+
+
+def test_pack_sizes_matches_scalar_nextfit():
+    from soupflow.data.packing import _pack_sizes
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        sizes = rng.integers(1, 40, rng.integers(1, 60)).astype(
+            np.int64)
+        budget = int(rng.integers(10, 80))
+        got = _pack_sizes(sizes, budget).tolist()
+        seq, acc, want = 0, 0, []
+        for s in sizes:
+            if want and acc + s > budget:
+                seq += 1
+                acc = 0
+            acc += int(s)
+            want.append(seq)
+        assert got == want, (sizes.tolist(), budget)
+
+
+def test_pack_sequences_distributed(ray_session):
+    from soupflow.data.packing import pack_sequences
+    n = 400
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "n_chars": pa.array(
+            np.random.default_rng(9).integers(50, 600, n)
+            .astype(np.int64)),
+    })
+    a = pack_sequences(_ray_ds(tbl, 3), budget=1000, n_buckets=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = pack_sequences(_ray_ds(tbl, 11), budget=1000, n_buckets=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b), "packing not repartition-stable"
+    sizes = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("n_chars").to_pylist()))
+    for (_, _), g in a.groupby(["bucket", "seq"]):
+        g = g.sort_values("seq_pos")
+        assert g.seq_pos.tolist() == list(range(len(g)))
+        total = sum(sizes[d] for d in g.doc_id)
+        assert total <= 1000 or len(g) == 1
