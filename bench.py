@@ -35,7 +35,8 @@ TIMED_QUERIES = [
     "sessionize", "orders_pruned", "kmeans", "lang_id",
     "fingerprint_rolling", "training_pipeline",
     "asof_join", "bm25", "bigram_topk", "range_join",
-    "pdf_extract",
+    "pdf_extract", "decontaminate", "snapshot_dedup",
+    "pack_sequences", "stratified_sample",
 ]
 
 
