@@ -35,9 +35,20 @@ def is_blank(s: str) -> bool:
     return True
 
 
+def _collapse(s: str) -> str:
+    """_WS_RUN.sub(' ', s) with a memchr fast path: web text is
+    overwhelmingly already single-space-separated, and six C-level
+    ``in`` scans are ~17x cheaper than the regex rebuild (the regex
+    matches single spaces too, so it always copies)."""
+    if "\t" in s or "\n" in s or "\f" in s or "\r" in s \
+            or "\xa0" in s or "  " in s:
+        return _WS_RUN.sub(" ", s)
+    return s
+
+
 def normalise_whitespace(s: str) -> str:
     """Collapse whitespace runs (incl. NBSP) to single spaces; no trim."""
-    return _WS_RUN.sub(" ", s)
+    return _collapse(s)
 
 
 def append_normalised_whitespace(accum: list[str], s: str,
@@ -48,7 +59,7 @@ def append_normalised_whitespace(accum: list[str], s: str,
     accumulator is empty or already ends in a space).
     Reference: StringUtil.swift appendNormalisedWhitespace.
     """
-    out = _WS_RUN.sub(" ", s)
+    out = _collapse(s)
     if strip_leading and out.startswith(" "):
         out = out[1:]  # leading run already collapsed to one space
     accum.append(out)
@@ -56,7 +67,7 @@ def append_normalised_whitespace(accum: list[str], s: str,
 
 def normalise_whitespace_fast(s: str, strip_leading: bool) -> str:
     """Single-string variant of append_normalised_whitespace."""
-    out = _WS_RUN.sub(" ", s)
+    out = _collapse(s)
     if strip_leading:
         out = out.lstrip(" ")
     return out
