@@ -114,6 +114,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  include_dashboard=False)
     input_dir = prepare_bench_input(sf_dir)
     from soupflow.extract import extract_batch
+    from soupflow.io import _tune_streaming_gen_buffer
+    _tune_streaming_gen_buffer()
 
     files = sorted(
         os.path.join(input_dir, f) for f in os.listdir(input_dir)
@@ -128,8 +130,9 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         batch_size=32).materialize()
     t0 = time.monotonic()
     ds = ray.data.read_parquet(files)
-    out = ds.map_batches(
-        extract_batch, batch_format="pyarrow", batch_size=128)
+    # whole-block batches: an explicit batch_size bundles small blocks
+    # into fewer tasks (underparallelizes) — measured 2.66 -> 2.41s
+    out = ds.map_batches(extract_batch, batch_format="pyarrow")
     total_spans = out.map_batches(
         lambda b: __import__("pyarrow").table(
             {"n": [sum(len(s) for s in b.column("spans").to_pylist())]}),

@@ -33,8 +33,13 @@ SQL-expressible for the DuckDB oracle (see queries.py `pdf_extract`).
 
 Scale shape: both stages are embarrassingly parallel `map_batches`
 (zero shuffle); the binary column is the payload-sizing case from the
-multimodal notes — batches are capped small (PDF_BATCH_SIZE) so
-batch x concurrency stays in worker heap at 100-TB corpus scale.
+multimodal notes. Batches default to whole blocks (batch_size=None):
+block size is already bounded by DataContext.target_max_block_size,
+so batch x concurrency stays in worker heap, and an explicit
+batch_size would BUNDLE small blocks into fewer tasks — measured 3x
+pipeline slowdown from 4-blocks-per-task coalescing at sf0.1. Pass
+``batch_size=PDF_BATCH_SIZE`` only when upstream blocks are known to
+be oversized for the payload (e.g. a decode stage that expands rows).
 """
 
 from __future__ import annotations
@@ -891,16 +896,19 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def render_pdfs(ds, batch_size: int = PDF_BATCH_SIZE):
-    """documents(doc_id, text) → (doc_id, pdf:binary). Small batches:
-    the binary column is the payload; batch x concurrency must fit a
-    worker heap (multimodal sizing rule, data/multimodal.py)."""
+def render_pdfs(ds, batch_size: int | None = None):
+    """documents(doc_id, text) → (doc_id, pdf:binary). Whole-block
+    batches by default — blocks are already heap-bounded by
+    target_max_block_size, and an explicit batch_size bundles small
+    blocks into fewer tasks (see module docstring). Pass a row cap
+    only for oversized upstream blocks."""
     return ds.map_batches(render_batch, batch_format="pyarrow",
                           batch_size=batch_size)
 
 
-def extract_pdfs(ds, batch_size: int = PDF_BATCH_SIZE):
+def extract_pdfs(ds, batch_size: int | None = None):
     """(doc_id, pdf) → (doc_id, text, n_pages, n_lines, n_words).
-    Pure map-side: zero shuffle at any corpus size."""
+    Pure map-side: zero shuffle at any corpus size. Whole-block
+    batches (see render_pdfs note)."""
     return ds.map_batches(extract_batch, batch_format="pyarrow",
                           batch_size=batch_size)

@@ -31,12 +31,34 @@ def detect_format(path: str) -> str:
     return "parquet"
 
 
+def _tune_streaming_gen_buffer(min_blocks: int = 32) -> None:
+    """Raise the per-task streaming-generator buffer (Ray 2.49 default
+    2). A read of FEW files that SplitBlocks into many output blocks is
+    one generator task; with buffer=2 it blocks after every 2 yields and
+    each resume costs a ~45 ms driver round-trip, which rate-limits the
+    WHOLE downstream pipeline to ~20 blocks/s whenever downstream tasks
+    are non-trivial (measured: 80 ms/batch stage over one 5k-row file
+    ran 3.25 s instead of 0.76 s). Buffered blocks live in the object
+    store (spillable), so the cost of running ahead is plasma space —
+    bounded by min_blocks x target_max_block_size per in-flight read
+    task — not worker heap. At real corpus scale (thousands of files,
+    hundreds of concurrent read tasks) buffer=2 is invisible; this
+    matters exactly when read parallelism is file-limited."""
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    cur = getattr(ctx, "_max_num_blocks_in_streaming_gen_buffer", None)
+    if cur is not None and cur < min_blocks:
+        ctx._max_num_blocks_in_streaming_gen_buffer = min_blocks
+
+
 def read_corpus(path, *, corpus_format: str = "auto", **kwargs):
     """ray.data.read_lance / read_parquet behind one call.
 
     ``path`` may be a file, directory, or list of files (parquet)."""
     import ray.data
 
+    _tune_streaming_gen_buffer()
     if corpus_format == "auto":
         probe = path[0] if isinstance(path, list) else path
         corpus_format = detect_format(probe)

@@ -120,7 +120,7 @@ def run_extract_partition(files: list[str], out_dir: str, pid: int, *,
                           drop_boilerplate: bool = True,
                           link_density_threshold: float = 0.0,
                           concurrency: Optional[int] = None,
-                          batch_size: int = 128,
+                          batch_size: Optional[int] = None,
                           salt_buckets: Optional[int] = None,
                           override_num_blocks: Optional[int] = None) -> dict:
     """One streaming partition: read files → extract → write + manifest.
@@ -149,6 +149,11 @@ def run_extract_partition(files: list[str], out_dir: str, pid: int, *,
         return get_extract_kernel(whitelist, drop_boilerplate,
                                   link_density_threshold)(batch)
 
+    # batch_size=None (whole blocks): blocks are already heap-bounded
+    # by target_max_block_size, and an explicit batch_size BUNDLES
+    # small blocks into fewer tasks — measured ~10% headline loss from
+    # 128-row bundling at sf0.1. Pass a row cap only for corpora whose
+    # blocks are oversized for the parse kernel's working set.
     ds = ds.map_batches(
         kernel,
         batch_format="pyarrow",
@@ -200,7 +205,7 @@ def run_extract(input_path: str, output_dir: str, *,
                 link_density_threshold: float = 0.0,
                 files_per_partition: int = 4,
                 concurrency: Optional[int] = None,
-                batch_size: int = 128,
+                batch_size: Optional[int] = None,
                 salt_buckets: Optional[int] = None,
                 resume: bool = True,
                 strict_kernel: bool = False) -> list[dict]:

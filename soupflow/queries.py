@@ -14,6 +14,7 @@ stats / multimodal) and engine-level aggregates and broadcast joins.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from .extract import extract_batch, extract_document
@@ -92,7 +93,7 @@ class PageExtractActor:
 
 def q_extract_text(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(
-        _task(PageExtractActor), batch_format="pyarrow", batch_size=256)
+        _task(PageExtractActor), batch_format="pyarrow")
 
 
 class TitleLinksActor:
@@ -125,7 +126,7 @@ class TitleLinksActor:
 
 def q_title_links(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(
-        _task(TitleLinksActor), batch_format="pyarrow", batch_size=256)
+        _task(TitleLinksActor), batch_format="pyarrow")
 
 
 class CleanActor:
@@ -156,7 +157,7 @@ class CleanActor:
 
 def q_clean_basic(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(
-        _task(CleanActor), batch_format="pyarrow", batch_size=256)
+        _task(CleanActor), batch_format="pyarrow")
 
 
 class SelectCountActor:
@@ -186,7 +187,7 @@ class SelectCountActor:
 
 def q_select_count(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(
-        _task(SelectCountActor), batch_format="pyarrow", batch_size=128)
+        _task(SelectCountActor), batch_format="pyarrow")
 
 
 class EntitiesActor:
@@ -209,7 +210,7 @@ class EntitiesActor:
 
 def q_entities(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(
-        _task(EntitiesActor), batch_format="pyarrow", batch_size=256)
+        _task(EntitiesActor), batch_format="pyarrow")
 
 
 def _summarize_spans(batch: pa.Table) -> pa.Table:
@@ -239,7 +240,7 @@ def q_extract_interleaved(sf_dir: str):
 
     interleaved = ds.map_batches(build, batch_format="pyarrow")
     extracted = interleaved.map_batches(
-        extract_batch, batch_format="pyarrow", batch_size=128)
+        extract_batch, batch_format="pyarrow")
     return extracted.map_batches(_summarize_spans,
                                  batch_format="pyarrow")
 
@@ -256,7 +257,7 @@ def q_extract_interleaved_simple(sf_dir: str):
 
     interleaved = ds.map_batches(build, batch_format="pyarrow")
     extracted = interleaved.map_batches(
-        extract_batch, batch_format="pyarrow", batch_size=128)
+        extract_batch, batch_format="pyarrow")
     return extracted.map_batches(_summarize_spans,
                                  batch_format="pyarrow")
 
@@ -408,16 +409,23 @@ def q_training_pipeline(sf_dir: str):
     deduped = exact_dedup(survivors).drop_columns(["fp"]).materialize()
     # near-dup representatives: only CLUSTER MEMBERS can be non-reps,
     # so the exclusion set is dup-cluster-sized — broadcastable
-    non_reps = {r["doc_id"]
-                for r in jaccard_components(deduped, threshold=0.8)
-                .filter(expr="doc_id != component").take_all()}
+    non_reps = np.sort(np.array(
+        [r["doc_id"]
+         for r in jaccard_components(deduped, threshold=0.8)
+         .filter(expr="doc_id != component").take_all()],
+        dtype=np.int64))
     nr_ref = ray.put(non_reps)
 
     def keep_reps(batch: pa.Table) -> pa.Table:
         drop = ray.get(nr_ref)
-        mask = [i not in drop
-                for i in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(mask))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # sorted-array membership (searchsorted) instead of a per-row
+        # Python set probe — the drop side is dup-cluster-sized
+        pos = np.searchsorted(drop, ids)
+        pos[pos == len(drop)] = 0
+        hit = (len(drop) > 0) & (drop[pos] == ids) \
+            if len(drop) else np.zeros(len(ids), dtype=bool)
+        return batch.filter(pa.array(~hit))
 
     return deduped.map_batches(keep_reps, batch_format="pyarrow") \
         .map_batches(token_stats_batch, batch_format="pyarrow") \
@@ -487,7 +495,7 @@ class XmlExtractActor:
 
 def q_xml_extract(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(
-        _task(XmlExtractActor), batch_format="pyarrow", batch_size=256)
+        _task(XmlExtractActor), batch_format="pyarrow")
 
 
 class NthChildActor:
@@ -523,7 +531,7 @@ class NthChildActor:
 
 def q_nth_child(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(
-        _task(NthChildActor), batch_format="pyarrow", batch_size=128)
+        _task(NthChildActor), batch_format="pyarrow")
 
 
 def q_top_docs(sf_dir: str):
