@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..io import collect_rows, collect_table
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -92,7 +94,7 @@ def exact_dedup(ds, text_col: str = "text", join: str = "broadcast",
             num_partitions=num_partitions, on=("doc_id",))
         return kept
 
-    dup_rows = dup_groups.take_all()
+    dup_rows = collect_rows(dup_groups)
     fp_s = np.array([r["fp"] for r in dup_rows])
     kp_s = np.array([r["keeper_id"] for r in dup_rows], dtype=np.int64)
     order = np.argsort(fp_s)
@@ -392,7 +394,7 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
 
         pairs = joined.map_batches(emit, batch_format="pyarrow")
     else:
-        dup_rows = dup_buckets.take_all()
+        dup_rows = collect_rows(dup_buckets)
         bk = np.array([r["band_key"] for r in dup_rows],
                       dtype=np.int64)
         kp = np.array([r["keeper"] for r in dup_rows], dtype=np.int64)
@@ -600,7 +602,8 @@ def simhash_near_dups(ds, max_hamming: int = 3,
             Min("dup_of", alias_name="dup_of"))
 
     dup_keys = np.sort(np.array(
-        [r["combo_key"] for r in agg.filter(expr="n >= 2").take_all()],
+        [r["combo_key"]
+         for r in collect_rows(agg.filter(expr="n >= 2"))],
         dtype=np.int64))
 
     # pull only dup-bucket member rows (dup clusters, not the corpus)
@@ -614,8 +617,8 @@ def simhash_near_dups(ds, max_hamming: int = 3,
                 .to_numpy(zero_copy_only=False)
             return batch.filter(pa.array(np.isin(col, keys)))
 
-        cand_rows = keyed.map_batches(
-            keep_dup_buckets, batch_format="pyarrow").take_all()
+        cand_rows = collect_rows(keyed.map_batches(
+            keep_dup_buckets, batch_format="pyarrow"))
         for r in cand_rows:
             members.setdefault(r["combo_key"], []).append(
                 (r["doc_id"], r["simhash"]))
@@ -676,12 +679,15 @@ def _jaccard_pair_stream(ds, threshold: float = 0.8,
     may appear once per shared duplicate bucket — consumers aggregate
     or union-find over it. Two-phase scale shape:
       1. MinHash banding WITHOUT text (narrow rows) → ONE C-path
-         groupby-count finds buckets with ≥2 docs; the duplicate bucket
-         keys (tiny: real dup clusters only) are broadcast via ray.put.
-      2. A second map over the corpus re-bands only CANDIDATE docs,
-         attaching text solely for rows landing in a duplicate bucket;
-         ONE groupby co-locates those few rows; exact n-gram Jaccard
-         verifies inside the group.
+         groupby-count finds buckets with ≥2 docs; the (band_key,
+         doc_id) rows of those buckets (tiny: real dup clusters only,
+         the same size class as the keeper map) are broadcast once as
+         a doc_id→band_keys CSR map.
+      2. A second map over the corpus attaches text for member docs by
+         probing the broadcast map — NO signature recompute (the first
+         pass already banded every doc; re-hashing was ~half the
+         stage's CPU); ONE groupby co-locates those few rows; exact
+         n-gram Jaccard verifies inside the group.
     Full text is never shuffled for non-candidate documents."""
     import ray
     from ray.data.aggregate import Count
@@ -690,33 +696,65 @@ def _jaccard_pair_stream(ds, threshold: float = 0.8,
                                   shingle_k).materialize()
     agg = buckets.groupby("band_key").aggregate(Count(alias_name="n"))
     dup_keys = np.sort(np.array(
-        [r["band_key"] for r in agg.filter(expr="n >= 2").take_all()],
+        [r["band_key"]
+         for r in collect_rows(agg.filter(expr="n >= 2"))],
         dtype=np.int64))
-    handle = ray.put(dup_keys)  # broadcast once (sorted int64 keys)
+    dk_ref = ray.put(dup_keys)
 
-    def band_candidates(batch: pa.Table) -> pa.Table:
-        """Re-band (batch-vectorized signatures + key matrix); emit
-        (band_key, doc_id, text) only for duplicate buckets —
-        membership via searchsorted against the broadcast sorted
-        keys, text attached only for candidate rows."""
-        keys_sorted = ray.get(handle)
-        key = (num_perm, shingle_k)
-        actor = _MINHASH_CACHE.get(key)
-        if actor is None:
-            actor = _MINHASH_CACHE[key] = MinHashActor(
-                num_perm=num_perm, shingle_k=shingle_k)
-        texts = batch.column("text").to_pylist()
-        sigs = actor.signatures_batch(texts)
-        keys = _band_key_matrix(sigs, bands).ravel()
-        if keys_sorted.size and keys.size:
-            pos = np.minimum(np.searchsorted(keys_sorted, keys),
-                             keys_sorted.size - 1)
-            mask = keys_sorted[pos] == keys
+    def member_rows(batch: pa.Table) -> pa.Table:
+        """Filter phase-1 banding rows to duplicate buckets."""
+        dk = ray.get(dk_ref)
+        keys = batch.column("band_key").to_numpy(zero_copy_only=False)
+        if dk.size and keys.size:
+            pos = np.minimum(np.searchsorted(dk, keys), dk.size - 1)
+            mask = dk[pos] == keys
         else:
             mask = np.zeros(keys.size, dtype=bool)
-        take = pa.array(np.repeat(np.arange(len(texts)), bands)[mask])
+        return batch.filter(pa.array(mask))
+
+    cand = collect_table(
+        buckets.map_batches(member_rows, batch_format="pyarrow"))
+    # CSR doc_id -> band_keys over the dup-bucket MEMBER rows (one row
+    # per (dup bucket, member) — dup-cluster-sized, broadcastable)
+    if cand.num_columns:
+        m_doc = cand.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        m_key = cand.column("band_key") \
+            .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    else:
+        m_doc = np.array([], dtype=np.int64)
+        m_key = np.array([], dtype=np.int64)
+    order = np.argsort(m_doc, kind="stable")
+    m_doc, m_key = m_doc[order], m_key[order]
+    u_doc, starts = np.unique(m_doc, return_index=True)
+    counts = np.diff(np.append(starts, m_doc.size))
+    csr_ref = ray.put((u_doc, starts.astype(np.int64),
+                       counts.astype(np.int64), m_key))
+
+    def band_candidates(batch: pa.Table) -> pa.Table:
+        """Emit (band_key, doc_id, text) per dup-bucket membership of
+        this batch's docs — a searchsorted probe + segment gather
+        against the broadcast CSR map; no re-hashing."""
+        u, starts_, counts_, keys_ = ray.get(csr_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if u.size and ids.size:
+            pos = np.minimum(np.searchsorted(u, ids), u.size - 1)
+            hit = u[pos] == ids
+        else:
+            return pa.table({
+                "band_key": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string())})
+        row_idx = np.flatnonzero(hit)
+        j = pos[hit]                      # CSR slot per matching row
+        cnt = counts_[j]
+        total = int(cnt.sum())
+        # segment-arange: flat gather of each doc's band_key slice
+        seg0 = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        flat = np.repeat(starts_[j], cnt) + (np.arange(total) - seg0)
+        take = pa.array(np.repeat(row_idx, cnt))
         return pa.table({
-            "band_key": pa.array(keys[mask], pa.int64()),
+            "band_key": pa.array(keys_[flat], pa.int64()),
             "doc_id": batch.column("doc_id").take(take),
             "text": batch.column("text").take(take),
         })
@@ -901,7 +939,8 @@ def components_from_pairs(pairs_ds, docs_ds, *, pair_a: str,
             parent[x], x = root, parent[x]
         return root
 
-    for r in pairs_ds.select_columns([pair_a, pair_b]).take_all():
+    for r in collect_rows(pairs_ds.select_columns([pair_a,
+                                                    pair_b])):
         ra, rb = find(r[pair_a]), find(r[pair_b])
         if ra != rb:  # union by MIN root → labels are component minima
             lo, hi = (ra, rb) if ra < rb else (rb, ra)

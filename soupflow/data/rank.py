@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..io import collect_rows, collect_table
+
 
 def _topk_mask(keys: np.ndarray, order: np.ndarray,
                tie: np.ndarray, k: int) -> np.ndarray:
@@ -74,10 +76,10 @@ def quantiles(ds, col: str, q_pcts: tuple[int, ...]):
         })
     hist.__name__ = f"hist_{col}"
 
-    rows = ds.select_columns([col]) \
-        .map_batches(hist, batch_format="pyarrow") \
-        .groupby("v").aggregate(Sum("n", alias_name="n")) \
-        .take_all()  # ≤ |distinct values| narrow rows — bounded
+    rows = collect_rows(          # ≤ |distinct values| — bounded
+        ds.select_columns([col])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("n", alias_name="n")))
     vs = np.array([r["v"] for r in rows], dtype=np.int64)
     ns = np.array([r["n"] for r in rows], dtype=np.int64)
     order = np.argsort(vs)

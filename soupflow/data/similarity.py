@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..io import collect_rows, collect_table
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
@@ -65,7 +67,7 @@ def _fetch_vectors(ds, ids: list[int], id_col: str, col: str):
     """Fetch a handful of vectors by id: Arrow expression filter
     (pushed down C-path — never a per-row Python lambda scan)."""
     expr = " or ".join(f"({id_col} == {int(i)})" for i in ids)
-    rows = ds.filter(expr=expr).take_all()
+    rows = collect_rows(ds.filter(expr=expr))
     rows.sort(key=lambda r: r[id_col])
     mat = np.array([r[col] for r in rows], dtype=np.float64)
     return [r[id_col] for r in rows], mat
@@ -150,7 +152,8 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, n_centroids: int = 16,
     pruned configs are exercised in pytest."""
     import ray
 
-    seed = ds.filter(expr=f"{id_col} < {int(n_centroids)}").take_all()
+    seed = collect_rows(
+        ds.filter(expr=f"{id_col} < {int(n_centroids)}"))
     seed.sort(key=lambda r: r[id_col])
     centroids = np.array([r[col] for r in seed], dtype=np.float64)
     cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
@@ -334,7 +337,8 @@ def embed_near_dups_lsh(ds, threshold: float = 0.95, n_bits: int = 8,
         concurrency=(1, cpus), fn_constructor_kwargs=lsh_kwargs)
     agg = narrow.groupby("band_key").aggregate(Count(alias_name="n"))
     dup_keys = np.sort(np.array(
-        [r["band_key"] for r in agg.filter(expr="n >= 2").take_all()],
+        [r["band_key"]
+         for r in collect_rows(agg.filter(expr="n >= 2"))],
         dtype=np.int64))
     if dup_keys.size == 0:
         return ray.data.from_arrow(pa.table({
@@ -383,7 +387,7 @@ def kmeans(ds, k: int = 16, iters: int = 5, id_col: str = "vec_id",
     """
     import ray
 
-    seed_rows = ds.filter(expr=f"{id_col} < {int(k)}").take_all()
+    seed_rows = collect_rows(ds.filter(expr=f"{id_col} < {int(k)}"))
     seed_rows.sort(key=lambda r: r[id_col])
     centroids = np.array([r[col] for r in seed_rows], dtype=np.float64)
 
@@ -405,8 +409,8 @@ def kmeans(ds, k: int = 16, iters: int = 5, id_col: str = "vec_id",
                 "count": pa.array(counts, pa.int64()),
             })
 
-        parts = ds.map_batches(partials, batch_format="pyarrow") \
-            .take_all()
+        parts = collect_rows(
+            ds.map_batches(partials, batch_format="pyarrow"))
         sums = np.zeros_like(centroids)
         counts = np.zeros(len(centroids), dtype=np.int64)
         for row in parts:

@@ -52,6 +52,30 @@ def _tune_streaming_gen_buffer(min_blocks: int = 32) -> None:
         ctx._max_num_blocks_in_streaming_gen_buffer = min_blocks
 
 
+def collect_table(ds) -> "pa.Table":
+    """Driver-side collect of a BOUNDED (broadcast-side) dataset as one
+    Arrow table. ``Dataset.take_all()`` iterates rows and is ~30x
+    slower on pandas-formatted blocks (e.g. any map_groups(pandas)
+    output: measured 5.5 s for 3.4k rows / 64 blocks vs 0.04 s here);
+    fetching block refs and concatenating stays on C paths and is
+    zero-copy for arrow blocks. Never call this on unbounded data."""
+    import pyarrow as pa
+    import ray
+
+    blocks = [b for b in ray.get(ds.to_arrow_refs())
+              if b.num_rows or b.num_columns]
+    if not blocks:
+        return pa.table({})
+    return pa.concat_tables(blocks, promote_options="default")
+
+
+def collect_rows(ds) -> list:
+    """take_all() replacement: list-of-dicts via collect_table's
+    block-ref path + Arrow's C to_pylist (row iteration never touches
+    pandas blocks). Same bounded-result caveat as collect_table."""
+    return collect_table(ds).to_pylist()
+
+
 def read_corpus(path, *, corpus_format: str = "auto", **kwargs):
     """ray.data.read_lance / read_parquet behind one call.
 

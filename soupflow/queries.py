@@ -409,10 +409,12 @@ def q_training_pipeline(sf_dir: str):
     deduped = exact_dedup(survivors).drop_columns(["fp"]).materialize()
     # near-dup representatives: only CLUSTER MEMBERS can be non-reps,
     # so the exclusion set is dup-cluster-sized — broadcastable
+    from .io import collect_rows
     non_reps = np.sort(np.array(
         [r["doc_id"]
-         for r in jaccard_components(deduped, threshold=0.8)
-         .filter(expr="doc_id != component").take_all()],
+         for r in collect_rows(
+             jaccard_components(deduped, threshold=0.8)
+             .filter(expr="doc_id != component"))],
         dtype=np.int64))
     nr_ref = ray.put(non_reps)
 
@@ -563,8 +565,9 @@ def q_join_broadcast(sf_dir: str):
     every task) — never a shuffle join for a dimension table."""
     import ray
 
-    cust = _read(sf_dir, "customer") \
-        .select_columns(["c_custkey", "c_mktsegment"]).take_all()
+    from .io import collect_rows
+    cust = collect_rows(_read(sf_dir, "customer")
+                        .select_columns(["c_custkey", "c_mktsegment"]))
     seg_by_key = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
     handle = ray.put(seg_by_key)
 
