@@ -37,6 +37,7 @@ TIMED_QUERIES = [
     "asof_join", "bm25", "bigram_topk", "range_join",
     "pdf_extract", "decontaminate", "snapshot_dedup",
     "pack_sequences", "stratified_sample",
+    "chunk_docs", "window_hop", "tfidf_topk", "mixture_sample",
 ]
 
 

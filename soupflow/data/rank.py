@@ -35,26 +35,37 @@ def _topk_mask(keys: np.ndarray, order: np.ndarray,
     return perm[pos_in_run < k]
 
 
-def grouped_topk(ds, key: str, order_col: str, k: int, tie: str):
+def grouped_topk(ds, key: str, order_col: str, k: int, tie: str,
+                 k_by_key: dict | None = None):
     """→ input columns filtered to the k rows per ``key`` maximizing
     (order_col, then min ``tie``). Requires string ``key``,
-    integer-orderable ``order_col``/``tie``."""
+    integer-orderable ``order_col``/``tie``.
+
+    ``k_by_key``: optional per-key quota overriding ``k`` (keys absent
+    from the dict keep 0 rows). The block-local partial prunes with
+    max(quota) so every key's final cut still sees its full top
+    candidates; the dict rides the task closure — keep it small
+    (per-source quotas, not per-document state)."""
+    kmax = (max(k_by_key.values(), default=0)
+            if k_by_key is not None else k)
 
     def partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
+        if batch.num_rows == 0 or kmax == 0:
+            return batch.slice(0, 0)
         keys = np.unique(
             np.asarray(batch.column(key).to_pylist(), dtype=object),
             return_inverse=True)[1]
         order = batch.column(order_col).to_numpy(zero_copy_only=False)
         tiev = batch.column(tie).to_numpy(zero_copy_only=False)
-        idx = _topk_mask(keys, order, tiev, k)
+        idx = _topk_mask(keys, order, tiev, kmax)
         return batch.take(pa.array(np.sort(idx)))
-    partial.__name__ = f"topk{k}_partial"
+    partial.__name__ = f"topk{kmax}_partial"
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
+        kk = (k_by_key.get(group[key].iloc[0], 0)
+              if k_by_key is not None else k)
         g = group.sort_values([order_col, tie],
-                              ascending=[False, True]).head(k)
+                              ascending=[False, True]).head(kk)
         return g.reset_index(drop=True)
 
     return ds.map_batches(partial, batch_format="pyarrow") \

@@ -98,3 +98,48 @@ def stratified_sample(ds, key: str, k: int, id_col: str = "doc_id"):
     def strip(df: pd.DataFrame) -> pd.DataFrame:
         return df[[key, id_col, "srank"]]
     return top.map_batches(strip, batch_format="pandas")
+
+
+def mixture_sample(ds, key: str = "source", alpha: float = 0.5,
+                   total: int = 500, id_col: str = "doc_id"):
+    """Temperature-weighted mixture sampling across sources (the
+    multilingual/multi-domain rebalancing rule: quota_s ∝ count_s^α,
+    α<1 upsamples small sources relative to their share). Keeps, per
+    source, the floor(total·w_s/Σw) rows with the smallest id hash —
+    deterministic, repartition-stable, engine-reproducible.
+
+    Scale shape: ONE tiny groupby counts rows per source (collected —
+    |sources| rows); quotas are computed driver-side in sorted-key
+    order (fp sums are order-stable for the oracle), then the
+    per-source top-quota cut reuses grouped_topk's per-block partial
+    prune, so the corpus never shuffles — only ≤ max-quota rows per
+    (block, source) move. Output (key, doc_id, srank)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from ..io import collect_rows
+    from .rank import grouped_topk
+
+    counts = sorted(
+        collect_rows(ds.groupby(key).aggregate(Count(alias_name="n"))),
+        key=lambda r: r[key])
+    weights = [(r[key], float(r["n"]) ** alpha) for r in counts]
+    w_sum = sum(v for _, v in weights)
+    quota = {s: int(total * v / w_sum) for s, v in weights}
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        srank = (_mix(ids) >> np.uint64(1)).astype(np.int64)
+        t = batch.select([key, id_col])
+        t = t.append_column("srank", pa.array(srank, pa.int64()))
+        return t.append_column("neg_srank",
+                               pa.array(-srank, pa.int64()))
+    add_rank.__name__ = "mixture_rank"
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    top = grouped_topk(ranked, key=key, order_col="neg_srank",
+                       k=0, tie=id_col, k_by_key=quota)
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key, id_col, "srank"]]
+    return top.map_batches(strip, batch_format="pandas")

@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..io import collect_table
 from .textstats import _segment_sum, _text_array, _ws_tokens
 
 
@@ -96,3 +97,87 @@ def bm25_topk(docs, terms: tuple[str, ...], k: int = 20,
         .filter(expr="score > 0") \
         .sort(["score", "doc_id"], descending=[True, False]) \
         .limit(k)
+
+
+def tfidf_topk(docs, k: int = 5, id_col: str = "doc_id"):
+    """Per-document top-k TF-IDF terms → (doc_id, term, tfidf):
+    tfidf = tf(term, doc) * ln(n_docs / df(term)), ranked per doc by
+    (tfidf desc, term asc); zero-idf terms (present in every doc) are
+    dropped. The keyword-extraction primitive.
+
+    Scale shape: pass 1 reduces the corpus to a NARROW (term,
+    doc-count) table — per batch, tokens collapse to distinct
+    (doc, term) pairs via one np.unique, plus a sentinel '' row per
+    doc so n_docs rides the same aggregate (text never shuffles;
+    whitespace tokens can't be empty so the sentinel is collision
+    free). The df table is broadcast once (vocabulary-bounded — cap
+    it by hashing terms to uint64 or fall back to a partitioned join
+    on term for open-web vocabularies). Pass 2 scores map-side and
+    emits ≤ k rows per doc via the grouped-topk lexsort mask."""
+    import ray
+
+    from .rank import _topk_mask
+
+    def _doc_term_pairs(batch: pa.Table):
+        """(doc_idx, term-code, unique terms, pair rows) for one
+        batch: one np.unique over the flat lowercased token stream."""
+        arr = pc.utf8_lower(_text_array(batch))
+        offs, flat = _ws_tokens(arr)
+        toks = flat.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64),
+                            np.diff(offs))
+        keep = toks != ""
+        toks, doc_idx = toks[keep], doc_idx[keep]
+        uniq, codes = np.unique(toks, return_inverse=True)
+        pair = doc_idx * max(len(uniq), 1) + codes
+        return doc_idx, codes, uniq, pair
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        doc_idx, codes, uniq, pair = _doc_term_pairs(batch)
+        upair = np.unique(pair)
+        # distinct docs per term within the batch
+        per_term = np.bincount(upair % max(len(uniq), 1),
+                               minlength=len(uniq)).astype(np.int64)
+        terms = list(uniq) + [""]
+        ns = np.append(per_term, np.int64(len(batch)))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+    df_partial.__name__ = "df_partial"
+
+    from ray.data.aggregate import Sum
+    df_tbl = collect_table(
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("n", alias_name="n")))
+    terms_np = np.asarray(df_tbl.column("term").to_pylist(),
+                          dtype=object)
+    ns_np = df_tbl.column("n").to_numpy(zero_copy_only=False)
+    sent = terms_np == ""
+    n_docs = float(ns_np[sent][0]) if sent.any() else 0.0
+    order = np.argsort(terms_np[~sent])
+    vocab = terms_np[~sent][order]
+    df_arr = ns_np[~sent][order].astype(np.float64)
+    handle = ray.put((vocab, df_arr, n_docs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_, df_, nd = ray.get(handle)
+        doc_idx, codes, uniq, pair = _doc_term_pairs(batch)
+        upair, tf = np.unique(pair, return_counts=True)
+        nu = max(len(uniq), 1)
+        u_doc, u_code = upair // nu, upair % nu
+        pos = np.searchsorted(vocab_, uniq[u_code]) \
+            if len(vocab_) else np.zeros(0, dtype=np.int64)
+        idf = np.log(nd / df_[pos]) if len(vocab_) else \
+            np.zeros(0, dtype=np.float64)
+        tfidf = tf.astype(np.float64) * idf
+        keep = tfidf > 0.0
+        u_doc, u_code, tfidf = u_doc[keep], u_code[keep], tfidf[keep]
+        idx = _topk_mask(u_doc, tfidf, uniq[u_code], k)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[u_doc[idx]], pa.int64()),
+            "term": pa.array(uniq[u_code[idx]], pa.string()),
+            "tfidf": pa.array(tfidf[idx], pa.float64()),
+        })
+    score.__name__ = f"tfidf_top{k}"
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -120,3 +120,52 @@ def sessionize(ds, gap_s: float = 1800.0, user_col: str = "user_id",
         .groupby("user_id").map_groups(fix_edges, batch_format="pandas")
 
     return interior.union(edges)
+
+
+def hopping_window_agg(ds, *, window_s: int = 7200, hop_s: int = 3600,
+                       ts_col: str = "ts", key_col: str = "event_type",
+                       val_col: str = "value"):
+    """Hopping (sliding) window aggregate: windows of ``window_s``
+    seconds starting at every multiple of ``hop_s`` (epoch-aligned);
+    each event lands in exactly K = window/hop windows. →
+    (window_start epoch-seconds, key, n_events, sum_value).
+
+    Scale shape: the K-fold replication happens INSIDE map_batches and
+    is immediately collapsed by an in-batch group_by partial (the same
+    combine-before-shuffle layout as events_daily), so the one small
+    groupby moves ≤ |windows × keys| rows per block — never K× the
+    corpus. Integer epoch arithmetic end to end keeps the SQL oracle
+    bit-exact."""
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    k_reps = window_s // hop_s
+    hop_us = hop_s * 1_000_000
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t_us = batch.column(ts_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        base = (t_us // hop_us) * hop_us
+        ws = np.concatenate(
+            [base - i * hop_us for i in range(k_reps)]) // 1_000_000
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        rep_idx = pa.array(np.tile(np.arange(len(batch)), k_reps))
+        t = pa.table({
+            "window_start": pa.array(ws, pa.int64()),
+            key_col: keys.take(rep_idx),
+            "v": batch.column(val_col).take(rep_idx),
+        })
+        g = t.group_by(["window_start", key_col]).aggregate(
+            [("v", "count"), ("v", "sum")])
+        return g.rename_columns(
+            ["window_start", key_col, "n_events", "sum_value"])
+    partial.__name__ = f"hop_{window_s}_{hop_s}_partial"
+
+    agg = ds.select_columns([ts_col, key_col, val_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["window_start", key_col]).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"))
+    return agg

@@ -889,6 +889,43 @@ def q_len_quantiles(sf_dir: str):
                      (10, 25, 50, 75, 90))
 
 
+def q_chunk_docs(sf_dir: str):
+    """Sliding-window chunking: 200-char windows at stride 150 —
+    zero-shuffle map-side, one Arrow slice kernel per chunk ordinal
+    (data/chunking.py)."""
+    from .data.chunking import chunk_docs
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return chunk_docs(ds, window=200, stride=150)
+
+
+def q_window_hop(sf_dir: str):
+    """Hopping-window aggregate: 2h windows every 1h over events —
+    K-fold replication collapsed by an in-batch partial before the one
+    small groupby (data/windows.py)."""
+    from .data.windows import hopping_window_agg
+    return hopping_window_agg(_read(sf_dir, "events"),
+                              window_s=7200, hop_s=3600)
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Per-doc top-5 TF-IDF terms: narrow (term, df) pass + broadcast
+    idf map + map-side lexsort top-k — text never shuffles
+    (data/search.py)."""
+    from .data.search import tfidf_topk
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return tfidf_topk(ds, k=5)
+
+
+def q_mixture_sample(sf_dir: str):
+    """Temperature-weighted (α=0.5) source mixture sample, 500 total:
+    per-source quotas ∝ count^α, smallest-hash winners via the
+    grouped-topk partial prune (data/sampling.py)."""
+    from .data.sampling import mixture_sample
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "source"])
+    return mixture_sample(ds, key="source", alpha=0.5, total=500)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -941,6 +978,10 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "snapshot_dedup": q_snapshot_dedup,
     "pack_sequences": q_pack_sequences,
+    "chunk_docs": q_chunk_docs,
+    "window_hop": q_window_hop,
+    "tfidf_topk": q_tfidf_topk,
+    "mixture_sample": q_mixture_sample,
 }
 
 ORACLE_SQL = {
@@ -1685,4 +1726,77 @@ ORACLE_SQL["len_quantiles"] = """
     FROM cum, t, (VALUES (10), (25), (50), (75), (90)) q(q_pct)
     WHERE cum.cn >= (q.q_pct * t.total + 99) // 100
     GROUP BY q.q_pct
+"""
+
+ORACLE_SQL["chunk_docs"] = """
+    WITH expanded AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, greatest(0, CAST(ceil(
+                   (length(text) - 200) / 150.0) AS BIGINT)))) AS i
+        FROM documents)
+    SELECT doc_id,
+           i AS chunk_idx,
+           i * 150 AS chunk_start,
+           substring(text, CAST(i * 150 + 1 AS INTEGER), 200)
+               AS chunk_text
+    FROM expanded
+"""
+
+ORACLE_SQL["window_hop"] = """
+    WITH r AS (
+        SELECT ((epoch_us(ts) // 3600000000) * 3600000000
+                - i * 3600000000) // 1000000 AS window_start,
+               event_type, value
+        FROM events, generate_series(0, 1) AS g(i))
+    SELECT window_start, event_type,
+           count(*) AS n_events, sum(value) AS sum_value
+    FROM r GROUP BY window_start, event_type
+"""
+
+ORACLE_SQL["tfidf_topk"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df
+           FROM toks GROUP BY term),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN nd),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY tfidf DESC, term) AS rn
+        FROM scored WHERE tfidf > 0)
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5
+"""
+
+ORACLE_SQL["mixture_sample"] = """
+    WITH c AS (SELECT source, count(*) AS n
+               FROM documents GROUP BY source),
+    w AS (SELECT source, pow(CAST(n AS DOUBLE), 0.5) AS wv FROM c),
+    tot AS (SELECT sum(wv) AS wsum FROM w),
+    q AS (SELECT source,
+                 CAST(floor(500 * wv / wsum) AS BIGINT) AS quota
+          FROM w CROSS JOIN tot),
+    ranked AS (
+        SELECT source, doc_id,
+               CAST(((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                     % 18446744073709551616) // 2 AS BIGINT) AS srank,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ((CAST(doc_id AS HUGEINT)
+                              * 11400714819323198485)
+                             % 18446744073709551616) // 2,
+                            doc_id) AS rn
+        FROM documents)
+    SELECT r.source, r.doc_id, r.srank
+    FROM ranked r JOIN q USING (source)
+    WHERE rn <= quota
 """

@@ -1,0 +1,213 @@
+"""Tests for the sliding-window chunker (data/chunking.py), hopping
+window aggregate (data/windows.py), per-doc TF-IDF top-k
+(data/search.py) and temperature mixture sampling (data/sampling.py).
+
+Each op is checked against an independent scalar reference on
+randomized inputs, plus the repartition-stability / geometry
+properties the distributed layouts rely on."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ray_ds(tbl: pa.Table, blocks: int):
+    import ray.data
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+# -- chunk_docs ---------------------------------------------------------------
+
+def _chunks_reference(text: str, window: int, stride: int):
+    n = len(text)
+    n_chunks = 1 + max(0, math.ceil((n - window) / stride))
+    return [(i, i * stride, text[i * stride:i * stride + window])
+            for i in range(n_chunks)]
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_chunk_docs_matches_reference(ray_session, blocks):
+    from soupflow.data.chunking import chunk_docs
+    rng = np.random.default_rng(7)
+    texts = ["".join(rng.choice(list("abc défé中 "), size=k))
+             for k in rng.integers(0, 900, size=60)]
+    texts[0] = ""                     # empty doc still yields a chunk
+    texts[1] = "x" * 200              # n == window exactly
+    texts[2] = "y" * 350              # n == window + stride exactly
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = chunk_docs(_ray_ds(tbl, blocks), window=200, stride=150) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"])
+    got = {(r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_text)
+           for r in out.itertuples()}
+    want = {(i, j, s, t)
+            for i, text in enumerate(texts)
+            for (j, s, t) in _chunks_reference(text, 200, 150)}
+    assert got == want
+
+
+def test_chunk_docs_codepoint_offsets(ray_session):
+    """Offsets are Unicode code points, not UTF-8 bytes."""
+    from soupflow.data.chunking import chunk_docs
+    text = "é" * 10 + "中" * 10   # 2- and 3-byte chars
+    tbl = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array([text], pa.string())})
+    out = chunk_docs(_ray_ds(tbl, 1), window=8, stride=6).to_pandas() \
+        .sort_values("chunk_idx")
+    # n=20, W=8, S=6 → 1+ceil(12/6)=3 chunks; coverage ends at 12+8=20
+    assert list(out.chunk_text) == [text[s:s + 8] for s in (0, 6, 12)]
+
+
+def test_chunk_docs_overlap_reconstructs(ray_session):
+    """Dropping each chunk's first (window-stride) overlap chars and
+    concatenating reconstructs the document."""
+    from soupflow.data.chunking import chunk_docs
+    text = "the quick brown fox jumps over the lazy dog " * 30
+    tbl = pa.table({"doc_id": pa.array([5], pa.int64()),
+                    "text": pa.array([text], pa.string())})
+    out = chunk_docs(_ray_ds(tbl, 1), window=100, stride=60) \
+        .to_pandas().sort_values("chunk_idx")
+    parts = [t if i == 0 else t[100 - 60:]
+             for i, t in enumerate(out.chunk_text)]
+    assert "".join(parts) == text
+
+
+# -- hopping_window_agg -------------------------------------------------------
+
+def test_hopping_window_matches_reference(ray_session):
+    from soupflow.data.windows import hopping_window_agg
+    rng = np.random.default_rng(3)
+    n = 500
+    base = 1_700_000_000_000_000           # epoch us
+    ts = base + rng.integers(0, 86_400, size=n) * 1_000_000
+    kinds = rng.choice(["click", "view"], size=n)
+    vals = rng.normal(10, 2, size=n)
+    tbl = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(kinds, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    out = hopping_window_agg(_ray_ds(tbl, 6), window_s=7200,
+                             hop_s=3600).to_pandas()
+    # scalar reference: every event lands in exactly K=2 windows
+    rows = []
+    for t, k, v in zip(ts, kinds, vals):
+        w0 = (t // 3_600_000_000) * 3600
+        for i in range(2):
+            rows.append((w0 - i * 3600, k, v))
+    ref = pd.DataFrame(rows, columns=["window_start", "event_type",
+                                      "value"]) \
+        .groupby(["window_start", "event_type"], as_index=False) \
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+    m = out.sort_values(["window_start", "event_type"]) \
+        .reset_index(drop=True)
+    r = ref.sort_values(["window_start", "event_type"]) \
+        .reset_index(drop=True)
+    assert m.window_start.tolist() == r.window_start.tolist()
+    assert m.event_type.tolist() == r.event_type.tolist()
+    assert m.n_events.tolist() == r.n_events.tolist()
+    assert np.allclose(m.sum_value, r.sum_value)
+    # replication invariant: sum of window counts == K * events
+    assert int(out.n_events.sum()) == 2 * n
+
+
+def test_hopping_window_rejects_nonmultiple(ray_session):
+    from soupflow.data.windows import hopping_window_agg
+    tbl = pa.table({"ts": pa.array([0], pa.timestamp("us")),
+                    "event_type": pa.array(["a"]),
+                    "value": pa.array([1.0])})
+    with pytest.raises(ValueError):
+        hopping_window_agg(_ray_ds(tbl, 1), window_s=5000, hop_s=3600)
+
+
+# -- tfidf_topk ---------------------------------------------------------------
+
+def _tfidf_reference(texts, k):
+    import collections
+    n_docs = len(texts)
+    docs_tokens = [t.lower().split() for t in texts]
+    df = collections.Counter()
+    for toks in docs_tokens:
+        df.update(set(toks))
+    out = []
+    for i, toks in enumerate(docs_tokens):
+        tf = collections.Counter(toks)
+        scored = [(term, cnt * math.log(n_docs / df[term]))
+                  for term, cnt in tf.items()]
+        scored = [(t, s) for t, s in scored if s > 0]
+        scored.sort(key=lambda p: (-p[1], p[0]))
+        out.extend((i, t, s) for t, s in scored[:k])
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_tfidf_topk_matches_reference(ray_session, blocks):
+    from soupflow.data.search import tfidf_topk
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "common"]
+    texts = [" ".join(rng.choice(vocab,
+                                 size=rng.integers(3, 40))) + " common"
+             for _ in range(50)]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = tfidf_topk(_ray_ds(tbl, blocks), k=3).to_pandas()
+    got = sorted(
+        (int(r.doc_id), r.term, round(float(r.tfidf), 9))
+        for r in out.itertuples())
+    want = sorted((i, t, round(s, 9))
+                  for i, t, s in _tfidf_reference(texts, 3))
+    assert got == want
+
+
+def test_tfidf_zero_idf_excluded(ray_session):
+    """A term present in EVERY doc scores ln(1)=0 and is dropped."""
+    from soupflow.data.search import tfidf_topk
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["same same unique1", "same unique2"],
+                         pa.string()),
+    })
+    out = tfidf_topk(_ray_ds(tbl, 1), k=5).to_pandas()
+    assert set(out.term) == {"unique1", "unique2"}
+
+
+# -- mixture_sample -----------------------------------------------------------
+
+def test_mixture_sample_quotas_and_stability(ray_session):
+    from soupflow.data.sampling import _mix, mixture_sample
+    n = 1200
+    srcs = np.array(["web"] * 800 + ["wiki"] * 300 + ["code"] * 100)
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array(srcs, pa.string()),
+    })
+    a = mixture_sample(_ray_ds(tbl, 4), key="source", alpha=0.5,
+                       total=300).to_pandas()
+    b = mixture_sample(_ray_ds(tbl, 11), key="source", alpha=0.5,
+                       total=300).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["source", "doc_id"]].values))
+    assert key(a) == key(b), "sample not repartition-stable"
+    # quotas: floor(300 * sqrt(c_s) / sum sqrt(c))
+    w = {s: math.sqrt(c) for s, c in
+         (("code", 100), ("web", 800), ("wiki", 300))}
+    wsum = sum(w[s] for s in sorted(w))
+    want_quota = {s: int(300 * w[s] / wsum) for s in w}
+    got_quota = a.groupby("source").size().to_dict()
+    assert got_quota == want_quota
+    # alpha < 1 upsamples the small source relative to its share
+    assert got_quota["code"] / 300 > 100 / n
+    # winners are exactly the quota smallest hashes per source
+    ids = np.arange(n, dtype=np.int64)
+    h = (_mix(ids) >> np.uint64(1)).astype(np.int64)
+    for s, q in want_quota.items():
+        stratum = ids[srcs == s]
+        want = set(stratum[np.argsort(h[stratum], kind="stable")][:q])
+        assert set(a.loc[a.source == s, "doc_id"]) == want
