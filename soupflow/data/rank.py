@@ -102,3 +102,27 @@ def quantiles(ds, col: str, q_pcts: tuple[int, ...]):
         pos = int(np.searchsorted(cum, rank))
         out.append((q, int(vs[min(pos, vs.size - 1)])))
     return pd.DataFrame(out, columns=["q_pct", "value"])
+
+
+def quantile_band_filter(ds, col: str, lo_pct: int = 10,
+                         hi_pct: int = 90):
+    """Keep rows whose ``col`` lies inside the exact [lo_pct, hi_pct]
+    percentile band — the corpus-level outlier trim of a quality
+    pipeline (drop the shortest/longest documents by GLOBAL rank, not
+    per-batch heuristics).
+
+    Composition shape: one ``quantiles`` pass (distributed value
+    histogram, no sort) yields two integer thresholds; the filter is
+    then pure map-side — the corpus streams through once more with
+    zero shuffle. At 100 TB the histogram stays |distinct values|
+    narrow rows; pre-bin continuous columns first (see quantiles)."""
+    qs = quantiles(ds, col, (lo_pct, hi_pct))
+    lo = int(qs.value.iloc[0])
+    hi = int(qs.value.iloc[1])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((v >= lo) & (v <= hi)))
+    keep.__name__ = f"band_{col}_{lo_pct}_{hi_pct}"
+
+    return ds.map_batches(keep, batch_format="pyarrow")

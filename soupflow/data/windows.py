@@ -49,7 +49,7 @@ def _segment_summaries(uids: np.ndarray, first_ts: np.ndarray,
 
 
 def sessionize(ds, gap_s: float = 1800.0, user_col: str = "user_id",
-               ts_col: str = "ts"):
+               ts_col: str = "ts", num_partitions: int = 16):
     """→ (user_id, n_sessions): a new session starts when the gap to
     the user's previous event exceeds ``gap_s``.
 
@@ -91,7 +91,12 @@ def sessionize(ds, gap_s: float = 1800.0, user_col: str = "user_id",
             "n_breaks": pa.array(b2, pa.int64()),
             "is_edge": pa.array(edge)})
 
+    # coalesce the narrow (user, ts) projection before the sort:
+    # input-inherited tiny blocks cost more in range-sampling and
+    # shuffle fragments than the sort itself (same lesson as
+    # joins.asof_join; isolated sf0.1 sort 1.16s -> 0.46s)
     summaries = ds.select_columns([user_col, ts_col]) \
+        .repartition(num_partitions) \
         .sort([user_col, ts_col]) \
         .map_batches(to_summaries, batch_format="pyarrow") \
         .materialize()  # narrow rows; feeds two consumers below

@@ -889,6 +889,16 @@ def q_len_quantiles(sf_dir: str):
                      (10, 25, 50, 75, 90))
 
 
+def q_length_band(sf_dir: str):
+    """Global percentile trim: keep docs whose n_chars lies in the
+    exact [p10, p90] band — a quantiles histogram pass broadcast into
+    a zero-shuffle map filter (data/rank.py quantile_band_filter)."""
+    from .data.rank import quantile_band_filter
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "n_chars"])
+    return quantile_band_filter(ds, "n_chars", 10, 90)
+
+
 def q_chunk_docs(sf_dir: str):
     """Sliding-window chunking: 200-char windows at stride 150 —
     zero-shuffle map-side, one Arrow slice kernel per chunk ordinal
@@ -982,6 +992,7 @@ QUERIES = {
     "window_hop": q_window_hop,
     "tfidf_topk": q_tfidf_topk,
     "mixture_sample": q_mixture_sample,
+    "length_band": q_length_band,
 }
 
 ORACLE_SQL = {
@@ -1799,4 +1810,19 @@ ORACLE_SQL["mixture_sample"] = """
     SELECT r.source, r.doc_id, r.srank
     FROM ranked r JOIN q USING (source)
     WHERE rn <= quota
+"""
+
+ORACLE_SQL["length_band"] = """
+    WITH c AS (
+        SELECT n_chars AS v, count(*) AS n
+        FROM documents GROUP BY n_chars),
+    cum AS (SELECT v, sum(n) OVER (ORDER BY v) AS cn FROM c),
+    t AS (SELECT count(*) AS total FROM documents),
+    lo AS (SELECT min(v) AS v FROM cum, t
+           WHERE cn >= (10 * total + 99) // 100),
+    hi AS (SELECT min(v) AS v FROM cum, t
+           WHERE cn >= (90 * total + 99) // 100)
+    SELECT doc_id, n_chars
+    FROM documents, lo, hi
+    WHERE n_chars BETWEEN lo.v AND hi.v
 """

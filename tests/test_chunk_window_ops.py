@@ -211,3 +211,26 @@ def test_mixture_sample_quotas_and_stability(ray_session):
         stratum = ids[srcs == s]
         want = set(stratum[np.argsort(h[stratum], kind="stable")][:q])
         assert set(a.loc[a.source == s, "doc_id"]) == want
+
+
+# -- quantile_band_filter ------------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_quantile_band_filter_reference(ray_session, blocks):
+    from soupflow.data.rank import quantile_band_filter, quantiles
+    rng = np.random.default_rng(9)
+    v = rng.integers(0, 500, size=400).astype(np.int64)
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(400, dtype=np.int64)),
+        "n_chars": pa.array(v, pa.int64()),
+    })
+    out = quantile_band_filter(_ray_ds(tbl, blocks), "n_chars",
+                               10, 90).to_pandas()
+    qs = quantiles(_ray_ds(tbl, blocks), "n_chars", (10, 90))
+    lo, hi = int(qs.value.iloc[0]), int(qs.value.iloc[1])
+    want = {int(i) for i, x in zip(np.arange(400), v)
+            if lo <= x <= hi}
+    assert set(out.doc_id) == want
+    # the trim is a real band: both tails dropped, bulk kept
+    assert 0 < len(out) < 400
+    assert out.n_chars.min() >= lo and out.n_chars.max() <= hi
