@@ -38,6 +38,7 @@ TIMED_QUERIES = [
     "pdf_extract", "decontaminate", "snapshot_dedup",
     "pack_sequences", "stratified_sample",
     "chunk_docs", "window_hop", "tfidf_topk", "mixture_sample",
+    "para_dedup", "unigram_nll", "length_band",
 ]
 
 

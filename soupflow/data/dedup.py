@@ -1041,3 +1041,125 @@ def snapshot_dedup(new_ds, prior_ds, text_col: str = "text",
     keep_new.__name__ = "drop_known_fps"
 
     return new_ds.map_batches(keep_new, batch_format="pyarrow")
+
+
+
+def _para_rows(batch: pa.Table, words_per_para: int,
+               text_col: str, id_col: str):
+    """(doc_id, para_idx, joined-para Arrow array) for one batch:
+    whitespace tokens → contiguous ``words_per_para``-word segments
+    per doc via ONE ListArray rebuild + Arrow's C binary_join. The
+    only Python loop is over DOCS (to lay out boundary offsets), not
+    tokens or characters."""
+    import pyarrow.compute as pc
+
+    from .textstats import _text_array, _ws_tokens
+
+    arr = _text_array(batch, text_col)
+    offs, flat = _ws_tokens(arr)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.take(pa.array(np.flatnonzero(nonempty)))
+    cs = np.concatenate([np.zeros(1, np.int64),
+                         np.cumsum(nonempty, dtype=np.int64)])
+    nw = cs[offs[1:]] - cs[offs[:-1]]            # words per doc
+    n_para = -(-nw // words_per_para)            # ceil; 0 for empty
+    total = int(n_para.sum())
+    empty = (np.array([], np.int64), np.array([], np.int64),
+             pa.array([], pa.string()))
+    if total == 0:
+        return empty
+    doc0 = np.concatenate([np.zeros(1, np.int64), np.cumsum(nw)])
+    doc_of = np.repeat(np.arange(len(nw)), n_para)
+    # start of each para in the filtered token stream: doc start +
+    # in-doc ordinal * words_per_para (segment-arange)
+    seg0 = np.concatenate([np.zeros(1, np.int64),
+                           np.cumsum(n_para)])[:-1]
+    para_idx = np.arange(total, dtype=np.int64) - seg0[doc_of]
+    b0 = doc0[doc_of] + para_idx * words_per_para
+    # paragraphs tile each doc contiguously, so the boundary vector is
+    # simply every start plus the final doc end
+    offsets = np.empty(total + 1, dtype=np.int32)
+    offsets[:-1] = b0
+    offsets[-1] = doc0[-1]
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), flat), " ")
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    return ids[doc_of], para_idx, joined
+
+
+def para_dedup(ds, *, words_per_para: int = 15,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Paragraph-granular exact dedup (the C4/RefinedWeb step below
+    document level): split each doc into fixed ``words_per_para``-word
+    segments, fingerprint each, keep only the first corpus-wide
+    occurrence of every distinct segment (keeper = smallest
+    (doc_id, para_idx)). → (doc_id, para_idx, keep).
+
+    Scale shape: the corpus pass emits NARROW (fp, doc_id, para_idx)
+    rows — segment text is built by Arrow's C binary_join and hashed
+    immediately, never shuffled. ONE groupby(fp) finds duplicate
+    groups; only those (dup-cluster sized — the exact_dedup keeper-map
+    bound class) broadcast back for the map-side keep decision."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    _PIDX = np.int64(1 << 20)   # para_idx < 2^20 packs (doc, idx)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        d, p, joined = _para_rows(batch, words_per_para, text_col,
+                                  id_col)
+        fps = [hashlib.md5(s.encode()).hexdigest()
+               for s in joined.to_pylist()]
+        return pa.table({
+            "fp": pa.array(fps, pa.string()),
+            "doc_id": pa.array(d, pa.int64()),
+            "para_idx": pa.array(p, pa.int64()),
+        })
+    narrow.__name__ = "para_fps"
+
+    keyed = ds.map_batches(narrow, batch_format="pyarrow") \
+        .materialize()  # feeds the dup-group agg AND the keep pass
+
+    def pack(b: pa.Table) -> pa.Table:
+        packed = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            * _PIDX + b.column("para_idx").to_numpy(
+                zero_copy_only=False)
+        return pa.table({"fp": b.column("fp"),
+                         "packed": pa.array(packed, pa.int64())})
+
+    dup_rows = collect_table(
+        keyed.map_batches(pack, batch_format="pyarrow")
+        .groupby("fp").aggregate(Min("packed", alias_name="kid"),
+                                 Count(alias_name="n"))
+        .filter(expr="n >= 2"))
+    if dup_rows.num_columns:
+        fp_s = np.asarray(dup_rows.column("fp").to_pylist())
+        kid_s = dup_rows.column("kid").to_numpy(zero_copy_only=False)
+        order = np.argsort(fp_s)
+        fp_s, kid_s = fp_s[order], kid_s[order]
+    else:
+        fp_s = np.array([], dtype=object)
+        kid_s = np.array([], dtype=np.int64)
+    handle = ray.put((fp_s, kid_s))
+
+    def decide(batch: pa.Table) -> pa.Table:
+        fp_sorted, kid_sorted = ray.get(handle)
+        fps = np.asarray(batch.column("fp").to_pylist())
+        packed = batch.column("doc_id").to_numpy(
+            zero_copy_only=False) * _PIDX \
+            + batch.column("para_idx").to_numpy(zero_copy_only=False)
+        if fp_sorted.size and fps.size:
+            pos = np.minimum(np.searchsorted(fp_sorted, fps),
+                             fp_sorted.size - 1)
+            in_dup = fp_sorted[pos] == fps
+            keep = ~in_dup | (kid_sorted[pos] == packed)
+        else:
+            keep = np.ones(fps.size, dtype=bool)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "para_idx": batch.column("para_idx"),
+            "keep": pa.array(keep),
+        })
+    decide.__name__ = "para_keep"
+
+    return keyed.map_batches(decide, batch_format="pyarrow")

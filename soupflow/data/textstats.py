@@ -531,3 +531,84 @@ def bigram_topk(docs, k: int = 20):
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("bigram").aggregate(Sum("n", alias_name="n")) \
         .sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def unigram_logprob(ds, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """CCNet-style language-model quality score: for each doc, the
+    average negative log-probability of its tokens under the CORPUS
+    unigram distribution → (doc_id, n_tokens, avg_nll). Low avg_nll =
+    typical-language doc; high = rare-token noise — the standard
+    perplexity-bucket filter, with the corpus itself as the LM.
+
+    Scale shape: pass 1 reduces the corpus to a narrow (term, count)
+    table (np.unique partials + ONE groupby); the log-prob table is
+    broadcast once (vocabulary-bounded — hash terms to uint64 or
+    partition-join for open-web vocabularies). Pass 2 scores map-side
+    with one searchsorted gather + segment sums; docs with zero
+    tokens drop out (matching the SQL join semantics)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..io import collect_table
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        arr = pc.utf8_lower(_text_array(batch, text_col))
+        _, flat = _ws_tokens(arr)
+        toks = flat.to_numpy(zero_copy_only=False)
+        toks = toks[toks != ""]
+        uniq, counts = np.unique(toks, return_counts=True)
+        return pa.table({"term": pa.array(uniq, pa.string()),
+                         "n": pa.array(counts.astype(np.int64),
+                                       pa.int64())})
+    tf_partial.__name__ = "unigram_tf_partial"
+
+    tf_tbl = collect_table(
+        ds.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("n", alias_name="n")))
+    if tf_tbl.num_columns:
+        terms = np.asarray(tf_tbl.column("term").to_pylist())
+        ns = tf_tbl.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        order = np.argsort(terms)
+        terms, ns = terms[order], ns[order]
+        total = float(ns.sum())
+        logp = np.log(ns / total)
+    else:
+        terms = np.array([], dtype=object)
+        logp = np.array([], dtype=np.float64)
+    handle = ray.put((terms, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, lp = ray.get(handle)
+        arr = pc.utf8_lower(_text_array(batch, text_col))
+        offs, flat = _ws_tokens(arr)
+        toks = flat.to_numpy(zero_copy_only=False)
+        nonempty = toks != ""
+        n_tok = _segment_sum(nonempty, offs)
+        toks = toks[nonempty]
+        pos = np.searchsorted(vocab, toks)
+        tok_nll = -lp[pos]                  # every token is in-vocab
+        nll_sum = _segment_sum_float(tok_nll, nonempty, offs)
+        keep = n_tok > 0
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_tokens": pa.array(n_tok[keep], pa.int64()),
+            "avg_nll": pa.array(nll_sum[keep] / n_tok[keep],
+                                pa.float64()),
+        })
+    score.__name__ = "unigram_nll"
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _segment_sum_float(vals: np.ndarray, mask: np.ndarray,
+                       offs: np.ndarray) -> np.ndarray:
+    """Per-doc sums of ``vals`` (defined on mask-true tokens) given
+    the full token offsets: scatter back through the mask cumsum."""
+    full = np.zeros(mask.size, dtype=np.float64)
+    full[mask] = vals
+    cs = np.concatenate([np.zeros(1, np.float64),
+                         np.cumsum(full, dtype=np.float64)])
+    return cs[offs[1:]] - cs[offs[:-1]]

@@ -889,6 +889,25 @@ def q_len_quantiles(sf_dir: str):
                      (10, 25, 50, 75, 90))
 
 
+def q_para_dedup(sf_dir: str):
+    """Paragraph-granular exact dedup (C4/RefinedWeb step): 15-word
+    segments fingerprinted via Arrow binary_join + md5, first
+    corpus-wide occurrence kept (data/dedup.py para_dedup)."""
+    from .data.dedup import para_dedup
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return para_dedup(ds, words_per_para=15)
+
+
+def q_unigram_nll(sf_dir: str):
+    """CCNet-style LM quality score: per-doc average negative log
+    probability under the corpus unigram distribution — narrow
+    (term, count) aggregate broadcast once, map-side scoring
+    (data/textstats.py unigram_logprob)."""
+    from .data.textstats import unigram_logprob
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
 def q_length_band(sf_dir: str):
     """Global percentile trim: keep docs whose n_chars lies in the
     exact [p10, p90] band — a quantiles histogram pass broadcast into
@@ -993,6 +1012,8 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "mixture_sample": q_mixture_sample,
     "length_band": q_length_band,
+    "para_dedup": q_para_dedup,
+    "unigram_nll": q_unigram_nll,
 }
 
 ORACLE_SQL = {
@@ -1825,4 +1846,44 @@ ORACLE_SQL["length_band"] = """
     SELECT doc_id, n_chars
     FROM documents, lo, hi
     WHERE n_chars BETWEEN lo.v AND hi.v
+"""
+
+ORACLE_SQL["para_dedup"] = """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    seg AS (
+        SELECT doc_id, ws,
+               unnest(generate_series(0, CAST(ceil(
+                   length(ws) / 15.0) AS BIGINT) - 1)) AS para_idx
+        FROM w WHERE length(ws) > 0),
+    paras AS (
+        SELECT doc_id, para_idx,
+               md5(array_to_string(
+                   ws[CAST(para_idx * 15 + 1 AS INTEGER)
+                      : CAST(para_idx * 15 + 15 AS INTEGER)],
+                   ' ')) AS fp
+        FROM seg),
+    k AS (SELECT fp, min(doc_id * 1048576 + para_idx) AS kid
+          FROM paras GROUP BY fp)
+    SELECT p.doc_id, p.para_idx,
+           (p.doc_id * 1048576 + p.para_idx) = k.kid AS keep
+    FROM paras p JOIN k USING (fp)
+"""
+
+ORACLE_SQL["unigram_nll"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '')) AS term
+        FROM documents),
+    freq AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS total FROM toks)
+    SELECT doc_id, count(*) AS n_tokens,
+           avg(-ln(CAST(n AS DOUBLE) / total)) AS avg_nll
+    FROM toks JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY doc_id
 """

@@ -234,3 +234,88 @@ def test_quantile_band_filter_reference(ray_session, blocks):
     # the trim is a real band: both tails dropped, bulk kept
     assert 0 < len(out) < 400
     assert out.n_chars.min() >= lo and out.n_chars.max() <= hi
+
+
+# -- para_dedup ---------------------------------------------------------------
+
+def _para_reference(texts, wpp):
+    """Scalar reference: (doc_id, para_idx) -> keep."""
+    first = {}
+    rows = []
+    for d, t in enumerate(texts):
+        words = t.split()
+        for p in range(-(-len(words) // wpp)):
+            para = " ".join(words[p * wpp:(p + 1) * wpp])
+            key = first.setdefault(para, (d, p))
+            rows.append((d, p, key == (d, p)))
+    return rows
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_para_dedup_matches_reference(ray_session, blocks):
+    from soupflow.data.dedup import para_dedup
+    rng = np.random.default_rng(13)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 80)))
+             for _ in range(40)]
+    texts[3] = texts[7] = "aa bb cc dd " * 8  # guaranteed exact dups
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = para_dedup(_ray_ds(tbl, blocks), words_per_para=15) \
+        .to_pandas()
+    got = sorted((int(r.doc_id), int(r.para_idx), bool(r.keep))
+                 for r in out.itertuples())
+    want = sorted(_para_reference(texts, 15))
+    assert got == want
+    # with a tiny vocab there must be real duplicate paragraphs
+    assert not out.keep.all()
+
+
+def test_para_dedup_short_and_empty_docs(ray_session):
+    from soupflow.data.dedup import para_dedup
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["", "one two", "one two"], pa.string()),
+    })
+    out = para_dedup(_ray_ds(tbl, 1), words_per_para=15).to_pandas()
+    got = sorted((int(r.doc_id), int(r.para_idx), bool(r.keep))
+                 for r in out.itertuples())
+    # empty doc yields no paragraphs; doc 2 duplicates doc 1's segment
+    assert got == [(1, 0, True), (2, 0, False)]
+
+
+# -- unigram_logprob ----------------------------------------------------------
+
+def test_unigram_logprob_matches_reference(ray_session):
+    import collections
+    from soupflow.data.textstats import unigram_logprob
+    rng = np.random.default_rng(21)
+    vocab = ["the", "cat", "sat", "rare"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 30),
+                                 p=[0.6, 0.2, 0.15, 0.05]))
+             for _ in range(30)]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(30, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = unigram_logprob(_ray_ds(tbl, 4)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    freq = collections.Counter(w for t in texts for w in t.split())
+    total = sum(freq.values())
+    for r in out.itertuples():
+        toks = texts[int(r.doc_id)].split()
+        want = -sum(math.log(freq[w] / total) for w in toks) / len(toks)
+        assert abs(r.avg_nll - want) < 1e-9
+        assert r.n_tokens == len(toks)
+    # a doc made ONLY of the rare token scores worse than one of 'the'
+    tbl2 = pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(["rare rare rare", "the the the"],
+                         pa.string()),
+    })
+    both = unigram_logprob(
+        _ray_ds(pa.concat_tables([tbl, tbl2]), 3)).to_pandas()
+    nll = dict(zip(both.doc_id, both.avg_nll))
+    assert nll[100] > nll[101]
