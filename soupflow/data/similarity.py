@@ -387,6 +387,12 @@ def kmeans(ds, k: int = 16, iters: int = 5, id_col: str = "vec_id",
     """
     import ray
 
+    # iterative algorithm: materialize the NARROW projection once —
+    # a lazy ds would re-execute the read on every Lloyd pass (iters+2
+    # executions). The pinned copy is (id, vector) only and lives in
+    # the object store (spillable), which beats iters× re-reads from
+    # storage at any scale.
+    ds = ds.select_columns([id_col, col]).materialize()
     seed_rows = collect_rows(ds.filter(expr=f"{id_col} < {int(k)}"))
     seed_rows.sort(key=lambda r: r[id_col])
     centroids = np.array([r[col] for r in seed_rows], dtype=np.float64)

@@ -319,3 +319,31 @@ def test_unigram_logprob_matches_reference(ray_session):
         _ray_ds(pa.concat_tables([tbl, tbl2]), 3)).to_pandas()
     nll = dict(zip(both.doc_id, both.avg_nll))
     assert nll[100] > nll[101]
+
+
+# -- property fuzz: chunk geometry over random window/stride -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 700),
+    window=st.integers(1, 60),
+    stride=st.integers(1, 60),
+)
+def test_chunk_count_closed_form(n, window, stride):
+    """chunk_count matches the scalar enumeration for ANY geometry:
+    starts 0, S, 2S, ... until [start, start+W) covers the tail."""
+    from soupflow.data.chunking import chunk_count
+    got = int(chunk_count(np.array([n], dtype=np.int64),
+                          window, stride)[0])
+    want = len(_chunks_reference("x" * n, window, stride))
+    assert got == want
+    # coverage invariant: last chunk reaches the end of the doc
+    last_start = (got - 1) * stride
+    assert last_start + window >= n
+    # minimality: the previous chunk (if any) did NOT reach the end
+    if got > 1:
+        assert (got - 2) * stride + window < n
