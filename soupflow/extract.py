@@ -147,40 +147,16 @@ def extract_spans(root: Element, *, drop_boilerplate: bool = True,
             span["src_end"] = sr[1] if sr else -1
         spans.append(span)
 
-    # iterative head/tail DFS
-    stack: list[tuple[Node, bool]] = [(root, False)]
+    # iterative head/tail DFS. Hot-loop layout (dense pages visit
+    # ~5k nodes/doc, so per-node constants dominate the kernel):
+    #  * text nodes outnumber elements — dispatch on exact type FIRST;
+    #  * head visits push the Node itself (no tuple allocation); tail
+    #    markers — needed only for block elements — are 1-tuples;
+    #  * children pushed with one C-level extend over reversed().
+    stack: list = [root]
+    _tail = tuple  # exact-type sentinel for tail markers
     while stack:
-        node, is_tail = stack.pop()
-        if is_tail:
-            flush()  # tail markers are pushed only for block elements
-            continue
-        if isinstance(node, Element):
-            tag = node.tag
-            name = tag.normal_name
-            if drop_boilerplate and name in BOILERPLATE_TAGS \
-                    and node is not root:
-                continue
-            if name in MEDIA_TAGS:
-                ref = _media_ref(node)
-                if ref:
-                    emit_media(ref, node)
-                continue
-            is_block = tag.is_block
-            if is_block and node is not root \
-                    and name not in ("html", "body"):
-                if link_density_threshold > 0 and \
-                        _link_density(node) > link_density_threshold:
-                    continue
-                if scorer is not None and not scorer(node):
-                    continue
-            if is_block:
-                flush()
-                stack.append((node, True))
-            elif name == "br":
-                flush()
-            for child in reversed(node.child_nodes):
-                stack.append((child, False))
-            continue
+        node = stack.pop()
         tn = type(node)
         if tn is TextNode or tn is CDataNode:
             t = node.get_whole_text()
@@ -206,6 +182,35 @@ def extract_spans(root: Element, *, drop_boilerplate: bool = True,
                     if state["src_start"] < 0:
                         state["src_start"] = sr[0]
                     state["src_end"] = sr[1]
+            continue
+        if tn is _tail:
+            flush()  # tail markers are pushed only for block elements
+            continue
+        if isinstance(node, Element):
+            tag = node.tag
+            name = tag.normal_name
+            if drop_boilerplate and name in BOILERPLATE_TAGS \
+                    and node is not root:
+                continue
+            if name in MEDIA_TAGS:
+                ref = _media_ref(node)
+                if ref:
+                    emit_media(ref, node)
+                continue
+            is_block = tag.is_block
+            if is_block and node is not root \
+                    and name not in ("html", "body"):
+                if link_density_threshold > 0 and \
+                        _link_density(node) > link_density_threshold:
+                    continue
+                if scorer is not None and not scorer(node):
+                    continue
+            if is_block:
+                flush()
+                stack.append((node,))
+            elif name == "br":
+                flush()
+            stack.extend(reversed(node.child_nodes))
         # DataNode (script/style payloads) and comments are never content
     flush()
     for i, span in enumerate(spans):
