@@ -889,6 +889,79 @@ def q_len_quantiles(sf_dir: str):
                      (10, 25, 50, 75, 90))
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-style multi-join composition: revenue per nation over
+    lineitem ⋈ orders ⋈ customer ⋈ nation. The scale shape per join
+    tier: the FACT stream is combined in-batch by its join key before
+    every shuffle (lineitem → per-orderkey partials, join output →
+    per-custkey partials), the two big-side joins are partitioned Ray
+    hash joins on narrow projections, and the 25-row nation dim is a
+    broadcast map. Revenue uses exact integer-cents arithmetic
+    (floor(x*100+0.5)) so sums are order-independent and the SQL
+    oracle hash-matches bit-for-bit."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .io import collect_rows
+
+    def li_narrow(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * 100 + 0.5).astype(np.int64) \
+            * (100 - np.floor(disc * 100 + 0.5).astype(np.int64))
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "rev": pa.array(rev, pa.int64())})
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+    li_narrow.__name__ = "lineitem_rev_partial"
+
+    fact = _read(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_extendedprice",
+                         "l_discount"]) \
+        .map_batches(li_narrow, batch_format="pyarrow") \
+        .repartition(16)
+    orders = _read(sf_dir, "orders") \
+        .map_batches(lambda b: b.select(["o_orderkey", "o_custkey"]),
+                     batch_format="pyarrow").repartition(16)
+    j1 = fact.join(orders, join_type="inner", num_partitions=16,
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": b.column("o_custkey"),
+                      "rev": b.column("rev")})
+        g = t.group_by("o_custkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_custkey", "rev"])
+    cust_partial.__name__ = "cust_rev_partial"
+
+    by_cust = j1.map_batches(cust_partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev")) \
+        .repartition(8)
+    cust = _read(sf_dir, "customer") \
+        .map_batches(lambda b: b.select(["c_custkey", "c_nationkey"]),
+                     batch_format="pyarrow").repartition(8)
+    j2 = by_cust.join(cust, join_type="inner", num_partitions=8,
+                      on=("o_custkey",), right_on=("c_custkey",))
+
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in collect_rows(_read(sf_dir, "nation"))}
+    nref = ray.put(nat)
+
+    def to_nation(b: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        nk = b.column("c_nationkey").to_pylist()
+        t = pa.table({
+            "n_name": pa.array([nm[k] for k in nk], pa.string()),
+            "rev": b.column("rev")})
+        g = t.group_by("n_name").aggregate([("rev", "sum")])
+        return g.rename_columns(["n_name", "revenue_i"])
+    to_nation.__name__ = "nation_rev_partial"
+
+    return j2.map_batches(to_nation, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("revenue_i",
+                                         alias_name="revenue_i"))
+
+
 def q_para_dedup(sf_dir: str):
     """Paragraph-granular exact dedup (C4/RefinedWeb step): 15-word
     segments fingerprinted via Arrow binary_join + md5, first
@@ -1014,6 +1087,7 @@ QUERIES = {
     "length_band": q_length_band,
     "para_dedup": q_para_dedup,
     "unigram_nll": q_unigram_nll,
+    "revenue_by_nation": q_revenue_by_nation,
 }
 
 ORACLE_SQL = {
@@ -1886,4 +1960,16 @@ ORACLE_SQL["unigram_nll"] = """
            avg(-ln(CAST(n AS DOUBLE) / total)) AS avg_nll
     FROM toks JOIN freq USING (term) CROSS JOIN tot
     GROUP BY doc_id
+"""
+
+ORACLE_SQL["revenue_by_nation"] = """
+    SELECT n_name,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                  AS BIGINT))) AS BIGINT) AS revenue_i
+    FROM lineitem, orders, customer, nation
+    WHERE l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND c_nationkey = n_nationkey
+    GROUP BY n_name
 """
