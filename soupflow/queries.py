@@ -916,14 +916,18 @@ def q_revenue_by_nation(sf_dir: str):
         return g.rename_columns(["l_orderkey", "rev"])
     li_narrow.__name__ = "lineitem_rev_partial"
 
+    # no pre-join repartition: the hash join re-shuffles anyway, and a
+    # repartition materializes an extra copy of the whole fact stream
+    # (measured +1.5s at sf0.1). Only aggregate OUTPUTS get coalesced
+    # below — those can carry empty blocks, which Ray 2.49's join
+    # rejects (see exact_dedup partitioned-mode note).
     fact = _read(sf_dir, "lineitem") \
         .select_columns(["l_orderkey", "l_extendedprice",
                          "l_discount"]) \
-        .map_batches(li_narrow, batch_format="pyarrow") \
-        .repartition(16)
+        .map_batches(li_narrow, batch_format="pyarrow")
     orders = _read(sf_dir, "orders") \
         .map_batches(lambda b: b.select(["o_orderkey", "o_custkey"]),
-                     batch_format="pyarrow").repartition(16)
+                     batch_format="pyarrow")
     j1 = fact.join(orders, join_type="inner", num_partitions=16,
                    on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -939,7 +943,7 @@ def q_revenue_by_nation(sf_dir: str):
         .repartition(8)
     cust = _read(sf_dir, "customer") \
         .map_batches(lambda b: b.select(["c_custkey", "c_nationkey"]),
-                     batch_format="pyarrow").repartition(8)
+                     batch_format="pyarrow")
     j2 = by_cust.join(cust, join_type="inner", num_partitions=8,
                       on=("o_custkey",), right_on=("c_custkey",))
 
