@@ -39,7 +39,7 @@ TIMED_QUERIES = [
     "pack_sequences", "stratified_sample",
     "chunk_docs", "window_hop", "tfidf_topk", "mixture_sample",
     "para_dedup", "unigram_nll", "length_band",
-    "revenue_by_nation",
+    "revenue_by_nation", "funnel", "event_pivot",
 ]
 
 

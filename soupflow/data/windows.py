@@ -174,3 +174,58 @@ def hopping_window_agg(ds, *, window_s: int = 7200, hop_s: int = 3600,
             Sum("n_events", alias_name="n_events"),
             Sum("sum_value", alias_name="sum_value"))
     return agg
+
+
+def funnel(ds, *, steps: tuple[str, str] = ("view", "purchase"),
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type"):
+    """Two-step conversion funnel: per user, did a ``steps[1]`` event
+    happen strictly AFTER some ``steps[0]`` event? → (user_id,
+    converted) for every user with at least one event of either step.
+
+    Scale shape: order is resolved WITHOUT sorting — conversion only
+    needs min(ts of step A) < max(ts of step B), so one in-batch
+    conditional partial (two masked min/max per user) plus ONE small
+    groupby carries the whole corpus; no per-user event lists, no
+    global sort. Events of other types are dropped at the projection.
+    """
+    from ray.data.aggregate import Max, Min
+
+    _SENT_MAX = np.int64(2**62)      # "no A event" → min folds away
+    _SENT_MIN = np.int64(-2**62)     # "no B event" → max folds away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        kinds = np.asarray(batch.column(type_col).to_pylist())
+        uids = batch.column(user_col).to_numpy(zero_copy_only=False)
+        rel = (kinds == steps[0]) | (kinds == steps[1])
+        ts, kinds, uids = ts[rel], kinds[rel], uids[rel]
+        u, inv = np.unique(uids, return_inverse=True)
+        a_min = np.full(u.size, _SENT_MAX)
+        b_max = np.full(u.size, _SENT_MIN)
+        is_a = kinds == steps[0]
+        np.minimum.at(a_min, inv[is_a], ts[is_a])
+        np.maximum.at(b_max, inv[~is_a], ts[~is_a])
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "a_min": pa.array(a_min, pa.int64()),
+            "b_max": pa.array(b_max, pa.int64()),
+        })
+    partial.__name__ = f"funnel_{steps[0]}_{steps[1]}_partial"
+
+    agg = ds.select_columns([user_col, ts_col, type_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Min("a_min", alias_name="a_min"),
+            Max("b_max", alias_name="b_max"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_min").to_numpy(zero_copy_only=False)
+        b = batch.column("b_max").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "converted": pa.array(a < b),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

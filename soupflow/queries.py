@@ -889,6 +889,45 @@ def q_len_quantiles(sf_dir: str):
                      (10, 25, 50, 75, 90))
 
 
+def q_funnel(sf_dir: str):
+    """Two-step conversion funnel (view → purchase strictly after):
+    order resolved WITHOUT sorting — masked min/max partials per user
+    + one small groupby (data/windows.py funnel)."""
+    from .data.windows import funnel
+    return funnel(_read(sf_dir, "events"),
+                  steps=("view", "purchase"))
+
+
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_event_pivot(sf_dir: str):
+    """Pivot: per-user event counts spread into one column per event
+    type — in-batch masked bincount partials (one np.unique per
+    batch), then ONE groupby summing the fixed-width count columns;
+    the events stream never shuffles unaggregated."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        kinds = np.asarray(batch.column("event_type").to_pylist())
+        u, inv = np.unique(uids, return_inverse=True)
+        cols = {"user_id": pa.array(u, pa.int64())}
+        for t in _PIVOT_TYPES:
+            cnt = np.bincount(inv[kinds == t], minlength=u.size)
+            cols[f"n_{t}"] = pa.array(cnt.astype(np.int64),
+                                      pa.int64())
+        return pa.table(cols)
+    partial.__name__ = "pivot_partial"
+
+    return _read(sf_dir, "events") \
+        .select_columns(["user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            *[Sum(f"n_{t}", alias_name=f"n_{t}")
+              for t in _PIVOT_TYPES])
+
+
 def q_revenue_by_nation(sf_dir: str):
     """TPC-H-Q5-style multi-join composition: revenue per nation over
     lineitem ⋈ orders ⋈ customer ⋈ nation. The scale shape per join
@@ -1092,6 +1131,8 @@ QUERIES = {
     "para_dedup": q_para_dedup,
     "unigram_nll": q_unigram_nll,
     "revenue_by_nation": q_revenue_by_nation,
+    "funnel": q_funnel,
+    "event_pivot": q_event_pivot,
 }
 
 ORACLE_SQL = {
@@ -1976,4 +2017,32 @@ ORACLE_SQL["revenue_by_nation"] = """
       AND o_custkey = c_custkey
       AND c_nationkey = n_nationkey
     GROUP BY n_name
+"""
+
+ORACLE_SQL["funnel"] = """
+    SELECT user_id,
+           coalesce(
+               min(CASE WHEN event_type = 'view'
+                        THEN epoch_us(ts) END)
+               < max(CASE WHEN event_type = 'purchase'
+                          THEN epoch_us(ts) END),
+               FALSE) AS converted
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY user_id
+"""
+
+ORACLE_SQL["event_pivot"] = """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error
+    FROM events GROUP BY user_id
 """

@@ -347,3 +347,52 @@ def test_chunk_count_closed_form(n, window, stride):
     # minimality: the previous chunk (if any) did NOT reach the end
     if got > 1:
         assert (got - 2) * stride + window < n
+
+
+# -- funnel & pivot -----------------------------------------------------------
+
+def test_funnel_matches_reference(ray_session):
+    from soupflow.data.windows import funnel
+    rng = np.random.default_rng(17)
+    n = 600
+    ts = 1_700_000_000_000_000 + rng.integers(0, 10_000, n) * 1_000_000
+    users = rng.integers(0, 40, n)
+    kinds = rng.choice(["view", "purchase", "click"], size=n)
+    tbl = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(kinds, pa.string()),
+    })
+    out = funnel(_ray_ds(tbl, 5), steps=("view", "purchase")) \
+        .to_pandas()
+    ref = {}
+    for u, t, k in zip(users, ts, kinds):
+        if k == "view":
+            a, b = ref.setdefault(u, [None, None])
+            ref[u][0] = t if a is None else min(a, t)
+        elif k == "purchase":
+            a, b = ref.setdefault(u, [None, None])
+            ref[u][1] = t if b is None else max(b, t)
+    want = {int(u): (a is not None and b is not None and a < b)
+            for u, (a, b) in ref.items()}
+    got = dict(zip(out.user_id.astype(int), out.converted))
+    assert got == want
+
+
+def test_funnel_strictly_after_and_one_sided(ray_session):
+    from soupflow.data.windows import funnel
+    t0 = 1_700_000_000_000_000
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 2, 3, 4, 4], pa.int64()),
+        "ts": pa.array([t0, t0, t0, t0, t0, t0 + 1],
+                       pa.timestamp("us")),
+        "event_type": pa.array(
+            ["view", "purchase",        # equal ts → NOT converted
+             "purchase",                # purchase only → NOT
+             "view",                    # view only → NOT
+             "view", "purchase"],       # strictly after → converted
+            pa.string()),
+    })
+    out = funnel(_ray_ds(tbl, 2)).to_pandas()
+    got = dict(zip(out.user_id.astype(int), out.converted))
+    assert got == {1: False, 2: False, 3: False, 4: True}
