@@ -945,15 +945,29 @@ def components_from_pairs(pairs_ds, docs_ds, *, pair_a: str,
         if ra != rb:  # union by MIN root → labels are component minima
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    comp = {d: find(d) for d in list(parent)}
-    handle = ray.put(comp)  # broadcast once (dup-cluster ids only)
+    # broadcast once (dup-cluster ids only), as sorted parallel arrays
+    # so the map-side label pass is a searchsorted gather, not a
+    # per-row dict probe
+    lab_keys = np.sort(np.fromiter(parent.keys(), dtype=np.int64,
+                                   count=len(parent)))
+    lab_vals = np.array([find(int(d)) for d in lab_keys],
+                        dtype=np.int64)
+    handle = ray.put((lab_keys, lab_vals))
 
     def attach(batch: pa.Table) -> pa.Table:
-        mapping = ray.get(handle)
-        ids = batch.column(id_col).to_pylist()
+        keys_sorted, vals_sorted = ray.get(handle)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        if keys_sorted.size and ids.size:
+            pos = np.minimum(np.searchsorted(keys_sorted, ids),
+                             keys_sorted.size - 1)
+            labels = np.where(keys_sorted[pos] == ids,
+                              vals_sorted[pos], ids)
+        else:
+            labels = ids
         return pa.table({
             id_col: batch.column(id_col),
-            out_col: pa.array([mapping.get(i, i) for i in ids],
+            out_col: pa.array(labels,
                               batch.column(id_col).type),
         })
 

@@ -565,16 +565,24 @@ def q_join_broadcast(sf_dir: str):
     every task) — never a shuffle join for a dimension table."""
     import ray
 
-    from .io import collect_rows
-    cust = collect_rows(_read(sf_dir, "customer")
-                        .select_columns(["c_custkey", "c_mktsegment"]))
-    seg_by_key = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
-    handle = ray.put(seg_by_key)
+    from .io import collect_table
+    cust = collect_table(_read(sf_dir, "customer")
+                         .select_columns(["c_custkey",
+                                          "c_mktsegment"]))
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    seg = np.asarray(cust.column("c_mktsegment").to_pylist())
+    order = np.argsort(ck)
+    handle = ray.put((ck[order], seg[order]))
 
     def attach(batch: pa.Table) -> pa.Table:
-        mapping = ray.get(handle)
-        keys = batch.column("o_custkey").to_pylist()
-        segs = [mapping.get(k, "") for k in keys]
+        keys_sorted, segs_sorted = ray.get(handle)
+        keys = batch.column("o_custkey").to_numpy(
+            zero_copy_only=False)
+        # sorted-array probe instead of a per-row dict loop
+        pos = np.minimum(np.searchsorted(keys_sorted, keys),
+                         keys_sorted.size - 1)
+        segs = np.where(keys_sorted[pos] == keys, segs_sorted[pos],
+                        "")
         return pa.table({
             "segment": pa.array(segs, pa.string()),
             "n_dummy": pa.array([1] * len(segs), pa.int64()),
@@ -941,7 +949,7 @@ def q_revenue_by_nation(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    from .io import collect_rows
+    from .io import collect_table
 
     def li_narrow(b: pa.Table) -> pa.Table:
         price = b.column("l_extendedprice") \
@@ -986,15 +994,21 @@ def q_revenue_by_nation(sf_dir: str):
     j2 = by_cust.join(cust, join_type="inner", num_partitions=8,
                       on=("o_custkey",), right_on=("c_custkey",))
 
-    nat = {r["n_nationkey"]: r["n_name"]
-           for r in collect_rows(_read(sf_dir, "nation"))}
-    nref = ray.put(nat)
+    nat = collect_table(_read(sf_dir, "nation")
+                        .select_columns(["n_nationkey", "n_name"]))
+    nkeys = nat.column("n_nationkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nnames = np.asarray(nat.column("n_name").to_pylist())
+    norder = np.argsort(nkeys)
+    nref = ray.put((nkeys[norder], nnames[norder]))
 
     def to_nation(b: pa.Table) -> pa.Table:
-        nm = ray.get(nref)
-        nk = b.column("c_nationkey").to_pylist()
+        nk_sorted, nm_sorted = ray.get(nref)
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
         t = pa.table({
-            "n_name": pa.array([nm[k] for k in nk], pa.string()),
+            "n_name": pa.array(
+                nm_sorted[np.searchsorted(nk_sorted, nk)],
+                pa.string()),
             "rev": b.column("rev")})
         g = t.group_by("n_name").aggregate([("rev", "sum")])
         return g.rename_columns(["n_name", "revenue_i"])
