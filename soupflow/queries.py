@@ -897,6 +897,35 @@ def q_len_quantiles(sf_dir: str):
                      (10, 25, 50, 75, 90))
 
 
+def q_partitioned_write(sf_dir: str):
+    """Hive-partitioned write round trip: write documents partitioned
+    by lang (one directory per key — the resumable-output layout the
+    100-TB sink uses), read the partition tree back, count rows per
+    partition. Validates the write path end to end; the oracle is
+    just the group count on the input."""
+    import os
+    import shutil
+
+    from ray.data.aggregate import Count
+
+    from .io import read_corpus
+
+    out = os.path.join("/tmp/soupflow_pwrite",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars"])
+    ds.write_parquet(out, partition_cols=["lang"])
+    back = read_corpus(out)
+
+    def norm(b: pa.Table) -> pa.Table:
+        # partition values come back as dictionary-encoded strings
+        return pa.table({"lang": b.column("lang").cast(pa.string())})
+
+    return back.map_batches(norm, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Count(alias_name="n"))
+
+
 def q_funnel(sf_dir: str):
     """Two-step conversion funnel (view → purchase strictly after):
     order resolved WITHOUT sorting — masked min/max partials per user
@@ -1147,6 +1176,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "funnel": q_funnel,
     "event_pivot": q_event_pivot,
+    "partitioned_write": q_partitioned_write,
 }
 
 ORACLE_SQL = {
@@ -2059,4 +2089,8 @@ ORACLE_SQL["event_pivot"] = """
            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_error
     FROM events GROUP BY user_id
+"""
+
+ORACLE_SQL["partitioned_write"] = """
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang
 """
