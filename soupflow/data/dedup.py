@@ -1060,11 +1060,22 @@ def snapshot_dedup(new_ds, prior_ds, text_col: str = "text",
 
 def _para_rows(batch: pa.Table, words_per_para: int,
                text_col: str, id_col: str):
-    """(doc_id, para_idx, joined-para Arrow array) for one batch:
-    whitespace tokens → contiguous ``words_per_para``-word segments
-    per doc via ONE ListArray rebuild + Arrow's C binary_join. The
-    only Python loop is over DOCS (to lay out boundary offsets), not
-    tokens or characters."""
+    """(doc_id, para_idx, joined-para list) for one batch: whitespace
+    tokens → contiguous ``words_per_para``-word segments per doc. The
+    segment layout (counts, boundaries) is fully vectorized; the only
+    Python loop is one ``' '.join`` per PARAGRAPH — the same count as
+    the md5 the caller takes per paragraph, so it adds no asymptotic
+    cost.
+
+    Deliberately NOT built with ``pa.ListArray.from_arrays`` +
+    ``pc.binary_join``: with pyarrow 16.1 that construction, after a
+    few hundred batch iterations, left a later UNRELATED
+    ``utf8_split_whitespace`` call misclassifying a trailing ASCII
+    space after multibyte text (deterministic per process layout,
+    found by the randomized differential fuzz in
+    tests/test_chunk_window_ops.py; a value-identical rebuilt array
+    split correctly). The join-per-paragraph path has no Arrow buffer
+    arithmetic to poison."""
     import pyarrow.compute as pc
 
     from .textstats import _text_array, _ws_tokens
@@ -1072,16 +1083,16 @@ def _para_rows(batch: pa.Table, words_per_para: int,
     arr = _text_array(batch, text_col)
     offs, flat = _ws_tokens(arr)
     nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    flat = flat.take(pa.array(np.flatnonzero(nonempty)))
+    toks = np.asarray(
+        flat.take(pa.array(np.flatnonzero(nonempty))).to_pylist(),
+        dtype=object)
     cs = np.concatenate([np.zeros(1, np.int64),
                          np.cumsum(nonempty, dtype=np.int64)])
     nw = cs[offs[1:]] - cs[offs[:-1]]            # words per doc
     n_para = -(-nw // words_per_para)            # ceil; 0 for empty
     total = int(n_para.sum())
-    empty = (np.array([], np.int64), np.array([], np.int64),
-             pa.array([], pa.string()))
     if total == 0:
-        return empty
+        return (np.array([], np.int64), np.array([], np.int64), [])
     doc0 = np.concatenate([np.zeros(1, np.int64), np.cumsum(nw)])
     doc_of = np.repeat(np.arange(len(nw)), n_para)
     # start of each para in the filtered token stream: doc start +
@@ -1090,13 +1101,8 @@ def _para_rows(batch: pa.Table, words_per_para: int,
                            np.cumsum(n_para)])[:-1]
     para_idx = np.arange(total, dtype=np.int64) - seg0[doc_of]
     b0 = doc0[doc_of] + para_idx * words_per_para
-    # paragraphs tile each doc contiguously, so the boundary vector is
-    # simply every start plus the final doc end
-    offsets = np.empty(total + 1, dtype=np.int32)
-    offsets[:-1] = b0
-    offsets[-1] = doc0[-1]
-    joined = pc.binary_join(
-        pa.ListArray.from_arrays(pa.array(offsets), flat), " ")
+    b1 = np.minimum(b0 + words_per_para, doc0[doc_of + 1])
+    joined = [" ".join(toks[s:e]) for s, e in zip(b0, b1)]
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     return ids[doc_of], para_idx, joined
 
@@ -1122,8 +1128,7 @@ def para_dedup(ds, *, words_per_para: int = 15,
     def narrow(batch: pa.Table) -> pa.Table:
         d, p, joined = _para_rows(batch, words_per_para, text_col,
                                   id_col)
-        fps = [hashlib.md5(s.encode()).hexdigest()
-               for s in joined.to_pylist()]
+        fps = [hashlib.md5(s.encode()).hexdigest() for s in joined]
         return pa.table({
             "fp": pa.array(fps, pa.string()),
             "doc_id": pa.array(d, pa.int64()),

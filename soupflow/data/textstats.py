@@ -34,12 +34,31 @@ def _ws_tokens(arr: pa.Array):
     """Whitespace-split once (Arrow C++ kernel, Python str.split
     semantics modulo kept empty edge tokens) → (list offsets as numpy,
     flat token Array). Segment sums over any per-token predicate are
-    then one cumsum + offset gather."""
+    then one cumsum + offset gather.
+
+    GUARDED: pyarrow 16.1's utf8_split_whitespace RARELY misclassifies
+    a whitespace char after a few hundred in-process invocations
+    (~1 token in 300k on multibyte+mixed-whitespace fuzz text; the
+    same array splits correctly in a fresh process — kernel-state
+    bug, found by the randomized differential in
+    tests/test_chunk_window_ops.py). A bad split leaves whitespace
+    INSIDE a token, so one vectorized RE2 pass over the flat tokens
+    detects it; on detection the batch re-tokenizes via Python
+    str.split (rare — the guard, not the fallback, is the steady-state
+    cost)."""
     toks = pc.utf8_split_whitespace(arr)
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    bad = pc.any(pc.match_substring_regex(flat, r"\s")).as_py()
+    if bad:
+        pylists = [(s or "").split() for s in arr.to_pylist()]
+        offs = np.zeros(len(pylists) + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in pylists], out=offs[1:])
+        flat = pa.array([w for p in pylists for w in p], pa.string())
+        return offs, flat
     offs = toks.offsets.to_numpy()
-    return offs - offs[0], pc.list_flatten(toks)
+    return offs - offs[0], flat
 
 
 def _segment_sum(hits: np.ndarray, offs: np.ndarray) -> np.ndarray:

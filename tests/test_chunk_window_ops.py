@@ -396,3 +396,40 @@ def test_funnel_strictly_after_and_one_sided(ray_session):
     out = funnel(_ray_ds(tbl, 2)).to_pandas()
     got = dict(zip(out.user_id.astype(int), out.converted))
     assert got == {1: False, 2: False, 3: False, 4: True}
+
+
+# -- randomized differential: segmentation over adversarial whitespace --------
+
+def test_para_rows_differential_fuzz(ray_session):
+    """400 random multibyte + mixed-whitespace batches vs the scalar
+    str.split reference. This fuzz caught a REAL pyarrow 16.1 bug:
+    after a few hundred in-process utf8_split_whitespace calls the
+    kernel rarely misclassifies a whitespace char (the identical
+    array splits correctly in a fresh process), which the _ws_tokens
+    whitespace-in-token guard now detects and repairs — this test
+    pins both the guard and the segment layout."""
+    from soupflow.data.dedup import _para_rows
+    rng = np.random.default_rng(99)
+    for trial in range(400):
+        n_docs = rng.integers(1, 30)
+        texts = []
+        for _ in range(n_docs):
+            k = rng.integers(0, 60)
+            words = ["".join(rng.choice(list("ab¢d中 "),
+                                        size=rng.integers(1, 6)))
+                     for _ in range(k)]
+            sep = rng.choice([" ", "  ", "\t", "\n"],
+                             size=max(k - 1, 0))
+            texts.append("".join(
+                w + (sep[i] if i < len(sep) else "")
+                for i, w in enumerate(words)))
+        wpp = int(rng.integers(1, 20))
+        batch = pa.table({
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "text": pa.array(texts, pa.string())})
+        d, p, joined = _para_rows(batch, wpp, "text", "doc_id")
+        got = list(zip(d.tolist(), p.tolist(), joined))
+        want = [(i, j, " ".join(t.split()[j * wpp:(j + 1) * wpp]))
+                for i, t in enumerate(texts)
+                for j in range(-(-len(t.split()) // wpp))]
+        assert got == want, f"trial {trial}"
