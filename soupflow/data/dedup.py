@@ -1116,7 +1116,7 @@ def para_dedup(ds, *, words_per_para: int = 15,
     (doc_id, para_idx)). → (doc_id, para_idx, keep).
 
     Scale shape: the corpus pass emits NARROW (fp, doc_id, para_idx)
-    rows — segment text is built by Arrow's C binary_join and hashed
+    rows — segment text is joined + hashed map-side and
     immediately, never shuffled. ONE groupby(fp) finds duplicate
     groups; only those (dup-cluster sized — the exact_dedup keeper-map
     bound class) broadcast back for the map-side keep decision."""

@@ -1050,7 +1050,7 @@ def q_revenue_by_nation(sf_dir: str):
 
 def q_para_dedup(sf_dir: str):
     """Paragraph-granular exact dedup (C4/RefinedWeb step): 15-word
-    segments fingerprinted via Arrow binary_join + md5, first
+    segments fingerprinted (md5 over ' '-joined tokens), first
     corpus-wide occurrence kept (data/dedup.py para_dedup)."""
     from .data.dedup import para_dedup
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
