@@ -965,7 +965,7 @@ def q_event_pivot(sf_dir: str):
               for t in _PIVOT_TYPES])
 
 
-def q_revenue_by_nation(sf_dir: str):
+def q_revenue_by_nation(sf_dir: str, num_partitions: int = 8):
     """TPC-H-Q5-style multi-join composition: revenue per nation over
     lineitem ⋈ orders ⋈ customer ⋈ nation. The scale shape per join
     tier: the FACT stream is combined in-batch by its join key before
@@ -974,7 +974,9 @@ def q_revenue_by_nation(sf_dir: str):
     hash joins on narrow projections, and the 25-row nation dim is a
     broadcast map. Revenue uses exact integer-cents arithmetic
     (floor(x*100+0.5)) so sums are order-independent and the SQL
-    oracle hash-matches bit-for-bit."""
+    oracle hash-matches bit-for-bit. ``num_partitions`` sizes the
+    hash-shuffle actor pools — each join's cold-start scales with
+    it (~2s saved at toy scale going 16->8; raise with data)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1004,7 +1006,8 @@ def q_revenue_by_nation(sf_dir: str):
     orders = _read(sf_dir, "orders") \
         .map_batches(lambda b: b.select(["o_orderkey", "o_custkey"]),
                      batch_format="pyarrow")
-    j1 = fact.join(orders, join_type="inner", num_partitions=16,
+    j1 = fact.join(orders, join_type="inner",
+                   num_partitions=num_partitions,
                    on=("l_orderkey",), right_on=("o_orderkey",))
 
     def cust_partial(b: pa.Table) -> pa.Table:
@@ -1020,7 +1023,8 @@ def q_revenue_by_nation(sf_dir: str):
     cust = _read(sf_dir, "customer") \
         .map_batches(lambda b: b.select(["c_custkey", "c_nationkey"]),
                      batch_format="pyarrow")
-    j2 = by_cust.join(cust, join_type="inner", num_partitions=8,
+    j2 = by_cust.join(cust, join_type="inner",
+                      num_partitions=max(num_partitions // 2, 2),
                       on=("o_custkey",), right_on=("c_custkey",))
 
     nat = collect_table(_read(sf_dir, "nation")
