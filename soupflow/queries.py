@@ -926,6 +926,16 @@ def q_partitioned_write(sf_dir: str):
         .groupby("lang").aggregate(Count(alias_name="n"))
 
 
+def q_kmv_distinct(sf_dir: str):
+    """KMV bottom-k distinct-count sketch over orders.o_custkey:
+    per-block k-smallest distinct hashes, driver merge, exact integer
+    estimate arithmetic — the column itself never shuffles
+    (data/sketch.py). Exact below k distincts (sf0.001) and an
+    estimate above (sf0.01+), so both regimes are oracle-exercised."""
+    from .data.sketch import kmv_distinct
+    return kmv_distinct(_read(sf_dir, "orders"), "o_custkey", k=256)
+
+
 def q_funnel(sf_dir: str):
     """Two-step conversion funnel (view → purchase strictly after):
     order resolved WITHOUT sorting — masked min/max partials per user
@@ -1181,6 +1191,7 @@ QUERIES = {
     "funnel": q_funnel,
     "event_pivot": q_event_pivot,
     "partitioned_write": q_partitioned_write,
+    "kmv_distinct": q_kmv_distinct,
 }
 
 ORACLE_SQL = {
@@ -2097,4 +2108,20 @@ ORACLE_SQL["event_pivot"] = """
 
 ORACLE_SQL["partitioned_write"] = """
     SELECT lang, count(*) AS n FROM documents GROUP BY lang
+"""
+
+ORACLE_SQL["kmv_distinct"] = """
+    WITH h AS (
+        SELECT DISTINCT
+            ((CAST(o_custkey AS HUGEINT) * 11400714819323198485)
+             % 18446744073709551616) AS hv
+        FROM orders),
+    n AS (SELECT count(*) AS nd FROM h),
+    ranked AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+               FROM h)
+    SELECT CASE WHEN n.nd < 256 THEN n.nd
+           ELSE CAST((255 * CAST(18446744073709551616 AS HUGEINT))
+                     // (SELECT hv FROM ranked WHERE rn = 256)
+                     AS BIGINT) END AS est_distinct
+    FROM n
 """

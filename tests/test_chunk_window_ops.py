@@ -433,3 +433,27 @@ def test_para_rows_differential_fuzz(ray_session):
                 for i, t in enumerate(texts)
                 for j in range(-(-len(t.split()) // wpp))]
         assert got == want, f"trial {trial}"
+
+
+# -- KMV distinct sketch --------------------------------------------------------
+
+def test_kmv_exact_below_k_and_estimate_above(ray_session):
+    from soupflow.data.sketch import kmv_distinct
+    rng = np.random.default_rng(23)
+    # exact regime: 100 distinct values < k=256
+    vals = rng.integers(0, 100, size=5000).astype(np.int64)
+    tbl = pa.table({"v": pa.array(vals, pa.int64())})
+    out = kmv_distinct(_ray_ds(tbl, 6), "v", k=256)
+    assert out.column("est_distinct")[0].as_py() == len(set(vals))
+    # estimate regime: 20k distinct, k=256 → ~6% relative error bound;
+    # allow 4 sigma
+    vals2 = rng.integers(0, 1 << 40, size=20000).astype(np.int64)
+    n_true = len(set(vals2))
+    tbl2 = pa.table({"v": pa.array(vals2, pa.int64())})
+    est = kmv_distinct(_ray_ds(tbl2, 6), "v", k=256) \
+        .column("est_distinct")[0].as_py()
+    assert abs(est - n_true) / n_true < 4 / (254 ** 0.5)
+    # repartition-stable (deterministic hash + merge)
+    est2 = kmv_distinct(_ray_ds(tbl2, 13), "v", k=256) \
+        .column("est_distinct")[0].as_py()
+    assert est2 == est
