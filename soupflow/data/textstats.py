@@ -553,7 +553,8 @@ def bigram_topk(docs, k: int = 20):
 
 
 def unigram_logprob(ds, text_col: str = "text",
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id", join: str = "broadcast",
+                    num_partitions: int = 16):
     """CCNet-style language-model quality score: for each doc, the
     average negative log-probability of its tokens under the CORPUS
     unigram distribution → (doc_id, n_tokens, avg_nll). Low avg_nll =
@@ -565,7 +566,14 @@ def unigram_logprob(ds, text_col: str = "text",
     broadcast once (vocabulary-bounded — hash terms to uint64 or
     partition-join for open-web vocabularies). Pass 2 scores map-side
     with one searchsorted gather + segment sums; docs with zero
-    tokens drop out (matching the SQL join semantics)."""
+    tokens drop out (matching the SQL join semantics).
+
+    ``join="partitioned"``: the overflow path for vocabularies beyond
+    driver memory — the (doc, term, count) narrow stream hash-joins
+    the distributed (term, count) table on term, per-token NLL is
+    summed by ONE groupby(doc); only narrow rows ever shuffle (text
+    never does). Summation order differs from the broadcast path, so
+    results agree to fp round-off, not bit-exactly."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -581,6 +589,64 @@ def unigram_logprob(ds, text_col: str = "text",
                          "n": pa.array(counts.astype(np.int64),
                                        pa.int64())})
     tf_partial.__name__ = "unigram_tf_partial"
+
+    if join == "partitioned":
+        tf_ds = ds.map_batches(tf_partial, batch_format="pyarrow") \
+            .groupby("term").aggregate(Sum("n", alias_name="n")) \
+            .repartition(num_partitions)  # non-empty blocks for join
+        total = float(tf_ds.sum("n"))
+
+        def doc_term(batch: pa.Table) -> pa.Table:
+            arr = pc.utf8_lower(_text_array(batch, text_col))
+            offs, flat = _ws_tokens(arr)
+            toks = flat.to_numpy(zero_copy_only=False)
+            doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64),
+                                np.diff(offs))
+            keep = toks != ""
+            toks, doc_idx = toks[keep], doc_idx[keep]
+            uniq, codes = np.unique(toks, return_inverse=True)
+            pair = doc_idx * max(len(uniq), 1) + codes
+            upair, cnt = np.unique(pair, return_counts=True)
+            nu = max(len(uniq), 1)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": pa.array(ids[upair // nu], pa.int64()),
+                "term": pa.array(uniq[upair % nu], pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            })
+        doc_term.__name__ = "doc_term_counts"
+
+        joined = ds.map_batches(doc_term, batch_format="pyarrow") \
+            .join(tf_ds, join_type="inner",
+                  num_partitions=num_partitions, on=("term",))
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+            n = batch.column("n").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(cnt, pa.int64()),
+                "nll": pa.array(cnt * -np.log(n / total),
+                                pa.float64()),
+            })
+
+        agg = joined.map_batches(contrib, batch_format="pyarrow") \
+            .groupby("doc_id").aggregate(
+                Sum("n_tokens", alias_name="n_tokens"),
+                Sum("nll", alias_name="nll"))
+
+        def finish(batch: pa.Table) -> pa.Table:
+            nt = batch.column("n_tokens").to_numpy(
+                zero_copy_only=False)
+            s = batch.column("nll").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "avg_nll": pa.array(s / nt, pa.float64()),
+            })
+
+        return agg.map_batches(finish, batch_format="pyarrow")
 
     tf_tbl = collect_table(
         ds.map_batches(tf_partial, batch_format="pyarrow")

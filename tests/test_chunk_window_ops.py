@@ -457,3 +457,25 @@ def test_kmv_exact_below_k_and_estimate_above(ray_session):
     est2 = kmv_distinct(_ray_ds(tbl2, 13), "v", k=256) \
         .column("est_distinct")[0].as_py()
     assert est2 == est
+
+
+def test_unigram_logprob_partitioned_parity(ray_session):
+    """The distributed-vocabulary escape hatch must agree with the
+    broadcast path to fp round-off on a multi-block corpus."""
+    from soupflow.data.textstats import unigram_logprob
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 60)))
+             for _ in range(80)]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(80, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    a = unigram_logprob(_ray_ds(tbl, 5)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = unigram_logprob(_ray_ds(tbl, 5), join="partitioned",
+                        num_partitions=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.n_tokens.tolist() == b.n_tokens.tolist()
+    assert np.allclose(a.avg_nll, b.avg_nll, rtol=1e-12)
