@@ -99,7 +99,9 @@ def bm25_topk(docs, terms: tuple[str, ...], k: int = 20,
         .limit(k)
 
 
-def tfidf_topk(docs, k: int = 5, id_col: str = "doc_id"):
+def tfidf_topk(docs, k: int = 5, id_col: str = "doc_id",
+               join: str = "broadcast",
+               num_partitions: int = 16):
     """Per-document top-k TF-IDF terms → (doc_id, term, tfidf):
     tfidf = tf(term, doc) * ln(n_docs / df(term)), ranked per doc by
     (tfidf desc, term asc); zero-idf terms (present in every doc) are
@@ -111,9 +113,13 @@ def tfidf_topk(docs, k: int = 5, id_col: str = "doc_id"):
     doc so n_docs rides the same aggregate (text never shuffles;
     whitespace tokens can't be empty so the sentinel is collision
     free). The df table is broadcast once (vocabulary-bounded — cap
-    it by hashing terms to uint64 or fall back to a partitioned join
-    on term for open-web vocabularies). Pass 2 scores map-side and
-    emits ≤ k rows per doc via the grouped-topk lexsort mask."""
+    it by hashing terms to uint64, or set ``join="partitioned"`` for
+    open-web vocabularies: the (doc, term, tf) narrow stream
+    hash-joins the DISTRIBUTED df table on term and the per-doc cut
+    runs through grouped_topk — only narrow rows shuffle, nothing
+    vocabulary-sized ever lands on the driver). Pass 2 scores
+    map-side and emits ≤ k rows per doc via the grouped-topk lexsort
+    mask."""
     import ray
 
     from .rank import _topk_mask
@@ -145,9 +151,58 @@ def tfidf_topk(docs, k: int = 5, id_col: str = "doc_id"):
     df_partial.__name__ = "df_partial"
 
     from ray.data.aggregate import Sum
-    df_tbl = collect_table(
-        docs.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("term").aggregate(Sum("n", alias_name="n")))
+    df_agg = docs.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n", alias_name="n"))
+
+    if join == "partitioned":
+        from .rank import grouped_topk
+
+        nd_tbl = collect_table(df_agg.filter(expr="term == ''"))
+        n_docs = float(nd_tbl.column("n")[0].as_py()) \
+            if nd_tbl.num_rows else 0.0
+        df_ds = df_agg.filter(expr="term != ''") \
+            .repartition(num_partitions)  # non-empty blocks for join
+
+        def doc_term(batch: pa.Table) -> pa.Table:
+            doc_idx, codes, uniq, pair = _doc_term_pairs(batch)
+            upair, tf = np.unique(pair, return_counts=True)
+            nu = max(len(uniq), 1)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": pa.array(ids[upair // nu], pa.int64()),
+                "term": pa.array(uniq[upair % nu], pa.string()),
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            })
+        doc_term.__name__ = "doc_term_tf"
+
+        joined = docs.map_batches(doc_term, batch_format="pyarrow") \
+            .join(df_ds, join_type="inner",
+                  num_partitions=num_partitions, on=("term",))
+
+        def score_j(batch: pa.Table) -> pa.Table:
+            tf = batch.column("tf").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            n = batch.column("n").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            tfidf = tf * np.log(n_docs / n)
+            t = pa.table({
+                "doc_id": batch.column("doc_id"),
+                "term": batch.column("term"),
+                "tfidf": pa.array(tfidf, pa.float64()),
+            })
+            return t.filter(pa.array(tfidf > 0.0))
+        score_j.__name__ = "tfidf_score"
+
+        import pandas as pd
+        top = grouped_topk(
+            joined.map_batches(score_j, batch_format="pyarrow"),
+            key="doc_id", order_col="tfidf", k=k, tie="term")
+
+        def strip(df: pd.DataFrame) -> pd.DataFrame:
+            return df[["doc_id", "term", "tfidf"]]
+        return top.map_batches(strip, batch_format="pandas")
+
+    df_tbl = collect_table(df_agg)
     terms_np = np.asarray(df_tbl.column("term").to_pylist(),
                           dtype=object)
     ns_np = df_tbl.column("n").to_numpy(zero_copy_only=False)

@@ -479,3 +479,24 @@ def test_unigram_logprob_partitioned_parity(ray_session):
     assert a.doc_id.tolist() == b.doc_id.tolist()
     assert a.n_tokens.tolist() == b.n_tokens.tolist()
     assert np.allclose(a.avg_nll, b.avg_nll, rtol=1e-12)
+
+
+def test_tfidf_partitioned_parity(ray_session):
+    """The distributed-vocabulary escape hatch must produce the same
+    top-k rows as the broadcast path (same deterministic ordering)."""
+    from soupflow.data.search import tfidf_topk
+    rng = np.random.default_rng(37)
+    vocab = [f"t{i}" for i in range(30)] + ["common"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 50)))
+             + " common" for _ in range(60)]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    a = tfidf_topk(_ray_ds(tbl, 5), k=3).to_pandas()
+    b = tfidf_topk(_ray_ds(tbl, 5), k=3, join="partitioned",
+                   num_partitions=4).to_pandas()
+    key = lambda df: sorted(
+        (int(r.doc_id), r.term, round(float(r.tfidf), 9))
+        for r in df.itertuples())
+    assert key(a) == key(b)
