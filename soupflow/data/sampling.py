@@ -125,7 +125,8 @@ def mixture_sample(ds, key: str = "source", alpha: float = 0.5,
         key=lambda r: r[key])
     weights = [(r[key], float(r["n"]) ** alpha) for r in counts]
     w_sum = sum(v for _, v in weights)
-    quota = {s: int(total * v / w_sum) for s, v in weights}
+    quota = ({s: int(total * v / w_sum) for s, v in weights}
+             if w_sum > 0 else {})
 
     def add_rank(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
