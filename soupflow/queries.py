@@ -1953,9 +1953,12 @@ ORACLE_SQL["chunk_docs"] = """
 """
 
 ORACLE_SQL["window_hop"] = """
+    -- date_trunc, not epoch_us // hop: DuckDB's // truncates toward
+    -- zero while the engine floors, so integer division would diverge
+    -- on pre-1970 timestamps; date_trunc floors for any sign.
     WITH r AS (
-        SELECT ((epoch_us(ts) // 3600000000) * 3600000000
-                - i * 3600000000) // 1000000 AS window_start,
+        SELECT epoch_us(date_trunc('hour', ts)) // 1000000
+                - i * 3600 AS window_start,
                event_type, value
         FROM events, generate_series(0, 1) AS g(i))
     SELECT window_start, event_type,

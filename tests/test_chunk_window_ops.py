@@ -500,3 +500,42 @@ def test_tfidf_partitioned_parity(ray_session):
         (int(r.doc_id), r.term, round(float(r.tfidf), 9))
         for r in df.itertuples())
     assert key(a) == key(b)
+
+
+def test_hopping_window_negative_timestamps(ray_session):
+    """Pre-1970 timestamps: the engine floors window starts; DuckDB's
+    integer // truncates toward zero, so the oracle uses date_trunc —
+    verify engine, scalar reference, and oracle-replica SQL all agree
+    on negative epochs."""
+    import duckdb
+    from soupflow.data.windows import hopping_window_agg
+    ts_us = np.array([-7_200_000_001, -3_600_000_000, -1, 1,
+                      3_599_999_999], dtype=np.int64)
+    tbl = pa.table({
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+        "event_type": pa.array(["a"] * 5, pa.string()),
+        "value": pa.array([1.0] * 5, pa.float64()),
+    })
+    out = hopping_window_agg(_ray_ds(tbl, 2), window_s=7200,
+                             hop_s=3600).to_pandas()
+    ref = {}
+    for t in ts_us:
+        w0 = (t // 3_600_000_000) * 3600   # python floors like numpy
+        for i in range(2):
+            ref[(w0 - i * 3600, "a")] = ref.get(
+                (w0 - i * 3600, "a"), 0) + 1
+    got = {(int(r.window_start), r.event_type): int(r.n_events)
+           for r in out.itertuples()}
+    assert got == ref
+    con = duckdb.connect()
+    con.register("events_arrow", tbl)
+    sql = """
+        WITH r AS (
+            SELECT epoch_us(date_trunc('hour', ts)) // 1000000
+                    - i * 3600 AS window_start, event_type
+            FROM events_arrow, generate_series(0, 1) AS g(i))
+        SELECT window_start, event_type, count(*) AS n
+        FROM r GROUP BY window_start, event_type"""
+    orc = {(int(w), e): int(n)
+           for w, e, n in con.execute(sql).fetchall()}
+    assert orc == ref
