@@ -24,6 +24,13 @@ _U64 = 1 << 64
 
 
 def _mix(ids: np.ndarray) -> np.ndarray:
+    # contract: ids are non-negative. numpy wraps a negative id into
+    # uint64 space but DuckDB's % keeps the dividend's sign, so the
+    # SQL oracles would silently diverge — fail loudly instead.
+    if ids.size and int(ids.min()) < 0:
+        raise ValueError(
+            "hash sampling requires non-negative ids (SQL-oracle "
+            "parity: HUGEINT % keeps sign; numpy uint64 wraps)")
     with np.errstate(over="ignore"):
         return ids.astype(np.uint64) * np.uint64(PHI64)
 
