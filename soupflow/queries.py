@@ -1194,6 +1194,12 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
 }
 
+# Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
+# whitespace), the engine on Unicode whitespace (Arrow / str.split).
+# They agree on every ASCII-whitespace corpus (all driver tables);
+# documents containing exotic Unicode separators (U+3000, U+2028...)
+# would tokenize differently in SQL — an oracle-side limitation, not
+# an engine one.
 ORACLE_SQL = {
     "extract_text": """
         SELECT doc_id,
