@@ -40,7 +40,7 @@ TIMED_QUERIES = [
     "chunk_docs", "window_hop", "tfidf_topk", "mixture_sample",
     "para_dedup", "unigram_nll", "length_band",
     "revenue_by_nation", "funnel", "event_pivot",
-    "partitioned_write", "kmv_distinct",
+    "partitioned_write", "kmv_distinct", "grouped_quantiles",
 ]
 
 

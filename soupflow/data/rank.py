@@ -126,3 +126,63 @@ def quantile_band_filter(ds, col: str, lo_pct: int = 10,
     keep.__name__ = f"band_{col}_{lo_pct}_{hi_pct}"
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_quantiles(ds, key: str, col: str,
+                      q_pcts: tuple[int, ...]):
+    """Exact per-key quantiles → pandas DataFrame (key, q_pct, value):
+    for each key and integer percent q, the smallest v with
+    rank(v) ≥ ceil(q·N_key/100) — the same integer-rank rule as
+    ``quantiles``, per stratum (per-language/per-source length
+    percentiles for tier filtering).
+
+    Scale shape: per-batch (key, value) np.unique partials collapse
+    each block to its distinct pairs, ONE groupby((key, v)) sums the
+    narrow histogram, and the driver does a cumsum per key over the
+    ≤ |keys × distinct values| collected rows — bounded by value
+    domain, not corpus size (pre-bin continuous columns)."""
+    from ray.data.aggregate import Sum
+
+    from ..io import collect_table
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(batch.column(key).to_pylist(), dtype=object)
+        v = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uk, codes = np.unique(ks, return_inverse=True)
+        # collapse to distinct (key, v) pairs with counts: one lexsort
+        order = np.lexsort((v, codes))
+        cs, vs = codes[order], v[order]
+        newgrp = np.r_[True, (cs[1:] != cs[:-1]) | (vs[1:] != vs[:-1])]
+        starts = np.flatnonzero(newgrp)
+        counts = np.diff(np.append(starts, cs.size))
+        return pa.table({
+            key: pa.array(uk[cs[starts]], pa.string()),
+            "v": pa.array(vs[starts], pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+    hist.__name__ = f"hist_{key}_{col}"
+
+    t = collect_table(
+        ds.select_columns([key, col])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby([key, "v"]).aggregate(Sum("n", alias_name="n")))
+    out = []
+    if t.num_columns:
+        ks = np.asarray(t.column(key).to_pylist(), dtype=object)
+        vs = t.column("v").to_numpy(zero_copy_only=False)
+        ns = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vs, ks))
+        ks, vs, ns = ks[order], vs[order], ns[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        bounds = np.append(starts, ks.size)
+        for i, s in enumerate(starts):
+            e = bounds[i + 1]
+            cum = np.cumsum(ns[s:e])
+            total = int(cum[-1])
+            for q in q_pcts:
+                rank = (q * total + 99) // 100
+                pos = int(np.searchsorted(cum, rank))
+                out.append((ks[s], q,
+                            int(vs[s:e][min(pos, e - s - 1)])))
+    return pd.DataFrame(out, columns=[key, "q_pct", "value"])

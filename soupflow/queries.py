@@ -926,6 +926,15 @@ def q_partitioned_write(sf_dir: str):
         .groupby("lang").aggregate(Count(alias_name="n"))
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Per-language exact n_chars quantiles (p25/50/75): per-batch
+    (key, value) histogram partials, ONE narrow groupby, driver-side
+    per-key integer-rank cumsum (data/rank.py grouped_quantiles)."""
+    from .data.rank import grouped_quantiles
+    return grouped_quantiles(_read(sf_dir, "documents"), "lang",
+                             "n_chars", (25, 50, 75))
+
+
 def q_kmv_distinct(sf_dir: str):
     """KMV bottom-k distinct-count sketch over orders.o_custkey:
     per-block k-smallest distinct hashes, driver merge, exact integer
@@ -1192,6 +1201,7 @@ QUERIES = {
     "event_pivot": q_event_pivot,
     "partitioned_write": q_partitioned_write,
     "kmv_distinct": q_kmv_distinct,
+    "grouped_quantiles": q_grouped_quantiles,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -2133,4 +2143,19 @@ ORACLE_SQL["kmv_distinct"] = """
                      // (SELECT hv FROM ranked WHERE rn = 256)
                      AS BIGINT) END AS est_distinct
     FROM n
+"""
+
+ORACLE_SQL["grouped_quantiles"] = """
+    WITH c AS (
+        SELECT lang, n_chars AS v, count(*) AS n
+        FROM documents GROUP BY lang, n_chars),
+    cum AS (
+        SELECT lang, v,
+               sum(n) OVER (PARTITION BY lang ORDER BY v) AS cn,
+               sum(n) OVER (PARTITION BY lang) AS total
+        FROM c)
+    SELECT lang, q.q_pct, CAST(min(v) AS BIGINT) AS value
+    FROM cum, (VALUES (25), (50), (75)) q(q_pct)
+    WHERE cn >= (q.q_pct * total + 99) // 100
+    GROUP BY lang, q.q_pct
 """

@@ -539,3 +539,22 @@ def test_hopping_window_negative_timestamps(ray_session):
     orc = {(int(w), e): int(n)
            for w, e, n in con.execute(sql).fetchall()}
     assert orc == ref
+
+
+def test_grouped_quantiles_reference(ray_session):
+    from soupflow.data.rank import grouped_quantiles
+    rng = np.random.default_rng(41)
+    langs = rng.choice(["en", "de", "fr"], size=600)
+    v = rng.integers(0, 300, size=600).astype(np.int64)
+    tbl = pa.table({"lang": pa.array(langs, pa.string()),
+                    "n_chars": pa.array(v, pa.int64())})
+    out = grouped_quantiles(_ray_ds(tbl, 5), "lang", "n_chars",
+                            (25, 50, 75))
+    for lang in ("en", "de", "fr"):
+        sub = np.sort(v[langs == lang])
+        for q in (25, 50, 75):
+            rank = (q * sub.size + 99) // 100
+            want = int(sub[max(rank - 1, 0)])
+            got = int(out[(out.lang == lang)
+                          & (out.q_pct == q)].value.iloc[0])
+            assert got == want, (lang, q)
