@@ -1140,9 +1140,20 @@ def para_dedup(ds, *, words_per_para: int = 15,
         .materialize()  # feeds the dup-group agg AND the keep pass
 
     def pack(b: pa.Table) -> pa.Table:
-        packed = b.column("doc_id").to_numpy(zero_copy_only=False) \
-            * _PIDX + b.column("para_idx").to_numpy(
-                zero_copy_only=False)
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        p = b.column("para_idx").to_numpy(zero_copy_only=False)
+        # fail loudly instead of silently colliding keeper ids: a doc
+        # with >= 2^20 paragraphs or doc_id >= 2^43 would wrap the
+        # packed key and corrupt keep decisions (ADVICE r3)
+        if p.size and int(p.max()) >= _PIDX:
+            raise ValueError(
+                f"para_dedup: para_idx {int(p.max())} >= 2^20 — "
+                f"packed (doc_id, para_idx) key would collide")
+        if d.size and int(d.max()) >= (1 << 63) // _PIDX:
+            raise ValueError(
+                f"para_dedup: doc_id {int(d.max())} >= 2^43 — "
+                f"packed key would overflow int64")
+        packed = d * _PIDX + p
         return pa.table({"fp": b.column("fp"),
                          "packed": pa.array(packed, pa.int64())})
 

@@ -157,6 +157,10 @@ def tfidf_topk(docs, k: int = 5, id_col: str = "doc_id",
     if join == "partitioned":
         from .rank import grouped_topk
 
+        # Materialize the aggregated term table ONCE: it feeds both
+        # the sentinel collect below and the join — without this the
+        # full corpus tokenize+groupby lineage executes twice.
+        df_agg = df_agg.materialize()
         nd_tbl = collect_table(df_agg.filter(expr="term == ''"))
         n_docs = float(nd_tbl.column("n")[0].as_py()) \
             if nd_tbl.num_rows else 0.0
@@ -219,10 +223,16 @@ def tfidf_topk(docs, k: int = 5, id_col: str = "doc_id",
         upair, tf = np.unique(pair, return_counts=True)
         nu = max(len(uniq), 1)
         u_doc, u_code = upair // nu, upair % nu
-        pos = np.searchsorted(vocab_, uniq[u_code]) \
-            if len(vocab_) else np.zeros(0, dtype=np.int64)
-        idf = np.log(nd / df_[pos]) if len(vocab_) else \
-            np.zeros(0, dtype=np.float64)
+        # Bounds+equality-guarded gather: an out-of-vocab term (only
+        # possible if scoring a different corpus than the vocab was
+        # built on) gets idf 0 and drops below, matching the
+        # partitioned path's inner-join semantics — never IndexError.
+        idf = np.zeros(len(u_code), dtype=np.float64)
+        if len(vocab_):
+            pos = np.minimum(np.searchsorted(vocab_, uniq[u_code]),
+                             len(vocab_) - 1)
+            inv = vocab_[pos] == uniq[u_code]
+            idf[inv] = np.log(nd / df_[pos[inv]])
         tfidf = tf.astype(np.float64) * idf
         keep = tfidf > 0.0
         u_doc, u_code, tfidf = u_doc[keep], u_code[keep], tfidf[keep]

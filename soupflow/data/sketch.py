@@ -33,7 +33,6 @@ def kmv_partials(ds, col: str, k: int = 256):
             .astype(np.int64, copy=False)
         hv = np.unique(_mix(vals))          # sorted distinct uint64
         hv = hv[:k]
-        # >>1 keeps order and fits signed int64 for Arrow transport
         return pa.table({"hv": pa.array(hv.astype(np.uint64),
                                         pa.uint64())})
     partial.__name__ = f"kmv{k}_partial"
@@ -43,7 +42,13 @@ def kmv_partials(ds, col: str, k: int = 256):
 
 def kmv_distinct(ds, col: str, k: int = 256):
     """→ 1-row pyarrow Table (est_distinct: int64). Deterministic:
-    the same hash + integer arithmetic as the SQL oracle."""
+    the same hash + integer arithmetic as the SQL oracle.
+
+    Input contract: ``col`` must be a NON-NEGATIVE integer column —
+    the splitmix helper ``_mix`` raises ``ValueError`` on negative
+    ids (numpy would wrap them into uint64 space while DuckDB's
+    HUGEINT ``%`` keeps the dividend's sign, silently diverging from
+    the oracle)."""
     from ..io import collect_table
 
     t = collect_table(kmv_partials(ds, col, k))

@@ -50,7 +50,12 @@ def _ws_tokens(arr: pa.Array):
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = pc.list_flatten(toks)
-    bad = pc.any(pc.match_substring_regex(flat, r"\s")).as_py()
+    # RE2 \s is ASCII-only; the splitter (and the Python fallback)
+    # treat Unicode whitespace too, so the corruption guard must match
+    # the full class or a misclassified U+3000/U+2028 inside a token
+    # would go undetected (ADVICE r3).
+    bad = pc.any(pc.match_substring_regex(
+        flat, r"[\s\x{001C}-\x{001F}\x{0085}\p{Z}]")).as_py()
     if bad:
         pylists = [(s or "").split() for s in arr.to_pylist()]
         offs = np.zeros(len(pylists) + 1, dtype=np.int64)
@@ -591,9 +596,13 @@ def unigram_logprob(ds, text_col: str = "text",
     tf_partial.__name__ = "unigram_tf_partial"
 
     if join == "partitioned":
+        # Materialize ONCE: tf_ds feeds both the total-sum below and
+        # the join — without this the corpus tokenize+groupby lineage
+        # executes twice.
         tf_ds = ds.map_batches(tf_partial, batch_format="pyarrow") \
             .groupby("term").aggregate(Sum("n", alias_name="n")) \
-            .repartition(num_partitions)  # non-empty blocks for join
+            .repartition(num_partitions) \
+            .materialize()  # non-empty blocks for join
         total = float(tf_ds.sum("n"))
 
         def doc_term(batch: pa.Table) -> pa.Table:
@@ -670,10 +679,23 @@ def unigram_logprob(ds, text_col: str = "text",
         offs, flat = _ws_tokens(arr)
         toks = flat.to_numpy(zero_copy_only=False)
         nonempty = toks != ""
-        n_tok = _segment_sum(nonempty, offs)
         toks = toks[nonempty]
-        pos = np.searchsorted(vocab, toks)
-        tok_nll = -lp[pos]                  # every token is in-vocab
+        # Bounds+equality-guarded gather: an out-of-vocab token (only
+        # possible when scoring a corpus the vocab wasn't built on)
+        # drops out of BOTH the count and the NLL sum, matching the
+        # partitioned path's inner-join semantics — never IndexError.
+        if vocab.size:
+            pos = np.minimum(np.searchsorted(vocab, toks),
+                             vocab.size - 1)
+            inv = vocab[pos] == toks
+        else:
+            inv = np.zeros(toks.size, dtype=bool)
+        invocab_full = nonempty.copy()
+        invocab_full[nonempty] = inv
+        n_tok = _segment_sum(invocab_full, offs)
+        tok_nll = np.zeros(toks.size, dtype=np.float64)
+        if vocab.size:
+            tok_nll[inv] = -lp[pos[inv]]
         nll_sum = _segment_sum_float(tok_nll, nonempty, offs)
         keep = n_tok > 0
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)

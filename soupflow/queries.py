@@ -578,11 +578,16 @@ def q_join_broadcast(sf_dir: str):
         keys_sorted, segs_sorted = ray.get(handle)
         keys = batch.column("o_custkey").to_numpy(
             zero_copy_only=False)
-        # sorted-array probe instead of a per-row dict loop
-        pos = np.minimum(np.searchsorted(keys_sorted, keys),
-                         keys_sorted.size - 1)
-        segs = np.where(keys_sorted[pos] == keys, segs_sorted[pos],
-                        "")
+        # sorted-array probe instead of a per-row dict loop (guarded:
+        # an empty customer table maps every order to "" rather than
+        # indexing keys_sorted[-1] on a zero-length array)
+        if keys_sorted.size:
+            pos = np.minimum(np.searchsorted(keys_sorted, keys),
+                             keys_sorted.size - 1)
+            segs = np.where(keys_sorted[pos] == keys,
+                            segs_sorted[pos], "")
+        else:
+            segs = np.full(keys.size, "", dtype=object)
         return pa.table({
             "segment": pa.array(segs, pa.string()),
             "n_dummy": pa.array([1] * len(segs), pa.int64()),
@@ -1022,9 +1027,10 @@ def q_revenue_by_nation(sf_dir: str, num_partitions: int = 8):
         .select_columns(["l_orderkey", "l_extendedprice",
                          "l_discount"]) \
         .map_batches(li_narrow, batch_format="pyarrow")
+    # select_columns (not a lambda select) so projection pushes down
+    # into the parquet read — only 2 of 9 orders columns leave storage
     orders = _read(sf_dir, "orders") \
-        .map_batches(lambda b: b.select(["o_orderkey", "o_custkey"]),
-                     batch_format="pyarrow")
+        .select_columns(["o_orderkey", "o_custkey"])
     j1 = fact.join(orders, join_type="inner",
                    num_partitions=num_partitions,
                    on=("l_orderkey",), right_on=("o_orderkey",))
@@ -1040,8 +1046,7 @@ def q_revenue_by_nation(sf_dir: str, num_partitions: int = 8):
         .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev")) \
         .repartition(8)
     cust = _read(sf_dir, "customer") \
-        .map_batches(lambda b: b.select(["c_custkey", "c_nationkey"]),
-                     batch_format="pyarrow")
+        .select_columns(["c_custkey", "c_nationkey"])
     j2 = by_cust.join(cust, join_type="inner",
                       num_partitions=max(num_partitions // 2, 2),
                       on=("o_custkey",), right_on=("c_custkey",))
@@ -1057,11 +1062,19 @@ def q_revenue_by_nation(sf_dir: str, num_partitions: int = 8):
     def to_nation(b: pa.Table) -> pa.Table:
         nk_sorted, nm_sorted = ray.get(nref)
         nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        # bounds+equality-guarded gather: a nationkey outside the dim
+        # table drops the row (inner-join semantics) instead of
+        # IndexError-ing or silently attaching the wrong nation
+        if nk_sorted.size:
+            pos = np.minimum(np.searchsorted(nk_sorted, nk),
+                             nk_sorted.size - 1)
+            ok = nk_sorted[pos] == nk
+        else:
+            pos = np.zeros(nk.size, dtype=np.int64)
+            ok = np.zeros(nk.size, dtype=bool)
         t = pa.table({
-            "n_name": pa.array(
-                nm_sorted[np.searchsorted(nk_sorted, nk)],
-                pa.string()),
-            "rev": b.column("rev")})
+            "n_name": pa.array(nm_sorted[pos[ok]], pa.string()),
+            "rev": b.column("rev").filter(pa.array(ok))})
         g = t.group_by("n_name").aggregate([("rev", "sum")])
         return g.rename_columns(["n_name", "revenue_i"])
     to_nation.__name__ = "nation_rev_partial"
