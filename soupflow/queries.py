@@ -1150,6 +1150,159 @@ def q_mixture_sample(sf_dir: str):
     return mixture_sample(ds, key="source", alpha=0.5, total=500)
 
 
+class ReaderPipelineActor:
+    """Composite micro-workload mirroring the reference profiler's
+    manabiReaderPipeline (Tools/SwiftSoupProfile/main.swift:532-562):
+    parse a many-line body fragment, select the candidate lines
+    (``div.line, p.line``), per line re-serialize the child nodes
+    (TextNode wholeText / Element outerHtml) into candidate HTML,
+    re-parse the candidate as a fragment, then take its
+    non-normalized text, its ``ruby, a, span`` match count, its
+    re-serialized html length — and additionally push the fragment
+    through Cleaner(basic) so the selector/cleaner interaction path
+    is covered in the same kernel.
+
+    Line construction is a closed-form function of the doc's tokens
+    (3 per line, even lines span+ruby, odd lines a+em+span), so every
+    output column is SQL-reproducible."""
+
+    def __init__(self) -> None:
+        from .cleaner import Cleaner, Whitelist
+        from .selector import parse_query
+        parse_query("div.line, p.line")   # warm selector cache
+        parse_query("ruby, a, span")
+        self.cleaner = Cleaner(Whitelist.basic())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dom import TextNode
+        from .parser import parse_body_fragment
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_lines, o_match, o_text, o_hlen, o_clean = [], [], [], [], []
+        for text in texts:
+            toks = (text or "").split()
+            k = len(toks) // 3
+            parts = []
+            for i in range(k):
+                a, b, c = toks[3 * i:3 * i + 3]
+                if i % 2 == 0:
+                    parts.append(
+                        f'<div class="line"><span>{a}</span> {b} '
+                        f'<ruby>{c}<rt>r{i}</rt></ruby></div>')
+                else:
+                    parts.append(
+                        f'<p class="line"><a href="#l{i}">{a}</a> '
+                        f'<em>{b}</em> <span>{c}</span></p>')
+            doc = parse_body_fragment("".join(parts), "")
+            doc.output_settings.pretty_print = False
+            lines = doc.select("div.line, p.line")
+            texts_l, cleans_l, n_match, hlen = [], [], 0, 0
+            for line in lines:
+                cand = "".join(
+                    n.get_whole_text() if isinstance(n, TextNode)
+                    else n.outer_html() for n in line.child_nodes)
+                frag = parse_body_fragment(cand, "")
+                frag.output_settings.pretty_print = False
+                body = frag.body()
+                texts_l.append(body.text(trim_and_normalise=False))
+                n_match += len(body.select("ruby, a, span"))
+                hlen += len(body.html())
+                cl = self.cleaner.clean(frag)
+                cl.output_settings.pretty_print = False
+                cleans_l.append(cl.body().html())
+            o_lines.append(len(lines))
+            o_match.append(n_match)
+            o_text.append("\n".join(texts_l))
+            o_hlen.append(hlen)
+            o_clean.append("\n".join(cleans_l))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_lines": pa.array(o_lines, pa.int64()),
+            "n_matches": pa.array(o_match, pa.int64()),
+            "reader_text": pa.array(o_text, pa.string()),
+            "html_len": pa.array(o_hlen, pa.int64()),
+            "clean_html": pa.array(o_clean, pa.string()),
+        })
+
+
+class HostileExtractActor:
+    """Adversarial-HTML pipeline coverage (mirrors the reference's
+    profile/torture suites — Tests/SwiftSoupTests/
+    AttributeStormProfileTest.swift:1, StackOverflow393Test.swift:1):
+    every document becomes a hostile page combining deep unclosed-div
+    nesting (depth 50–249), an attribute storm (10–99 attrs + a
+    duplicate), misnested formatting that triggers the adoption
+    agency, script soup containing a fake close tag, a comment and a
+    CDATA section. The page's *structure* is mangled but its text
+    invariants are closed-form — text content survives structural
+    hostility deterministically — so the oracle is exact SQL:
+    body_text = norm(text) + ' stormwxyzq notexttail',
+    n_elements = depth + 10, max_depth = depth + 5, n_attrs = m."""
+
+    def __init__(self) -> None:
+        from .selector import parse_query
+        parse_query("*")
+        parse_query("p")
+
+    @staticmethod
+    def build(doc_id: int, text: str) -> str:
+        txt = (text or "").strip() or "empty"
+        depth = 50 + (doc_id * 7) % 200
+        m = 10 + doc_id % 90
+        attrs = " ".join(f'a{j}="{j}"' for j in range(m)) + ' a0="dup"'
+        return (
+            "<div>" * depth + txt + " "
+            + f"<p {attrs}>storm</p>"
+            + "<b>w<b>x<i>y</b>z</i>q "
+            + "<script>if(1<2){bad(\"</div>\")}</script>"
+            + "<!-- <div>comment</div> --><![CDATA[notext]]>"
+            + "tail")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .parser import parse
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_text, o_nel, o_depth, o_attrs = [], [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            doc = parse(self.build(doc_id, text))
+            o_text.append(doc.body().text())
+            els = doc.select("*")
+            o_nel.append(len(els))
+            maxd = 0
+            for el in els:
+                d, n = 0, el
+                while n.parent() is not None:
+                    d += 1
+                    n = n.parent()
+                if d > maxd:
+                    maxd = d
+            o_depth.append(maxd)
+            o_attrs.append(len(doc.select("p")[0].attributes))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "body_text": pa.array(o_text, pa.string()),
+            "n_elements": pa.array(o_nel, pa.int64()),
+            "max_depth": pa.array(o_depth, pa.int64()),
+            "n_attrs": pa.array(o_attrs, pa.int64()),
+        })
+
+
+def q_extract_hostile(sf_dir: str):
+    """Hostile-corpus pipeline: deep nesting + attribute storms +
+    misnested formatting + script/CDATA soup per document, parsed and
+    text/structure-audited in one actor-pool kernel."""
+    return _read(sf_dir, "documents").map_batches(
+        _task(HostileExtractActor), batch_format="pyarrow")
+
+
+def q_reader_pipeline(sf_dir: str):
+    """Composite parse → select → re-parse → clean → text workload
+    (the reference's manabiReaderPipeline profile) as one actor-pool
+    kernel over the documents table."""
+    return _read(sf_dir, "documents").map_batches(
+        _task(ReaderPipelineActor), batch_format="pyarrow")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -1215,6 +1368,8 @@ QUERIES = {
     "partitioned_write": q_partitioned_write,
     "kmv_distinct": q_kmv_distinct,
     "grouped_quantiles": q_grouped_quantiles,
+    "reader_pipeline": q_reader_pipeline,
+    "extract_hostile": q_extract_hostile,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -2171,4 +2326,73 @@ ORACLE_SQL["grouped_quantiles"] = """
     FROM cum, (VALUES (25), (50), (75)) q(q_pct)
     WHERE cn >= (q.q_pct * total + 99) // 100
     GROUP BY lang, q.q_pct
+"""
+
+# manabiReaderPipeline composite: the line construction is a pure
+# function of the doc's tokens (3 per line; even i → span+text+ruby,
+# odd i → a+em+span), so the re-parsed candidates' text / match count /
+# re-serialized html length / Cleaner(basic) output are all closed-form
+# (ruby+rt are not in the basic whitelist → unwrapped to their text;
+# the fragment-relative "#l{i}" href fails the protocol check → dropped,
+# rel="nofollow" enforced).
+ORACLE_SQL["reader_pipeline"] = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+             length(regexp_split_to_array(trim(text), '\s+')) // 3 AS k
+      FROM documents
+    ), ln AS (
+      SELECT doc_id, t, unnest(range(k)) AS i FROM toks
+    ), per AS (
+      SELECT doc_id, i,
+             t[3*i+1] AS a, t[3*i+2] AS b, t[3*i+3] AS c
+      FROM ln
+    ), lines AS (
+      SELECT doc_id, i,
+        CASE WHEN i % 2 = 0
+          THEN a || ' ' || b || ' ' || c || 'r' || CAST(i AS VARCHAR)
+          ELSE a || ' ' || b || ' ' || c END AS line_text,
+        CASE WHEN i % 2 = 0
+          THEN length('<span>' || a || '</span> ' || b || ' <ruby>'
+                      || c || '<rt>r' || CAST(i AS VARCHAR)
+                      || '</rt></ruby>')
+          ELSE length('<a href="#l' || CAST(i AS VARCHAR) || '">' || a
+                      || '</a> <em>' || b || '</em> <span>' || c
+                      || '</span>') END AS hlen,
+        CASE WHEN i % 2 = 0
+          THEN '<span>' || a || '</span> ' || b || ' ' || c || 'r'
+               || CAST(i AS VARCHAR)
+          ELSE '<a rel="nofollow">' || a || '</a> <em>' || b
+               || '</em> <span>' || c || '</span>' END AS clean_line
+      FROM per
+    ), agg AS (
+      SELECT doc_id,
+             count(*) AS n_lines,
+             2 * count(*) AS n_matches,
+             string_agg(line_text, chr(10) ORDER BY i) AS reader_text,
+             sum(hlen) AS html_len,
+             string_agg(clean_line, chr(10) ORDER BY i) AS clean_html
+      FROM lines GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+           coalesce(a.reader_text, '') AS reader_text,
+           CAST(coalesce(a.html_len, 0) AS BIGINT) AS html_len,
+           coalesce(a.clean_html, '') AS clean_html
+    FROM toks tk LEFT JOIN agg a USING (doc_id)
+"""
+
+# Hostile-corpus invariants: depth = 50 + (doc_id*7) % 200,
+# m = 10 + doc_id % 90. Structure is mangled (unclosed divs, adoption
+# agency, script soup) but text content and element counts are exact
+# closed forms of (doc_id, text).
+ORACLE_SQL["extract_hostile"] = r"""
+    SELECT doc_id,
+           (CASE WHEN trim(text) = '' THEN 'empty'
+                 ELSE regexp_replace(trim(text), '\s+', ' ', 'g') END)
+             || ' stormwxyzq notexttail' AS body_text,
+           50 + (doc_id * 7) % 200 + 10 AS n_elements,
+           50 + (doc_id * 7) % 200 + 5 AS max_depth,
+           10 + doc_id % 90 AS n_attrs
+    FROM documents
 """

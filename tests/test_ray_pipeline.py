@@ -658,3 +658,63 @@ def test_interleaved_flagship_matches_golden_fixture(ray_session):
     assert stats == exp_stat
     # the fixture itself must keep exercising the media-split path
     assert sum(1 for r in exp if r["n_media"] > 0) > 200
+
+
+def test_reader_pipeline_scalar_reference():
+    """ReaderPipelineActor output is the closed form the oracle
+    encodes: exact text / clean_html strings, match count and html
+    length per crafted doc (reference workload:
+    Tools/SwiftSoupProfile/main.swift:532)."""
+    import pyarrow as pa
+
+    from soupflow.queries import ReaderPipelineActor
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the fast key order sort table scan",  # 7 toks -> 2 lines
+            "a b",                                  # <3 toks -> 0 lines
+            "x y z",                                # 1 even line
+        ], pa.string()),
+    })
+    out = ReaderPipelineActor()(batch)
+    rows = out.to_pylist()
+    assert rows[0]["n_lines"] == 2
+    assert rows[0]["n_matches"] == 4
+    assert rows[0]["reader_text"] == \
+        "the fast keyr0\norder sort table"
+    assert rows[0]["html_len"] == len(
+        '<span>the</span> fast <ruby>key<rt>r0</rt></ruby>') + len(
+        '<a href="#l1">order</a> <em>sort</em> <span>table</span>')
+    assert rows[0]["clean_html"] == (
+        '<span>the</span> fast keyr0\n'
+        '<a rel="nofollow">order</a> <em>sort</em> <span>table</span>')
+    assert rows[1] == {"doc_id": 2, "n_lines": 0, "n_matches": 0,
+                       "reader_text": "", "html_len": 0,
+                       "clean_html": ""}
+    assert rows[2]["reader_text"] == "x y zr0"
+    assert rows[2]["clean_html"] == "<span>x</span> y zr0"
+
+
+def test_hostile_extract_scalar_reference():
+    """Hostile page invariants: text content survives deep unclosed
+    nesting, attribute storms, adoption-agency misnesting and
+    script/CDATA soup; element count / depth / attr count match the
+    construction closed-forms."""
+    import pyarrow as pa
+
+    from soupflow.queries import HostileExtractActor
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 123, 199], pa.int64()),
+        "text": pa.array(["the fast key order",
+                          "spark group query row", ""], pa.string()),
+    })
+    rows = HostileExtractActor()(batch).to_pylist()
+    for r, txt in zip(rows, ["the fast key order",
+                             "spark group query row", "empty"]):
+        depth = 50 + (r["doc_id"] * 7) % 200
+        assert r["body_text"] == f"{txt} stormwxyzq notexttail"
+        assert r["n_elements"] == depth + 10
+        assert r["max_depth"] == depth + 5
+        assert r["n_attrs"] == 10 + r["doc_id"] % 90
