@@ -17,7 +17,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..io import collect_rows, collect_table
@@ -570,34 +569,34 @@ def simhash_near_dups(ds, max_hamming: int = 3,
                           num_partitions=num_partitions,
                           on=("combo_key",))
 
-        def verify(group: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({
-                "doc_id": pd.Series([], dtype="int64"),
-                "dup_of": pd.Series([], dtype="int64")})
-            m = len(group)
+        def verify(group: pa.Table) -> pa.Table:
+            """Arrow-native group kernel (no pandas block conversion):
+            vectorized XOR-popcount + lower-triangle argmax — the
+            first close j < i IS the min id since ids are sorted."""
+            empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "dup_of": pa.array([], pa.int64())})
+            m = group.num_rows
             if m < 2:
                 return empty
-            ids = group["doc_id"].to_numpy(dtype=np.int64)
+            ids = group.column("doc_id") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
             sims = np.ascontiguousarray(
-                group["simhash"].to_numpy(dtype=np.int64)) \
-                .view(np.uint64)
+                group.column("simhash").to_numpy(zero_copy_only=False)
+                .astype(np.int64)).view(np.uint64)
             order = np.argsort(ids)
             ids, sims = ids[order], sims[order]
             xor = sims[:, None] ^ sims[None, :]
             ham = _POP8[xor.view(np.uint8).reshape(m, m, 8)] \
                 .sum(axis=2, dtype=np.int16)
-            close = ham <= max_hamming
-            out_doc, out_dup = [], []
-            for i in range(1, m):
-                js = np.nonzero(close[i, :i])[0]
-                if js.size:  # ids sorted → first hit is the min id
-                    out_doc.append(int(ids[i]))
-                    out_dup.append(int(ids[js[0]]))
-            return pd.DataFrame({"doc_id": out_doc,
-                                 "dup_of": out_dup})
+            close = np.tril(ham <= max_hamming, k=-1)
+            hit = close.any(axis=1)
+            first = close.argmax(axis=1)   # min close j per row i
+            return pa.table({
+                "doc_id": pa.array(ids[hit], pa.int64()),
+                "dup_of": pa.array(ids[first[hit]], pa.int64())})
 
         pairs = cand.groupby("combo_key").map_groups(
-            verify, batch_format="pandas")
+            verify, batch_format="pyarrow")
         return pairs.groupby("doc_id").aggregate(
             Min("dup_of", alias_name="dup_of"))
 
@@ -761,39 +760,76 @@ def _jaccard_pair_stream(ds, threshold: float = 0.8,
 
     banded = ds.map_batches(band_candidates, batch_format="pyarrow")
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "doc_id": pd.Series([], dtype="int64"),
-            "dup_of": pd.Series([], dtype="int64"),
-            "jaccard_x100": pd.Series([], dtype="int64")})
-        if len(group) < 2:
+    def verify(group: pa.Table) -> pa.Table:
+        """Arrow-native group kernel: pairwise Jaccard over the group
+        WITHOUT per-pair Python set ops. Shingle hashes are flattened
+        into one (hash, doc) array; equal-hash runs contribute +1
+        intersection to every doc pair in the run (triangular-decoded
+        combination enumeration, one bincount scatter). Emits EVERY
+        matching pair (no early break) so the downstream Min/Max
+        aggregates keep clean SQL-oracle semantics; int(jac*100)
+        floors to avoid round-half tie differences vs SQL."""
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "dup_of": pa.array([], pa.int64()),
+                          "jaccard_x100": pa.array([], pa.int64())})
+        m = group.num_rows
+        if m < 2:
             return empty
-        g = group.sort_values("doc_id").reset_index(drop=True)
-        ids = g["doc_id"].to_list()
-        texts = g["text"].to_list()
-        shingle_sets = [set(map(int, _shingle_hashes(t or "",
-                                                     shingle_k)))
-                        for t in texts]
-        out_doc, out_dup, out_j = [], [], []
-        for i in range(1, len(g)):
-            for j in range(i):
-                a, b = shingle_sets[i], shingle_sets[j]
-                union = len(a | b)
-                jac = (len(a & b) / union) if union else 1.0
-                if jac >= threshold:
-                    # emit EVERY matching pair (no early break): the
-                    # downstream Min/Max aggregates then have clean
-                    # SQL-oracle semantics (min dup_of / max jaccard
-                    # over all qualifying pairs); floor avoids
-                    # round-half tie differences vs SQL
-                    out_doc.append(ids[i])
-                    out_dup.append(ids[j])
-                    out_j.append(int(jac * 100))
-        return pd.DataFrame({"doc_id": out_doc, "dup_of": out_dup,
-                             "jaccard_x100": out_j})
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        texts = group.column("text").take(pa.array(order)).to_pylist()
+        sets = [np.unique(_shingle_hashes(t or "", shingle_k))
+                for t in texts]
+        sizes = np.array([s.size for s in sets], dtype=np.int64)
+        flat = np.concatenate(sets) if sizes.sum() else \
+            np.array([], dtype=np.uint64)
+        docs = np.repeat(np.arange(m, dtype=np.int64), sizes)
+        o = np.argsort(flat, kind="stable")
+        flat, docs = flat[o], docs[o]
+        starts = np.flatnonzero(np.r_[True, flat[1:] != flat[:-1]]) \
+            if flat.size else np.array([], dtype=np.int64)
+        runlen = np.diff(np.append(starts, flat.size)) \
+            if flat.size else np.array([], dtype=np.int64)
+        # all (p < q) index pairs within each equal-hash run,
+        # enumerated vectorized via the triangular decode
+        # t -> (q = floor((1+sqrt(1+8t))/2), p = t - q(q-1)/2)
+        pr = runlen * (runlen - 1) // 2
+        total = int(pr.sum())
+        inter = np.zeros((m, m), dtype=np.int64)
+        if total:
+            seg0 = np.repeat(np.cumsum(pr) - pr, pr)
+            t = np.arange(total, dtype=np.int64) - seg0
+            q = ((1.0 + np.sqrt(1.0 + 8.0 * t)) // 2).astype(np.int64)
+            # integer-exact correction of the float decode (off-by-one
+            # possible near triangular boundaries for huge runs)
+            tri = q * (q - 1) // 2
+            q -= (tri > t).astype(np.int64)
+            tri = q * (q - 1) // 2
+            q += (t - tri >= q).astype(np.int64)
+            p = t - q * (q - 1) // 2
+            base = np.repeat(starts, pr)
+            a = docs[base + p]
+            b = docs[base + q]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            np.add.at(inter, (hi, lo), 1)
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1),
+                           1.0)
+        keep = np.tril(jac >= threshold, k=-1)
+        hi_i, lo_j = np.nonzero(keep)
+        return pa.table({
+            "doc_id": pa.array(ids[hi_i], pa.int64()),
+            "dup_of": pa.array(ids[lo_j], pa.int64()),
+            "jaccard_x100": pa.array(
+                (jac[hi_i, lo_j] * 100).astype(np.int64), pa.int64()),
+        })
 
     return banded.groupby("band_key").map_groups(
-        verify, batch_format="pandas")
+        verify, batch_format="pyarrow")
 
 
 def ngram_jaccard_near_dups(ds, threshold: float = 0.8,
