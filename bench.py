@@ -41,7 +41,7 @@ TIMED_QUERIES = [
     "para_dedup", "unigram_nll", "length_band",
     "revenue_by_nation", "funnel", "event_pivot",
     "partitioned_write", "kmv_distinct", "grouped_quantiles",
-    "reader_pipeline", "extract_hostile",
+    "reader_pipeline", "extract_hostile", "multimodal_real",
 ]
 
 

@@ -1,13 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by actor-pool map_batches stages.
 
-The decode libraries (PIL / torchaudio / pyav) are NOT in this
-container, so the actual codec step is stubbed: ``decode=` "real"``
-raises NotImplementedError with the integration point documented, and
-``decode="fake"`` (default here, used by tests/bench) derives
-deterministic features from the raw bytes so the full Ray-side
-plumbing — schema, batch sizing, actor signature, output layout — is
-real and exercised end-to-end.
+``mode="real"`` decodes PNG images and RIFF/PCM WAV audio with the
+from-scratch stdlib-only codecs in :mod:`soupflow.data.codecs` (zlib
+inflate + scanline unfilter; RIFF chunk walk) — no third-party codec
+library needed. Video frame sampling stays stubbed (no container
+codec); ``mode="fake"`` (bench default) derives deterministic features
+from the raw bytes so the Ray-side plumbing — schema, batch sizing,
+actor signature, output layout — is exercised without decode cost.
 
 Scale notes: binary payloads dominate block size; use small
 ``batch_size`` (e.g. 16-32) so batch × concurrency fits worker heaps,
@@ -37,12 +37,29 @@ MEDIA_SCHEMA = pa.schema([
 FEATURE_DIM = 16
 
 
-def _try_import_pil():
-    try:
-        from PIL import Image  # noqa: F401
-        return Image
-    except ImportError:
-        return None
+def image_payload_for_doc(doc_id: int, w: int, h: int) -> bytes:
+    """Deterministic closed-form RGB test image for doc ``doc_id``:
+    pixel (x, y) = ((3x+5y+d) % 256, (x+2y+7d) % 256, (xy+11d) % 256),
+    PNG-encoded with mixed per-scanline filters so decode exercises
+    every unfilter branch. The pixel sums are exact SQL expressions —
+    the multimodal_real oracle pins the decoder bit-for-bit."""
+    from .codecs import png_encode
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([(3 * x + 5 * y + doc_id) % 256,
+                    (x + 2 * y + 7 * doc_id) % 256,
+                    (x * y + 11 * doc_id) % 256],
+                   axis=-1).astype(np.uint8)
+    return png_encode(img, filter_mode="mixed")
+
+
+def audio_payload_for_doc(doc_id: int, n: int,
+                          rate: int = 16000) -> bytes:
+    """Deterministic closed-form PCM: sample i =
+    ((31d + 17i) % 65536) - 32768, WAV-encoded."""
+    from .codecs import wav_encode
+    i = np.arange(n, dtype=np.int64)
+    samples = ((31 * doc_id + 17 * i) % 65536 - 32768).astype(np.int16)
+    return wav_encode(samples, sample_rate=rate, channels=1)
 
 
 class MediaDecodeActor:
@@ -59,15 +76,6 @@ class MediaDecodeActor:
         self.mode = mode
         self.feature_dim = feature_dim
         self.target_size = target_size
-        if mode == "real":
-            self.pil = _try_import_pil()
-            if self.pil is None:
-                raise NotImplementedError(
-                    "real media decode needs PIL/torchaudio/pyav, which "
-                    "are not in this container; integration point: "
-                    "MediaDecodeActor._decode_real")
-        else:
-            self.pil = None
 
     def _features_fake(self, payload: bytes) -> list[float]:
         """Deterministic fake features: byte histogram moments."""
@@ -78,9 +86,28 @@ class MediaDecodeActor:
                            minlength=self.feature_dim).astype(np.float64)
         return (hist / max(1, arr.size)).tolist()
 
-    def _decode_real(self, payload: bytes,
-                     kind: str) -> list[float]:  # pragma: no cover
-        raise NotImplementedError("codec libs absent in this container")
+    def _decode_real(self, payload: bytes, kind: str) -> list[float]:
+        """Real decode via the from-scratch codecs: the feature vector
+        is the normalized ``feature_dim``-bin histogram over DECODED
+        sample bytes (pixels for PNG, |PCM|>>8 for WAV) — same shape
+        as fake mode but sensitive to actual codec correctness."""
+        from .codecs import png_decode, wav_decode
+        if not payload:
+            return [0.0] * self.feature_dim
+        if kind == "image":
+            vals = png_decode(payload).reshape(-1)
+        elif kind == "audio":
+            samples, _rate, _ch = wav_decode(payload)
+            vals = (np.abs(samples.astype(np.int32)) >> 8) \
+                .astype(np.uint8)
+        else:
+            raise NotImplementedError(
+                f"real decode for kind={kind!r} needs a video codec "
+                "(pyav), absent in this container")
+        hist = np.bincount(vals % self.feature_dim,
+                           minlength=self.feature_dim) \
+            .astype(np.float64)
+        return (hist / max(1, vals.size)).tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
@@ -126,10 +153,10 @@ class MediaResizeActor:
     """Actor-pool resize stage (images): emits a resized payload plus
     the recorded output dimensions.
 
-    ``mode="real"`` is the PIL integration point (absent here →
-    NotImplementedError); ``mode="fake"`` deterministically resamples
-    the byte stream to ``target_w*target_h`` bytes by striding, so
-    batch sizing / schema / memory behavior are exercised for real.
+    ``mode="real"`` decodes the PNG payload with the from-scratch
+    codec, nearest-neighbor-resamples the pixel grid, and re-encodes;
+    ``mode="fake"`` deterministically resamples the raw byte stream to
+    ``target_w*target_h`` bytes by striding (no decode cost).
     """
 
     def __init__(self, target_w: int = 64, target_h: int = 64,
@@ -137,20 +164,26 @@ class MediaResizeActor:
         self.target_w = target_w
         self.target_h = target_h
         self.mode = mode
-        if mode == "real" and _try_import_pil() is None:
-            raise NotImplementedError(
-                "real resize needs PIL; integration point: "
-                "MediaResizeActor.__call__")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         n_out = self.target_w * self.target_h
         resized = []
-        for payload in payloads:
-            data = payload or b"\x00"
-            arr = np.frombuffer(data, dtype=np.uint8)
-            idx = np.linspace(0, arr.size - 1, n_out).astype(np.int64)
-            resized.append(arr[idx].tobytes())
+        if self.mode == "real":
+            from .codecs import (png_decode, png_encode,
+                                 png_resize_nearest)
+            for payload in payloads:
+                img = png_decode(payload)
+                small = png_resize_nearest(img, self.target_w,
+                                           self.target_h)
+                resized.append(png_encode(small, filter_mode="none"))
+        else:
+            for payload in payloads:
+                data = payload or b"\x00"
+                arr = np.frombuffer(data, dtype=np.uint8)
+                idx = np.linspace(0, arr.size - 1,
+                                  n_out).astype(np.int64)
+                resized.append(arr[idx].tobytes())
         out = batch.drop_columns(["payload"])
         out = out.append_column("payload",
                                 pa.array(resized, pa.binary()))
@@ -190,4 +223,95 @@ class FrameSampleActor:
             "media_ref": pa.array(out_refs, pa.string()),
             "frame_index": pa.array(out_idx, pa.int32()),
             "payload": pa.array(out_frames, pa.binary()),
+        })
+
+
+def real_media_from_documents(batch: pa.Table) -> pa.Table:
+    """Two REAL media rows per document — a PNG (closed-form pixels,
+    mixed scanline filters) and a WAV (closed-form PCM) — so binary
+    payloads flow through the object store and the decode stage runs
+    the actual codecs. Dimensions derive from doc_id:
+    w = 8 + d%8, h = 4 + d%5, n_samples = 64 + d%64."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    refs, kinds, payloads, ctypes, ids = [], [], [], [], []
+    for d in doc_ids:
+        w, h, n = 8 + d % 8, 4 + d % 5, 64 + d % 64
+        refs.append(f"media://img/{d}")
+        kinds.append("image")
+        payloads.append(image_payload_for_doc(d, w, h))
+        ctypes.append("image/png")
+        ids.append(d)
+        refs.append(f"media://wav/{d}")
+        kinds.append("audio")
+        payloads.append(audio_payload_for_doc(d, n))
+        ctypes.append("audio/wav")
+        ids.append(d)
+    return pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "kind": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "content_type": pa.array(ctypes, pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+    })
+
+
+class MediaStatsActor:
+    """Real-decode stats stage: PNG → (width, height, per-channel
+    pixel sums), WAV → (n_samples, sample_rate, sample sum / max).
+    Every output is an exact integer, so a SQL oracle reproduces the
+    whole decode bit-for-bit from the closed-form payload generators.
+    Codecs load once per worker (__init__), batches decode in
+    __call__."""
+
+    def __init__(self) -> None:
+        from .codecs import png_decode, wav_decode
+        self._png_decode = png_decode
+        self._wav_decode = wav_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        width, height = [], []
+        sum_r, sum_g, sum_b = [], [], []
+        n_samp, rate, amp_sum, amp_max = [], [], [], []
+        for kind, payload in zip(kinds, payloads):
+            if kind == "image":
+                img = self._png_decode(payload).astype(np.int64)
+                width.append(img.shape[1])
+                height.append(img.shape[0])
+                sums = img.sum(axis=(0, 1))
+                sum_r.append(int(sums[0]))
+                sum_g.append(int(sums[1]))
+                sum_b.append(int(sums[2]))
+                n_samp.append(0)
+                rate.append(0)
+                amp_sum.append(0)
+                amp_max.append(0)
+            else:
+                samples, r, _ch = self._wav_decode(payload)
+                s = samples.astype(np.int64)
+                width.append(0)
+                height.append(0)
+                sum_r.append(0)
+                sum_g.append(0)
+                sum_b.append(0)
+                n_samp.append(int(s.size))
+                rate.append(int(r))
+                amp_sum.append(int(s.sum()))
+                amp_max.append(int(s.max()) if s.size else 0)
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "width": pa.array(width, pa.int64()),
+            "height": pa.array(height, pa.int64()),
+            "sum_r": pa.array(sum_r, pa.int64()),
+            "sum_g": pa.array(sum_g, pa.int64()),
+            "sum_b": pa.array(sum_b, pa.int64()),
+            "n_samples": pa.array(n_samp, pa.int64()),
+            "sample_rate": pa.array(rate, pa.int64()),
+            "amp_sum": pa.array(amp_sum, pa.int64()),
+            "amp_max": pa.array(amp_max, pa.int64()),
         })

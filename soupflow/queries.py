@@ -375,6 +375,22 @@ def q_multimodal(sf_dir: str):
     return decoded.select_columns(["media_ref", "kind", "n_bytes"])
 
 
+def q_multimodal_real(sf_dir: str):
+    """REAL codec path end-to-end: per doc a PNG (closed-form pixels,
+    mixed scanline filters) and a WAV (closed-form PCM) are generated,
+    shipped as binary columns, and decoded by the from-scratch
+    stdlib-only codecs (data/codecs.py) in an actor-pool stage. Every
+    output stat is an exact integer, so the SQL oracle reproduces the
+    whole encode→decode round bit-for-bit."""
+    from .data.multimodal import MediaStatsActor, \
+        real_media_from_documents
+    media = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(real_media_from_documents, batch_format="pyarrow")
+    return media.map_batches(
+        MediaStatsActor, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, _cpus()))
+
+
 def q_dedup_components(sf_dir: str):
     """Near-dup connected components: every document labeled with the
     smallest doc_id reachable through verified Jaccard>=0.8 pairs —
@@ -1370,6 +1386,7 @@ QUERIES = {
     "grouped_quantiles": q_grouped_quantiles,
     "reader_pipeline": q_reader_pipeline,
     "extract_hostile": q_extract_hostile,
+    "multimodal_real": q_multimodal_real,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -2395,4 +2412,49 @@ ORACLE_SQL["extract_hostile"] = r"""
            50 + (doc_id * 7) % 200 + 5 AS max_depth,
            10 + doc_id % 90 AS n_attrs
     FROM documents
+"""
+
+# multimodal_real: the oracle reproduces the engine's full PNG/WAV
+# encode→decode round bit-for-bit — the payload pixels/samples are
+# closed-form in doc_id, so any decoder defect (unfilter, Paeth,
+# chunk walk, PCM parse) breaks the hash.
+ORACLE_SQL["multimodal_real"] = r"""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 5 AS h,
+             64 + doc_id % 64 AS n
+      FROM documents
+    ), img AS (
+      SELECT 'media://img/' || doc_id AS media_ref, doc_id,
+             'image' AS kind,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(list_sum(flatten(list_transform(range(h), y ->
+               list_transform(range(w), x ->
+                 (3*x + 5*y + doc_id) % 256)))) AS BIGINT) AS sum_r,
+             CAST(list_sum(flatten(list_transform(range(h), y ->
+               list_transform(range(w), x ->
+                 (x + 2*y + 7*doc_id) % 256)))) AS BIGINT) AS sum_g,
+             CAST(list_sum(flatten(list_transform(range(h), y ->
+               list_transform(range(w), x ->
+                 (x*y + 11*doc_id) % 256)))) AS BIGINT) AS sum_b,
+             CAST(0 AS BIGINT) AS n_samples,
+             CAST(0 AS BIGINT) AS sample_rate,
+             CAST(0 AS BIGINT) AS amp_sum, CAST(0 AS BIGINT) AS amp_max
+      FROM dims
+    ), wav AS (
+      SELECT 'media://wav/' || doc_id AS media_ref, doc_id,
+             'audio' AS kind,
+             CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height,
+             CAST(0 AS BIGINT) AS sum_r, CAST(0 AS BIGINT) AS sum_g,
+             CAST(0 AS BIGINT) AS sum_b,
+             CAST(n AS BIGINT) AS n_samples,
+             CAST(16000 AS BIGINT) AS sample_rate,
+             CAST(list_sum(list_transform(range(n), i ->
+               (31*doc_id + 17*i) % 65536 - 32768))
+               AS BIGINT) AS amp_sum,
+             CAST(list_max(list_transform(range(n), i ->
+               (31*doc_id + 17*i) % 65536 - 32768))
+               AS BIGINT) AS amp_max
+      FROM dims
+    )
+    SELECT * FROM img UNION ALL SELECT * FROM wav
 """

@@ -1,0 +1,110 @@
+"""From-scratch PNG/WAV codec tests: round-trip properties, spec
+known-answer vectors, malformed-input failures. The end-to-end decode
+correctness is additionally oracle-pinned by the multimodal_real query
+(closed-form pixel/sample sums reproduced in SQL)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from soupflow.data.codecs import (_paeth, png_decode, png_encode,
+                                  png_resize_nearest, wav_decode,
+                                  wav_encode)
+
+
+def test_png_roundtrip_all_shapes_and_filters():
+    rng = np.random.RandomState(0)
+    for _ in range(60):
+        h, w = rng.randint(1, 24), rng.randint(1, 24)
+        ch = int(rng.choice([1, 3, 4]))
+        img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        for fm in ("none", "mixed"):
+            assert np.array_equal(png_decode(png_encode(img, fm)), img)
+
+
+def test_png_grayscale_2d_input():
+    img = np.arange(30, dtype=np.uint8).reshape(5, 6)
+    out = png_decode(png_encode(img, "mixed"))
+    assert out.shape == (5, 6, 1)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_paeth_matches_spec_pseudocode():
+    def ref(a, b, c):
+        p = a + b - c
+        pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa_ <= pb and pa_ <= pc:
+            return a
+        return b if pb <= pc else c
+    for a in range(0, 256, 15):
+        for b in range(0, 256, 15):
+            for c in range(0, 256, 15):
+                got = _paeth(np.array([a], np.uint8),
+                             np.array([b], np.uint8),
+                             np.array([c], np.uint8))[0]
+                assert got == ref(a, b, c)
+
+
+def test_png_known_answer_filter_bytes():
+    """Hand-computed spec vectors: row0 filter 0 passes raw bytes, row1
+    filter 1 (Sub) stores deltas to the left pixel."""
+    img = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    data = png_encode(img, filter_mode="mixed")
+    pos, idat = 8, b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        if data[pos + 4:pos + 8] == b"IDAT":
+            idat += data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+    assert zlib.decompress(idat) == bytes([0, 10, 20, 1, 30, 10])
+
+
+def test_png_rejects_malformed():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = png_encode(img)
+    with pytest.raises(ValueError):
+        png_decode(b"notapng" + good)
+    corrupted = bytearray(good)
+    corrupted[20] ^= 0xFF          # flip a byte inside IHDR -> bad CRC
+    with pytest.raises(ValueError):
+        png_decode(bytes(corrupted))
+
+
+def test_png_resize_nearest_mapping():
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = png_resize_nearest(img, 3, 2)
+    assert np.array_equal(out, img[[0, 2]][:, [0, 2, 4]])
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    rng = np.random.RandomState(1)
+    for _ in range(20):
+        n, ch = rng.randint(1, 400), int(rng.choice([1, 2]))
+        s = rng.randint(-32768, 32768, size=n * ch).astype(np.int16)
+        back, rate, ch2 = wav_decode(wav_encode(s, 22050, ch))
+        assert (rate, ch2) == (22050, ch)
+        assert np.array_equal(back, s)
+
+
+def test_wav_odd_length_extra_chunk_word_alignment():
+    """RIFF chunks are word-aligned: an odd-length chunk before data
+    must not desync the walk."""
+    s = np.array([1, -2, 3], dtype=np.int16)
+    data = wav_encode(s, 8000, 1)
+    # splice an odd-length LIST chunk after fmt
+    fmt_end = data.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad
+    spliced = data[:fmt_end] + extra + data[fmt_end:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8) + spliced[8:]
+    back, rate, ch = wav_decode(spliced)
+    assert np.array_equal(back, s) and rate == 8000 and ch == 1
+
+
+def test_wav_rejects_malformed():
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFX" + b"\x00" * 40)
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFF" + struct.pack("<I", 4) + b"WAVE")

@@ -160,10 +160,28 @@ def test_multimodal_decode_fake(ray_session):
     assert len(by_ref["m://1"]["features"]) == 16
 
 
-def test_multimodal_real_mode_raises():
-    from soupflow.data.multimodal import MediaDecodeActor
-    with pytest.raises(NotImplementedError):
-        MediaDecodeActor(mode="real")
+def test_multimodal_real_decode_oracle_stats():
+    """MediaStatsActor on the closed-form payloads reproduces the
+    exact integer sums the SQL oracle computes (one image + one audio
+    row, decoded by the from-scratch codecs)."""
+    from soupflow.data.multimodal import (MediaStatsActor,
+                                          real_media_from_documents)
+    docs = pa.table({"doc_id": pa.array([5], pa.int64())})
+    media = real_media_from_documents(docs)
+    rows = {r["kind"]: r for r in MediaStatsActor()(media).to_pylist()}
+    d, w, h, n = 5, 13, 4, 69
+    import numpy as np
+    y, x = np.mgrid[0:h, 0:w]
+    assert rows["image"]["width"] == w and rows["image"]["height"] == h
+    assert rows["image"]["sum_r"] == int(((3*x + 5*y + d) % 256).sum())
+    assert rows["image"]["sum_g"] == int(((x + 2*y + 7*d) % 256).sum())
+    assert rows["image"]["sum_b"] == int(((x*y + 11*d) % 256).sum())
+    i = np.arange(n)
+    samples = (31*d + 17*i) % 65536 - 32768
+    assert rows["audio"]["n_samples"] == n
+    assert rows["audio"]["sample_rate"] == 16000
+    assert rows["audio"]["amp_sum"] == int(samples.sum())
+    assert rows["audio"]["amp_max"] == int(samples.max())
 
 
 def test_token_stats_batch():
@@ -374,14 +392,47 @@ def test_media_resize_and_frame_sample_stages(ray_session):
     assert {f["frame_index"] for f in frames} == {0, 1, 2, 3}
 
 
-def test_media_real_modes_raise():
+def test_media_real_modes():
+    """PNG/WAV real modes are implemented via the from-scratch codecs;
+    only video frame sampling (no container codec) still raises."""
+    import numpy as np
+    import pyarrow as pa
     import pytest
 
-    from soupflow.data.multimodal import FrameSampleActor, MediaResizeActor
-    with pytest.raises(NotImplementedError):
-        MediaResizeActor(mode="real")
+    from soupflow.data.codecs import png_decode, png_encode
+    from soupflow.data.multimodal import (FrameSampleActor,
+                                          MediaDecodeActor,
+                                          MediaResizeActor,
+                                          audio_payload_for_doc,
+                                          image_payload_for_doc)
     with pytest.raises(NotImplementedError):
         FrameSampleActor(mode="real")
+
+    # real resize: decode -> nearest-neighbor -> re-encode round-trips
+    img = np.arange(10 * 12 * 3, dtype=np.uint8).reshape(10, 12, 3)
+    batch = pa.table({
+        "media_ref": pa.array(["m"], pa.string()),
+        "payload": pa.array([png_encode(img, "mixed")], pa.binary()),
+    })
+    out = MediaResizeActor(target_w=6, target_h=5,
+                           mode="real")(batch).to_pylist()[0]
+    small = png_decode(out["payload"])
+    assert small.shape == (5, 6, 3)
+    ys = (np.arange(5) * 10) // 5
+    xs = (np.arange(6) * 12) // 6
+    assert np.array_equal(small, img[ys][:, xs])
+
+    # real decode: feature histogram computed over DECODED values
+    b2 = pa.table({
+        "media_ref": pa.array(["i", "a"], pa.string()),
+        "kind": pa.array(["image", "audio"], pa.string()),
+        "payload": pa.array([image_payload_for_doc(3, 8, 5),
+                             audio_payload_for_doc(3, 70)],
+                            pa.binary()),
+    })
+    feats = MediaDecodeActor(mode="real")(b2).to_pylist()
+    assert all(len(f["features"]) == 16 for f in feats)
+    assert all(abs(sum(f["features"]) - 1.0) < 1e-5 for f in feats)
 
 
 def test_distributed_extraction_matches_single_process(ray_session):
