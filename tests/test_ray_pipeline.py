@@ -769,3 +769,38 @@ def test_hostile_extract_scalar_reference():
         assert r["n_elements"] == depth + 10
         assert r["max_depth"] == depth + 5
         assert r["n_attrs"] == 10 + r["doc_id"] % 90
+
+
+def test_salt_by_cost_spreads_clustered_heavy_docs(ray_session):
+    """SURVEY §4.2 skew salting: 1% pathological docs CLUSTERED in
+    input order must spread across salt buckets instead of landing in
+    one straggler block (scripts/skew_ab.py measures the wall delta:
+    13x at 12k docs / 32 CPUs — BENCH/SKEW_AB.json)."""
+    import numpy as np
+    import ray
+
+    from soupflow.fixtures import SPAN_STRUCT
+    from soupflow.pipeline import salt_by_cost
+
+    n, n_heavy = 2000, 20
+    ids = [f"d{i}" for i in range(n)]
+    spans = [[{"kind": "text",
+               "text": "x" * (400_000 if i >= n - n_heavy else 200),
+               "media_ref": "", "offset": 0}] for i in range(n)]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.string()),
+                    "spans": pa.array(spans, pa.list_(SPAN_STRUCT))})
+    ds = salt_by_cost(ray.data.from_arrow(tbl), num_buckets=16)
+    out = ds.take_all()
+    heavy_salts = [r["salt"] for r in out
+                   if len(r["spans"][0]["text"]) > 1000]
+    assert len(heavy_salts) == n_heavy
+    # deterministic: recomputing yields identical routing
+    again = [r["salt"] for r in salt_by_cost(
+        ray.data.from_arrow(tbl), num_buckets=16).take_all()
+        if len(r["spans"][0]["text"]) > 1000]
+    assert heavy_salts == again
+    # spread: the 20 clustered heavies hit many buckets, no bucket
+    # hoards more than half of them
+    counts = np.bincount(heavy_salts, minlength=16)
+    assert (counts > 0).sum() >= 6
+    assert counts.max() <= n_heavy // 2
