@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""10× scale-proof run (round-4 judge item 1).
+
+Builds an sf1-class corpus under /tmp/soupflow_scale10 —
+documents ×40 (200k docs, per-replica word mutation so dedup rates
+stay natural), TPC-H tables ×10 (key-offset replication preserving
+join structure), embeddings ×10 — then:
+
+ 1. runs the five most expensive pipelines at sf0.1 and at 10× in the
+    same 32-CPU session (best-of-2 walls) → growth ratios vs the row
+    ratio (the barrier-amortization claim: wall ratio ≲ row ratio);
+ 2. A/Bs unigram_nll broadcast vs partitioned-join at 10×;
+ 3. measures training_pipeline at 8 vs 32 CPUs in fresh subprocesses
+    on the 10× corpus (second scaling datapoint next to the headline
+    `bench.py --scaling`, which already runs a 320k-doc corpus).
+
+Writes BENCH/SCALE10.json. Usage: python scripts/scale10.py
+[--build-only|--skip-build] [--pipeline-8v32]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/soupflow_scale10"
+DOC_REPS = 40          # 5k -> 200k documents
+TPCH_REPS = 10         # 600k -> 6M lineitem rows
+
+PIPELINES = ["training_pipeline", "revenue_by_nation",
+             "minhash_near_dups", "simhash_near_dups", "kmeans"]
+
+
+def _mutate_texts(texts: list, rep: int) -> list:
+    """Deterministic per-replica word mutation: every 5th word gets a
+    replica suffix, so cross-replica shingle Jaccard drops below any
+    near-dup threshold while WITHIN-replica (natural) duplicates are
+    preserved. rep 0 is the original corpus."""
+    if rep == 0:
+        return texts
+    suf = f"x{rep}"
+    out = []
+    for t in texts:
+        w = (t or "").split()
+        out.append(" ".join(
+            tok + suf if i % 5 == 4 else tok
+            for i, tok in enumerate(w)))
+    return out
+
+
+def build() -> None:
+    marker = os.path.join(OUT, "_DONE")
+    if os.path.exists(marker):
+        return
+    os.makedirs(OUT, exist_ok=True)
+
+    docs = pq.read_table(f"{BASE}/documents.parquet")
+    ddir = os.path.join(OUT, "documents.parquet")
+    os.makedirs(ddir, exist_ok=True)
+    ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = docs.column("text").to_pylist()
+    for rep in range(DOC_REPS):
+        mt = _mutate_texts(texts, rep)
+        t = pa.table({
+            "doc_id": pa.array(ids + rep * 10_000, pa.int64()),
+            "text": pa.array(mt, pa.string()),
+            "lang": docs.column("lang"),
+            "source": docs.column("source"),
+            "n_chars": pa.array([len(x) for x in mt], pa.int64()),
+        })
+        pq.write_table(t, os.path.join(ddir, f"part-{rep:03d}.parquet"))
+
+    def replicate(table: str, key_offsets: dict[str, int]) -> None:
+        src = pq.read_table(f"{BASE}/{table}.parquet")
+        tdir = os.path.join(OUT, f"{table}.parquet")
+        os.makedirs(tdir, exist_ok=True)
+        for rep in range(TPCH_REPS):
+            cols = {}
+            for name in src.schema.names:
+                col = src.column(name)
+                if name in key_offsets:
+                    vals = col.to_numpy(zero_copy_only=False) \
+                        + rep * key_offsets[name]
+                    cols[name] = pa.array(vals, col.type)
+                else:
+                    cols[name] = col
+            pq.write_table(pa.table(cols),
+                           os.path.join(tdir,
+                                        f"part-{rep:03d}.parquet"))
+
+    replicate("lineitem", {"l_orderkey": 10_000_000})
+    replicate("orders", {"o_orderkey": 10_000_000,
+                         "o_custkey": 1_000_000})
+    replicate("customer", {"c_custkey": 1_000_000})
+    replicate("embeddings", {"vec_id": 1_000_000})
+    pq.write_table(pq.read_table(f"{BASE}/nation.parquet"),
+                   os.path.join(OUT, "nation.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def _wall(fn, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.monotonic()
+        res = fn()
+        try:
+            res.materialize()
+        except AttributeError:
+            pass
+        best = min(best, time.monotonic() - t0)
+    return round(best, 2)
+
+
+def measure() -> dict:
+    from soupflow.queries import QUERIES
+
+    report: dict = {"doc_reps": DOC_REPS, "tpch_reps": TPCH_REPS,
+                    "pipelines": {}}
+    for name in PIPELINES:
+        base_w = _wall(lambda: QUERIES[name](BASE))
+        big_w = _wall(lambda: QUERIES[name](OUT))
+        rows = DOC_REPS if name not in (
+            "revenue_by_nation", "kmeans") else TPCH_REPS
+        report["pipelines"][name] = {
+            "base_sec": base_w, "x10_sec": big_w,
+            "row_ratio": rows,
+            "wall_ratio": round(big_w / base_w, 2),
+            "sublinear": bool(big_w / base_w <= rows),
+        }
+        print(name, report["pipelines"][name], flush=True)
+
+    # broadcast vs partitioned A/B at 10x
+    from soupflow.data.textstats import unigram_logprob
+    from soupflow.io import read_corpus
+    ds = read_corpus(f"{OUT}/documents.parquet") \
+        .select_columns(["doc_id", "text"])
+    ab = {}
+    for mode in ("broadcast", "partitioned"):
+        ab[mode] = _wall(lambda: unigram_logprob(ds, join=mode),
+                         runs=2)
+    report["unigram_nll_ab_x10"] = ab
+    print("unigram A/B", ab, flush=True)
+    return report
+
+
+def pipeline_8v32() -> dict:
+    """training_pipeline on the 10x corpus at 8 vs 32 CPUs, fresh
+    process each (the north-rule two-cluster-size proxy, applied to
+    the shuffle-heaviest pipeline rather than the map-only headline)."""
+    walls = {}
+    for cpus in (8, 32):
+        code = (
+            "import ray, time, sys; sys.path.insert(0, '.');"
+            f"ray.init(address='local', num_cpus={cpus}, "
+            "include_dashboard=False);"
+            "from soupflow.queries import QUERIES;"
+            f"QUERIES['training_pipeline']('{OUT}').materialize();"
+            "t0=time.monotonic();"
+            f"QUERIES['training_pipeline']('{OUT}').materialize();"
+            "print('WALL', time.monotonic()-t0); ray.shutdown()")
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              cwd=os.path.dirname(os.path.dirname(
+                                  os.path.abspath(__file__))))
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("WALL")][-1]
+        walls[cpus] = round(float(line.split()[1]), 2)
+    eff = round(walls[8] / (4 * walls[32]), 3)
+    return {"wall_s_8cpus": walls[8], "wall_s_32cpus": walls[32],
+            "scaling_efficiency": eff}
+
+
+def main() -> None:
+    import ray
+    args = set(sys.argv[1:])
+    build()
+    if "--build-only" in args:
+        print("built", OUT)
+        return
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False)
+    report = measure()
+    ray.shutdown()
+    if "--pipeline-8v32" in args:
+        report["training_pipeline_8v32_x10"] = pipeline_8v32()
+    os.makedirs("BENCH", exist_ok=True)
+    path = "BENCH/SCALE10.json"
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        prev.update(report)
+        report = prev
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
