@@ -1,0 +1,77 @@
+"""Mini-driver: run queries()[name] vs oracle_sql()[name] on a sf dir,
+compare rows/schema/value-hash the way the graft driver does."""
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+import ray
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+
+def to_pandas(res):
+    if isinstance(res, pd.DataFrame):
+        return res
+    try:
+        import pyarrow as pa
+        if isinstance(res, pa.Table):
+            return res.to_pandas()
+    except ImportError:
+        pass
+    return res.to_pandas()
+
+
+def canon(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    h = hashlib.sha1()
+    for col in df.columns:
+        s = df[col]
+        if s.dtype == object:
+            vals = s.astype(str)
+        elif str(s.dtype).startswith("float"):
+            vals = s.round(6).astype(str)
+        else:
+            vals = s.astype(str)
+        h.update(("\n".join(vals) + "|" + col).encode())
+    return h.hexdigest()
+
+
+def main(sf_dir, names):
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 ignore_reinit_error=True,
+                 logging_level="ERROR")
+    import __ray_entry__ as e
+    qs, osql = e.queries(), e.oracle_sql()
+    if not names:
+        names = list(qs)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    for name in names:
+        res = to_pandas(qs[name](sf_dir))
+        if name not in osql:
+            print(f"{name}: rows={len(res)} (no_oracle)")
+            continue
+        orc = con.execute(osql[name]).fetchdf()
+        rows = len(res) == len(orc)
+        schema = sorted(res.columns) == sorted(orc.columns)
+        hmatch = canon(res) == canon(orc) if rows and schema else False
+        print(f"{name}: rows={len(res)}/{len(orc)} rows_match={rows} "
+              f"schema_match={schema} hash_match={hmatch}")
+        if not (rows and schema and hmatch):
+            print("  ray cols:", list(res.columns))
+            print("  orc cols:", list(orc.columns))
+            print(res.head(8))
+            print(orc.head(8))
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    main(sf, sys.argv[2:])

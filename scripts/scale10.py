@@ -123,14 +123,27 @@ def _wall(fn, runs: int = 2) -> float:
     return round(best, 2)
 
 
+def _checkpoint(report: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SCALE10.json", "w") as f:
+        json.dump(report, f, indent=1)
+
+
 def measure() -> dict:
     from soupflow.queries import QUERIES
 
     report: dict = {"doc_reps": DOC_REPS, "tpch_reps": TPCH_REPS,
                     "pipelines": {}}
+    # resume from a prior partial run (measurements are expensive)
+    if os.path.exists("BENCH/SCALE10.json"):
+        with open("BENCH/SCALE10.json") as f:
+            prev = json.load(f)
+        report["pipelines"].update(prev.get("pipelines", {}))
     for name in PIPELINES:
+        if name in report["pipelines"]:
+            continue
         base_w = _wall(lambda: QUERIES[name](BASE))
-        big_w = _wall(lambda: QUERIES[name](OUT))
+        big_w = _wall(lambda: QUERIES[name](OUT), runs=1)
         rows = DOC_REPS if name not in (
             "revenue_by_nation", "kmeans") else TPCH_REPS
         report["pipelines"][name] = {
@@ -140,6 +153,7 @@ def measure() -> dict:
             "sublinear": bool(big_w / base_w <= rows),
         }
         print(name, report["pipelines"][name], flush=True)
+        _checkpoint(report)
 
     # broadcast vs partitioned A/B at 10x
     from soupflow.data.textstats import unigram_logprob
@@ -149,7 +163,8 @@ def measure() -> dict:
     ab = {}
     for mode in ("broadcast", "partitioned"):
         ab[mode] = _wall(lambda: unigram_logprob(ds, join=mode),
-                         runs=2)
+                         runs=1)
+        _checkpoint({**report, "unigram_nll_ab_x10": ab})
     report["unigram_nll_ab_x10"] = ab
     print("unigram A/B", ab, flush=True)
     return report
@@ -166,7 +181,9 @@ def pipeline_8v32() -> dict:
             f"ray.init(address='local', num_cpus={cpus}, "
             "include_dashboard=False);"
             "from soupflow.queries import QUERIES;"
-            f"QUERIES['training_pipeline']('{OUT}').materialize();"
+            # warm worker imports on the tiny corpus, then time the 10x
+            "QUERIES['training_pipeline']"
+            "('/root/testdata/sf0.001').materialize();"
             "t0=time.monotonic();"
             f"QUERIES['training_pipeline']('{OUT}').materialize();"
             "print('WALL', time.monotonic()-t0); ray.shutdown()")
