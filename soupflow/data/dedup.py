@@ -19,7 +19,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..io import collect_rows, collect_table
+from ..io import collect_table
 
 _MERSENNE = (1 << 61) - 1
 
@@ -93,9 +93,16 @@ def exact_dedup(ds, text_col: str = "text", join: str = "broadcast",
             num_partitions=num_partitions, on=("doc_id",))
         return kept
 
-    dup_rows = collect_rows(dup_groups)
-    fp_s = np.array([r["fp"] for r in dup_rows])
-    kp_s = np.array([r["keeper_id"] for r in dup_rows], dtype=np.int64)
+    # collect_table + to_numpy: zero-copy column pulls, no per-row
+    # dict materialization (the dup-group count scales with the corpus)
+    dup_tbl = collect_table(dup_groups)
+    if dup_tbl.num_columns:
+        fp_s = np.asarray(dup_tbl.column("fp").to_pylist())
+        kp_s = dup_tbl.column("keeper_id") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        fp_s = np.array([], dtype=object)
+        kp_s = np.array([], dtype=np.int64)
     order = np.argsort(fp_s)
     handle = ray.put((fp_s[order], kp_s[order]))  # broadcast once
 
@@ -393,10 +400,14 @@ def minhash_near_dups(ds, num_perm: int = 64, bands: int = 16,
 
         pairs = joined.map_batches(emit, batch_format="pyarrow")
     else:
-        dup_rows = collect_rows(dup_buckets)
-        bk = np.array([r["band_key"] for r in dup_rows],
-                      dtype=np.int64)
-        kp = np.array([r["keeper"] for r in dup_rows], dtype=np.int64)
+        dup_tbl = collect_table(dup_buckets)
+        if dup_tbl.num_columns:
+            bk = dup_tbl.column("band_key") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            kp = dup_tbl.column("keeper") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            bk = kp = np.array([], dtype=np.int64)
         order = np.argsort(bk)
         handle = ray.put((bk[order], kp[order]))  # broadcast once
 
@@ -600,10 +611,11 @@ def simhash_near_dups(ds, max_hamming: int = 3,
         return pairs.groupby("doc_id").aggregate(
             Min("dup_of", alias_name="dup_of"))
 
-    dup_keys = np.sort(np.array(
-        [r["combo_key"]
-         for r in collect_rows(agg.filter(expr="n >= 2"))],
-        dtype=np.int64))
+    dk_tbl = collect_table(agg.filter(expr="n >= 2"))
+    dup_keys = np.sort(dk_tbl.column("combo_key")
+                       .to_numpy(zero_copy_only=False)
+                       .astype(np.int64)) \
+        if dk_tbl.num_columns else np.array([], dtype=np.int64)
 
     # pull only dup-bucket member rows (dup clusters, not the corpus)
     # and broadcast them as a sorted-array CSR — NOT a Python dict of
@@ -730,10 +742,11 @@ def _jaccard_pair_stream(ds, threshold: float = 0.8,
     buckets = minhash_lsh_buckets(ds, num_perm, bands,
                                   shingle_k).materialize()
     agg = buckets.groupby("band_key").aggregate(Count(alias_name="n"))
-    dup_keys = np.sort(np.array(
-        [r["band_key"]
-         for r in collect_rows(agg.filter(expr="n >= 2"))],
-        dtype=np.int64))
+    dk_tbl = collect_table(agg.filter(expr="n >= 2"))
+    dup_keys = np.sort(dk_tbl.column("band_key")
+                       .to_numpy(zero_copy_only=False)
+                       .astype(np.int64)) \
+        if dk_tbl.num_columns else np.array([], dtype=np.int64)
     dk_ref = ray.put(dup_keys)
 
     def member_rows(batch: pa.Table) -> pa.Table:
@@ -1011,9 +1024,17 @@ def components_from_pairs(pairs_ds, docs_ds, *, pair_a: str,
             parent[x], x = root, parent[x]
         return root
 
-    for r in collect_rows(pairs_ds.select_columns([pair_a,
-                                                    pair_b])):
-        ra, rb = find(r[pair_a]), find(r[pair_b])
+    pair_tbl = collect_table(pairs_ds.select_columns([pair_a,
+                                                      pair_b]))
+    if pair_tbl.num_columns:
+        a_np = pair_tbl.column(pair_a) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        b_np = pair_tbl.column(pair_b) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        a_np = b_np = np.array([], dtype=np.int64)
+    for pa_, pb_ in zip(a_np.tolist(), b_np.tolist()):
+        ra, rb = find(pa_), find(pb_)
         if ra != rb:  # union by MIN root → labels are component minima
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo

@@ -336,10 +336,11 @@ def embed_near_dups_lsh(ds, threshold: float = 0.95, n_bits: int = 8,
         HyperplaneLshActor, batch_format="pyarrow",
         concurrency=(1, cpus), fn_constructor_kwargs=lsh_kwargs)
     agg = narrow.groupby("band_key").aggregate(Count(alias_name="n"))
-    dup_keys = np.sort(np.array(
-        [r["band_key"]
-         for r in collect_rows(agg.filter(expr="n >= 2"))],
-        dtype=np.int64))
+    dk_tbl = collect_table(agg.filter(expr="n >= 2"))
+    dup_keys = np.sort(dk_tbl.column("band_key")
+                       .to_numpy(zero_copy_only=False)
+                       .astype(np.int64)) \
+        if dk_tbl.num_columns else np.array([], dtype=np.int64)
     if dup_keys.size == 0:
         return ray.data.from_arrow(pa.table({
             "id_a": pa.array([], pa.int64()),

@@ -425,13 +425,14 @@ def q_training_pipeline(sf_dir: str):
     deduped = exact_dedup(survivors).drop_columns(["fp"]).materialize()
     # near-dup representatives: only CLUSTER MEMBERS can be non-reps,
     # so the exclusion set is dup-cluster-sized — broadcastable
-    from .io import collect_rows
-    non_reps = np.sort(np.array(
-        [r["doc_id"]
-         for r in collect_rows(
-             jaccard_components(deduped, threshold=0.8)
-             .filter(expr="doc_id != component"))],
-        dtype=np.int64))
+    from .io import collect_table
+    nr_tbl = collect_table(
+        jaccard_components(deduped, threshold=0.8)
+        .filter(expr="doc_id != component"))
+    non_reps = np.sort(nr_tbl.column("doc_id")
+                       .to_numpy(zero_copy_only=False)
+                       .astype(np.int64)) \
+        if nr_tbl.num_columns else np.array([], dtype=np.int64)
     nr_ref = ray.put(non_reps)
 
     def keep_reps(batch: pa.Table) -> pa.Table:
