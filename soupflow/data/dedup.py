@@ -81,6 +81,18 @@ def exact_dedup(ds, text_col: str = "text", join: str = "broadcast",
         .select_columns(["fp", "keeper_id"])
 
     if join == "partitioned":
+        # repartition + materialize: the aggregate's filter output can
+        # carry zero-schema empty blocks that break the Arrow hash
+        # join (same Ray 2.49 quirk as _components_labels_partitioned);
+        # the dup-group table is dup-cluster-sized, so this is cheap.
+        # A corpus with NO duplicates yields a fully EMPTY schema-less
+        # right side (same join failure) — short-circuit to passthrough.
+        dup_groups = dup_groups.repartition(num_partitions) \
+            .materialize()
+        if dup_groups.count() == 0:
+            return ds.map_batches(
+                lambda b: _hash_col_batch(b, text_col),
+                batch_format="pyarrow")
         dropped = narrow.join(
             dup_groups, join_type="inner",
             num_partitions=num_partitions, on=("fp",)) \

@@ -899,6 +899,38 @@ def q_snapshot_dedup(sf_dir: str):
     return snapshot_dedup(_side(False), _side(True))
 
 
+def q_dedup_exact_partitioned(sf_dir: str):
+    """The beyond-driver-memory exact-dedup escape hatch as a
+    first-class oracle-checked query: narrow (fp, doc_id) inner hash
+    join finds dropped ids, one corpus-wide left_anti join keeps the
+    rest — no broadcast map anywhere. Output is deterministic
+    (keeper = min doc_id per content hash), so the SQL oracle is the
+    same QUALIFY-window expression regardless of join strategy."""
+    from .data.dedup import exact_dedup
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return exact_dedup(ds, join="partitioned", num_partitions=8) \
+        .select_columns(["doc_id", "text", "fp"])
+
+
+def q_minhash_dups_partitioned(sf_dir: str):
+    """minhash_near_dups' distributed keeper path (Dataset hash join
+    on the band key instead of the broadcast map) — identical output
+    to the broadcast default, now driver-oracle-checked, not only
+    pytest-parity-checked."""
+    from .data.dedup import minhash_near_dups
+    return minhash_near_dups(_read(sf_dir, "documents"),
+                             join="partitioned", num_partitions=8)
+
+
+def q_simhash_dups_partitioned(sf_dir: str):
+    """simhash_near_dups' distributed verify path (inner join keeps
+    candidate rows, per-bucket Arrow group kernel verifies) — same
+    output as broadcast, oracle-checked."""
+    from .data.dedup import simhash_near_dups
+    return simhash_near_dups(_read(sf_dir, "documents"),
+                             join="partitioned", num_partitions=8)
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing (T5/GPT batch packing): deterministic next-fit
     of docs into 2000-char training sequences within hash buckets —
@@ -1388,6 +1420,9 @@ QUERIES = {
     "reader_pipeline": q_reader_pipeline,
     "extract_hostile": q_extract_hostile,
     "multimodal_real": q_multimodal_real,
+    "dedup_exact_partitioned": q_dedup_exact_partitioned,
+    "minhash_dups_partitioned": q_minhash_dups_partitioned,
+    "simhash_dups_partitioned": q_simhash_dups_partitioned,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -2459,3 +2494,14 @@ ORACLE_SQL["multimodal_real"] = r"""
     )
     SELECT * FROM img UNION ALL SELECT * FROM wav
 """
+
+# Partitioned (beyond-driver-memory) variants: identical deterministic
+# outputs to their broadcast defaults, so the oracles are shared —
+# the driver now hash-checks the SCALE paths, not only the defaults.
+ORACLE_SQL["dedup_exact_partitioned"] = """
+    SELECT doc_id, text, md5(text) AS fp
+    FROM documents
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+"""
+ORACLE_SQL["minhash_dups_partitioned"] = ORACLE_SQL["minhash_near_dups"]
+ORACLE_SQL["simhash_dups_partitioned"] = ORACLE_SQL["simhash_near_dups"]
