@@ -42,6 +42,7 @@ TIMED_QUERIES = [
     "revenue_by_nation", "funnel", "event_pivot",
     "partitioned_write", "kmv_distinct", "grouped_quantiles",
     "reader_pipeline", "extract_hostile", "multimodal_real",
+    "multimodal_video",
 ]
 
 

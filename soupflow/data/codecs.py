@@ -235,3 +235,92 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int, int]:
     if rate < 0:
         raise ValueError("missing fmt chunk")
     return np.frombuffer(pcm, dtype="<i2").copy(), rate, channels
+
+
+# -- AVI (RIFF container, uncompressed BI_RGB video) --------------------------
+
+def _bmp_rows(frame: np.ndarray) -> bytes:
+    """One uncompressed DIB frame per the BMP/AVI spec: rows stored
+    BOTTOM-UP, pixels BGR, each row zero-padded to a 4-byte boundary."""
+    h, w, _ = frame.shape
+    stride = (w * 3 + 3) & ~3
+    row_bytes = frame[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    if stride == w * 3:
+        return row_bytes.tobytes()
+    padded = np.zeros((h, stride), dtype=np.uint8)
+    padded[:, :w * 3] = row_bytes
+    return padded.tobytes()
+
+
+def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as a minimal spec-valid
+    AVI: RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    LIST('movi' '00db'*n)). Uncompressed BI_RGB 24bpp DIB frames."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, ch = frames.shape
+    if ch != 3:
+        raise ValueError("avi_encode expects RGB frames")
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+    usec_per_frame = 1_000_000 // fps
+    avih = struct.pack("<IIIIIIIIIIIIII",
+                       usec_per_frame, frame_size * fps, 0, 0x10,
+                       n, 0, 1, frame_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII",
+            0, 0, 0, 0, 1, fps, 0, n, frame_size, 0xFFFFFFFF, 0, 0)
+            + struct.pack("<HHHH", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       frame_size, 0, 0, 0, 0)
+    strl = b"strl" + _chunk_le(b"strh", strh) + _chunk_le(b"strf", strf)
+    hdrl = (b"hdrl" + _chunk_le(b"avih", avih)
+            + _chunk_le(b"LIST", strl))
+    movi = b"movi" + b"".join(
+        _chunk_le(b"00db", _bmp_rows(f)) for f in frames)
+    body = (b"AVI " + _chunk_le(b"LIST", hdrl)
+            + _chunk_le(b"LIST", movi))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _chunk_le(tag: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""  # RIFF word alignment
+    return tag + struct.pack("<I", len(payload)) + payload + pad
+
+
+def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a minimal AVI → ((n, h, w, 3) uint8 RGB frames, fps).
+    RIFF chunk walk; reads dimensions from the avih header and
+    un-flips the bottom-up BGR padded DIB rows."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = fps = -1
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal w, h, fps
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos:pos + 4]
+            (length,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            payload = buf[pos + 8:pos + 8 + length]
+            if tag == b"LIST":
+                walk(payload[4:])           # skip the list type tag
+            elif tag == b"avih":
+                vals = struct.unpack("<IIIIIIIIIIIIII", payload[:56])
+                fps = 1_000_000 // vals[0] if vals[0] else 0
+                w, h = vals[8], vals[9]
+            elif tag == b"00db":
+                if w < 0:
+                    raise ValueError("frame before avih header")
+                stride = (w * 3 + 3) & ~3
+                rows = np.frombuffer(payload, dtype=np.uint8,
+                                     count=stride * h) \
+                    .reshape(h, stride)[:, :w * 3]
+                frames.append(
+                    rows.reshape(h, w, 3)[::-1, :, ::-1].copy())
+            pos += 8 + length + (length & 1)
+
+    walk(data[12:])
+    if w < 0:
+        raise ValueError("missing avih header")
+    return (np.stack(frames) if frames
+            else np.zeros((0, h, w, 3), np.uint8)), fps

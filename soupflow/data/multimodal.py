@@ -1,13 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by actor-pool map_batches stages.
 
-``mode="real"`` decodes PNG images and RIFF/PCM WAV audio with the
-from-scratch stdlib-only codecs in :mod:`soupflow.data.codecs` (zlib
-inflate + scanline unfilter; RIFF chunk walk) — no third-party codec
-library needed. Video frame sampling stays stubbed (no container
-codec); ``mode="fake"`` (bench default) derives deterministic features
-from the raw bytes so the Ray-side plumbing — schema, batch sizing,
-actor signature, output layout — is exercised without decode cost.
+``mode="real"`` decodes PNG images, RIFF/PCM WAV audio, AND AVI video
+(uncompressed BI_RGB DIB frames) with the from-scratch stdlib-only
+codecs in :mod:`soupflow.data.codecs` (zlib inflate + scanline
+unfilter; RIFF chunk walks) — no third-party codec library anywhere.
+``mode="fake"`` (bench default) derives deterministic features from
+the raw bytes so the Ray-side plumbing — schema, batch sizing, actor
+signature, output layout — is exercised without decode cost.
 
 Scale notes: binary payloads dominate block size; use small
 ``batch_size`` (e.g. 16-32) so batch × concurrency fits worker heaps,
@@ -100,10 +100,13 @@ class MediaDecodeActor:
             samples, _rate, _ch = wav_decode(payload)
             vals = (np.abs(samples.astype(np.int32)) >> 8) \
                 .astype(np.uint8)
+        elif kind == "video":
+            from .codecs import avi_decode
+            frames, _fps = avi_decode(payload)
+            vals = frames.reshape(-1)
         else:
             raise NotImplementedError(
-                f"real decode for kind={kind!r} needs a video codec "
-                "(pyav), absent in this container")
+                f"real decode for kind={kind!r}: no codec")
         hist = np.bincount(vals % self.feature_dim,
                            minlength=self.feature_dim) \
             .astype(np.float64)
@@ -196,29 +199,45 @@ class MediaResizeActor:
 
 class FrameSampleActor:
     """Actor-pool frame-sampling stage (videos): 1→N row expansion —
-    each payload is split into ``n_frames`` equal chunks, one output
-    row per frame with (media_ref, frame_index, payload). The real
-    codec (pyav) plugs into _sample_real."""
+    one output row per sampled frame (media_ref, frame_index,
+    payload).
+
+    ``mode="real"``: the payload is a real AVI container
+    (uncompressed BI_RGB DIB frames) decoded by the from-scratch RIFF
+    walker in data/codecs.py; ``n_frames`` frames are sampled evenly
+    (source frame ``(i * total) // n_frames``) and each is re-encoded
+    as a PNG payload — AVI decode → sample → PNG encode, all
+    first-party. ``mode="fake"`` splits the raw byte stream into
+    equal chunks (plumbing-only, no decode cost)."""
 
     def __init__(self, n_frames: int = 4, mode: str = "fake") -> None:
         self.n_frames = n_frames
         self.mode = mode
-        if mode == "real":
-            raise NotImplementedError(
-                "real frame sampling needs pyav; integration point: "
-                "FrameSampleActor._sample_real")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
         payloads = batch.column("payload").to_pylist()
         out_refs, out_idx, out_frames = [], [], []
-        for ref, payload in zip(refs, payloads):
-            data = payload or b"\x00"
-            step = max(1, len(data) // self.n_frames)
-            for i in range(self.n_frames):
-                out_refs.append(ref)
-                out_idx.append(i)
-                out_frames.append(data[i * step:(i + 1) * step] or b"\x00")
+        if self.mode == "real":
+            from .codecs import avi_decode, png_encode
+            for ref, payload in zip(refs, payloads):
+                frames, _fps = avi_decode(payload)
+                total = frames.shape[0]
+                for i in range(self.n_frames):
+                    src = (i * total) // self.n_frames
+                    out_refs.append(ref)
+                    out_idx.append(i)
+                    out_frames.append(
+                        png_encode(frames[src], filter_mode="mixed"))
+        else:
+            for ref, payload in zip(refs, payloads):
+                data = payload or b"\x00"
+                step = max(1, len(data) // self.n_frames)
+                for i in range(self.n_frames):
+                    out_refs.append(ref)
+                    out_idx.append(i)
+                    out_frames.append(
+                        data[i * step:(i + 1) * step] or b"\x00")
         return pa.table({
             "media_ref": pa.array(out_refs, pa.string()),
             "frame_index": pa.array(out_idx, pa.int32()),
@@ -314,4 +333,70 @@ class MediaStatsActor:
             "sample_rate": pa.array(rate, pa.int64()),
             "amp_sum": pa.array(amp_sum, pa.int64()),
             "amp_max": pa.array(amp_max, pa.int64()),
+        })
+
+
+def video_payload_for_doc(doc_id: int) -> bytes:
+    """Deterministic closed-form RGB video: nf = 4 + d%4 frames of
+    (h = 4 + d%3, w = 5 + d%5); pixel (t, y, x) =
+    ((x + 2y + 3t + d) % 256, (2x + y + 5t + 2d) % 256,
+    (x*y + t + 7d) % 256), AVI-encoded (uncompressed DIB — bottom-up
+    BGR padded rows, so decode must undo the layout exactly)."""
+    from .codecs import avi_encode
+    nf, h, w = 4 + doc_id % 4, 4 + doc_id % 3, 5 + doc_id % 5
+    t, y, x = np.mgrid[0:nf, 0:h, 0:w]
+    frames = np.stack([(x + 2 * y + 3 * t + doc_id) % 256,
+                       (2 * x + y + 5 * t + 2 * doc_id) % 256,
+                       (x * y + t + 7 * doc_id) % 256],
+                      axis=-1).astype(np.uint8)
+    return avi_encode(frames, fps=10)
+
+
+def video_media_from_documents(batch: pa.Table) -> pa.Table:
+    """One real AVI payload per document."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    return pa.table({
+        "media_ref": pa.array([f"media://vid/{d}" for d in doc_ids],
+                              pa.string()),
+        "kind": pa.array(["video"] * len(doc_ids), pa.string()),
+        "payload": pa.array([video_payload_for_doc(d)
+                             for d in doc_ids], pa.binary()),
+        "content_type": pa.array(["video/x-msvideo"] * len(doc_ids),
+                                 pa.string()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
+    })
+
+
+class FrameStatsActor:
+    """Decode sampled-frame PNG payloads → exact integer stats
+    (height, width, per-channel pixel sums). Chained after
+    FrameSampleActor(mode="real"), this oracle-pins the whole
+    AVI decode → frame sample → PNG encode → PNG decode chain."""
+
+    def __init__(self) -> None:
+        from .codecs import png_decode
+        self._decode = png_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        idx = batch.column("frame_index").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        h_, w_, sr, sg, sb = [], [], [], [], []
+        for p in payloads:
+            img = self._decode(p).astype(np.int64)
+            h_.append(img.shape[0])
+            w_.append(img.shape[1])
+            s = img.sum(axis=(0, 1))
+            sr.append(int(s[0]))
+            sg.append(int(s[1]))
+            sb.append(int(s[2]))
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "frame_index": pa.array(
+                [int(i) for i in idx], pa.int64()),
+            "height": pa.array(h_, pa.int64()),
+            "width": pa.array(w_, pa.int64()),
+            "sum_r": pa.array(sr, pa.int64()),
+            "sum_g": pa.array(sg, pa.int64()),
+            "sum_b": pa.array(sb, pa.int64()),
         })

@@ -391,6 +391,28 @@ def q_multimodal_real(sf_dir: str):
         concurrency=(1, _cpus()))
 
 
+def q_multimodal_video(sf_dir: str):
+    """REAL video path end-to-end: per doc an AVI container of
+    closed-form RGB frames (uncompressed BI_RGB DIB — bottom-up BGR
+    padded rows) → FrameSampleActor(mode="real") decodes the
+    container, samples 3 frames evenly and re-encodes each as PNG →
+    FrameStatsActor decodes the PNGs into exact integer pixel sums.
+    The SQL oracle reproduces the AVI decode → sample → PNG round
+    bit-for-bit from the frame formula."""
+    from .data.multimodal import (FrameSampleActor, FrameStatsActor,
+                                  video_media_from_documents)
+    media = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(video_media_from_documents,
+                     batch_format="pyarrow")
+    sampled = media.map_batches(
+        FrameSampleActor, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, _cpus()),
+        fn_constructor_kwargs={"n_frames": 3, "mode": "real"})
+    return sampled.map_batches(
+        FrameStatsActor, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, _cpus()))
+
+
 def q_dedup_components(sf_dir: str):
     """Near-dup connected components: every document labeled with the
     smallest doc_id reachable through verified Jaccard>=0.8 pairs —
@@ -1420,6 +1442,7 @@ QUERIES = {
     "reader_pipeline": q_reader_pipeline,
     "extract_hostile": q_extract_hostile,
     "multimodal_real": q_multimodal_real,
+    "multimodal_video": q_multimodal_video,
     "dedup_exact_partitioned": q_dedup_exact_partitioned,
     "minhash_dups_partitioned": q_minhash_dups_partitioned,
     "simhash_dups_partitioned": q_simhash_dups_partitioned,
@@ -2505,3 +2528,32 @@ ORACLE_SQL["dedup_exact_partitioned"] = """
 """
 ORACLE_SQL["minhash_dups_partitioned"] = ORACLE_SQL["minhash_near_dups"]
 ORACLE_SQL["simhash_dups_partitioned"] = ORACLE_SQL["simhash_near_dups"]
+
+# multimodal_video: the oracle reproduces the AVI decode → even frame
+# sample → PNG encode→decode chain bit-for-bit — frames are the
+# closed-form video_payload_for_doc pixels at src = (i * nf) // 3.
+ORACLE_SQL["multimodal_video"] = r"""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 4 AS nf, 4 + doc_id % 3 AS h,
+             5 + doc_id % 5 AS w
+      FROM documents
+    ), samp AS (
+      SELECT doc_id, nf, h, w, unnest(range(3)) AS i FROM dims
+    )
+    SELECT 'media://vid/' || doc_id AS media_ref,
+           CAST(i AS BIGINT) AS frame_index,
+           CAST(h AS BIGINT) AS height, CAST(w AS BIGINT) AS width,
+           CAST(list_sum(flatten(list_transform(range(h), y ->
+             list_transform(range(w), x ->
+               (x + 2*y + 3*((i*nf)//3) + doc_id) % 256))))
+             AS BIGINT) AS sum_r,
+           CAST(list_sum(flatten(list_transform(range(h), y ->
+             list_transform(range(w), x ->
+               (2*x + y + 5*((i*nf)//3) + 2*doc_id) % 256))))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(flatten(list_transform(range(h), y ->
+             list_transform(range(w), x ->
+               (x*y + (i*nf)//3 + 7*doc_id) % 256))))
+             AS BIGINT) AS sum_b
+    FROM samp
+"""

@@ -108,3 +108,39 @@ def test_wav_rejects_malformed():
         wav_decode(b"RIFX" + b"\x00" * 40)
     with pytest.raises(ValueError):
         wav_decode(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_avi_roundtrip_and_row_padding():
+    rng = np.random.RandomState(3)
+    from soupflow.data.codecs import avi_decode, avi_encode
+    for _ in range(30):
+        n, h, w = rng.randint(1, 8), rng.randint(1, 14), rng.randint(1, 14)
+        frames = rng.randint(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        back, fps = avi_decode(avi_encode(frames, fps=12))
+        assert fps == 12
+        assert np.array_equal(back, frames)  # odd w exercises padding
+
+
+def test_avi_dib_layout_spec():
+    """The DIB frame bytes must be BOTTOM-UP, BGR, 4-byte padded —
+    verify against a hand-computed 1-frame 2x2 vector."""
+    from soupflow.data.codecs import avi_encode
+    frame = np.array([[[[1, 2, 3], [4, 5, 6]],
+                       [[7, 8, 9], [10, 11, 12]]]], dtype=np.uint8)
+    data = avi_encode(frame, fps=10)
+    i = data.index(b"00db")
+    (length,) = struct.unpack("<I", data[i + 4:i + 8])
+    dib = data[i + 8:i + 8 + length]
+    # bottom row first, BGR per pixel, 2*3=6 bytes padded to 8
+    assert dib == bytes([9, 8, 7, 12, 11, 10, 0, 0,
+                         3, 2, 1, 6, 5, 4, 0, 0])
+
+
+def test_avi_rejects_malformed():
+    from soupflow.data.codecs import avi_decode, avi_encode
+    with pytest.raises(ValueError):
+        avi_decode(b"RIFF\x00\x00\x00\x00WAVE")
+    good = avi_encode(np.zeros((1, 2, 2, 3), np.uint8))
+    # strip the avih header -> frame before header must fail
+    with pytest.raises(ValueError):
+        avi_decode(good.replace(b"avih", b"xxxx"))

@@ -393,20 +393,29 @@ def test_media_resize_and_frame_sample_stages(ray_session):
 
 
 def test_media_real_modes():
-    """PNG/WAV real modes are implemented via the from-scratch codecs;
-    only video frame sampling (no container codec) still raises."""
+    """PNG/WAV/AVI real modes are all implemented via the from-scratch
+    codecs — no stub remains in the multimodal module."""
     import numpy as np
     import pyarrow as pa
-    import pytest
 
-    from soupflow.data.codecs import png_decode, png_encode
+    from soupflow.data.codecs import avi_decode, png_decode, png_encode
     from soupflow.data.multimodal import (FrameSampleActor,
                                           MediaDecodeActor,
                                           MediaResizeActor,
                                           audio_payload_for_doc,
-                                          image_payload_for_doc)
-    with pytest.raises(NotImplementedError):
-        FrameSampleActor(mode="real")
+                                          image_payload_for_doc,
+                                          video_payload_for_doc)
+
+    # real frame sampling: AVI decode -> even sample -> PNG frames
+    vid = video_payload_for_doc(6)           # nf=6+... -> 4+6%4=6
+    frames, fps = avi_decode(vid)
+    vb = pa.table({"media_ref": pa.array(["v"], pa.string()),
+                   "payload": pa.array([vid], pa.binary())})
+    out = FrameSampleActor(n_frames=3, mode="real")(vb).to_pylist()
+    assert [r["frame_index"] for r in out] == [0, 1, 2]
+    for i, r in enumerate(out):
+        src = (i * frames.shape[0]) // 3
+        assert np.array_equal(png_decode(r["payload"]), frames[src])
 
     # real resize: decode -> nearest-neighbor -> re-encode round-trips
     img = np.arange(10 * 12 * 3, dtype=np.uint8).reshape(10, 12, 3)
