@@ -953,6 +953,23 @@ def q_simhash_dups_partitioned(sf_dir: str):
                              join="partitioned", num_partitions=8)
 
 
+def q_components_partitioned(sf_dir: str):
+    """Connected components via the fully-distributed label path
+    (iterative min-label propagation: one partitioned hash join + one
+    groupby-min per round, Sum-fixed-point convergence) instead of
+    driver-side union-find — same deterministic labels, so it shares
+    dedup_components' recursive-CTE oracle."""
+    from .data.dedup import components_from_pairs, \
+        _jaccard_pair_stream
+    ds = _read(sf_dir, "documents")
+    pairs = _jaccard_pair_stream(ds, threshold=0.8)
+    return components_from_pairs(pairs, ds, pair_a="doc_id",
+                                 pair_b="dup_of", id_col="doc_id",
+                                 join="partitioned",
+                                 num_partitions=8) \
+        .select_columns(["doc_id", "component"])
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing (T5/GPT batch packing): deterministic next-fit
     of docs into 2000-char training sequences within hash buckets —
@@ -1443,6 +1460,7 @@ QUERIES = {
     "extract_hostile": q_extract_hostile,
     "multimodal_real": q_multimodal_real,
     "multimodal_video": q_multimodal_video,
+    "components_partitioned": q_components_partitioned,
     "dedup_exact_partitioned": q_dedup_exact_partitioned,
     "minhash_dups_partitioned": q_minhash_dups_partitioned,
     "simhash_dups_partitioned": q_simhash_dups_partitioned,
@@ -2557,3 +2575,5 @@ ORACLE_SQL["multimodal_video"] = r"""
              AS BIGINT) AS sum_b
     FROM samp
 """
+
+ORACLE_SQL["components_partitioned"] = ORACLE_SQL["dedup_components"]
