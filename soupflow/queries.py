@@ -921,6 +921,28 @@ def q_snapshot_dedup(sf_dir: str):
     return snapshot_dedup(_side(False), _side(True))
 
 
+def q_snapshot_dedup_partitioned(sf_dir: str):
+    """snapshot_dedup's beyond-driver-memory path: the prior side's
+    distinct fingerprints stay distributed and the new snapshot is
+    filtered by ONE left_anti hash join — same deterministic output
+    as the broadcast default, so the oracle is shared."""
+    from .data.dedup import snapshot_dedup
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def _side(prior: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = pa.array(ids % 3 == 0)
+            return b.filter(m if prior else pc.invert(m))
+        f.__name__ = "prior_rows" if prior else "new_rows"
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    return snapshot_dedup(_side(False), _side(True),
+                          join="partitioned", num_partitions=8)
+
+
 def q_dedup_exact_partitioned(sf_dir: str):
     """The beyond-driver-memory exact-dedup escape hatch as a
     first-class oracle-checked query: narrow (fp, doc_id) inner hash
@@ -1461,6 +1483,7 @@ QUERIES = {
     "multimodal_real": q_multimodal_real,
     "multimodal_video": q_multimodal_video,
     "components_partitioned": q_components_partitioned,
+    "snapshot_dedup_partitioned": q_snapshot_dedup_partitioned,
     "dedup_exact_partitioned": q_dedup_exact_partitioned,
     "minhash_dups_partitioned": q_minhash_dups_partitioned,
     "simhash_dups_partitioned": q_simhash_dups_partitioned,
@@ -2577,3 +2600,5 @@ ORACLE_SQL["multimodal_video"] = r"""
 """
 
 ORACLE_SQL["components_partitioned"] = ORACLE_SQL["dedup_components"]
+
+ORACLE_SQL["snapshot_dedup_partitioned"] = ORACLE_SQL["snapshot_dedup"]
