@@ -62,7 +62,6 @@ def png_encode(img: np.ndarray, filter_mode: str = "mixed") -> bytes:
     h, w, ch = arr.shape
     if ch not in _CH_TO_CTYPE:
         raise ValueError(f"unsupported channel count {ch}")
-    bpp = ch  # bytes per pixel at bit depth 8
     raw = bytearray()
     prev = np.zeros((w, ch), dtype=np.uint8)
     for y in range(h):

@@ -144,3 +144,47 @@ def test_avi_rejects_malformed():
     # strip the avih header -> frame before header must fail
     with pytest.raises(ValueError):
         avi_decode(good.replace(b"avih", b"xxxx"))
+
+
+def test_decoders_survive_garbage_and_truncation():
+    """Random garbage and truncated real payloads must raise ValueError
+    (or decode to something) quickly — never hang or segfault. zlib
+    errors surface as ValueError-compatible exceptions."""
+    import zlib
+
+    from soupflow.data.codecs import (avi_decode, avi_encode,
+                                      png_decode, png_encode,
+                                      wav_decode, wav_encode)
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    real = {
+        "png": png_encode(img, "mixed"),
+        "wav": wav_encode(np.arange(50, dtype=np.int16), 8000, 1),
+        "avi": avi_encode(img[None, ...], fps=5),
+    }
+    decoders = {"png": png_decode, "wav": wav_decode,
+                "avi": avi_decode}
+    for name, dec in decoders.items():
+        # pure garbage
+        for _ in range(50):
+            blob = rng.bytes(rng.randint(0, 200))
+            try:
+                dec(blob)
+            except (ValueError, zlib.error, struct.error):
+                pass
+        # truncations of a real payload keep the magic but break the
+        # body at every prefix length
+        data = real[name]
+        for cut in range(0, len(data), max(1, len(data) // 40)):
+            try:
+                dec(data[:cut])
+            except (ValueError, zlib.error, struct.error):
+                pass
+        # random single-byte corruption
+        for _ in range(60):
+            b = bytearray(data)
+            b[rng.randint(len(b))] ^= 1 + rng.randint(255)
+            try:
+                dec(bytes(b))
+            except (ValueError, zlib.error, struct.error):
+                pass
