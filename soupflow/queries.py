@@ -992,6 +992,20 @@ def q_components_partitioned(sf_dir: str):
         .select_columns(["doc_id", "component"])
 
 
+def q_pagerank(sf_dir: str):
+    """Iterative distributed graph computation with an EXACT oracle:
+    5 rounds of fixed-point integer PageRank (one partitioned hash
+    join + one groupby-sum per round) over a deterministic 3-out-link
+    graph. Integer floor-division contributions make partial sums
+    commute, so the result is bit-identical under any partitioning —
+    and a DuckDB unrolled-CTE reproduces it exactly (the iterative
+    class is normally the 'no SQL oracle' bucket; integer arithmetic
+    moves it into the hash-checked one)."""
+    from .data.graph import pagerank
+    return pagerank(_read(sf_dir, "documents"), n_iters=5,
+                    num_partitions=8)
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing (T5/GPT batch packing): deterministic next-fit
     of docs into 2000-char training sequences within hash buckets —
@@ -1484,6 +1498,7 @@ QUERIES = {
     "multimodal_video": q_multimodal_video,
     "components_partitioned": q_components_partitioned,
     "snapshot_dedup_partitioned": q_snapshot_dedup_partitioned,
+    "pagerank": q_pagerank,
     "dedup_exact_partitioned": q_dedup_exact_partitioned,
     "minhash_dups_partitioned": q_minhash_dups_partitioned,
     "simhash_dups_partitioned": q_simhash_dups_partitioned,
@@ -2602,3 +2617,43 @@ ORACLE_SQL["multimodal_video"] = r"""
 ORACLE_SQL["components_partitioned"] = ORACLE_SQL["dedup_components"]
 
 ORACLE_SQL["snapshot_dedup_partitioned"] = ORACLE_SQL["snapshot_dedup"]
+
+
+def _pagerank_oracle_sql(n_iters: int = 5) -> str:
+    """Unrolled-CTE integer PageRank (DuckDB 1.0's binder rejects the
+    unnest-list edge form inside a reused CTE, hence UNION ALL)."""
+    def step(i: int) -> str:
+        p = i - 1
+        return (f"r{i} AS (SELECT d.doc_id AS node,\n"
+                f"       CAST(150000 + coalesce(s.c, 0) AS BIGINT)"
+                f" AS r\n"
+                f"       FROM documents d LEFT JOIN (\n"
+                f"         SELECT e.dst AS node,\n"
+                f"                sum((85 * r{p}.r) //"
+                f" (100 * e.outdeg)) AS c\n"
+                f"         FROM e JOIN r{p} ON e.src = r{p}.node"
+                f" GROUP BY e.dst) s\n"
+                f"       ON d.doc_id = s.node)")
+    steps = ",\n".join(step(i) for i in range(1, n_iters + 1))
+    return f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS src, (7*doc_id+1) % n AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (13*doc_id+2) % n FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (19*doc_id+3) % n FROM documents, nn
+    ),
+    e0 AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    deg AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, deg.outdeg
+          FROM e0 JOIN deg USING (src)),
+    r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r
+           FROM documents),
+    {steps}
+    SELECT node AS doc_id, r AS rank_i FROM r{n_iters}
+    """
+
+
+ORACLE_SQL["pagerank"] = _pagerank_oracle_sql(5)

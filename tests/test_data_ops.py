@@ -459,3 +459,46 @@ def test_jaccard_verify_vectorized_matches_scalar_reference(ray_session):
         assert d > u
         assert jac >= 0.5
         assert j == int(jac * 100)
+
+
+def test_pagerank_matches_scalar_reference(ray_session):
+    """Distributed integer PageRank (join+groupby rounds) must be
+    bit-identical to a scalar dict implementation AND stable under
+    repartitioning — the property that makes the iterative algorithm
+    oracle-able at all."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from soupflow.data.graph import (BASE, DAMP_DEN, DAMP_NUM, SCALE,
+                                     pagerank)
+    from soupflow.io import collect_table
+
+    N = 137
+    ids = np.arange(N, dtype=np.int64)
+    np.random.RandomState(0).shuffle(ids)
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(ids, pa.int64())})).repartition(5)
+    t = collect_table(pagerank(ds, n_iters=5, num_partitions=4))
+    got = dict(zip(t.column("doc_id").to_pylist(),
+                   t.column("rank_i").to_pylist()))
+
+    edges = {(d, t_) for d in range(N)
+             for t_ in ((7*d+1) % N, (13*d+2) % N, (19*d+3) % N)
+             if t_ != d}
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {d: SCALE for d in range(N)}
+    for _ in range(5):
+        nxt = {d: BASE for d in range(N)}
+        for s, t_ in edges:
+            nxt[t_] += (DAMP_NUM * r[s]) // (DAMP_DEN * outdeg[s])
+        r = nxt
+    assert got == r
+
+    t2 = collect_table(pagerank(ds.repartition(11), n_iters=5,
+                                num_partitions=7))
+    got2 = dict(zip(t2.column("doc_id").to_pylist(),
+                    t2.column("rank_i").to_pylist()))
+    assert got2 == got
