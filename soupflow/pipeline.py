@@ -170,7 +170,16 @@ def run_extract_partition(files: list[str], out_dir: str, pid: int, *,
     os.makedirs(part_dir, exist_ok=True)
     from .io import write_corpus
     write_corpus(ds, part_dir)
-    rows = read_corpus(part_dir).count()
+    # manifest row count from parquet FOOTERS only (0.02 s vs 2.5 s
+    # for a Dataset re-read per partition — footer I/O stays O(files)
+    # at 100 TB; lance datasets fall back to the dataset count)
+    import glob as _glob
+    pfiles = _glob.glob(os.path.join(part_dir, "*.parquet"))
+    if pfiles:
+        import pyarrow.parquet as _pq
+        rows = sum(_pq.read_metadata(f).num_rows for f in pfiles)
+    else:
+        rows = read_corpus(part_dir).count()
     wall = time.monotonic() - t0
     try:
         # per-stage Ray Data execution stats (wall time per operator,
