@@ -1,4 +1,5 @@
-"""Distinct-count sketching: KMV (k minimum values / bottom-k).
+"""Streaming sketches: KMV distinct-count, Count-Min heavy hitters,
+HyperLogLog registers.
 
 The 100-TB cardinality primitive: estimate |distinct(col)| without
 shuffling the column — each block contributes its k smallest distinct
@@ -14,12 +15,28 @@ k-smallest partials, driver-side merge of ≤ k×num_blocks int64s. The
 relative error is ~1/sqrt(k-2) (k=256 → ~6%); when the true distinct
 count is below k the sketch holds every hash and the estimate is
 exact.
+
+Count-Min (Cormode & Muthukrishnan 2005) is the frequency twin: a
+d×w integer matrix where cell[r][h_r(x) % w] accumulates every
+occurrence of x. Sums commute, so per-block partial matrices merge by
+addition under ANY partitioning, and the estimate min_r cell[r][h_r(x)]
+is a deterministic integer — SQL-oracle-able bit-for-bit, including
+its one-sided collision overestimates.
+
+HyperLogLog (Flajolet et al. 2007) registers are max-merged per-block
+partials: register[b] = max rank of the hash suffix over all values
+hashing to bucket b. Max commutes like sum, so the register table —
+and the integer-scaled harmonic denominator Σ 2^(SCALE - rank) — is
+partitioning-independent and exactly reproducible in SQL.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .sampling import PHI64, _mix
 
@@ -61,3 +78,146 @@ def kmv_distinct(ds, col: str, k: int = 256):
         hk = int(hv[k - 1])
         est = (k - 1) * _U64 // hk
     return pa.table({"est_distinct": pa.array([est], pa.int64())})
+
+
+# -- Count-Min heavy hitters -------------------------------------------------
+
+_HEXDIG = "0123456789abcdef"
+
+
+def _md5_positions(terms, d: int, w: int) -> np.ndarray:
+    """(len(terms), d) int64 CMS columns: md5('term#r') first 8 hex
+    digits mod w — the one string hash both numpy and the DuckDB
+    oracle reproduce digit-for-digit (strpos ladder over md5() hex).
+    Python loop is VOCAB-bounded (runs on distinct terms only, never
+    per occurrence)."""
+    out = np.empty((len(terms), d), dtype=np.int64)
+    for i, t in enumerate(terms):
+        tb = t.encode("utf-8", "surrogatepass")
+        for r in range(d):
+            hx = hashlib.md5(tb + b"#%d" % r).hexdigest()[:8]
+            out[i, r] = int(hx, 16) % w
+    return out
+
+
+def term_count_partials(docs):
+    """ONE streaming pass: text → per-block distinct (term, cnt)
+    narrow rows (lowercased whitespace tokens, empties dropped). The
+    text never shuffles; each block ships a vocab-bounded partial."""
+    from .textstats import _text_array, _ws_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = pc.utf8_lower(_text_array(batch))
+        _, flat = _ws_tokens(arr)
+        vc = flat.value_counts()
+        terms = vc.field("values")
+        cnts = vc.field("counts")
+        mask = pc.not_equal(terms, "")
+        return pa.table({
+            "term": terms.filter(mask),
+            "cnt": pc.cast(cnts.filter(mask), pa.int64()),
+        })
+    partial.__name__ = "term_count_partial"
+    return docs.select_columns(["text"]).map_batches(
+        partial, batch_format="pyarrow")
+
+
+def cms_heavy_hitters(docs, d: int = 4, w: int = 1024, k: int = 20):
+    """→ pyarrow Table (term, true_cnt, cms_est): the k most frequent
+    corpus tokens with their exact count and the Count-Min estimate
+    (d rows × w columns; est = min_r cell[r][h_r(term)], always
+    ≥ true_cnt — collisions only ADD). Deterministic end to end: the
+    SQL oracle rebuilds the same matrix from the same md5 columns and
+    matches bit-for-bit, overestimates included.
+
+    Scale shape: one streaming tokenize pass reduces the corpus to
+    narrow (term, cnt) partials; ONE vocab-bounded groupby-sum gives
+    exact counts (the ground-truth side — at open-web vocab you would
+    drop this and keep only the sketch + a candidate heap, same
+    partial shape); the matrix itself is built from ≤ d×w-cell
+    per-block partials merged by addition (np.add.at, order-free),
+    so the sketch never shuffles anything wider than 4096 ints."""
+    from ray.data.aggregate import Sum
+
+    from ..io import collect_table
+
+    counts = term_count_partials(docs) \
+        .groupby("term").aggregate(Sum("cnt", alias_name="true_cnt")) \
+        .materialize()  # vocab-bounded; reused by cells + top-k
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        cnt = batch.column("true_cnt").to_numpy(zero_copy_only=False)
+        mat = np.zeros((d, w), dtype=np.int64)
+        pos = _md5_positions(terms, d, w)
+        for r in range(d):
+            np.add.at(mat[r], pos[:, r], cnt)
+        rr, cc = np.nonzero(mat)
+        return pa.table({
+            "r": pa.array(rr.astype(np.int64)),
+            "col": pa.array(cc.astype(np.int64)),
+            "cell": pa.array(mat[rr, cc]),
+        })
+    cell_partial.__name__ = "cms_cell_partial"
+
+    cell_rows = collect_table(
+        counts.map_batches(cell_partial, batch_format="pyarrow"))
+    mat = np.zeros((d, w), dtype=np.int64)
+    if cell_rows.num_rows:
+        np.add.at(
+            mat,
+            (cell_rows.column("r").to_numpy(zero_copy_only=False),
+             cell_rows.column("col").to_numpy(zero_copy_only=False)),
+            cell_rows.column("cell").to_numpy(zero_copy_only=False))
+
+    top = collect_table(
+        counts.sort(["true_cnt", "term"], descending=[True, False])
+        .limit(k))
+    terms = top.column("term").to_pylist()
+    pos = _md5_positions(terms, d, w)
+    est = mat[np.arange(d), pos].min(axis=1) if terms else \
+        np.zeros(0, np.int64)
+    return pa.table({
+        "term": top.column("term"),
+        "true_cnt": top.column("true_cnt"),
+        "cms_est": pa.array(est, pa.int64()),
+    })
+
+
+def cms_oracle_sql(d: int = 4, w: int = 1024, k: int = 20) -> str:
+    """DuckDB SQL reproducing cms_heavy_hitters bit-for-bit: the
+    md5-hex → integer conversion is a strpos ladder over the first 8
+    hex digits (fits BIGINT), matching _md5_positions exactly."""
+    hex2int = " + ".join(
+        f"(strpos('{_HEXDIG}', substr(hx, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8))
+    rows = ", ".join(f"({r})" for r in range(d))
+    return f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '')) AS term
+        FROM documents),
+    cnt AS (SELECT term, count(*) AS true_cnt FROM toks GROUP BY term),
+    hxs AS (
+        SELECT term, true_cnt, r,
+               substr(md5(term || '#' || CAST(r AS VARCHAR)), 1, 8)
+                   AS hx
+        FROM cnt CROSS JOIN (VALUES {rows}) rr(r)),
+    pos AS (
+        SELECT term, true_cnt, r, ({hex2int}) % {w} AS col FROM hxs),
+    cells AS (SELECT r, col, sum(true_cnt) AS cell
+              FROM pos GROUP BY r, col),
+    est AS (
+        SELECT p.term, p.true_cnt, min(c.cell) AS cms_est
+        FROM pos p JOIN cells c ON p.r = c.r AND p.col = c.col
+        GROUP BY p.term, p.true_cnt),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            ORDER BY true_cnt DESC, term) AS rn
+        FROM est)
+    SELECT term, CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est
+    FROM ranked WHERE rn <= {k}
+    """

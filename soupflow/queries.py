@@ -1074,6 +1074,17 @@ def q_kmv_distinct(sf_dir: str):
     return kmv_distinct(_read(sf_dir, "orders"), "o_custkey", k=256)
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Count-Min heavy hitters over document tokens: the top-20 terms
+    by exact count alongside their CMS estimates from a 4×1024
+    integer matrix built from order-free per-block partials — the
+    sketch (collisions and all) is bit-for-bit reproduced by the SQL
+    oracle via the same md5-column hash (data/sketch.py)."""
+    from .data.sketch import cms_heavy_hitters
+    return cms_heavy_hitters(_read(sf_dir, "documents"),
+                             d=4, w=1024, k=20)
+
+
 def q_funnel(sf_dir: str):
     """Two-step conversion funnel (view → purchase strictly after):
     order resolved WITHOUT sorting — masked min/max partials per user
@@ -1502,6 +1513,7 @@ QUERIES = {
     "dedup_exact_partitioned": q_dedup_exact_partitioned,
     "minhash_dups_partitioned": q_minhash_dups_partitioned,
     "simhash_dups_partitioned": q_simhash_dups_partitioned,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -2444,6 +2456,10 @@ ORACLE_SQL["kmv_distinct"] = """
                      AS BIGINT) END AS est_distinct
     FROM n
 """
+
+from .data.sketch import cms_oracle_sql as _cms_oracle_sql  # noqa: E402
+
+ORACLE_SQL["heavy_hitters"] = _cms_oracle_sql(d=4, w=1024, k=20)
 
 ORACLE_SQL["grouped_quantiles"] = """
     WITH c AS (

@@ -459,6 +459,54 @@ def test_kmv_exact_below_k_and_estimate_above(ray_session):
     assert est2 == est
 
 
+def test_cms_heavy_hitters_reference_and_stability(ray_session):
+    """CMS estimates must equal a scalar reference matrix (collisions
+    included), always upper-bound the true count, and be identical
+    under any repartitioning (sums commute)."""
+    from collections import Counter
+
+    from soupflow.data.sketch import _md5_positions, cms_heavy_hitters
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(300)]
+    # Zipf-ish weights so there ARE heavy hitters
+    weights = 1.0 / np.arange(1, len(vocab) + 1)
+    weights /= weights.sum()
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 80),
+                                 p=weights))
+             for _ in range(120)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+                    "text": pa.array(texts, pa.string())})
+    d, w, k = 3, 64, 15  # tiny width to force real collisions
+    out = cms_heavy_hitters(_ray_ds(tbl, 7), d=d, w=w, k=k)
+
+    truth = Counter()
+    for t in texts:
+        truth.update(t.lower().split())
+    # scalar reference matrix
+    terms = sorted(truth)
+    pos = _md5_positions(terms, d, w)
+    mat = np.zeros((d, w), dtype=np.int64)
+    for i, t in enumerate(terms):
+        for r in range(d):
+            mat[r, pos[i, r]] += truth[t]
+    expect_top = sorted(truth.items(),
+                        key=lambda kv: (-kv[1], kv[0]))[:k]
+    got = list(zip(out.column("term").to_pylist(),
+                   out.column("true_cnt").to_pylist(),
+                   out.column("cms_est").to_pylist()))
+    assert [(t, c) for t, c, _ in got] == expect_top
+    collided = 0
+    for t, c, est in got:
+        i = terms.index(t)
+        ref_est = min(int(mat[r, pos[i, r]]) for r in range(d))
+        assert est == ref_est
+        assert est >= c  # one-sided error
+        collided += est > c
+    assert collided > 0, "width 64 over 300 terms must collide"
+    out2 = cms_heavy_hitters(_ray_ds(tbl, 13), d=d, w=w, k=k)
+    assert out2.equals(out)
+
+
 def test_unigram_logprob_partitioned_parity(ray_session):
     """The distributed-vocabulary escape hatch must agree with the
     broadcast path to fp round-off on a multi-block corpus."""
