@@ -80,6 +80,83 @@ def kmv_distinct(ds, col: str, k: int = 256):
     return pa.table({"est_distinct": pa.array([est], pa.int64())})
 
 
+# -- HyperLogLog registers ---------------------------------------------------
+
+def hll_registers(ds, col: str, p: int = 12):
+    """→ pyarrow Table (bucket, maxrank) for every NON-EMPTY HLL
+    register: bucket = top ``p`` hash bits, rank = position of the
+    leftmost 1 in the remaining ``w = 64-p`` bits (w+1 when they are
+    all zero). Registers are the sketch's whole state — the classic
+    estimate is alpha·m² / Σ 2^(-rank_b) over all m=2^p buckets
+    (empty ⇒ rank 0) — and unlike the float estimate they are pure
+    integers, so the SQL oracle matches them bit-for-bit.
+
+    Scale shape: ONE streaming pass; each block folds its values into
+    a local m-register array (np.maximum.at — max commutes, so any
+    partitioning gives identical registers) and ships ≤ m (bucket,
+    rank) ints; the driver max-merges ≤ m × num_blocks rows. The
+    column itself never shuffles. Input contract: non-negative ints
+    (see _mix)."""
+    from ..io import collect_table
+
+    m = 1 << p
+    w = 64 - p
+    shift = np.uint64(w)
+    mask = np.uint64((1 << w) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        hv = _mix(vals)
+        bucket = (hv >> shift).astype(np.int64)
+        rest = (hv & mask).astype(np.float64)  # < 2^52: float-exact
+        _, e = np.frexp(rest)                  # e = bit_length(rest)
+        rank = w - e.astype(np.int64) + 1      # rest==0 → e=0 → w+1
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, bucket, rank)
+        nz = np.nonzero(regs)[0]
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "maxrank": pa.array(regs[nz])})
+    partial.__name__ = f"hll{p}_partial"
+
+    t = collect_table(ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow"))
+    regs = np.zeros(m, dtype=np.int64)
+    if t.num_rows:
+        np.maximum.at(
+            regs,
+            t.column("bucket").to_numpy(zero_copy_only=False),
+            t.column("maxrank").to_numpy(zero_copy_only=False))
+    nz = np.nonzero(regs)[0]
+    return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                     "maxrank": pa.array(regs[nz])})
+
+
+def hll_oracle_sql(table: str, col: str, p: int = 12) -> str:
+    """DuckDB SQL for hll_registers: HUGEINT splitmix hash, // 2^w
+    bucket split, bit_length via binary format()."""
+    w = 64 - p
+    pow_w = 1 << w
+    return f"""
+    WITH h AS (
+        SELECT ((CAST({col} AS HUGEINT) * {PHI64})
+                % 18446744073709551616) AS hv
+        FROM {table}),
+    br AS (
+        SELECT CAST(hv // {pow_w} AS BIGINT) AS bucket,
+               CAST(hv % {pow_w} AS BIGINT) AS rest
+        FROM h),
+    rk AS (
+        SELECT bucket,
+               CASE WHEN rest = 0 THEN {w + 1}
+                    ELSE {w} - length(format('{{:b}}', rest)) + 1
+               END AS rank
+        FROM br)
+    SELECT bucket, CAST(max(rank) AS BIGINT) AS maxrank
+    FROM rk GROUP BY bucket
+    """
+
+
 # -- Count-Min heavy hitters -------------------------------------------------
 
 _HEXDIG = "0123456789abcdef"

@@ -1074,6 +1074,16 @@ def q_kmv_distinct(sf_dir: str):
     return kmv_distinct(_read(sf_dir, "orders"), "o_custkey", k=256)
 
 
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog register table over orders.o_custkey (p=12): one
+    streaming pass, per-block max-merged registers (max commutes —
+    identical under any partitioning), column never shuffles
+    (data/sketch.py). The integer registers — the sketch's full
+    state — are hash-checked, not just the float estimate."""
+    from .data.sketch import hll_registers
+    return hll_registers(_read(sf_dir, "orders"), "o_custkey", p=12)
+
+
 def q_heavy_hitters(sf_dir: str):
     """Count-Min heavy hitters over document tokens: the top-20 terms
     by exact count alongside their CMS estimates from a 4×1024
@@ -1514,6 +1524,7 @@ QUERIES = {
     "minhash_dups_partitioned": q_minhash_dups_partitioned,
     "simhash_dups_partitioned": q_simhash_dups_partitioned,
     "heavy_hitters": q_heavy_hitters,
+    "hll_registers": q_hll_registers,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -2458,8 +2469,11 @@ ORACLE_SQL["kmv_distinct"] = """
 """
 
 from .data.sketch import cms_oracle_sql as _cms_oracle_sql  # noqa: E402
+from .data.sketch import hll_oracle_sql as _hll_oracle_sql  # noqa: E402
 
 ORACLE_SQL["heavy_hitters"] = _cms_oracle_sql(d=4, w=1024, k=20)
+ORACLE_SQL["hll_registers"] = _hll_oracle_sql("orders", "o_custkey",
+                                              p=12)
 
 ORACLE_SQL["grouped_quantiles"] = """
     WITH c AS (

@@ -459,6 +459,38 @@ def test_kmv_exact_below_k_and_estimate_above(ray_session):
     assert est2 == est
 
 
+def test_hll_registers_reference_estimate_and_stability(ray_session):
+    """Registers must equal a scalar-Python reference, the classic
+    estimate built from them must land within the HLL error bound,
+    and any repartitioning must give identical registers."""
+    from soupflow.data.sketch import PHI64, hll_registers
+    rng = np.random.default_rng(41)
+    p, m, w = 12, 4096, 52
+    vals = rng.integers(0, 1 << 40, size=30000).astype(np.int64)
+    tbl = pa.table({"v": pa.array(vals, pa.int64())})
+    out = hll_registers(_ray_ds(tbl, 9), "v", p=p)
+
+    ref = [0] * m
+    for v in set(vals.tolist()):
+        hv = (v * PHI64) % (1 << 64)
+        b, rest = hv >> w, hv & ((1 << w) - 1)
+        rank = (w + 1) if rest == 0 else w - rest.bit_length() + 1
+        ref[b] = max(ref[b], rank)
+    got = dict(zip(out.column("bucket").to_pylist(),
+                   out.column("maxrank").to_pylist()))
+    assert got == {b: r for b, r in enumerate(ref) if r > 0}
+
+    # classic HLL estimate from the registers (alpha_4096 ≈ 0.7213/(1+1.079/m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    denom = sum(2.0 ** -r for r in ref)
+    est = alpha * m * m / denom
+    n_true = len(set(vals.tolist()))
+    assert abs(est - n_true) / n_true < 5 * 1.04 / (m ** 0.5)
+
+    out2 = hll_registers(_ray_ds(tbl, 17), "v", p=p)
+    assert out2.equals(out)
+
+
 def test_cms_heavy_hitters_reference_and_stability(ray_session):
     """CMS estimates must equal a scalar reference matrix (collisions
     included), always upper-bound the true count, and be identical
