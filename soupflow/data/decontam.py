@@ -168,3 +168,102 @@ def decontaminate(train_ds, bench_ds, n: int = 8,
     check.__name__ = "check_contamination"
 
     return train_ds.map_batches(check, batch_format="pyarrow")
+
+
+# -- Bloom-filter variant ----------------------------------------------------
+#
+# Same two-phase layout, but the broadcast side is a CONSTANT-SIZE bit
+# array instead of 8 bytes per bench gram: at a 100M-gram eval suite
+# the sorted-array broadcast is 800 MB per node while a 2^30-bit Bloom
+# is 128 MB at ~1e-4 false-positive rate — and decontamination only
+# ever errs toward flagging MORE (one-sided, the safe direction).
+# k bit positions per gram come from multiplicative-shift hashes of
+# the u64 gram hash (odd constants, top log2(m) bits) — deterministic,
+# so the filter contents and any false positive are reproducible
+# bit-for-bit by a scalar reference (pytest forces FPs with a tiny m);
+# at the query's real parameters (m=2^20, k=4, thousands of bench
+# grams) the FP probability is ~(kn/m)^k ≈ 1e-10 per probe, so the
+# exact string-membership SQL oracle matches the Bloom output too.
+
+_BLOOM_MULTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
+def _bloom_positions(grams: np.ndarray, k: int,
+                     log2_m: int) -> np.ndarray:
+    """(len(grams), k) bit positions: top log2_m bits of gram*A_j."""
+    shift = np.uint64(64 - log2_m)
+    out = np.empty((len(grams), k), dtype=np.int64)
+    for j in range(k):
+        with np.errstate(over="ignore"):
+            out[:, j] = ((grams * np.uint64(_BLOOM_MULTS[j]))
+                         >> shift).astype(np.int64)
+    return out
+
+
+def bloom_from_grams(bench_ds, n: int = 8, log2_m: int = 20,
+                     k: int = 4, text_col: str = "text") -> np.ndarray:
+    """Benchmark side → packed Bloom bit array (m/64 uint64 words).
+    Per-task partials are the same OR-mergeable packed arrays (OR
+    commutes — any partitioning builds the identical filter)."""
+    words = 1 << (log2_m - 6)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, grams = _doc_grams(batch, n, text_col)
+        bits = np.zeros(words, dtype=np.uint64)
+        if len(grams):
+            pos = _bloom_positions(np.unique(grams), k, log2_m)
+            flat = pos.reshape(-1)
+            np.bitwise_or.at(bits, flat >> 6,
+                             np.uint64(1) << (flat.astype(np.uint64)
+                                              & np.uint64(63)))
+        nz = np.nonzero(bits)[0]
+        return pa.table({"word": pa.array(nz.astype(np.int64)),
+                         "bits": pa.array(bits[nz], pa.uint64())})
+    partial.__name__ = f"bloom{log2_m}_partial"
+
+    from ..io import collect_table
+    t = collect_table(bench_ds.map_batches(partial,
+                                           batch_format="pyarrow"))
+    bits = np.zeros(words, dtype=np.uint64)
+    if t.num_rows:
+        np.bitwise_or.at(
+            bits, t.column("word").to_numpy(zero_copy_only=False),
+            t.column("bits").to_numpy(zero_copy_only=False))
+    return bits
+
+
+def bloom_decontaminate(train_ds, bench_ds, n: int = 8,
+                        log2_m: int = 20, k: int = 4,
+                        text_col: str = "text"):
+    """→ (doc_id, n_contaminated, contaminated) like ``decontaminate``
+    but probing the constant-size Bloom filter: ONE broadcast (packed
+    bits, m/8 bytes regardless of eval size) + ONE zero-shuffle
+    map_batches; membership = all k bits set (vectorized gather +
+    AND-reduce)."""
+    import ray
+
+    bits = bloom_from_grams(bench_ds, n, log2_m, k, text_col)
+    handle = ray.put(bits)
+
+    def check(batch: pa.Table) -> pa.Table:
+        bf = ray.get(handle)
+        doc_idx, grams = _doc_grams(batch, n, text_col)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(grams):
+            pos = _bloom_positions(grams, k, log2_m)
+            member = np.ones(len(grams), dtype=bool)
+            for j in range(k):
+                pj = pos[:, j]
+                member &= (bf[pj >> 6]
+                           >> (pj.astype(np.uint64) & np.uint64(63))
+                           & np.uint64(1)).astype(bool)
+            np.add.at(hits, doc_idx, member.astype(np.int64))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_contaminated": pa.array(hits, pa.int64()),
+            "contaminated": pa.array(hits > 0),
+        })
+    check.__name__ = "bloom_check_contamination"
+
+    return train_ds.map_batches(check, batch_format="pyarrow")

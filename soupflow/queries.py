@@ -888,6 +888,33 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_split(False), _split(True), n=4)
 
 
+def q_bloom_decontam(sf_dir: str):
+    """Bloom-filter decontamination: same eval split and 4-gram
+    semantics as q_decontaminate, but the broadcast side is a
+    CONSTANT-SIZE packed bit array (2^20 bits, k=4) built from
+    OR-mergeable per-block partials — the 100-TB shape when the eval
+    suite outgrows a sorted-hash-array broadcast. At these parameters
+    the false-positive probability is ~1e-10 per probe, so the exact
+    string-membership oracle matches; the Bloom's one-sided FP
+    semantics are pinned by a tiny-m scalar-reference pytest
+    (data/decontam.py bloom_decontaminate)."""
+    from .data.decontam import bloom_decontaminate
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    import pyarrow.compute as pc
+
+    def _split(want_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            is_b = pa.array(ids % 13 == 0)
+            return b.filter(is_b if want_bench else pc.invert(is_b))
+        f.__name__ = "bench_rows" if want_bench else "train_rows"
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    return bloom_decontaminate(_split(False), _split(True), n=4,
+                               log2_m=20, k=4)
+
+
 def q_stratified_sample(sf_dir: str):
     """Exact-count stratified sample: 25 docs per language, picked by
     smallest deterministic id hash — per-block per-stratum top-k
@@ -1525,6 +1552,7 @@ QUERIES = {
     "simhash_dups_partitioned": q_simhash_dups_partitioned,
     "heavy_hitters": q_heavy_hitters,
     "hll_registers": q_hll_registers,
+    "bloom_decontam": q_bloom_decontam,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -2467,6 +2495,13 @@ ORACLE_SQL["kmv_distinct"] = """
                      AS BIGINT) END AS est_distinct
     FROM n
 """
+
+# The Bloom path's false-positive probability at the query parameters
+# (m=2^20 bits, k=4, ~thousands of bench grams) is ~1e-10 per probe —
+# the exact string-membership ground truth IS the expected output; the
+# filter's one-sided FP semantics are pinned separately by the tiny-m
+# scalar-reference pytest.
+ORACLE_SQL["bloom_decontam"] = ORACLE_SQL["decontaminate"]
 
 from .data.sketch import cms_oracle_sql as _cms_oracle_sql  # noqa: E402
 from .data.sketch import hll_oracle_sql as _hll_oracle_sql  # noqa: E402

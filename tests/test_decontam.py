@@ -92,3 +92,94 @@ def test_empty_benchmark_means_no_contamination():
     rows = decontaminate(train, bench, n=4).take_all()
     assert rows[0]["n_contaminated"] == 0
     assert not rows[0]["contaminated"]
+
+
+# -- Bloom-filter variant -----------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_matches_exact_at_real_params():
+    """At m=2^20/k=4 (the query's params) the FP probability is ~1e-10
+    per probe — the Bloom output must equal the exact-set path."""
+    import ray
+
+    from soupflow.data.decontam import bloom_decontaminate
+    rng = np.random.default_rng(3)
+    vocab = [f"v{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(4, 40)))
+             for _ in range(200)]
+    bench = ray.data.from_items(
+        [{"doc_id": 1000 + i, "text": t} for i, t in
+         enumerate(texts[:30])])
+    train = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    exact = decontaminate(train, bench, n=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    bloom = bloom_decontaminate(train, bench, n=4, log2_m=20, k=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert bloom.equals(exact)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_tiny_m_forces_one_sided_fps_and_matches_reference():
+    """With a deliberately tiny filter (2^8 bits) collisions are
+    guaranteed: the engine must reproduce a scalar-reference Bloom
+    EXACTLY (false positives included), and every error must be
+    one-sided (flagged ⊇ truly contaminated). Also repartition-stable
+    (OR merges commute)."""
+    import ray
+
+    from soupflow.data.decontam import (_bloom_positions,
+                                        bloom_decontaminate,
+                                        bloom_from_grams)
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(80)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(4, 30)))
+             for _ in range(150)]
+    bench_items = [{"doc_id": 5000 + i, "text": t}
+                   for i, t in enumerate(texts[:20])]
+    train_items = [{"doc_id": i, "text": t}
+                   for i, t in enumerate(texts)]
+    log2_m, k, n = 8, 2, 4
+    bench = ray.data.from_items(bench_items)
+    train = ray.data.from_items(train_items)
+
+    bits = bloom_from_grams(bench, n=n, log2_m=log2_m, k=k)
+    # scalar reference: same filter from the raw gram hashes
+    ref_bits = np.zeros(1 << (log2_m - 6), dtype=np.uint64)
+    bench_grams = np.unique(np.concatenate(
+        [grams_of([d["text"]], n)[1] for d in bench_items]))
+    for g in bench_grams:
+        for p in _bloom_positions(np.array([g], np.uint64), k,
+                                  log2_m)[0]:
+            ref_bits[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+    assert (bits == ref_bits).all()
+
+    out = bloom_decontaminate(train, bench, n=n, log2_m=log2_m, k=k) \
+        .to_pandas().set_index("doc_id")
+    exact = decontaminate(train, bench, n=n) \
+        .to_pandas().set_index("doc_id")
+    # scalar-reference probe per doc + one-sidedness
+    sb = np.sort(bench_grams)
+    fp_docs = 0
+    for d in train_items:
+        g = grams_of([d["text"]], n)[1]
+        if len(g) == 0:
+            continue
+        pos = _bloom_positions(g, k, log2_m)
+        member = np.ones(len(g), dtype=bool)
+        for j in range(k):
+            pj = pos[:, j]
+            member &= ((ref_bits[pj >> 6]
+                        >> (pj.astype(np.uint64) & np.uint64(63)))
+                       & np.uint64(1)).astype(bool)
+        want = int(member.sum())
+        got = int(out.loc[d["doc_id"], "n_contaminated"])
+        assert got == want
+        assert got >= int(exact.loc[d["doc_id"], "n_contaminated"])
+        fp_docs += got > int(exact.loc[d["doc_id"], "n_contaminated"])
+    assert fp_docs > 0, "2^8 bits over hundreds of grams must collide"
+
+    out2 = bloom_decontaminate(train.repartition(7), bench,
+                               n=n, log2_m=log2_m, k=k) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out2.equals(out.reset_index())
