@@ -246,3 +246,75 @@ def tfidf_topk(docs, k: int = 5, id_col: str = "doc_id",
     score.__name__ = f"tfidf_top{k}"
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def inverted_index(docs, id_col: str = "doc_id",
+                   num_buckets: int = 64):
+    """Materialize the (term → postings) search index: one row per
+    term with df, total tf, and the postings list itself as a compact
+    ``doc:tf`` string ordered by doc_id (the delta-encodable layout a
+    served index would write).
+
+    Scale shape: the corpus reduces MAP-SIDE to narrow (doc_id, term,
+    tf) rows (text never shuffles); terms are hash-bucketed so the ONE
+    groupby shuffles vocabulary-bounded narrow rows into ``num_buckets``
+    evenly-spread groups (no per-term Python: each bucket's kernel is
+    one lexsort + segment offsets + one Arrow list binary_join). Raise
+    ``num_buckets`` with cluster size; postings for a pathological
+    stopword are bounded by df — a production index would cap or
+    tier those (documented, not needed for the driver corpora)."""
+    from .decontam import _word_hashes
+
+    def doc_term(batch: pa.Table) -> pa.Table:
+        arr = pc.utf8_lower(_text_array(batch))
+        offs, flat = _ws_tokens(arr)
+        toks = flat.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64),
+                            np.diff(offs))
+        keep = toks != ""
+        toks, doc_idx = toks[keep], doc_idx[keep]
+        uniq, codes = np.unique(toks, return_inverse=True)
+        nu = max(len(uniq), 1)
+        upair, tf = np.unique(doc_idx * nu + codes,
+                              return_counts=True)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ucodes = upair % nu
+        bucket = (_word_hashes(uniq) % np.uint64(num_buckets)) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[upair // nu], pa.int64()),
+            "term": pa.array(uniq[ucodes], pa.string()),
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            "bucket": pa.array(bucket[ucodes], pa.int64()),
+        })
+    doc_term.__name__ = "doc_term_tf_bucketed"
+
+    def build_bucket(grp: pa.Table) -> pa.Table:
+        terms = grp.column("term").to_numpy(zero_copy_only=False)
+        doc = grp.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = grp.column("tf").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(terms, return_inverse=True)
+        order = np.lexsort((doc, codes))
+        codes, doc, tf = codes[order], doc[order], tf[order]
+        # segment offsets per term ((term, doc) pairs are globally
+        # unique — a doc's text lives in exactly one row)
+        starts = np.flatnonzero(np.diff(codes, prepend=-1))
+        offs = np.append(starts, len(codes)).astype(np.int32)
+        entry = pc.binary_join_element_wise(
+            pc.cast(pa.array(doc, pa.int64()), pa.string()),
+            pc.cast(pa.array(tf, pa.int64()), pa.string()), ":")
+        postings = pc.binary_join(
+            pa.ListArray.from_arrays(offs, entry), ",")
+        cs = np.concatenate([[0], np.cumsum(tf, dtype=np.int64)])
+        return pa.table({
+            "term": pa.array(uniq, pa.string()),
+            "df": pa.array(np.diff(offs).astype(np.int64)),
+            "tf_total": pa.array(cs[offs[1:]] - cs[offs[:-1]]),
+            "postings": postings,
+        })
+    build_bucket.__name__ = "build_index_bucket"
+
+    return docs.select_columns([id_col, "text"]) \
+        .map_batches(doc_term, batch_format="pyarrow") \
+        .groupby("bucket") \
+        .map_groups(build_bucket, batch_format="pyarrow")

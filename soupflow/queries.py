@@ -1101,6 +1101,16 @@ def q_kmv_distinct(sf_dir: str):
     return kmv_distinct(_read(sf_dir, "orders"), "o_custkey", k=256)
 
 
+def q_inverted_index(sf_dir: str):
+    """Materialized (term → postings) search index over documents:
+    map-side reduction to narrow (doc, term, tf) rows, ONE
+    hash-bucketed groupby, fully vectorized per-bucket kernel
+    (lexsort + Arrow list binary_join) — text never shuffles
+    (data/search.py inverted_index)."""
+    from .data.search import inverted_index
+    return inverted_index(_read(sf_dir, "documents"), num_buckets=64)
+
+
 def q_hll_registers(sf_dir: str):
     """HyperLogLog register table over orders.o_custkey (p=12): one
     streaming pass, per-block max-merged registers (max commutes —
@@ -1553,6 +1563,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "hll_registers": q_hll_registers,
     "bloom_decontam": q_bloom_decontam,
+    "inverted_index": q_inverted_index,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -2502,6 +2513,26 @@ ORACLE_SQL["kmv_distinct"] = """
 # filter's one-sided FP semantics are pinned separately by the tiny-m
 # scalar-reference pytest.
 ORACLE_SQL["bloom_decontam"] = ORACLE_SQL["decontaminate"]
+
+# The bucket column is engine plumbing (hash-spread of the vocabulary)
+# and is dropped by map_groups' output schema; postings order inside a
+# term is doc_id-ascending on both sides.
+ORACLE_SQL["inverted_index"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '')) AS term
+        FROM documents),
+    tf AS (SELECT term, doc_id, count(*) AS tf
+           FROM toks GROUP BY term, doc_id)
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS tf_total,
+           string_agg(CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(tf AS VARCHAR),
+                      ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY term
+"""
 
 from .data.sketch import cms_oracle_sql as _cms_oracle_sql  # noqa: E402
 from .data.sketch import hll_oracle_sql as _hll_oracle_sql  # noqa: E402

@@ -502,3 +502,44 @@ def test_pagerank_matches_scalar_reference(ray_session):
     got2 = dict(zip(t2.column("doc_id").to_pylist(),
                     t2.column("rank_i").to_pylist()))
     assert got2 == got
+
+
+# -- inverted index ------------------------------------------------------------
+
+def test_inverted_index_reference_and_stability(ray_session):
+    """Postings rows must equal a scalar-Python reference index
+    (ordering, df, tf totals) and be identical under repartitioning."""
+    from collections import defaultdict
+
+    import ray
+
+    from soupflow.data.search import inverted_index
+    rng = np.random.default_rng(13)
+    vocab = [f"t{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+             for _ in range(90)]
+    # mixed case + extra whitespace: tokenizer must lower + collapse
+    texts[0] = "  Alpha ALPHA beta\t beta beta  "
+    items = [{"doc_id": 1000 + 7 * i, "text": t}
+             for i, t in enumerate(texts)]
+    ds = ray.data.from_items(items).repartition(8)
+    out = inverted_index(ds, num_buckets=16).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+
+    ref = defaultdict(dict)
+    for it in items:
+        for w in it["text"].lower().split():
+            d = ref[w]
+            d[it["doc_id"]] = d.get(it["doc_id"], 0) + 1
+    assert len(out) == len(ref)
+    for _, row in out.iterrows():
+        docs = ref[row["term"]]
+        assert row["df"] == len(docs)
+        assert row["tf_total"] == sum(docs.values())
+        want = ",".join(f"{d}:{c}" for d, c in sorted(docs.items()))
+        assert row["postings"] == want
+    assert set(out.columns) == {"term", "df", "tf_total", "postings"}
+
+    out2 = inverted_index(ds.repartition(3), num_buckets=16) \
+        .to_pandas().sort_values("term").reset_index(drop=True)
+    assert out2.equals(out)
