@@ -71,9 +71,14 @@ def _gram_hashes(wh: np.ndarray, n: int) -> np.ndarray:
 _SENT = np.uint64(0xD6E8FEB86659FD93)
 
 
-def _doc_grams(batch: pa.Table, n: int,
-               text_col: str = "text") -> tuple[np.ndarray, np.ndarray]:
-    """→ (doc_index_per_gram, gram_hash) for a batch.
+def _doc_gram_stream(batch: pa.Table, n: int, text_col: str = "text"):
+    """→ (words, word_doc, clean_counts, gram_doc, gram_rel, grams):
+    the full token stream (object-array words + per-token doc index +
+    per-doc token counts) alongside every valid n-gram's doc index,
+    token-relative start position and hash. The building block for
+    both membership decontamination (_doc_grams) and span-level dedup
+    (spandedup.remove_dup_spans, which needs positions to map dup
+    grams back onto token coverage).
 
     Fully vectorized: one Arrow whitespace split, per-word hashes via
     np.unique, then ONE sliding-window combine over a single stream
@@ -82,7 +87,10 @@ def _doc_grams(batch: pa.Table, n: int,
     (window fits inside its document) drops them — no per-document
     Python loop."""
     nrows = batch.num_rows
-    empty = (np.empty(0, dtype=np.int64), np.empty(0, np.uint64))
+    empty = (np.empty(0, dtype=object), np.empty(0, np.int64),
+             np.zeros(nrows, dtype=np.int64),
+             np.empty(0, dtype=np.int64), np.empty(0, np.int64),
+             np.empty(0, np.uint64))
     if nrows == 0:
         return empty
     split = pc.split_pattern_regex(
@@ -99,6 +107,9 @@ def _doc_grams(batch: pa.Table, n: int,
     if len(words) == 0:
         return empty
     clean_counts = np.bincount(word_doc, minlength=nrows)
+    no_grams = (words, word_doc, clean_counts,
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64), np.empty(0, np.uint64))
     wh = _word_hashes(words)
 
     pad = n - 1
@@ -112,13 +123,22 @@ def _doc_grams(batch: pa.Table, n: int,
 
     grams = _gram_hashes(padded, n)
     if len(grams) == 0:
-        return empty
+        return no_grams
     win = np.arange(len(grams), dtype=np.int64)
     win_doc = np.searchsorted(starts, win, side="right") - 1
     np.clip(win_doc, 0, nrows - 1, out=win_doc)
     rel = win - starts[win_doc]
     valid = rel <= clean_counts[win_doc] - n
-    return win_doc[valid], grams[valid]
+    return (words, word_doc, clean_counts,
+            win_doc[valid], rel[valid], grams[valid])
+
+
+def _doc_grams(batch: pa.Table, n: int,
+               text_col: str = "text") -> tuple[np.ndarray, np.ndarray]:
+    """→ (doc_index_per_gram, gram_hash) for a batch — the membership
+    view of _doc_gram_stream."""
+    _, _, _, gram_doc, _, grams = _doc_gram_stream(batch, n, text_col)
+    return gram_doc, grams
 
 
 def benchmark_gram_set(bench_ds, n: int = 8,

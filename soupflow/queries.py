@@ -1101,6 +1101,19 @@ def q_kmv_distinct(sf_dir: str):
     return kmv_distinct(_read(sf_dir, "orders"), "o_custkey", k=256)
 
 
+def q_dupspan_removal(sf_dir: str):
+    """ExactSubstr-style duplicate-SPAN removal (Lee et al. 2022):
+    every token covered by a corpus-duplicated word 8-gram is removed
+    from every document. Pass 1 shuffles only narrow (u64, count)
+    gram partials (the distributed suffix-array analogue); pass 2 is
+    one zero-shuffle map with a dup-bounded broadcast + diff/cumsum
+    coverage expansion (data/spandedup.py)."""
+    from .data.spandedup import remove_dup_spans
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text"])
+    return remove_dup_spans(docs, n=8)
+
+
 def q_inverted_index(sf_dir: str):
     """Materialized (term → postings) search index over documents:
     map-side reduction to narrow (doc, term, tf) rows, ONE
@@ -1564,6 +1577,7 @@ QUERIES = {
     "hll_registers": q_hll_registers,
     "bloom_decontam": q_bloom_decontam,
     "inverted_index": q_inverted_index,
+    "dupspan_removal": q_dupspan_removal,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -2513,6 +2527,46 @@ ORACLE_SQL["kmv_distinct"] = """
 # filter's one-sided FP semantics are pinned separately by the tiny-m
 # scalar-reference pytest.
 ORACLE_SQL["bloom_decontam"] = ORACLE_SQL["decontaminate"]
+
+# Exact-string ground truth for the hash-based span dedup (the engine's
+# 64-bit gram hashes are collision-free at test scale — proven by the
+# hash match). 'Drop ALL copies of a duplicated gram' semantics.
+ORACLE_SQL["dupspan_removal"] = r"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    grams AS (
+        SELECT doc_id, i, array_to_string(list_slice(w, i, i + 7), ' ')
+               AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+              FROM words WHERE len(w) >= 8)),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    cov AS (SELECT DISTINCT grams.doc_id, i + j AS t
+            FROM grams JOIN dup USING (g)
+            CROSS JOIN generate_series(0, 7) AS s(j)),
+    tok AS (SELECT doc_id, unnest(w) AS word,
+                   unnest(range(1, len(w) + 1)) AS i
+            FROM words),
+    kept AS (
+        SELECT tok.doc_id, tok.i, tok.word
+        FROM tok LEFT JOIN cov
+            ON tok.doc_id = cov.doc_id AND tok.i = cov.t
+        WHERE cov.t IS NULL),
+    joined AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY i)
+               AS cleaned_text
+        FROM kept GROUP BY doc_id),
+    ncov AS (SELECT doc_id, count(*) AS n_cov FROM cov
+             GROUP BY doc_id)
+    SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(ncov.n_cov, 0) AS BIGINT) AS n_dup_tokens,
+           coalesce(j.cleaned_text, '') AS cleaned_text
+    FROM words w
+    LEFT JOIN ncov USING (doc_id)
+    LEFT JOIN joined j USING (doc_id)
+"""
 
 # The bucket column is engine plumbing (hash-spread of the vocabulary)
 # and is dropped by map_groups' output schema; postings order inside a
