@@ -151,3 +151,51 @@ def mixture_sample(ds, key: str = "source", alpha: float = 0.5,
     def strip(df: pd.DataFrame) -> pd.DataFrame:
         return df[[key, id_col, "srank"]]
     return top.map_batches(strip, batch_format="pandas")
+
+
+def upsample_epochs(ds, weights: dict, key: str = "source",
+                    id_col: str = "doc_id"):
+    """Deterministic mixture UP-sampling: replicate each row
+    ``k + (hash(id) % q < p)`` times where its source's epoch weight
+    is the rational ``k + p/q`` (e.g. 2.25 epochs → every doc twice,
+    a deterministic hash-chosen quarter a third time). The data-mixing
+    counterpart of mixture_sample: training recipes specify epochs per
+    source (Pile/DoReMi style) and the sampler must be reproducible,
+    repartition-stable, and growth-stable (a doc's replica count never
+    changes when other docs appear).
+
+    → input key columns + ``epoch`` (0..r-1 per copy); rows with r=0
+    (weight < 1 sources losing the hash draw) are dropped. Pure
+    map-side arithmetic — zero shuffle, zero driver state; the weights
+    dict is a constant captured in the task closure.
+
+    ``weights``: {key_value: (k, p, q)} with integer k ≥ 0, 0 ≤ p < q.
+    Rational form keeps both numpy and the SQL oracle integer-exact
+    (hash % q compares against p; no float thresholds)."""
+    for src, (k, p, q) in weights.items():
+        if k < 0 or not 0 <= p < q:
+            raise ValueError(f"bad epoch weight for {src!r}: "
+                             f"need k>=0, 0<=p<q, got ({k},{p},{q})")
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        srcs = batch.column(key).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(srcs, return_inverse=True)
+        kk = np.zeros(len(uniq), np.int64)
+        pp = np.zeros(len(uniq), np.int64)
+        qq = np.ones(len(uniq), np.int64)
+        for i, s in enumerate(uniq):
+            k, p, q = weights.get(s, (0, 0, 1))
+            kk[i], pp[i], qq[i] = k, p, q
+        extra = (_mix(ids) % qq[inv].astype(np.uint64)) \
+            < pp[inv].astype(np.uint64)
+        reps = kk[inv] + extra.astype(np.int64)
+        total = int(reps.sum())
+        row_idx = np.repeat(np.arange(len(ids), dtype=np.int64), reps)
+        starts = np.concatenate(([0], np.cumsum(reps)))[:-1]
+        epoch = np.arange(total, dtype=np.int64) \
+            - np.repeat(starts, reps)
+        out = batch.take(pa.array(row_idx, pa.int64()))
+        return out.append_column("epoch", pa.array(epoch, pa.int64()))
+    replicate.__name__ = "upsample_epochs"
+    return ds.map_batches(replicate, batch_format="pyarrow")

@@ -1101,6 +1101,25 @@ def q_kmv_distinct(sf_dir: str):
     return kmv_distinct(_read(sf_dir, "orders"), "o_custkey", k=256)
 
 
+# Epoch weights for q_upsample_epochs: srcN → (N%4) + ((3N)%8)/8
+# epochs. Covers k=0 full-drop sources (src0/8/16), pure-integer
+# epochs, and fractional hash draws.
+UPSAMPLE_WEIGHTS = {f"src{n}": (n % 4, (3 * n) % 8, 8)
+                    for n in range(20)}
+
+
+def q_upsample_epochs(sf_dir: str):
+    """Deterministic epoch-based mixture upsampling (Pile/DoReMi
+    recipe shape): each doc replicated k + (hash(id) % 8 < p) times
+    per its source's rational epoch weight — reproducible,
+    repartition- and growth-stable, pure map-side
+    (data/sampling.py upsample_epochs)."""
+    from .data.sampling import upsample_epochs
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "source"])
+    return upsample_epochs(ds, UPSAMPLE_WEIGHTS, key="source")
+
+
 def q_dupspan_removal(sf_dir: str):
     """ExactSubstr-style duplicate-SPAN removal (Lee et al. 2022):
     every token covered by a corpus-duplicated word 8-gram is removed
@@ -1578,6 +1597,7 @@ QUERIES = {
     "bloom_decontam": q_bloom_decontam,
     "inverted_index": q_inverted_index,
     "dupspan_removal": q_dupspan_removal,
+    "upsample_epochs": q_upsample_epochs,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -2527,6 +2547,24 @@ ORACLE_SQL["kmv_distinct"] = """
 # filter's one-sided FP semantics are pinned separately by the tiny-m
 # scalar-reference pytest.
 ORACLE_SQL["bloom_decontam"] = ORACLE_SQL["decontaminate"]
+
+_UPSAMPLE_VALUES = ", ".join(
+    f"('{s}', {k}, {p}, {q})"
+    for s, (k, p, q) in UPSAMPLE_WEIGHTS.items())
+
+ORACLE_SQL["upsample_epochs"] = f"""
+    WITH wts(source, k, p, q) AS (VALUES {_UPSAMPLE_VALUES}),
+    r AS (
+        SELECT doc_id, d.source,
+               k + CASE WHEN ((CAST(doc_id AS HUGEINT)
+                               * 11400714819323198485)
+                              % 18446744073709551616) % q < p
+                   THEN 1 ELSE 0 END AS reps
+        FROM documents d JOIN wts USING (source))
+    SELECT doc_id, source,
+           CAST(unnest(range(reps)) AS BIGINT) AS epoch
+    FROM r
+"""
 
 # Exact-string ground truth for the hash-based span dedup (the engine's
 # 64-bit gram hashes are collision-free at test scale — proven by the

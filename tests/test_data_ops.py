@@ -543,3 +543,44 @@ def test_inverted_index_reference_and_stability(ray_session):
     out2 = inverted_index(ds.repartition(3), num_buckets=16) \
         .to_pandas().sort_values("term").reset_index(drop=True)
     assert out2.equals(out)
+
+
+# -- epoch upsampling ----------------------------------------------------------
+
+def test_upsample_epochs_reference_growth_and_validation(ray_session):
+    import ray
+
+    from soupflow.data.sampling import PHI64, upsample_epochs
+    weights = {"a": (2, 1, 4), "b": (0, 3, 8), "c": (1, 0, 2),
+               "d": (0, 0, 1)}
+    items = [{"doc_id": i, "source": "abcd"[i % 4]} for i in range(400)]
+    ds = ray.data.from_items(items).repartition(5)
+    out = upsample_epochs(ds, weights).to_pandas()
+
+    def ref_reps(doc_id, src):
+        k, p, q = weights[src]
+        return k + (((doc_id * PHI64) % (1 << 64)) % q < p)
+
+    got = out.groupby("doc_id").size().to_dict()
+    for it in items:
+        r = ref_reps(it["doc_id"], it["source"])
+        assert got.get(it["doc_id"], 0) == r
+        if r:
+            epochs = sorted(out[out.doc_id == it["doc_id"]]["epoch"])
+            assert epochs == list(range(r))
+    assert not (out["source"] == "d").any()        # k=0,p=0 → dropped
+    assert (out["source"] == "a").sum() >= 2 * 100  # k=2 floor
+
+    # growth stability: adding docs never changes existing replicas
+    more = items + [{"doc_id": 10_000 + i, "source": "b"}
+                    for i in range(50)]
+    out2 = upsample_epochs(ray.data.from_items(more).repartition(9),
+                           weights).to_pandas()
+    sub = out2[out2.doc_id < 10_000].sort_values(["doc_id", "epoch"]) \
+        .reset_index(drop=True)
+    assert sub.equals(out.sort_values(["doc_id", "epoch"])
+                      .reset_index(drop=True))
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        upsample_epochs(ds, {"a": (1, 5, 4)})
