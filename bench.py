@@ -44,7 +44,7 @@ TIMED_QUERIES = [
     "reader_pipeline", "extract_hostile", "multimodal_real",
     "multimodal_video", "heavy_hitters", "hll_registers",
     "bloom_decontam", "inverted_index", "dupspan_removal",
-    "upsample_epochs",
+    "upsample_epochs", "zscore_by_lang",
     # NOT timed: pagerank (5 shuffle rounds = pure barrier fixed-cost
     # at toy scale, ~15 s of join/groupby latency for 5k rows) and the
     # *_partitioned variants (hash-join escape hatches, same reason) —

@@ -186,3 +186,74 @@ def grouped_quantiles(ds, key: str, col: str,
                 out.append((ks[s], q,
                             int(vs[s:e][min(pos, e - s - 1)])))
     return pd.DataFrame(out, columns=[key, "q_pct", "value"])
+
+
+def group_zscore(ds, key: str, col: str, id_col: str = "doc_id"):
+    """Per-group z-score normalization → (id_col, key, z): the
+    feature-scaling pass a training pipeline runs before quality
+    thresholds can be compared across groups (languages, sources).
+
+    Scale shape: pass 1 reduces each block to (key, n, sum, sumsq)
+    integer partials — exact sums commute, so the group moments are
+    partitioning-independent — and ONE tiny groupby over the bounded
+    key space merges them; pass 2 is a zero-shuffle map with the
+    broadcast moment table. z = (x·n − S) / sqrt(n·SS − S²) — the
+    numerically-factored form whose float expression tree the SQL
+    oracle mirrors term for term. Zero-variance groups are dropped
+    (z undefined) on both sides."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        x = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        uniq, inv = np.unique(k, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        # int64 scatter-adds (not float bincount weights): partials
+        # stay integer-EXACT. Contract: |col| < ~3e9 so x² fits int64.
+        s = np.zeros(len(uniq), np.int64)
+        ss = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, x)
+        np.add.at(ss, inv, x * x)
+        return pa.table({key: pa.array(uniq),
+                         "n": pa.array(n), "s": pa.array(s),
+                         "ss": pa.array(ss)})
+    partial.__name__ = f"moments_partial_{col}"
+
+    agg = ds.select_columns([key, col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(Sum("n", alias_name="n"),
+                                Sum("s", alias_name="s"),
+                                Sum("ss", alias_name="ss"))
+    moments = collect_table(agg)  # key-space bounded
+    mkeys = moments.column(key).to_numpy(zero_copy_only=False)
+    order = np.argsort(mkeys)
+    mkeys = mkeys[order]
+    mn = moments.column("n").to_numpy(zero_copy_only=False)[order] \
+        .astype(np.float64)
+    ms = moments.column("s").to_numpy(zero_copy_only=False)[order] \
+        .astype(np.float64)
+    mss = moments.column("ss").to_numpy(zero_copy_only=False)[order] \
+        .astype(np.float64)
+    denom = np.sqrt(mn * mss - ms * ms)
+    handle = ray.put((mkeys, mn, ms, denom))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ks, n, s, dn = ray.get(handle)
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        x = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pos = np.searchsorted(ks, k)
+        z = (x * n[pos] - s[pos]) / dn[pos]
+        keep = dn[pos] > 0
+        return pa.table({
+            id_col: batch.column(id_col),
+            key: batch.column(key),
+            "z": pa.array(z, pa.float64()),
+        }).filter(pa.array(keep))
+    score.__name__ = f"zscore_{col}"
+
+    return ds.select_columns([id_col, key, col]) \
+        .map_batches(score, batch_format="pyarrow")

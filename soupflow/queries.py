@@ -1108,6 +1108,16 @@ UPSAMPLE_WEIGHTS = {f"src{n}": (n % 4, (3 * n) % 8, 8)
                     for n in range(20)}
 
 
+def q_zscore_by_lang(sf_dir: str):
+    """Per-language z-score of n_chars: integer (n, Σx, Σx²) moment
+    partials (exact — order-free), ONE key-bounded groupby, zero-
+    shuffle broadcast scoring pass in the factored float form whose
+    expression tree the oracle mirrors (data/rank.py group_zscore)."""
+    from .data.rank import group_zscore
+    return group_zscore(_read(sf_dir, "documents"), key="lang",
+                        col="n_chars")
+
+
 def q_upsample_epochs(sf_dir: str):
     """Deterministic epoch-based mixture upsampling (Pile/DoReMi
     recipe shape): each doc replicated k + (hash(id) % 8 < p) times
@@ -1598,6 +1608,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "dupspan_removal": q_dupspan_removal,
     "upsample_epochs": q_upsample_epochs,
+    "zscore_by_lang": q_zscore_by_lang,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -2547,6 +2558,25 @@ ORACLE_SQL["kmv_distinct"] = """
 # filter's one-sided FP semantics are pinned separately by the tiny-m
 # scalar-reference pytest.
 ORACLE_SQL["bloom_decontam"] = ORACLE_SQL["decontaminate"]
+
+# z = (x·n − S)/sqrt(n·SS − S²): the exact float expression tree the
+# engine evaluates (integer moments cast to double, same factoring),
+# so values agree past the driver's 1e-6 rounding. Zero-variance
+# groups dropped on both sides.
+ORACLE_SQL["zscore_by_lang"] = """
+    WITH m AS (
+        SELECT lang, count(*) AS n, sum(n_chars) AS s,
+               sum(n_chars * n_chars) AS ss
+        FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang,
+           (CAST(d.n_chars AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(s AS DOUBLE))
+           / sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS z
+    FROM documents d JOIN m USING (lang)
+    WHERE CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0
+"""
 
 _UPSAMPLE_VALUES = ", ".join(
     f"('{s}', {k}, {p}, {q})"

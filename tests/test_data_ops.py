@@ -584,3 +584,46 @@ def test_upsample_epochs_reference_growth_and_validation(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError):
         upsample_epochs(ds, {"a": (1, 5, 4)})
+
+
+# -- group z-score ---------------------------------------------------------------
+
+def test_group_zscore_reference_zero_var_and_stability(ray_session):
+    import ray
+
+    from soupflow.data.rank import group_zscore
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(300):
+        g = "xyz"[i % 3]
+        rows.append({"doc_id": i, "lang": g,
+                     "n_chars": int(rng.integers(10, 5000))})
+    # zero-variance group: must be dropped entirely
+    rows += [{"doc_id": 1000 + i, "lang": "const", "n_chars": 77}
+             for i in range(10)]
+    ds = ray.data.from_items(rows).repartition(6)
+    out = group_zscore(ds, key="lang", col="n_chars").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert not (out["lang"] == "const").any()
+    assert len(out) == 300
+
+    import statistics
+    by_g = {}
+    for r in rows[:300]:
+        by_g.setdefault(r["lang"], []).append(r["n_chars"])
+    for _, row in out.iterrows():
+        xs = by_g[row["lang"]]
+        mu = statistics.fmean(xs)
+        sd = statistics.pstdev(xs)
+        x = rows[int(row["doc_id"])]["n_chars"]
+        assert abs(row["z"] - (x - mu) / sd) < 1e-9
+    # per-group z-scores are standardized: mean≈0, pop-std≈1
+    for g in "xyz":
+        zs = out[out["lang"] == g]["z"]
+        assert abs(zs.mean()) < 1e-9
+        assert abs(zs.std(ddof=0) - 1.0) < 1e-9
+
+    out2 = group_zscore(ds.repartition(11), key="lang",
+                        col="n_chars").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out2.equals(out)
