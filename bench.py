@@ -44,7 +44,8 @@ TIMED_QUERIES = [
     "reader_pipeline", "extract_hostile", "multimodal_real",
     "multimodal_video", "heavy_hitters", "hll_registers",
     "bloom_decontam", "inverted_index", "dupspan_removal",
-    "upsample_epochs", "zscore_by_lang",
+    "upsample_epochs", "zscore_by_lang", "weighted_sample",
+    "customers_no_orders",
     # NOT timed: pagerank (5 shuffle rounds = pure barrier fixed-cost
     # at toy scale, ~15 s of join/groupby latency for 5k rows) and the
     # *_partitioned variants (hash-join escape hatches, same reason) —

@@ -199,3 +199,37 @@ def upsample_epochs(ds, weights: dict, key: str = "source",
         return out.append_column("epoch", pa.array(epoch, pa.int64()))
     replicate.__name__ = "upsample_epochs"
     return ds.map_batches(replicate, batch_format="pyarrow")
+
+
+def weighted_sample(ds, k: int, weight_col: str,
+                    id_col: str = "doc_id"):
+    """Deterministic weight-proportional sample of ``k`` rows
+    (Efraimidis–Spirakis A-ES): each row gets the priority key
+    ln(u)/w with u = (hash(id)+0.5)/2^64 ∈ (0,1), and the k largest
+    keys win — inclusion probability ∝ weight, yet reproducible,
+    repartition-stable and engine-independent (the SQL oracle ranks
+    by the same float expression; selection ties are broken by id).
+
+    Scale shape: pure map-side key computation + per-block top-k
+    prune, then ONE tiny sort over ≤ k × num_blocks surviving rows —
+    the corpus never shuffles. Rows with w ≤ 0 are excluded."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        u = (_mix(ids).astype(np.float64) + 0.5) / float(_U64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.log(u) / w
+        ok = w > 0
+        # block-local prune: keep this block's k best (key desc,
+        # id asc) — the global winners are among them
+        order = np.lexsort((ids[ok], -key[ok]))
+        idx = np.flatnonzero(ok)[order[:k]]
+        out = batch.take(pa.array(idx, pa.int64()))
+        return out.append_column("skey",
+                                 pa.array(key[idx], pa.float64()))
+    partial.__name__ = f"wsample_partial_{weight_col}"
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .sort(["skey", id_col], descending=[True, False]) \
+        .limit(k).drop_columns(["skey"])

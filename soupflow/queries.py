@@ -1108,6 +1108,62 @@ UPSAMPLE_WEIGHTS = {f"src{n}": (n % 4, (3 * n) % 8, 8)
                     for n in range(20)}
 
 
+def q_weighted_sample(sf_dir: str):
+    """Length-weighted deterministic sample (Efraimidis–Spirakis
+    priority keys, 100 docs ∝ n_chars): map-side keys + per-block
+    top-k prune, ONE tiny sort over surviving partials — the corpus
+    never shuffles (data/sampling.py weighted_sample)."""
+    from .data.sampling import weighted_sample
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "n_chars"])
+    return weighted_sample(ds, k=100, weight_col="n_chars")
+
+
+def q_customers_no_orders(sf_dir: str):
+    """Anti join: customers with NO large order (o_totalprice >
+    400000). The fact side is pruned at the scan (two columns,
+    predicate filter) and reduces map-side to DISTINCT custkeys per
+    block (narrow int64 partials — order rows never shuffle); the
+    distinct-key table is broadcast-sorted once and the dimension
+    side filters by non-membership in ONE zero-shuffle pass. For a
+    fact-side key set too big to broadcast, the same
+    ds.join(join_type='left_anti') hatch as exact_dedup applies."""
+    import ray
+
+    from .io import collect_table
+
+    def keys_partial(b: pa.Table) -> pa.Table:
+        price = b.column("o_totalprice") \
+            .to_numpy(zero_copy_only=False)
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        k = np.unique(ck[price > 400000.0])
+        return pa.table({"k": pa.array(k, pa.int64())})
+
+    parts = collect_table(
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(keys_partial, batch_format="pyarrow"))
+    keys = np.unique(parts.column("k").to_numpy(zero_copy_only=False)) \
+        if parts.num_rows else np.empty(0, np.int64)
+    handle = ray.put(keys)
+
+    def anti(b: pa.Table) -> pa.Table:
+        ks = ray.get(handle)
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        if ks.size:
+            pos = np.searchsorted(ks, ck)
+            pos = np.minimum(pos, ks.size - 1)
+            keep = ks[pos] != ck
+        else:
+            keep = np.ones(ck.size, dtype=bool)
+        return b.filter(pa.array(keep))
+    anti.__name__ = "anti_join_filter"
+
+    return _read(sf_dir, "customer") \
+        .select_columns(["c_custkey", "c_name", "c_mktsegment"]) \
+        .map_batches(anti, batch_format="pyarrow")
+
+
 def q_zscore_by_lang(sf_dir: str):
     """Per-language z-score of n_chars: integer (n, Σx, Σx²) moment
     partials (exact — order-free), ONE key-bounded groupby, zero-
@@ -1609,6 +1665,8 @@ QUERIES = {
     "dupspan_removal": q_dupspan_removal,
     "upsample_epochs": q_upsample_epochs,
     "zscore_by_lang": q_zscore_by_lang,
+    "customers_no_orders": q_customers_no_orders,
+    "weighted_sample": q_weighted_sample,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -2558,6 +2616,33 @@ ORACLE_SQL["kmv_distinct"] = """
 # filter's one-sided FP semantics are pinned separately by the tiny-m
 # scalar-reference pytest.
 ORACLE_SQL["bloom_decontam"] = ORACLE_SQL["decontaminate"]
+
+# Selection-only output (the float priority key is dropped), so the
+# hash compare is integer/string-exact; the ranking expression
+# ln(u)/w is mirrored term for term and ties break by doc_id.
+ORACLE_SQL["weighted_sample"] = """
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(((CAST(doc_id AS HUGEINT)
+                          * 11400714819323198485)
+                         % 18446744073709551616) AS DOUBLE) + 0.5)
+                  / 18446744073709551616.0)
+               / CAST(n_chars AS DOUBLE) AS skey
+        FROM documents WHERE n_chars > 0),
+    ranked AS (
+        SELECT doc_id, n_chars, row_number() OVER (
+            ORDER BY skey DESC, doc_id) AS rn
+        FROM keyed)
+    SELECT doc_id, n_chars FROM ranked WHERE rn <= 100
+"""
+
+ORACLE_SQL["customers_no_orders"] = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+"""
 
 # z = (x·n − S)/sqrt(n·SS − S²): the exact float expression tree the
 # engine evaluates (integer moments cast to double, same factoring),

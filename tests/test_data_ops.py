@@ -627,3 +627,39 @@ def test_group_zscore_reference_zero_var_and_stability(ray_session):
                         col="n_chars").to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert out2.equals(out)
+
+
+# -- weighted sampling -----------------------------------------------------------
+
+def test_weighted_sample_reference_bias_and_stability(ray_session):
+    import math
+
+    import ray
+
+    from soupflow.data.sampling import PHI64, weighted_sample
+    rng = np.random.default_rng(17)
+    n = 600
+    # strongly bimodal weights so the bias is unmistakable
+    w = np.where(np.arange(n) % 10 == 0, 5000, 10).astype(np.int64)
+    w[5] = 0  # must be excluded outright
+    items = [{"doc_id": i, "n_chars": int(w[i])} for i in range(n)]
+    ds = ray.data.from_items(items).repartition(7)
+    out = weighted_sample(ds, k=50, weight_col="n_chars") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def key(i):
+        u = (((i * PHI64) % (1 << 64)) + 0.5) / float(1 << 64)
+        return math.log(u) / float(w[i])
+
+    ranked = sorted((i for i in range(n) if w[i] > 0),
+                    key=lambda i: (-key(i), i))[:50]
+    assert sorted(out["doc_id"]) == sorted(ranked)
+    assert 5 not in set(out["doc_id"])
+    # heavy rows are 1/10 of the corpus but 98% of the mass: they must
+    # dominate the sample
+    heavy = (out["doc_id"] % 10 == 0).sum()
+    assert heavy >= 40
+    out2 = weighted_sample(ds.repartition(13), k=50,
+                           weight_col="n_chars").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out2.equals(out)
