@@ -29,6 +29,7 @@ occur for decontamination.
 from __future__ import annotations
 
 import hashlib
+from typing import NamedTuple
 
 import numpy as np
 import pyarrow as pa
@@ -71,46 +72,84 @@ def _gram_hashes(wh: np.ndarray, n: int) -> np.ndarray:
 _SENT = np.uint64(0xD6E8FEB86659FD93)
 
 
-def _doc_gram_stream(batch: pa.Table, n: int, text_col: str = "text"):
-    """→ (words, word_doc, clean_counts, gram_doc, gram_rel, grams):
-    the full token stream (object-array words + per-token doc index +
-    per-doc token counts) alongside every valid n-gram's doc index,
-    token-relative start position and hash. The building block for
-    both membership decontamination (_doc_grams) and span-level dedup
-    (spandedup.remove_dup_spans, which needs positions to map dup
-    grams back onto token coverage).
+class GramStream(NamedTuple):
+    """One batch's tokenized gram view: the raw Arrow token array plus
+    numpy index/hash streams (nothing corpus-sized ever becomes a
+    Python object — only the batch VOCABULARY is hashed in Python)."""
+    toks: pa.Array            # raw split tokens (may contain empties)
+    tok_pos: np.ndarray       # indices into toks of the clean tokens
+    word_doc: np.ndarray      # doc index per clean token
+    clean_counts: np.ndarray  # clean tokens per doc
+    gram_doc: np.ndarray      # doc index per valid n-gram
+    gram_rel: np.ndarray      # token-relative start per valid n-gram
+    grams: np.ndarray         # uint64 hash per valid n-gram
 
-    Fully vectorized: one Arrow whitespace split, per-word hashes via
-    np.unique, then ONE sliding-window combine over a single stream
+
+def _vocab_hashes(vocab) -> np.ndarray:
+    """uint64 md5-low64 per vocabulary entry (the only Python-level
+    string loop — vocab-bounded, never per token)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+         for w in vocab),
+        dtype=np.uint64, count=len(vocab))
+
+
+def _doc_gram_stream(batch: pa.Table, n: int,
+                     text_col: str = "text") -> GramStream:
+    """The building block for membership decontamination (_doc_grams)
+    and span-level dedup (spandedup.remove_dup_spans, which maps dup
+    grams back onto token coverage and reconstructs text via Arrow
+    take — see GramStream fields).
+
+    Fully vectorized: one Arrow whitespace split, ONE Arrow
+    dictionary_encode (so per-word md5 runs over the batch vocabulary
+    only and gathers back through int32 codes — no per-token Python
+    strings), then ONE sliding-window combine over a single stream
     padded with n-1 sentinel hashes between documents. Windows that
     cross a document boundary contain a sentinel; a validity mask
     (window fits inside its document) drops them — no per-document
     Python loop."""
     nrows = batch.num_rows
-    empty = (np.empty(0, dtype=object), np.empty(0, np.int64),
-             np.zeros(nrows, dtype=np.int64),
-             np.empty(0, dtype=np.int64), np.empty(0, np.int64),
-             np.empty(0, np.uint64))
+
+    def _bare(counts=None):
+        return GramStream(
+            pa.array([], pa.string()), np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            counts if counts is not None
+            else np.zeros(nrows, dtype=np.int64),
+            np.empty(0, np.int64), np.empty(0, np.int64),
+            np.empty(0, np.uint64))
+
     if nrows == 0:
-        return empty
+        return _bare()
     split = pc.split_pattern_regex(
         pc.utf8_trim_whitespace(pc.fill_null(batch.column(text_col),
                                              "")), r"\s+")
-    flat = split.combine_chunks() if isinstance(split, pa.ChunkedArray) \
-        else split
-    counts = np.diff(np.asarray(flat.offsets, dtype=np.int64))
-    words = np.asarray(flat.flatten().to_pylist(), dtype=object)
+    lists = split.combine_chunks() \
+        if isinstance(split, pa.ChunkedArray) else split
+    counts = np.diff(np.asarray(lists.offsets, dtype=np.int64))
+    toks = lists.flatten()
+    if len(toks) == 0:
+        return _bare()
+    denc = toks.dictionary_encode()
+    idx = np.asarray(denc.indices, dtype=np.int64)
+    vocab = denc.dictionary.to_pylist()
+    vh = _vocab_hashes(vocab)
     word_doc = np.repeat(np.arange(nrows, dtype=np.int64), counts)
-    mask = words != ""   # regex split of '' yields one empty token
-    if not mask.all():
-        words, word_doc = words[mask], word_doc[mask]
-    if len(words) == 0:
-        return empty
+    try:  # regex split of '' yields one empty token
+        empty_code = vocab.index("")
+    except ValueError:
+        empty_code = -1
+    clean = idx != empty_code
+    tok_pos = np.flatnonzero(clean)
+    word_doc = word_doc[clean]
+    if tok_pos.size == 0:
+        return _bare()
     clean_counts = np.bincount(word_doc, minlength=nrows)
-    no_grams = (words, word_doc, clean_counts,
-                np.empty(0, dtype=np.int64),
-                np.empty(0, dtype=np.int64), np.empty(0, np.uint64))
-    wh = _word_hashes(words)
+    no_grams = GramStream(toks, tok_pos, word_doc, clean_counts,
+                          np.empty(0, np.int64), np.empty(0, np.int64),
+                          np.empty(0, np.uint64))
+    wh = vh[idx[clean]]
 
     pad = n - 1
     starts = (np.concatenate(([0], np.cumsum(clean_counts)))[:-1]
@@ -129,16 +168,16 @@ def _doc_gram_stream(batch: pa.Table, n: int, text_col: str = "text"):
     np.clip(win_doc, 0, nrows - 1, out=win_doc)
     rel = win - starts[win_doc]
     valid = rel <= clean_counts[win_doc] - n
-    return (words, word_doc, clean_counts,
-            win_doc[valid], rel[valid], grams[valid])
+    return GramStream(toks, tok_pos, word_doc, clean_counts,
+                      win_doc[valid], rel[valid], grams[valid])
 
 
 def _doc_grams(batch: pa.Table, n: int,
                text_col: str = "text") -> tuple[np.ndarray, np.ndarray]:
     """→ (doc_index_per_gram, gram_hash) for a batch — the membership
     view of _doc_gram_stream."""
-    _, _, _, gram_doc, _, grams = _doc_gram_stream(batch, n, text_col)
-    return gram_doc, grams
+    s = _doc_gram_stream(batch, n, text_col)
+    return s.gram_doc, s.grams
 
 
 def benchmark_gram_set(bench_ds, n: int = 8,

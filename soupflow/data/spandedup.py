@@ -47,7 +47,7 @@ def dup_gram_table(docs, n: int = 8, text_col: str = "text"):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        _, _, _, _, _, grams = _doc_gram_stream(batch, n, text_col)
+        grams = _doc_gram_stream(batch, n, text_col).grams
         g, c = np.unique(grams, return_counts=True)
         # int64 bit-view: Ray's groupby rebuilds keys through Python
         # ints and overflows on uint64 > 2^63; only equality matters
@@ -81,19 +81,20 @@ def remove_dup_spans(docs, n: int = 8, id_col: str = "doc_id",
 
     def scrub(batch: pa.Table) -> pa.Table:
         dg = ray.get(handle)
-        words, word_doc, counts, gram_doc, rel, grams = \
-            _doc_gram_stream(batch, n, text_col)
-        nw = len(words)
+        s = _doc_gram_stream(batch, n, text_col)
+        counts = s.clean_counts
+        nw = s.tok_pos.size
         covered = np.zeros(nw, dtype=bool)
-        if len(grams) and len(dg):
-            grams = grams.view(np.int64)
+        if len(s.grams) and len(dg):
+            grams = s.grams.view(np.int64)
             pos = np.searchsorted(dg, grams)
             pos = np.minimum(pos, len(dg) - 1)
             member = dg[pos] == grams
             if member.any():
                 word_starts = np.concatenate(
                     ([0], np.cumsum(counts)))[:-1]
-                start = word_starts[gram_doc[member]] + rel[member]
+                start = word_starts[s.gram_doc[member]] \
+                    + s.gram_rel[member]
                 # expand each member gram to its n tokens with one
                 # diff/cumsum (grams never cross documents, so
                 # start+n never crosses either)
@@ -101,14 +102,16 @@ def remove_dup_spans(docs, n: int = 8, id_col: str = "doc_id",
                 np.add.at(delta, start, 1)
                 np.add.at(delta, start + n, -1)
                 covered = np.cumsum(delta[:-1]) > 0
-        n_dup = np.bincount(word_doc[covered],
+        n_dup = np.bincount(s.word_doc[covered],
                             minlength=batch.num_rows).astype(np.int64)
-        kept = words[~covered]
-        kept_counts = counts - n_dup
+        # survivors rebuilt with Arrow take over the raw token array —
+        # no Python string ever materializes
+        kept = s.toks.take(
+            pa.array(s.tok_pos[~covered], pa.int64())) \
+            if nw else pa.array([], pa.string())
         offs = np.concatenate(
-            ([0], np.cumsum(kept_counts))).astype(np.int32)
-        cleaned = pa.ListArray.from_arrays(
-            offs, pa.array(kept.tolist(), pa.string()))
+            ([0], np.cumsum(counts - n_dup))).astype(np.int32)
+        cleaned = pa.ListArray.from_arrays(offs, kept)
         import pyarrow.compute as pc
         return pa.table({
             "doc_id": batch.column(id_col),
