@@ -127,6 +127,69 @@ def sessionize(ds, gap_s: float = 1800.0, user_col: str = "user_id",
     return interior.union(edges)
 
 
+def windowed_cumsum(ds, *, key_col: str, order_cols: list[str],
+                    val_col: str, out_col: str = "running",
+                    num_partitions: int = 16):
+    """Per-key ordered running sum — the window-function class
+    ``SUM(val) OVER (PARTITION BY key ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)`` — with a PER-ROW output. ``val_col`` must
+    be int64 (convert money to cents first) so partial sums are exact
+    and order-free on the fixup path.
+
+    Scale shape (same interior/edge split as sessionize above): ONE
+    global sort on (key, *order_cols) makes each key's rows contiguous
+    and ordered; every block then finishes its INTERIOR keys with one
+    vectorized segmented cumsum (cumsum minus segment-base, no Python
+    per key). Only rows of the first/last key of each block — O(rows
+    of ≤2 keys per block), independent of key count — go through a
+    small groupby(key) exact fixup, because those keys may continue
+    into a neighboring block. No single-block barrier, no
+    repartition(1)."""
+    cols = [key_col, *order_cols, val_col]
+
+    def split_blocks(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(
+                out_col, pa.array([], pa.int64())).append_column(
+                "is_edge", pa.array([], pa.bool_()))
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]
+        seg = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        cum = np.cumsum(vals)
+        base = (cum[starts] - vals[starts])[seg]
+        running = cum - base
+        # first and last segment of the block may continue into a
+        # neighboring block after the global sort → exact fixup path
+        is_edge = (seg == 0) | (seg == seg[-1])
+        return batch.append_column(
+            out_col, pa.array(running, pa.int64())).append_column(
+            "is_edge", pa.array(is_edge))
+
+    sorted_tagged = ds.select_columns(cols) \
+        .repartition(num_partitions) \
+        .sort([key_col, *order_cols]) \
+        .map_batches(split_blocks, batch_format="pyarrow") \
+        .materialize()  # narrow rows; feeds two consumers
+
+    interior = sorted_tagged.filter(expr="is_edge == False") \
+        .drop_columns(["is_edge"])
+
+    def fix_edges(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order_cols).reset_index(drop=True)
+        g[out_col] = g[val_col].to_numpy().cumsum().astype(np.int64)
+        return g.drop(columns=["is_edge"])
+
+    edges = sorted_tagged.filter(expr="is_edge == True") \
+        .groupby(key_col).map_groups(fix_edges, batch_format="pandas")
+
+    return interior.union(edges)
+
+
 def hopping_window_agg(ds, *, window_s: int = 7200, hop_s: int = 3600,
                        ts_col: str = "ts", key_col: str = "event_type",
                        val_col: str = "value"):

@@ -1119,6 +1119,33 @@ def q_weighted_sample(sf_dir: str):
     return weighted_sample(ds, k=100, weight_col="n_chars")
 
 
+def q_running_total(sf_dir: str):
+    """Per-customer running order total — the ordered window-function
+    class SUM(...) OVER (PARTITION BY key ORDER BY ...). Money is
+    converted to integer cents map-side (floor(x·100 + 0.5), the
+    expression the oracle mirrors) so every partial sum is exact; ONE
+    global sort on (custkey, date, orderkey), vectorized segmented
+    cumsum for block-interior keys, tiny per-key fixup only for the
+    ≤2 keys that touch each block edge (data/windows.py
+    windowed_cumsum)."""
+    from .data.windows import windowed_cumsum
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        tp = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(tp * 100.0 + 0.5).astype(np.int64)
+        return b.drop_columns(["o_totalprice"]).append_column(
+            "cents", pa.array(cents))
+
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]) \
+        .map_batches(to_cents, batch_format="pyarrow")
+    out = windowed_cumsum(ds, key_col="o_custkey",
+                          order_cols=["o_orderdate", "o_orderkey"],
+                          val_col="cents", out_col="running_cents")
+    return out.select_columns(
+        ["o_orderkey", "o_custkey", "running_cents"])
+
+
 def q_customers_no_orders(sf_dir: str):
     """Anti join: customers with NO large order (o_totalprice >
     400000). The fact side is pruned at the scan (two columns,
@@ -1667,6 +1694,7 @@ QUERIES = {
     "zscore_by_lang": q_zscore_by_lang,
     "customers_no_orders": q_customers_no_orders,
     "weighted_sample": q_weighted_sample,
+    "running_total": q_running_total,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -2960,3 +2988,16 @@ def _pagerank_oracle_sql(n_iters: int = 5) -> str:
 
 
 ORACLE_SQL["pagerank"] = _pagerank_oracle_sql(5)
+
+# Running total in integer cents: both sides convert money with the
+# same FLOOR(x*100 + 0.5) double expression, then sum in int64 — the
+# window result is integer-exact regardless of accumulation order.
+ORACLE_SQL["running_total"] = """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS running_cents
+    FROM orders
+"""

@@ -638,3 +638,52 @@ def test_grouped_quantiles_reference(ray_session):
             got = int(out[(out.lang == lang)
                           & (out.q_pct == q)].value.iloc[0])
             assert got == want, (lang, q)
+
+
+# -- windowed_cumsum ----------------------------------------------------------
+
+def _cumsum_reference(keys, ord1, ord2, vals):
+    """Per-key running sum ordered by (ord1, ord2) — plain dict loop."""
+    rows = sorted(zip(keys, ord1, ord2, vals))
+    acc, out = {}, {}
+    for k, o1, o2, v in rows:
+        acc[k] = acc.get(k, 0) + v
+        out[(k, o1, o2)] = acc[k]
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 16])
+def test_windowed_cumsum_matches_reference(ray_session, blocks):
+    from soupflow.data.windows import windowed_cumsum
+    rng = np.random.default_rng(7)
+    n = 400
+    keys = rng.integers(0, 12, n)          # few keys → most span blocks
+    o1 = rng.integers(0, 50, n)
+    o2 = np.arange(n)                      # unique tie-break
+    vals = rng.integers(-100, 1000, n)
+    tbl = pa.table({"k": pa.array(keys, pa.int64()),
+                    "o1": pa.array(o1, pa.int64()),
+                    "o2": pa.array(o2, pa.int64()),
+                    "v": pa.array(vals, pa.int64())})
+    out = windowed_cumsum(_ray_ds(tbl, blocks), key_col="k",
+                          order_cols=["o1", "o2"], val_col="v",
+                          out_col="run", num_partitions=blocks) \
+        .to_pandas()
+    assert len(out) == n
+    ref = _cumsum_reference(keys, o1, o2, vals)
+    for k, a, b, r in zip(out["k"], out["o1"], out["o2"], out["run"]):
+        assert r == ref[(k, a, b)], (k, a, b)
+
+
+def test_windowed_cumsum_single_key_spanning_all_blocks(ray_session):
+    from soupflow.data.windows import windowed_cumsum
+    n = 100
+    tbl = pa.table({"k": pa.array([1] * n, pa.int64()),
+                    "o1": pa.array(np.arange(n), pa.int64()),
+                    "o2": pa.array(np.zeros(n), pa.int64()),
+                    "v": pa.array(np.ones(n), pa.int64())})
+    out = windowed_cumsum(_ray_ds(tbl, 8), key_col="k",
+                          order_cols=["o1", "o2"], val_col="v",
+                          out_col="run", num_partitions=8).to_pandas()
+    got = out.sort_values("o1")["run"].to_numpy()
+    assert (got == np.arange(1, n + 1)).all()
