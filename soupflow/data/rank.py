@@ -257,3 +257,56 @@ def group_zscore(ds, key: str, col: str, id_col: str = "doc_id"):
 
     return ds.select_columns([id_col, key, col]) \
         .map_batches(score, batch_format="pyarrow")
+
+
+def group_corr(ds, key: str, xcol: str, ycol: str):
+    """Exact per-group Pearson correlation → (key, n, corr) over a
+    bounded key space. ``xcol``/``ycol`` must be int64 (quantize
+    floats first — e.g. cents) so the six moments (n, Σx, Σy, Σx²,
+    Σy², Σxy) are integer-exact and order-free.
+
+    Scale shape: same layout as group_zscore — each block reduces to
+    per-key int64 scatter-add partials, ONE tiny groupby merges them,
+    and the final correlation is a driver-side float expression over
+    the |keys|-row moment table:
+    corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−Σx²) · √(n·Σy²−Σy²)) — the
+    factored form whose cast-to-double expression tree the SQL oracle
+    mirrors term for term. Zero-variance groups are dropped (corr
+    undefined) on both sides. Contract: |x·y| · rows-per-key fits
+    int64."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        x = batch.column(xcol).to_numpy(zero_copy_only=False)
+        y = batch.column(ycol).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(k, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        m = np.zeros((5, len(uniq)), np.int64)
+        for row, v in enumerate((x, y, x * x, y * y, x * y)):
+            np.add.at(m[row], inv, v)
+        return pa.table({key: pa.array(uniq), "n": pa.array(n),
+                         "sx": pa.array(m[0]), "sy": pa.array(m[1]),
+                         "sxx": pa.array(m[2]), "syy": pa.array(m[3]),
+                         "sxy": pa.array(m[4])})
+    partial.__name__ = f"corr_partial_{xcol}_{ycol}"
+
+    agg = ds.select_columns([key, xcol, ycol]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(
+            *(Sum(c, alias_name=c)
+              for c in ("n", "sx", "sy", "sxx", "syy", "sxy")))
+    m = collect_table(agg)  # key-space bounded
+    f = {c: m.column(c).to_numpy(zero_copy_only=False)
+         .astype(np.float64)
+         for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+    vx = f["n"] * f["sxx"] - f["sx"] * f["sx"]
+    vy = f["n"] * f["syy"] - f["sy"] * f["sy"]
+    corr = (f["n"] * f["sxy"] - f["sx"] * f["sy"]) \
+        / (np.sqrt(vx) * np.sqrt(vy))
+    keep = (vx > 0) & (vy > 0)
+    return pa.table({
+        key: m.column(key),
+        "n": m.column("n"),
+        "corr": pa.array(corr, pa.float64()),
+    }).filter(pa.array(keep))

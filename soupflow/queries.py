@@ -1146,6 +1146,31 @@ def q_running_total(sf_dir: str):
         ["o_orderkey", "o_custkey", "running_cents"])
 
 
+def q_corr_by_flag(sf_dir: str):
+    """Exact per-group Pearson correlation of quantity vs discount by
+    return flag — integer (n, Σx, Σy, Σx², Σy², Σxy) scatter-add
+    partials per block, ONE tiny groupby, driver-side factored float
+    expression the oracle mirrors (data/rank.py group_corr). Discount
+    is quantized to integer percent with the same floor(x·100 + 0.5)
+    both sides."""
+    from .data.rank import group_corr
+
+    def quantize(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = b.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "qx": pa.array(q, pa.int64()),
+            "qy": pa.array(np.floor(d * 100.0 + 0.5).astype(np.int64),
+                           pa.int64())})
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_quantity", "l_discount"]) \
+        .map_batches(quantize, batch_format="pyarrow")
+    return group_corr(ds, key="l_returnflag", xcol="qx", ycol="qy")
+
+
 def q_customers_no_orders(sf_dir: str):
     """Anti join: customers with NO large order (o_totalprice >
     400000). The fact side is pruned at the scan (two columns,
@@ -1695,6 +1720,7 @@ QUERIES = {
     "customers_no_orders": q_customers_no_orders,
     "weighted_sample": q_weighted_sample,
     "running_total": q_running_total,
+    "corr_by_flag": q_corr_by_flag,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -3000,4 +3026,35 @@ ORACLE_SQL["running_total"] = """
                       ROWS BETWEEN UNBOUNDED PRECEDING
                       AND CURRENT ROW) AS BIGINT) AS running_cents
     FROM orders
+"""
+
+# Pearson correlation from integer moments: both sides quantize
+# discount with FLOOR(x*100 + 0.5), sum exact int64 moments, then
+# evaluate the identical cast-to-double factored expression — float
+# agreement past the driver's 1e-6 rounding. Zero-variance groups
+# dropped on both sides.
+ORACLE_SQL["corr_by_flag"] = """
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS qx,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS qy
+        FROM lineitem),
+    m AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(qx) AS sx, sum(qy) AS sy, sum(qx * qx) AS sxx,
+               sum(qy * qy) AS syy, sum(qx * qy) AS sxy
+        FROM q GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS corr
+    FROM m
+    WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
 """

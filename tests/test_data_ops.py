@@ -629,6 +629,42 @@ def test_group_zscore_reference_zero_var_and_stability(ray_session):
     assert out2.equals(out)
 
 
+# -- grouped correlation ----------------------------------------------------------
+
+def test_group_corr_reference_and_stability(ray_session):
+    import ray
+
+    from soupflow.data.rank import group_corr
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(400):
+        g = "abc"[i % 3]
+        x = int(rng.integers(0, 100))
+        # correlate y with x (+noise) so corr is non-trivial
+        y = x * (1 + i % 3) + int(rng.integers(-20, 20))
+        rows.append({"g": g, "x": x, "y": y})
+    # zero-variance-x group: must be dropped
+    rows += [{"g": "const", "x": 7, "y": int(rng.integers(0, 50))}
+             for _ in range(10)]
+    ds = ray.data.from_items(rows).repartition(7)
+    out = group_corr(ds, key="g", xcol="x", ycol="y").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert list(out["g"]) == ["a", "b", "c"]
+
+    import statistics
+    for _, row in out.iterrows():
+        xs = [r["x"] for r in rows if r["g"] == row["g"]]
+        ys = [r["y"] for r in rows if r["g"] == row["g"]]
+        ref = statistics.correlation(xs, ys)
+        assert abs(row["corr"] - ref) < 1e-9, row["g"]
+        assert row["n"] == len(xs)
+
+    out2 = group_corr(ds.repartition(13), key="g", xcol="x",
+                      ycol="y").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert out2.equals(out)
+
+
 # -- weighted sampling -----------------------------------------------------------
 
 def test_weighted_sample_reference_bias_and_stability(ray_session):
