@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .extract import extract_batch, extract_document
 from .fixtures import docs_to_interleaved
@@ -1171,6 +1172,97 @@ def q_corr_by_flag(sf_dir: str):
     return group_corr(ds, key="l_returnflag", xcol="qx", ycol="qy")
 
 
+def q_orders_with_returns(sf_dir: str):
+    """EXISTS semi-join (TPC-H Q4 shape): count orders by priority
+    having at least one returned lineitem. The key set is a large
+    fraction of the fact table — too big to broadcast (contrast
+    customers_no_orders) — so this is the partitioned path: map-side
+    per-block distinct of the filtered fact keys, ONE groupby dedups
+    them globally, ONE partitioned hash join semi-joins orders, and
+    the final count pre-aggregates per block before a tiny
+    groupby(priority) sum."""
+    from ray.data.aggregate import Count, Sum
+
+    def rkeys(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b.column("l_returnflag"), "R")
+        k = b.filter(mask).column("l_orderkey") \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": pa.array(np.unique(k),
+                                                pa.int64())})
+    rkeys.__name__ = "returned_order_keys"
+
+    keys = _read(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_returnflag"]) \
+        .map_batches(rkeys, batch_format="pyarrow") \
+        .groupby("o_orderkey").aggregate(Count(alias_name="cnt")) \
+        .select_columns(["o_orderkey"]).repartition(8)
+
+    joined = _read(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_orderpriority"]) \
+        .join(keys, join_type="inner", num_partitions=8,
+              on=("o_orderkey",))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_orderpriority").aggregate(
+            [("o_orderkey", "count")])
+        return g.rename_columns(["o_orderpriority", "n_orders"])
+    count_partial.__name__ = "priority_count_partial"
+
+    return joined.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("n_orders", alias_name="n_orders"))
+
+
+def q_priority_by_status(sf_dir: str):
+    """Conditional aggregation over a fact-fact join (TPC-H Q12
+    shape): per line status, how many lineitems belong to
+    high-priority (1-URGENT / 2-HIGH) vs other orders. Both sides are
+    pruned to two columns at the scan — the priority string is folded
+    to one int BEFORE the shuffle so only (key, bit) rows move — then
+    ONE partitioned hash join and a map-side conditional-count partial
+    feeding a tiny groupby(status) sum."""
+    from ray.data.aggregate import Sum
+
+    def fold(b: pa.Table) -> pa.Table:
+        hi = pc.is_in(b.column("o_orderpriority"),
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "is_high": hi.cast(pa.int64())})
+    fold.__name__ = "fold_priority"
+
+    orders = _read(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_orderpriority"]) \
+        .map_batches(fold, batch_format="pyarrow").repartition(8)
+
+    joined = _read(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_linestatus"]) \
+        .join(orders, join_type="inner", num_partitions=8,
+              on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cond_partial(b: pa.Table) -> pa.Table:
+        hi = b.column("is_high").to_numpy(zero_copy_only=False)
+        st = b.column("l_linestatus")
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        uniq, inv = np.unique(
+            np.asarray(st.to_pylist(), dtype=object),
+            return_inverse=True)
+        h = np.bincount(inv, weights=hi,
+                        minlength=len(uniq)).astype(np.int64)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "l_linestatus": pa.array(uniq.tolist(), pa.string()),
+            "high_lines": pa.array(h, pa.int64()),
+            "low_lines": pa.array(n - h, pa.int64())})
+    cond_partial.__name__ = "priority_cond_partial"
+
+    return joined.map_batches(cond_partial, batch_format="pyarrow") \
+        .groupby("l_linestatus").aggregate(
+            Sum("high_lines", alias_name="high_lines"),
+            Sum("low_lines", alias_name="low_lines"))
+
+
 def q_customers_no_orders(sf_dir: str):
     """Anti join: customers with NO large order (o_totalprice >
     400000). The fact side is pruned at the scan (two columns,
@@ -1721,6 +1813,8 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "running_total": q_running_total,
     "corr_by_flag": q_corr_by_flag,
+    "orders_with_returns": q_orders_with_returns,
+    "priority_by_status": q_priority_by_status,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -3057,4 +3151,23 @@ ORACLE_SQL["corr_by_flag"] = """
           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
       AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+"""
+
+ORACLE_SQL["orders_with_returns"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+"""
+
+ORACLE_SQL["priority_by_status"] = """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_linestatus
 """

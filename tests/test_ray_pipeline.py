@@ -813,3 +813,36 @@ def test_salt_by_cost_spreads_clustered_heavy_docs(ray_session):
     counts = np.bincount(heavy_salts, minlength=16)
     assert (counts > 0).sum() >= 6
     assert counts.max() <= n_heavy // 2
+
+
+def test_semi_join_and_conditional_agg_pandas_reference(ray_session):
+    """orders_with_returns (EXISTS semi-join) and priority_by_status
+    (fact-fact join + conditional agg) vs a pandas merge reference."""
+    import pandas as pd
+
+    from soupflow.queries import (q_orders_with_returns,
+                                  q_priority_by_status)
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+
+    got = q_orders_with_returns(SF).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    rkeys = set(li[li.l_returnflag == "R"].l_orderkey)
+    ref = orders[orders.o_orderkey.isin(rkeys)] \
+        .groupby("o_orderpriority").size().rename("n_orders") \
+        .reset_index().sort_values("o_orderpriority") \
+        .reset_index(drop=True)
+    assert list(got["o_orderpriority"]) == list(ref["o_orderpriority"])
+    assert list(got["n_orders"]) == list(ref["n_orders"])
+
+    got2 = q_priority_by_status(SF).to_pandas() \
+        .sort_values("l_linestatus").reset_index(drop=True)
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j["hi"] = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    ref2 = j.groupby("l_linestatus")["hi"].agg(["sum", "count"]) \
+        .reset_index().sort_values("l_linestatus") \
+        .reset_index(drop=True)
+    assert list(got2["l_linestatus"]) == list(ref2["l_linestatus"])
+    assert list(got2["high_lines"]) == list(ref2["sum"])
+    assert list(got2["low_lines"]) == \
+        list(ref2["count"] - ref2["sum"])
