@@ -310,3 +310,79 @@ def group_corr(ds, key: str, xcol: str, ycol: str):
         "n": m.column("n"),
         "corr": pa.array(corr, pa.float64()),
     }).filter(pa.array(keep))
+
+
+def group_rank(ds, key: str, col: str, id_col: str = "doc_id",
+               out_col: str = "rnk"):
+    """Per-row RANK() OVER (PARTITION BY key ORDER BY col) — WITHOUT a
+    global sort. ``col`` must be a bounded-domain non-negative int64
+    (< 2^32): rank(x) = 1 + #rows in the group with a smaller value,
+    which is a pure function of the per-(key, value) HISTOGRAM.
+
+    Scale shape: per-block (key, value, n) unique-partials, ONE
+    groupby over ≤ |keys|·|value domain| narrow rows (the same
+    bounded-histogram contract as quantiles above), a driver-side
+    within-key exclusive cumsum, then a zero-shuffle scoring map that
+    looks ranks up through one packed searchsorted — the corpus rows
+    never move. Ties share the min rank (SQL RANK semantics),
+    dense/percent variants are one line on the same histogram."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(key).to_pylist(), dtype=object)
+        x = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        uk, kinv = np.unique(k, return_inverse=True)
+        if x.size and (x.min() < 0 or x.max() >= 2**32):
+            raise ValueError("group_rank needs 0 <= col < 2^32")
+        packed = kinv.astype(np.int64) * (2**32) + x
+        up, counts = np.unique(packed, return_counts=True)
+        return pa.table({
+            key: pa.array(uk[(up >> 32)].tolist(), pa.string()),
+            "v": pa.array(up & (2**32 - 1), pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64())})
+    partial.__name__ = f"rank_hist_partial_{col}"
+
+    hist = collect_table(
+        ds.select_columns([key, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key, "v"]).aggregate(Sum("n", alias_name="n")))
+    hk = np.asarray(hist.column(key).to_pylist(), dtype=object)
+    hv = hist.column("v").to_numpy(zero_copy_only=False)
+    hn = hist.column("n").to_numpy(zero_copy_only=False)
+    uk, kinv = np.unique(hk, return_inverse=True) \
+        if hk.size else (np.empty(0, object), np.empty(0, np.int64))
+    order = np.lexsort((hv, kinv))
+    kinv, hv, hn = kinv[order], hv[order], hn[order]
+    packed = kinv * (2**32) + hv
+    # exclusive within-key cumsum → #smaller-in-group, rank base
+    cum = np.cumsum(hn) - hn
+    starts = np.r_[True, kinv[1:] != kinv[:-1]]
+    base = np.repeat(cum[starts], np.diff(
+        np.r_[np.flatnonzero(starts), kinv.size]))
+    rank = cum - base + 1
+    handle = ray.put((uk, packed, rank))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ks, pk, rk = ray.get(handle)
+        k = np.asarray(batch.column(key).to_pylist(), dtype=object)
+        x = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        kidx = np.searchsorted(ks, k)
+        q = kidx * (2**32) + x
+        pos = np.searchsorted(pk, q)
+        if pos.size and (pk.size == 0 or
+                         not (pk[np.minimum(pos, pk.size - 1)] == q)
+                         .all()):
+            raise ValueError("group_rank: (key, value) missing from "
+                             "histogram — inconsistent input")
+        return pa.table({
+            id_col: batch.column(id_col),
+            key: batch.column(key),
+            out_col: pa.array(rk[pos], pa.int64())})
+    score.__name__ = f"rank_score_{col}"
+
+    return ds.select_columns([id_col, key, col]) \
+        .map_batches(score, batch_format="pyarrow")

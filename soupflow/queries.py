@@ -1263,6 +1263,18 @@ def q_priority_by_status(sf_dir: str):
             Sum("low_lines", alias_name="low_lines"))
 
 
+def q_rank_by_lang(sf_dir: str):
+    """Per-row RANK() OVER (PARTITION BY lang ORDER BY n_chars)
+    WITHOUT a global sort: rank = 1 + #smaller-in-group is a pure
+    function of the bounded (lang, n_chars) histogram, so one
+    unique-partial pass + ONE tiny groupby + a zero-shuffle broadcast
+    scoring map replace the all-to-all sort (data/rank.py
+    group_rank)."""
+    from .data.rank import group_rank
+    return group_rank(_read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars"]), key="lang", col="n_chars")
+
+
 def q_customers_no_orders(sf_dir: str):
     """Anti join: customers with NO large order (o_totalprice >
     400000). The fact side is pruned at the scan (two columns,
@@ -1815,6 +1827,7 @@ QUERIES = {
     "corr_by_flag": q_corr_by_flag,
     "orders_with_returns": q_orders_with_returns,
     "priority_by_status": q_priority_by_status,
+    "rank_by_lang": q_rank_by_lang,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -3170,4 +3183,11 @@ ORACLE_SQL["priority_by_status"] = """
                     THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY l_linestatus
+"""
+
+ORACLE_SQL["rank_by_lang"] = """
+    SELECT doc_id, lang,
+           CAST(RANK() OVER (PARTITION BY lang ORDER BY n_chars)
+                AS BIGINT) AS rnk
+    FROM documents
 """

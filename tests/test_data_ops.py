@@ -665,6 +665,47 @@ def test_group_corr_reference_and_stability(ray_session):
     assert out2.equals(out)
 
 
+# -- histogram rank -------------------------------------------------------------
+
+def test_group_rank_matches_sql_rank_semantics(ray_session):
+    import ray
+
+    from soupflow.data.rank import group_rank
+    rng = np.random.default_rng(23)
+    rows = [{"doc_id": i, "lang": "pqr"[i % 3],
+             "n_chars": int(rng.integers(0, 40))}  # dense → many ties
+            for i in range(500)]
+    ds = ray.data.from_items(rows).repartition(9)
+    out = group_rank(ds, key="lang", col="n_chars").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 500
+
+    # reference: RANK() = 1 + count of strictly smaller in group
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["lang"], []).append(r["n_chars"])
+    for _, row in out.iterrows():
+        xs = by_g[row["lang"]]
+        x = rows[int(row["doc_id"])]["n_chars"]
+        assert row["rnk"] == 1 + sum(1 for v in xs if v < x)
+
+    out2 = group_rank(ds.repartition(4), key="lang",
+                      col="n_chars").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out2.equals(out)
+
+
+def test_group_rank_rejects_out_of_domain(ray_session):
+    import pytest as _pt
+    import ray
+
+    from soupflow.data.rank import group_rank
+    ds = ray.data.from_items(
+        [{"doc_id": 0, "lang": "x", "n_chars": -1}])
+    with _pt.raises(Exception, match="0 <= col"):
+        group_rank(ds, key="lang", col="n_chars").to_pandas()
+
+
 # -- weighted sampling -----------------------------------------------------------
 
 def test_weighted_sample_reference_bias_and_stability(ray_session):
