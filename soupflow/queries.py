@@ -1275,6 +1275,117 @@ def q_rank_by_lang(sf_dir: str):
         ["doc_id", "lang", "n_chars"]), key="lang", col="n_chars")
 
 
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority, year) revenue cube: the multi-level
+    reporting aggregate. Scale shape: ONE corpus pass of in-batch
+    (priority, year, cents) partials + ONE bounded groupby builds the
+    BASE level; the coarser ROLLUP levels are derived driver-side
+    from the |priorities|·|years|-row base table — never a second
+    scan or shuffle. Sentinels ('ALL', 0) instead of SQL NULLs keep
+    both sides' columns pure string/int64 for the hash compare;
+    integer-cents money keeps sums order-free."""
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        tp = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(tp * 100.0 + 0.5).astype(np.int64)
+        yr = pc.year(b.column("o_orderdate")).cast(pa.int64())
+        t = pa.table({"prio": b.column("o_orderpriority"),
+                      "yr": yr,
+                      "cents": pa.array(cents, pa.int64())})
+        g = t.group_by(["prio", "yr"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["prio", "yr", "rev_cents",
+                                 "n_orders"])
+    partial.__name__ = "rollup_partial"
+
+    base = collect_table(
+        _read(sf_dir, "orders")
+        .select_columns(["o_orderpriority", "o_orderdate",
+                         "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["prio", "yr"]).aggregate(
+            Sum("rev_cents", alias_name="rev_cents"),
+            Sum("n_orders", alias_name="n_orders")))
+    lvl1 = base.group_by("prio").aggregate(
+        [("rev_cents", "sum"), ("n_orders", "sum")]) \
+        .rename_columns(["prio", "rev_cents", "n_orders"])
+    n1 = lvl1.num_rows
+    lvl1 = lvl1.add_column(1, "yr", pa.array([0] * n1, pa.int64()))
+    total = pa.table({
+        "prio": pa.array(["ALL"], pa.string()),
+        "yr": pa.array([0], pa.int64()),
+        "rev_cents": pa.array(
+            [pc.sum(base.column("rev_cents")).as_py() or 0],
+            pa.int64()),
+        "n_orders": pa.array(
+            [pc.sum(base.column("n_orders")).as_py() or 0],
+            pa.int64())})
+    cols = ["prio", "yr", "rev_cents", "n_orders"]
+    return pa.concat_tables([base.select(cols), lvl1.select(cols),
+                             total])
+
+
+def q_common_terms(sf_dir: str):
+    """Vocabulary INTERSECT of two sources, with per-source document
+    frequency — the set-operation surface (terms in BOTH src0 and
+    src1 docs). Scale shape: rows of other sources are dropped at the
+    filter, each block reduces map-side to (term, df_a, df_b)
+    distinct-doc partials (a doc never spans blocks, so per-block
+    distinct counts sum exactly), and ONE vocabulary-bounded
+    groupby(term) + both-positive filter finishes — the text itself
+    never shuffles."""
+    from ray.data.aggregate import Sum
+
+    from .data.textstats import _text_array, _ws_tokens
+
+    src_a, src_b = "src0", "src1"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # Ray 2.49 expression filters reject `in` — Arrow mask here
+        batch = batch.filter(pc.is_in(
+            batch.column("source"),
+            value_set=pa.array([src_a, src_b])))
+        arr = pc.utf8_lower(_text_array(batch))
+        offs, flat = _ws_tokens(arr)
+        toks = flat.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64),
+                            np.diff(offs))
+        keep = toks != ""
+        toks, doc_idx = toks[keep], doc_idx[keep]
+        uniq, codes = np.unique(toks, return_inverse=True)
+        nu = max(len(uniq), 1)
+        upair = np.unique(doc_idx * nu + codes)  # distinct (doc,term)
+        ucodes, udoc = upair % nu, upair // nu
+        is_a = pc.equal(batch.column("source"), src_a) \
+            .to_numpy(zero_copy_only=False)[udoc]
+        df_a = np.bincount(ucodes[is_a],
+                           minlength=len(uniq)).astype(np.int64)
+        df_b = np.bincount(ucodes[~is_a],
+                           minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "term": pa.array(uniq, pa.string()),
+            "df_a": pa.array(df_a, pa.int64()),
+            "df_b": pa.array(df_b, pa.int64())})
+    partial.__name__ = "source_df_partial"
+
+    agg = _read(sf_dir, "documents") \
+        .select_columns(["text", "source"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df_a", alias_name="df_a"),
+                                   Sum("df_b", alias_name="df_b"))
+
+    def both(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(
+            pc.greater(b.column("df_a"), 0),
+            pc.greater(b.column("df_b"), 0)))
+    both.__name__ = "both_sources_filter"
+
+    return agg.map_batches(both, batch_format="pyarrow")
+
+
 def q_customers_no_orders(sf_dir: str):
     """Anti join: customers with NO large order (o_totalprice >
     400000). The fact side is pruned at the scan (two columns,
@@ -1828,6 +1939,8 @@ QUERIES = {
     "orders_with_returns": q_orders_with_returns,
     "priority_by_status": q_priority_by_status,
     "rank_by_lang": q_rank_by_lang,
+    "revenue_rollup": q_revenue_rollup,
+    "common_terms": q_common_terms,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -3190,4 +3303,33 @@ ORACLE_SQL["rank_by_lang"] = """
            CAST(RANK() OVER (PARTITION BY lang ORDER BY n_chars)
                 AS BIGINT) AS rnk
     FROM documents
+"""
+
+# ROLLUP with ('ALL', 0) sentinels instead of NULLs: the data has no
+# genuine NULL priority/year, so COALESCE over the rollup levels is
+# unambiguous and both sides stay pure string/int64 for the hash.
+ORACLE_SQL["revenue_rollup"] = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+           CAST(COALESCE(year(o_orderdate), 0) AS BIGINT) AS yr,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, year(o_orderdate))
+"""
+
+ORACLE_SQL["common_terms"] = """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '')) AS term
+        FROM documents WHERE source IN ('src0', 'src1'))
+    SELECT term,
+           CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                AS BIGINT) AS df_a,
+           CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                AS BIGINT) AS df_b
+    FROM toks GROUP BY term
+    HAVING df_a > 0 AND df_b > 0
 """

@@ -846,3 +846,55 @@ def test_semi_join_and_conditional_agg_pandas_reference(ray_session):
     assert list(got2["high_lines"]) == list(ref2["sum"])
     assert list(got2["low_lines"]) == \
         list(ref2["count"] - ref2["sum"])
+
+
+def test_revenue_rollup_levels_consistent(ray_session):
+    """All three ROLLUP levels must be internally consistent and the
+    base level must match a pandas groupby reference."""
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_revenue_rollup
+    out = q_revenue_rollup(SF).to_pandas()
+    base = out[(out.prio != "ALL") & (out.yr != 0)]
+    lvl1 = out[(out.prio != "ALL") & (out.yr == 0)]
+    total = out[out.prio == "ALL"]
+    assert len(total) == 1
+    assert total.n_orders.iloc[0] == base.n_orders.sum()
+    assert total.rev_cents.iloc[0] == base.rev_cents.sum()
+    l1 = base.groupby("prio")[["rev_cents", "n_orders"]].sum()
+    for _, r in lvl1.iterrows():
+        assert r.rev_cents == l1.loc[r.prio, "rev_cents"]
+        assert r.n_orders == l1.loc[r.prio, "n_orders"]
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    orders["cents"] = np.floor(
+        orders.o_totalprice * 100 + 0.5).astype("int64")
+    orders["yr"] = orders.o_orderdate.dt.year
+    ref = orders.groupby(["o_orderpriority", "yr"])["cents"] \
+        .agg(["sum", "count"])
+    assert len(base) == len(ref)
+    for _, r in base.iterrows():
+        assert r.rev_cents == ref.loc[(r.prio, r.yr), "sum"]
+        assert r.n_orders == ref.loc[(r.prio, r.yr), "count"]
+
+
+def test_common_terms_set_semantics(ray_session):
+    """INTERSECT semantics vs a Python set reference."""
+    import pandas as pd
+
+    from soupflow.queries import q_common_terms
+    out = q_common_terms(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def vocab(src):
+        terms = {}
+        for t in docs[docs.source == src].text:
+            for w in set(t.lower().split()):
+                terms[w] = terms.get(w, 0) + 1
+        return terms
+    va, vb = vocab("src0"), vocab("src1")
+    both = set(va) & set(vb)
+    assert set(out.term) == both
+    for _, r in out.iterrows():
+        assert r.df_a == va[r.term] and r.df_b == vb[r.term]
