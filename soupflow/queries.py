@@ -1386,6 +1386,105 @@ def q_common_terms(sf_dir: str):
     return agg.map_batches(both, batch_format="pyarrow")
 
 
+def q_nation_customer_stats(sf_dir: str):
+    """LEFT OUTER join aggregate: per nation, customer count and
+    total account balance INCLUDING zero-customer nations — the
+    preserve-empty-groups semantics an inner-join aggregate loses.
+    Scale shape: the fact side reduces to (nationkey, n, cents)
+    in-batch partials + ONE key-bounded groupby; the 25-row nation
+    dim then LEFT-joins via a zero-shuffle broadcast lookup with
+    COALESCE-to-zero fill — the dim table never shuffles and the
+    fact table never moves whole rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        ab = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.floor(ab * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({
+            "nk": b.column("c_nationkey").cast(pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "one": pa.array(np.ones(len(b), np.int64), pa.int64())})
+        g = t.group_by("nk").aggregate(
+            [("one", "sum"), ("cents", "sum")])
+        return g.rename_columns(["nk", "n_customers", "bal_cents"])
+    partial.__name__ = "nation_cust_partial"
+
+    agg = collect_table(
+        _read(sf_dir, "customer")
+        .select_columns(["c_nationkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("nk").aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("bal_cents", alias_name="bal_cents")))
+    ak = agg.column("nk").to_numpy(zero_copy_only=False)
+    order = np.argsort(ak)
+    ak = ak[order]
+    an = agg.column("n_customers") \
+        .to_numpy(zero_copy_only=False)[order]
+    ac = agg.column("bal_cents").to_numpy(zero_copy_only=False)[order]
+    handle = ray.put((ak, an, ac))
+
+    def attach(b: pa.Table) -> pa.Table:
+        ks, ns, cs = ray.get(handle)
+        nk = b.column("n_nationkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = np.zeros(nk.size, np.int64)
+        c = np.zeros(nk.size, np.int64)
+        if ks.size:
+            pos = np.minimum(np.searchsorted(ks, nk), ks.size - 1)
+            hit = ks[pos] == nk
+            n[hit] = ns[pos[hit]]
+            c[hit] = cs[pos[hit]]
+        return pa.table({
+            "n_name": b.column("n_name"),
+            "n_customers": pa.array(n, pa.int64()),
+            "bal_cents": pa.array(c, pa.int64())})
+    attach.__name__ = "left_join_fill_zero"
+
+    return _read(sf_dir, "nation") \
+        .select_columns(["n_nationkey", "n_name"]) \
+        .map_batches(attach, batch_format="pyarrow")
+
+
+def q_top_account_parties(sf_dir: str):
+    """Cross-table UNION ALL + global top-k: the 50 highest account
+    balances across customers AND suppliers, tagged by kind. Scale
+    shape: each table is projected to (name, kind, bal_cents) and
+    pruned to its per-block top-50 map-side (one lexsort per block),
+    so the final global sort+limit runs over ≤ 50·num_blocks rows —
+    the union never materializes either corpus."""
+    k = 50
+
+    def mk_partial(name_col: str, bal_col: str, kind: str):
+        def part(b: pa.Table) -> pa.Table:
+            bal = b.column(bal_col).to_numpy(zero_copy_only=False)
+            cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+            names = np.asarray(b.column(name_col).to_pylist(),
+                               dtype=object)
+            top = np.lexsort((names, -cents))[:k]
+            return pa.table({
+                "name": pa.array(names[top].tolist(), pa.string()),
+                "kind": pa.array([kind] * top.size, pa.string()),
+                "bal_cents": pa.array(cents[top], pa.int64())})
+        part.__name__ = f"topk_partial_{kind}"
+        return part
+
+    cust = _read(sf_dir, "customer") \
+        .select_columns(["c_name", "c_acctbal"]) \
+        .map_batches(mk_partial("c_name", "c_acctbal", "cust"),
+                     batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier") \
+        .select_columns(["s_name", "s_acctbal"]) \
+        .map_batches(mk_partial("s_name", "s_acctbal", "supp"),
+                     batch_format="pyarrow")
+    return cust.union(supp) \
+        .sort(["bal_cents", "name"], descending=[True, False]) \
+        .limit(k)
+
+
 def q_customers_no_orders(sf_dir: str):
     """Anti join: customers with NO large order (o_totalprice >
     400000). The fact side is pruned at the scan (two columns,
@@ -1941,6 +2040,8 @@ QUERIES = {
     "rank_by_lang": q_rank_by_lang,
     "revenue_rollup": q_revenue_rollup,
     "common_terms": q_common_terms,
+    "nation_customer_stats": q_nation_customer_stats,
+    "top_account_parties": q_top_account_parties,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -3332,4 +3433,30 @@ ORACLE_SQL["common_terms"] = """
                 AS BIGINT) AS df_b
     FROM toks GROUP BY term
     HAVING df_a > 0 AND df_b > 0
+"""
+
+ORACLE_SQL["nation_customer_stats"] = """
+    SELECT n_name,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_customers,
+           CAST(COALESCE(a.cents, 0) AS BIGINT) AS bal_cents
+    FROM nation LEFT JOIN (
+        SELECT c_nationkey, count(*) AS n,
+               SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                   AS cents
+        FROM customer GROUP BY c_nationkey) a
+    ON n_nationkey = a.c_nationkey
+"""
+
+ORACLE_SQL["top_account_parties"] = """
+    WITH u AS (
+        SELECT c_name AS name, 'cust' AS kind,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                   AS bal_cents
+        FROM customer
+        UNION ALL
+        SELECT s_name, 'supp',
+               CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)
+        FROM supplier)
+    SELECT name, kind, bal_cents FROM u
+    ORDER BY bal_cents DESC, name LIMIT 50
 """

@@ -898,3 +898,50 @@ def test_common_terms_set_semantics(ray_session):
     assert set(out.term) == both
     for _, r in out.iterrows():
         assert r.df_a == va[r.term] and r.df_b == vb[r.term]
+
+
+def test_nation_customer_stats_left_join(ray_session):
+    """LEFT-join semantics vs a pandas reference: every nation
+    appears exactly once, zero-customer nations are zero-filled."""
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_nation_customer_stats
+    out = q_nation_customer_stats(SF).to_pandas()
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    assert sorted(out.n_name) == sorted(nation.n_name)
+    cust["cents"] = np.floor(
+        cust.c_acctbal * 100 + 0.5).astype("int64")
+    ref = cust.groupby("c_nationkey")["cents"].agg(["count", "sum"])
+    key_of = dict(zip(nation.n_name, nation.n_nationkey))
+    for _, r in out.iterrows():
+        nk = key_of[r.n_name]
+        if nk in ref.index:
+            assert r.n_customers == ref.loc[nk, "count"]
+            assert r.bal_cents == ref.loc[nk, "sum"]
+        else:
+            assert r.n_customers == 0 and r.bal_cents == 0
+
+
+def test_top_account_parties_union_topk(ray_session):
+    """UNION ALL + global top-k vs a pandas reference, including the
+    (bal_cents DESC, name ASC) tie ordering."""
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_top_account_parties
+    out = q_top_account_parties(SF).to_pandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")
+    u = pd.concat([
+        pd.DataFrame({"name": cust.c_name, "kind": "cust",
+                      "bal": cust.c_acctbal}),
+        pd.DataFrame({"name": supp.s_name, "kind": "supp",
+                      "bal": supp.s_acctbal})])
+    u["bal_cents"] = np.floor(u.bal * 100 + 0.5).astype("int64")
+    ref = u.sort_values(["bal_cents", "name"],
+                        ascending=[False, True]).head(50)
+    assert list(out.name) == list(ref.name)
+    assert list(out.kind) == list(ref.kind)
+    assert list(out.bal_cents) == list(ref.bal_cents)
