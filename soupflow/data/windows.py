@@ -190,6 +190,94 @@ def windowed_cumsum(ds, *, key_col: str, order_cols: list[str],
     return interior.union(edges)
 
 
+def windowed_lag(ds, *, key_col: str, ts_col: str, id_col: str,
+                 num_partitions: int = 16):
+    """Per-key offset window functions — the ``LAG`` / ``LEAD`` class
+    ``ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts, id)`` — emitting
+    per-row gaps to the previous and next event of the same key in
+    MICROSECONDS (int64; -1 sentinel where SQL yields NULL, i.e. the
+    first/last row of each key).
+
+    Scale shape (same interior/edge split as windowed_cumsum above):
+    the timestamp is folded to int64 micros BEFORE the shuffle so only
+    three int64 columns move; ONE global sort on (key, ts_us, id)
+    makes each key contiguous and ordered; block-INTERIOR keys finish
+    with two vectorized diffs (no Python per key); only the ≤2 keys
+    touching each block edge go through a small exact groupby fixup —
+    and a key that spans blocks has ALL its rows in first/last
+    segments, so the fixup always sees the complete key."""
+
+    def to_us(b: pa.Table) -> pa.Table:
+        ts = b.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        return pa.table({
+            id_col: b.column(id_col).cast(pa.int64()),
+            key_col: b.column(key_col).cast(pa.int64()),
+            "ts_us": pa.array(ts, pa.int64())})
+    to_us.__name__ = "ts_to_int_us"
+
+    def split_blocks(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                key_col: pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "gap_prev": pa.array([], pa.int64()),
+                "gap_next": pa.array([], pa.int64()),
+                "is_edge": pa.array([], pa.bool_())})
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        ts = batch.column("ts_us").to_numpy(zero_copy_only=False)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]
+        diff = ts[1:] - ts[:-1]
+        gp = np.empty(n, np.int64)
+        gp[0] = -1
+        gp[1:] = np.where(change[1:], -1, diff)
+        gn = np.empty(n, np.int64)
+        gn[-1] = -1
+        gn[:-1] = np.where(change[1:], -1, diff)
+        seg = np.cumsum(change) - 1
+        is_edge = (seg == 0) | (seg == seg[-1])
+        return pa.table({
+            id_col: batch.column(id_col),
+            key_col: batch.column(key_col),
+            "ts_us": batch.column("ts_us"),
+            "gap_prev": pa.array(gp, pa.int64()),
+            "gap_next": pa.array(gn, pa.int64()),
+            "is_edge": pa.array(is_edge)})
+
+    sorted_tagged = ds.map_batches(to_us, batch_format="pyarrow") \
+        .repartition(num_partitions) \
+        .sort([key_col, "ts_us", id_col]) \
+        .map_batches(split_blocks, batch_format="pyarrow") \
+        .materialize()  # narrow int64 rows; feeds two consumers
+
+    out_cols = [id_col, key_col, "gap_prev", "gap_next"]
+    interior = sorted_tagged.filter(expr="is_edge == False") \
+        .select_columns(out_cols)
+
+    def fix_edges(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts_us", id_col]).reset_index(drop=True)
+        ts = g["ts_us"].to_numpy()
+        n = ts.size
+        gp = np.empty(n, np.int64)
+        gp[0] = -1
+        gp[1:] = ts[1:] - ts[:-1]
+        gn = np.empty(n, np.int64)
+        gn[-1] = -1
+        gn[:-1] = ts[1:] - ts[:-1]
+        g["gap_prev"] = gp
+        g["gap_next"] = gn
+        return g[out_cols]
+
+    edges = sorted_tagged.filter(expr="is_edge == True") \
+        .groupby(key_col).map_groups(fix_edges, batch_format="pandas")
+
+    return interior.union(edges)
+
+
 def hopping_window_agg(ds, *, window_s: int = 7200, hop_s: int = 3600,
                        ts_col: str = "ts", key_col: str = "event_type",
                        val_col: str = "value"):

@@ -1485,6 +1485,23 @@ def q_top_account_parties(sf_dir: str):
         .limit(k)
 
 
+def q_event_gaps(sf_dir: str):
+    """Per-user LAG/LEAD gaps — the OFFSET window-function class
+    (``ts - LAG(ts) OVER (PARTITION BY user ORDER BY ts, id)``), the
+    inter-arrival-time feature every behavioural pipeline computes.
+    Timestamps fold to int64 micros BEFORE the shuffle (three int64
+    columns move, nothing else); ONE global sort, vectorized diffs for
+    block-interior users, exact groupby fixup only for the ≤2 users
+    touching each block edge (data/windows.py windowed_lag). -1
+    sentinel where SQL LAG/LEAD yields NULL."""
+    from .data.windows import windowed_lag
+
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts"])
+    return windowed_lag(ds, key_col="user_id", ts_col="ts",
+                        id_col="event_id")
+
+
 def q_customers_no_orders(sf_dir: str):
     """Anti join: customers with NO large order (o_totalprice >
     400000). The fact side is pruned at the scan (two columns,
@@ -2042,6 +2059,7 @@ QUERIES = {
     "common_terms": q_common_terms,
     "nation_customer_stats": q_nation_customer_stats,
     "top_account_parties": q_top_account_parties,
+    "event_gaps": q_event_gaps,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -3459,4 +3477,16 @@ ORACLE_SQL["top_account_parties"] = """
         FROM supplier)
     SELECT name, kind, bal_cents FROM u
     ORDER BY bal_cents DESC, name LIMIT 50
+"""
+
+ORACLE_SQL["event_gaps"] = """
+    SELECT event_id, user_id,
+           CAST(COALESCE(
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER w,
+               -1) AS BIGINT) AS gap_prev,
+           CAST(COALESCE(
+               LEAD(epoch_us(ts)) OVER w - epoch_us(ts),
+               -1) AS BIGINT) AS gap_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """

@@ -687,3 +687,74 @@ def test_windowed_cumsum_single_key_spanning_all_blocks(ray_session):
                           out_col="run", num_partitions=8).to_pandas()
     got = out.sort_values("o1")["run"].to_numpy()
     assert (got == np.arange(1, n + 1)).all()
+
+
+# -- windowed_lag --------------------------------------------------------------
+
+def _lag_reference(keys, ts, ids):
+    """Per-key prev/next gaps ordered by (ts, id) — plain dict loop."""
+    rows = sorted(zip(keys, ts, ids), key=lambda r: (r[0], r[1], r[2]))
+    gp, gn = {}, {}
+    for i, (k, t, d) in enumerate(rows):
+        prev = rows[i - 1] if i > 0 and rows[i - 1][0] == k else None
+        nxt = rows[i + 1] if i + 1 < len(rows) \
+            and rows[i + 1][0] == k else None
+        gp[d] = t - prev[1] if prev else -1
+        gn[d] = nxt[1] - t if nxt else -1
+    return gp, gn
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 16])
+def test_windowed_lag_matches_reference(ray_session, blocks):
+    from soupflow.data.windows import windowed_lag
+    rng = np.random.default_rng(13)
+    n = 400
+    keys = rng.integers(0, 10, n)          # few keys → most span blocks
+    ts_us = rng.integers(0, 10**9, n)
+    ids = np.arange(n)                     # unique tie-break
+    tbl = pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "k": pa.array(keys, pa.int64()),
+        "ts": pa.array(ts_us.astype("datetime64[us]"),
+                       pa.timestamp("us"))})
+    out = windowed_lag(_ray_ds(tbl, blocks), key_col="k",
+                       ts_col="ts", id_col="id",
+                       num_partitions=blocks).to_pandas()
+    assert len(out) == n
+    gp, gn = _lag_reference(keys, ts_us, ids)
+    for d, p, x in zip(out["id"], out["gap_prev"], out["gap_next"]):
+        assert p == gp[d] and x == gn[d], d
+
+
+def test_windowed_lag_single_key_spanning_all_blocks(ray_session):
+    from soupflow.data.windows import windowed_lag
+    n = 90
+    step = 7
+    ts_us = (np.arange(n, dtype=np.int64) * step)
+    tbl = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "k": pa.array(np.ones(n, np.int64), pa.int64()),
+        "ts": pa.array(ts_us.astype("datetime64[us]"),
+                       pa.timestamp("us"))})
+    out = windowed_lag(_ray_ds(tbl, 8), key_col="k", ts_col="ts",
+                       id_col="id", num_partitions=8).to_pandas() \
+        .sort_values("id")
+    gp = out["gap_prev"].to_numpy()
+    gn = out["gap_next"].to_numpy()
+    assert gp[0] == -1 and (gp[1:] == step).all()
+    assert gn[-1] == -1 and (gn[:-1] == step).all()
+
+
+def test_windowed_lag_duplicate_timestamps(ray_session):
+    """Ties on ts must break by id (gap 0) on both sides."""
+    from soupflow.data.windows import windowed_lag
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "k": pa.array([5, 5, 5], pa.int64()),
+        "ts": pa.array(np.array([100, 100, 250],
+                                dtype="datetime64[us]"),
+                       pa.timestamp("us"))})
+    out = windowed_lag(_ray_ds(tbl, 1), key_col="k", ts_col="ts",
+                       id_col="id").to_pandas().sort_values("id")
+    assert list(out.gap_prev) == [-1, 0, 150]
+    assert list(out.gap_next) == [0, 150, -1]
