@@ -190,6 +190,73 @@ def windowed_cumsum(ds, *, key_col: str, order_cols: list[str],
     return interior.union(edges)
 
 
+def windowed_rolling_sum(ds, *, key_col: str, order_cols: list[str],
+                         val_col: str, out_col: str = "rolling",
+                         preceding: int = 2, num_partitions: int = 16):
+    """Per-key MOVING-FRAME window sum — the class ``SUM(val) OVER
+    (PARTITION BY key ORDER BY order_cols ROWS BETWEEN ``preceding``
+    PRECEDING AND CURRENT ROW)`` — with a per-row output. ``val_col``
+    must be int64 (convert money to cents first) so every frame sum is
+    exact.
+
+    Scale shape (same interior/edge split as windowed_cumsum): ONE
+    global sort on (key, *order_cols); block-INTERIOR keys finish with
+    one segmented cumsum + a lagged-gather subtraction (rolled[i] =
+    cum[i] − cum[max(i−p, seg_start)−1], zero per-key Python); only
+    the ≤2 keys touching each block edge take the small exact groupby
+    fixup, which always sees the complete key."""
+    cols = [key_col, *order_cols, val_col]
+    p = int(preceding)
+
+    def split_blocks(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(
+                out_col, pa.array([], pa.int64())).append_column(
+                "is_edge", pa.array([], pa.bool_()))
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]
+        seg = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        cum = np.cumsum(vals)
+        idx = np.arange(n)
+        lo = np.maximum(idx - p, starts[seg])  # frame start row
+        prev = lo - 1
+        sub = np.where(prev >= 0, cum[np.maximum(prev, 0)], 0)
+        rolled = cum - sub
+        is_edge = (seg == 0) | (seg == seg[-1])
+        return batch.append_column(
+            out_col, pa.array(rolled, pa.int64())).append_column(
+            "is_edge", pa.array(is_edge))
+
+    sorted_tagged = ds.select_columns(cols) \
+        .repartition(num_partitions) \
+        .sort([key_col, *order_cols]) \
+        .map_batches(split_blocks, batch_format="pyarrow") \
+        .materialize()  # narrow rows; feeds two consumers
+
+    interior = sorted_tagged.filter(expr="is_edge == False") \
+        .drop_columns(["is_edge"])
+
+    def fix_edges(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order_cols).reset_index(drop=True)
+        v = g[val_col].to_numpy().astype(np.int64)
+        cum = np.cumsum(v)
+        idx = np.arange(v.size)
+        prev = np.maximum(idx - p, 0) - 1
+        sub = np.where(prev >= 0, cum[np.maximum(prev, 0)], 0)
+        g[out_col] = (cum - sub).astype(np.int64)
+        return g.drop(columns=["is_edge"])
+
+    edges = sorted_tagged.filter(expr="is_edge == True") \
+        .groupby(key_col).map_groups(fix_edges, batch_format="pandas")
+
+    return interior.union(edges)
+
+
 def windowed_lag(ds, *, key_col: str, ts_col: str, id_col: str,
                  num_partitions: int = 16):
     """Per-key offset window functions — the ``LAG`` / ``LEAD`` class

@@ -1485,6 +1485,33 @@ def q_top_account_parties(sf_dir: str):
         .limit(k)
 
 
+def q_rolling_revenue(sf_dir: str):
+    """Per-customer MOVING 3-order revenue — the bounded-frame window
+    class SUM(...) OVER (... ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW). Money folds to integer cents map-side (floor(x·100 + 0.5),
+    mirrored by the oracle); ONE global sort on (custkey, date,
+    orderkey), segmented cumsum + lagged-gather subtraction for
+    block-interior keys, exact groupby fixup only for the ≤2 keys per
+    block edge (data/windows.py windowed_rolling_sum)."""
+    from .data.windows import windowed_rolling_sum
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        tp = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(tp * 100.0 + 0.5).astype(np.int64)
+        return b.drop_columns(["o_totalprice"]).append_column(
+            "cents", pa.array(cents))
+
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]) \
+        .map_batches(to_cents, batch_format="pyarrow")
+    out = windowed_rolling_sum(
+        ds, key_col="o_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        val_col="cents", out_col="rolling_cents", preceding=2)
+    return out.select_columns(
+        ["o_orderkey", "o_custkey", "rolling_cents"])
+
+
 def q_event_gaps(sf_dir: str):
     """Per-user LAG/LEAD gaps — the OFFSET window-function class
     (``ts - LAG(ts) OVER (PARTITION BY user ORDER BY ts, id)``), the
@@ -2060,6 +2087,7 @@ QUERIES = {
     "nation_customer_stats": q_nation_customer_stats,
     "top_account_parties": q_top_account_parties,
     "event_gaps": q_event_gaps,
+    "rolling_revenue": q_rolling_revenue,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -3489,4 +3517,14 @@ ORACLE_SQL["event_gaps"] = """
                -1) AS BIGINT) AS gap_next
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLE_SQL["rolling_revenue"] = """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS rolling_cents
+    FROM orders
 """

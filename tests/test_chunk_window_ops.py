@@ -758,3 +758,60 @@ def test_windowed_lag_duplicate_timestamps(ray_session):
                        id_col="id").to_pandas().sort_values("id")
     assert list(out.gap_prev) == [-1, 0, 150]
     assert list(out.gap_next) == [0, 150, -1]
+
+
+# -- windowed_rolling_sum ------------------------------------------------------
+
+def _rolling_reference(keys, o1, o2, vals, p):
+    rows = sorted(zip(keys, o1, o2, vals))
+    hist, out = {}, {}
+    for k, a, b, v in rows:
+        h = hist.setdefault(k, [])
+        h.append(v)
+        out[(k, a, b)] = sum(h[-(p + 1):])
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 16])
+def test_windowed_rolling_sum_matches_reference(ray_session, blocks):
+    from soupflow.data.windows import windowed_rolling_sum
+    rng = np.random.default_rng(23)
+    n = 400
+    keys = rng.integers(0, 11, n)
+    o1 = rng.integers(0, 40, n)
+    o2 = np.arange(n)
+    vals = rng.integers(-50, 500, n)
+    tbl = pa.table({"k": pa.array(keys, pa.int64()),
+                    "o1": pa.array(o1, pa.int64()),
+                    "o2": pa.array(o2, pa.int64()),
+                    "v": pa.array(vals, pa.int64())})
+    out = windowed_rolling_sum(
+        _ray_ds(tbl, blocks), key_col="k", order_cols=["o1", "o2"],
+        val_col="v", out_col="roll", preceding=3,
+        num_partitions=blocks).to_pandas()
+    assert len(out) == n
+    ref = _rolling_reference(keys, o1, o2, vals, 3)
+    for k, a, b, r in zip(out["k"], out["o1"], out["o2"],
+                          out["roll"]):
+        assert r == ref[(k, a, b)], (k, a, b)
+
+
+def test_windowed_rolling_sum_frame_edges(ray_session):
+    """preceding=0 degenerates to the value itself; a huge frame
+    degenerates to the running cumsum."""
+    from soupflow.data.windows import windowed_rolling_sum
+    n = 60
+    tbl = pa.table({"k": pa.array([1] * n, pa.int64()),
+                    "o1": pa.array(np.arange(n), pa.int64()),
+                    "v": pa.array(np.arange(1, n + 1), pa.int64())})
+    same = windowed_rolling_sum(
+        _ray_ds(tbl, 4), key_col="k", order_cols=["o1"],
+        val_col="v", out_col="roll", preceding=0,
+        num_partitions=4).to_pandas().sort_values("o1")
+    assert (same["roll"].to_numpy() == np.arange(1, n + 1)).all()
+    cum = windowed_rolling_sum(
+        _ray_ds(tbl, 4), key_col="k", order_cols=["o1"],
+        val_col="v", out_col="roll", preceding=10**6,
+        num_partitions=4).to_pandas().sort_values("o1")
+    assert (cum["roll"].to_numpy()
+            == np.cumsum(np.arange(1, n + 1))).all()
