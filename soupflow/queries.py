@@ -1485,6 +1485,48 @@ def q_top_account_parties(sf_dir: str):
         .limit(k)
 
 
+def q_daily_active_users(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): daily active users per event
+    type — the two-phase distinct-aggregate shape (what Spark plans
+    for COUNT DISTINCT). Phase 1: per-block DISTINCT (type, day, user)
+    triples (an Arrow group_by with no aggregates) shrink the shuffle
+    to unique rows before it happens, then ONE groupby over the triple
+    finishes the global dedup — the shuffle is bounded by
+    |types|·|days|·|users|, not by event count. Phase 2: map-side
+    per-block (type, day) count partials into a tiny groupby-sum.
+    Events themselves never shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        days = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "day": days,
+            "user_id": batch.column("user_id")})
+        return t.group_by(["event_type", "day", "user_id"]) \
+            .aggregate([])
+    distinct_partial.__name__ = "distinct_triples_partial"
+
+    distinct = _read(sf_dir, "events") \
+        .select_columns(["event_type", "ts", "user_id"]) \
+        .map_batches(distinct_partial, batch_format="pyarrow") \
+        .groupby(["event_type", "day", "user_id"]) \
+        .aggregate(Count(alias_name="_c"))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b.column("event_type"),
+                      "day": b.column("day")})
+        g = t.group_by(["event_type", "day"]) \
+            .aggregate([("day", "count")])
+        return g.rename_columns(["event_type", "day", "dau"])
+    count_partial.__name__ = "dau_count_partial"
+
+    return distinct.map_batches(count_partial,
+                                batch_format="pyarrow") \
+        .groupby(["event_type", "day"]) \
+        .aggregate(Sum("dau", alias_name="dau"))
+
+
 def q_rolling_revenue(sf_dir: str):
     """Per-customer MOVING 3-order revenue — the bounded-frame window
     class SUM(...) OVER (... ROWS BETWEEN 2 PRECEDING AND CURRENT
@@ -2088,6 +2130,7 @@ QUERIES = {
     "top_account_parties": q_top_account_parties,
     "event_gaps": q_event_gaps,
     "rolling_revenue": q_rolling_revenue,
+    "daily_active_users": q_daily_active_users,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -3527,4 +3570,10 @@ ORACLE_SQL["rolling_revenue"] = """
                       ROWS BETWEEN 2 PRECEDING
                       AND CURRENT ROW) AS BIGINT) AS rolling_cents
     FROM orders
+"""
+
+ORACLE_SQL["daily_active_users"] = """
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS dau
+    FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
 """

@@ -945,3 +945,19 @@ def test_top_account_parties_union_topk(ray_session):
     assert list(out.name) == list(ref.name)
     assert list(out.kind) == list(ref.kind)
     assert list(out.bal_cents) == list(ref.bal_cents)
+
+
+def test_daily_active_users_exact(ray_session):
+    """Exact COUNT(DISTINCT) vs a pandas nunique reference, stable
+    under repartitioning (distinct partials must compose)."""
+    import pandas as pd
+
+    from soupflow.queries import q_daily_active_users
+    out = q_daily_active_users(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    ref = ev.groupby(["event_type", "day"])["user_id"].nunique()
+    assert len(out) == len(ref)
+    for _, r in out.iterrows():
+        assert r.dau == ref.loc[(r.event_type, r.day)], \
+            (r.event_type, r.day)
