@@ -1485,6 +1485,102 @@ def q_top_account_parties(sf_dir: str):
         .limit(k)
 
 
+def q_daily_events_vs_orders(sf_dir: str):
+    """FULL OUTER join of two fact aggregates — days with events, days
+    with orders, zero-filled on whichever side is absent — done as the
+    union-groupby REWRITE: each fact reduces map-side to (day, n)
+    partials, each side tags the other's column with 0, and ONE tiny
+    groupby-sum over the union both finishes each side's aggregate AND
+    realizes the full-outer semantics. No join operator, no null
+    handling, neither fact ever shuffles whole rows — the all-to-all
+    moves only |days| · 3 int/string columns."""
+    from ray.data.aggregate import Sum
+
+    def ev_partial(b: pa.Table) -> pa.Table:
+        days = pc.strftime(b.column("ts"), format="%Y-%m-%d")
+        g = pa.table({"day": days}).group_by("day") \
+            .aggregate([("day", "count")]) \
+            .rename_columns(["day", "n_events"])
+        return g.append_column(
+            "n_orders", pa.array(np.zeros(g.num_rows, np.int64)))
+    ev_partial.__name__ = "events_day_partial"
+
+    def ord_partial(b: pa.Table) -> pa.Table:
+        days = pc.strftime(b.column("o_orderdate"), format="%Y-%m-%d")
+        g = pa.table({"day": days}).group_by("day") \
+            .aggregate([("day", "count")]) \
+            .rename_columns(["day", "n_orders"])
+        return pa.table({
+            "day": g.column("day"),
+            "n_events": pa.array(np.zeros(g.num_rows, np.int64)),
+            "n_orders": g.column("n_orders")})
+    ord_partial.__name__ = "orders_day_partial"
+
+    ev = _read(sf_dir, "events").select_columns(["ts"]) \
+        .map_batches(ev_partial, batch_format="pyarrow")
+    od = _read(sf_dir, "orders").select_columns(["o_orderdate"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
+    return ev.union(od).groupby("day").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_orders", alias_name="n_orders"))
+
+
+def q_favorite_event(sf_dir: str):
+    """Grouped MODE (argmax-by-count): each user's most frequent
+    event type, ties broken by lexicographically smallest type — the
+    per-group argmax class, done WITHOUT per-group Python or a sort.
+    The tiny type vocabulary is dictionary-encoded once (driver-side,
+    sorted so smaller rank = lexicographically smaller); per-block
+    (user, type_idx, n) count partials + ONE groupby-sum bound rows by
+    |users|·|types|; the argmax then PACKS (count, tie-rank) into one
+    int64 (n·K + (K−1−idx), bigger = better) so a second groupby MAX —
+    a pure C-path aggregate — picks the winner, decoded by a
+    zero-shuffle map. No map_groups, no per-user Python anywhere."""
+    from ray.data.aggregate import Max, Sum
+
+    types = sorted(set(
+        _read(sf_dir, "events").select_columns(["event_type"])
+        .unique("event_type")))
+    K = len(types)
+
+    vocab = pa.array(types, pa.string())
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        tix = pc.index_in(b.column("event_type"), value_set=vocab) \
+            .cast(pa.int64())
+        t = pa.table({"user_id": b.column("user_id"), "tix": tix})
+        g = t.group_by(["user_id", "tix"]).aggregate([("tix", "count")])
+        return g.rename_columns(["user_id", "tix", "n"])
+    count_partial.__name__ = "user_type_count_partial"
+
+    counts = _read(sf_dir, "events") \
+        .select_columns(["user_id", "event_type"]) \
+        .map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "tix"]).aggregate(Sum("n", alias_name="n"))
+
+    def pack(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        tix = b.column("tix").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "packed": pa.array(n * K + (K - 1 - tix), pa.int64())})
+    pack.__name__ = "pack_count_tierank"
+
+    best = counts.map_batches(pack, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Max("packed", alias_name="p"))
+
+    def decode(b: pa.Table) -> pa.Table:
+        p = b.column("p").to_numpy(zero_copy_only=False)
+        tix = K - 1 - (p % K)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "fav": pa.array([types[i] for i in tix], pa.string()),
+            "n": pa.array(p // K, pa.int64())})
+    decode.__name__ = "decode_argmax"
+
+    return best.map_batches(decode, batch_format="pyarrow")
+
+
 def q_daily_active_users(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): daily active users per event
     type — the two-phase distinct-aggregate shape (what Spark plans
@@ -2131,6 +2227,8 @@ QUERIES = {
     "event_gaps": q_event_gaps,
     "rolling_revenue": q_rolling_revenue,
     "daily_active_users": q_daily_active_users,
+    "favorite_event": q_favorite_event,
+    "daily_events_vs_orders": q_daily_events_vs_orders,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -3576,4 +3674,30 @@ ORACLE_SQL["daily_active_users"] = """
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
            count(DISTINCT user_id) AS dau
     FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+"""
+
+ORACLE_SQL["favorite_event"] = """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type),
+    r AS (
+        SELECT user_id, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM c)
+    SELECT user_id, event_type AS fav, n FROM r WHERE rn = 1
+"""
+
+ORACLE_SQL["daily_events_vs_orders"] = """
+    WITH e AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        FROM events GROUP BY 1),
+    o AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM orders GROUP BY 1)
+    SELECT COALESCE(e.day, o.day) AS day,
+           CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+    FROM e FULL OUTER JOIN o ON e.day = o.day
 """

@@ -961,3 +961,42 @@ def test_daily_active_users_exact(ray_session):
     for _, r in out.iterrows():
         assert r.dau == ref.loc[(r.event_type, r.day)], \
             (r.event_type, r.day)
+
+
+def test_favorite_event_argmax_ties(ray_session):
+    """Grouped mode vs a pandas reference including the lexicographic
+    tie-break."""
+    import pandas as pd
+
+    from soupflow.queries import q_favorite_event
+    out = q_favorite_event(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    c = ev.groupby(["user_id", "event_type"]).size() \
+        .rename("n").reset_index()
+    c = c.sort_values(["user_id", "n", "event_type"],
+                      ascending=[True, False, True])
+    ref = c.groupby("user_id").first()
+    assert len(out) == len(ref)
+    for _, r in out.iterrows():
+        assert r.fav == ref.loc[r.user_id, "event_type"]
+        assert r.n == ref.loc[r.user_id, "n"]
+
+
+def test_daily_events_vs_orders_full_outer(ray_session):
+    """Union-groupby rewrite must equal a true full-outer join: every
+    day from either side present exactly once, zero-filled."""
+    import pandas as pd
+
+    from soupflow.queries import q_daily_events_vs_orders
+    out = q_daily_events_vs_orders(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    e = ev.ts.dt.strftime("%Y-%m-%d").value_counts()
+    o = od.o_orderdate.dt.strftime("%Y-%m-%d").value_counts()
+    days = set(e.index) | set(o.index)
+    assert set(out.day) == days and len(out) == len(days)
+    for _, r in out.iterrows():
+        assert r.n_events == e.get(r.day, 0)
+        assert r.n_orders == o.get(r.day, 0)
+    # both exclusive sides must actually occur for the test to bite
+    assert (out.n_events == 0).any() and (out.n_orders == 0).any()
