@@ -1328,20 +1328,18 @@ def q_revenue_rollup(sf_dir: str):
                              total])
 
 
-def q_common_terms(sf_dir: str):
-    """Vocabulary INTERSECT of two sources, with per-source document
-    frequency — the set-operation surface (terms in BOTH src0 and
-    src1 docs). Scale shape: rows of other sources are dropped at the
-    filter, each block reduces map-side to (term, df_a, df_b)
-    distinct-doc partials (a doc never spans blocks, so per-block
-    distinct counts sum exactly), and ONE vocabulary-bounded
-    groupby(term) + both-positive filter finishes — the text itself
-    never shuffles."""
+def _source_df_agg(sf_dir: str, src_a: str = "src0",
+                   src_b: str = "src1"):
+    """Shared two-source per-term document-frequency aggregate: rows
+    of other sources are dropped at the filter, each block reduces
+    map-side to (term, df_a, df_b) distinct-doc partials (a doc never
+    spans blocks, so per-block distinct counts sum exactly), and ONE
+    vocabulary-bounded groupby(term) finishes — the text itself never
+    shuffles. Feeds the INTERSECT (common_terms) and EXCEPT
+    (exclusive_terms) set-operation surfaces."""
     from ray.data.aggregate import Sum
 
     from .data.textstats import _text_array, _ws_tokens
-
-    src_a, src_b = "src0", "src1"
 
     def partial(batch: pa.Table) -> pa.Table:
         # Ray 2.49 expression filters reject `in` — Arrow mask here
@@ -1371,19 +1369,93 @@ def q_common_terms(sf_dir: str):
             "df_b": pa.array(df_b, pa.int64())})
     partial.__name__ = "source_df_partial"
 
-    agg = _read(sf_dir, "documents") \
+    return _read(sf_dir, "documents") \
         .select_columns(["text", "source"]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("term").aggregate(Sum("df_a", alias_name="df_a"),
                                    Sum("df_b", alias_name="df_b"))
 
+
+def q_common_terms(sf_dir: str):
+    """Vocabulary INTERSECT of two sources, with per-source document
+    frequency — terms in BOTH src0 and src1 docs (shared aggregate:
+    see _source_df_agg)."""
     def both(b: pa.Table) -> pa.Table:
         return b.filter(pc.and_(
             pc.greater(b.column("df_a"), 0),
             pc.greater(b.column("df_b"), 0)))
     both.__name__ = "both_sources_filter"
 
-    return agg.map_batches(both, batch_format="pyarrow")
+    return _source_df_agg(sf_dir).map_batches(
+        both, batch_format="pyarrow")
+
+
+def q_exclusive_terms(sf_dir: str):
+    """Vocabulary EXCEPT of two sources — word BIGRAMS appearing in
+    src0 docs but in NO src1 doc, with their src0 document frequency
+    (bigrams, because the synthetic sources share their entire
+    unigram vocabulary — the unigram EXCEPT is empty). Completes the
+    set-operation family (UNION ALL: top_account_parties, INTERSECT:
+    common_terms, EXCEPT: here). Same one-shuffle shape as
+    _source_df_agg: per-block distinct-doc (bigram, df_a, df_b)
+    partials, ONE vocabulary-bounded groupby, text never shuffles."""
+    from ray.data.aggregate import Sum
+
+    from .data.textstats import _text_array, _ws_tokens
+
+    src_a, src_b = "src0", "src1"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(
+            batch.column("source"),
+            value_set=pa.array([src_a, src_b])))
+        arr = pc.utf8_lower(_text_array(batch))
+        offs, flat = _ws_tokens(arr)
+        toks = np.asarray(flat.to_pandas(), dtype=object)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64),
+                            np.diff(offs))
+        keep = toks != ""
+        toks, doc_idx = toks[keep], doc_idx[keep]
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "df_a": pa.array([], pa.int64()),
+                          "df_b": pa.array([], pa.int64())})
+        if toks.size < 2:
+            return empty
+        same = doc_idx[:-1] == doc_idx[1:]
+        bigrams = toks[:-1][same] + " " + toks[1:][same]
+        bdoc = doc_idx[:-1][same]
+        if bigrams.size == 0:
+            return empty
+        uniq, codes = np.unique(bigrams, return_inverse=True)
+        nu = len(uniq)
+        upair = np.unique(bdoc * nu + codes)  # distinct (doc, bigram)
+        ucodes, udoc = upair % nu, upair // nu
+        is_a = pc.equal(batch.column("source"), src_a) \
+            .to_numpy(zero_copy_only=False)[udoc]
+        df_a = np.bincount(ucodes[is_a], minlength=nu) \
+            .astype(np.int64)
+        df_b = np.bincount(ucodes[~is_a], minlength=nu) \
+            .astype(np.int64)
+        return pa.table({
+            "term": pa.array(uniq, pa.string()),
+            "df_a": pa.array(df_a, pa.int64()),
+            "df_b": pa.array(df_b, pa.int64())})
+    partial.__name__ = "source_bigram_df_partial"
+
+    agg = _read(sf_dir, "documents") \
+        .select_columns(["text", "source"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df_a", alias_name="df_a"),
+                                   Sum("df_b", alias_name="df_b"))
+
+    def only_a(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.greater(b.column("df_a"), 0),
+            pc.equal(b.column("df_b"), 0)))
+        return t.drop_columns(["df_b"])
+    only_a.__name__ = "only_src0_filter"
+
+    return agg.map_batches(only_a, batch_format="pyarrow")
 
 
 def q_nation_customer_stats(sf_dir: str):
@@ -2229,6 +2301,7 @@ QUERIES = {
     "daily_active_users": q_daily_active_users,
     "favorite_event": q_favorite_event,
     "daily_events_vs_orders": q_daily_events_vs_orders,
+    "exclusive_terms": q_exclusive_terms,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -3700,4 +3773,23 @@ ORACLE_SQL["daily_events_vs_orders"] = """
            CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events,
            CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
     FROM e FULL OUTER JOIN o ON e.day = o.day
+"""
+
+ORACLE_SQL["exclusive_terms"] = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(text),
+                   '\\s+'), x -> x <> '') AS w
+        FROM documents WHERE source IN ('src0', 'src1')),
+    bg AS (
+        SELECT DISTINCT doc_id, source,
+               w[i] || ' ' || w[i + 1] AS term
+        FROM toks,
+             unnest(generate_series(1, len(w) - 1)) AS t(i))
+    SELECT term,
+           CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                AS BIGINT) AS df_a
+    FROM bg GROUP BY term
+    HAVING df_a > 0
+       AND SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) = 0
 """

@@ -1000,3 +1000,26 @@ def test_daily_events_vs_orders_full_outer(ray_session):
         assert r.n_orders == o.get(r.day, 0)
     # both exclusive sides must actually occur for the test to bite
     assert (out.n_events == 0).any() and (out.n_orders == 0).any()
+
+
+def test_exclusive_terms_except_semantics(ray_session):
+    """Bigram EXCEPT vs a Python set reference."""
+    import pandas as pd
+
+    from soupflow.queries import q_exclusive_terms
+    out = q_exclusive_terms(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def bigrams(src):
+        df = {}
+        for t in docs[docs.source == src].text:
+            w = [x for x in t.lower().split() if x]
+            for bg in {f"{a} {b}" for a, b in zip(w, w[1:])}:
+                df[bg] = df.get(bg, 0) + 1
+        return df
+    va, vb = bigrams("src0"), bigrams("src1")
+    only = set(va) - set(vb)
+    assert len(only) > 0          # the surface must actually bite
+    assert set(out.term) == only
+    for _, r in out.iterrows():
+        assert r.df_a == va[r.term]
