@@ -46,6 +46,14 @@ TIMED_QUERIES = [
     "bloom_decontam", "inverted_index", "dupspan_removal",
     "upsample_epochs", "zscore_by_lang", "weighted_sample",
     "customers_no_orders",
+    "running_total", "event_gaps", "rank_by_lang", "corr_by_flag",
+    "revenue_rollup", "daily_active_users", "favorite_event",
+    "exclusive_terms", "priority_by_status", "orders_with_returns",
+    # rolling_revenue shares windowed_cumsum's sort machinery with
+    # running_total; common_terms shares exclusive_terms' shape;
+    # nation_customer_stats / top_account_parties /
+    # daily_events_vs_orders are tiny-aggregate surfaces — all
+    # oracle-gated, not separately timed.
     # NOT timed: pagerank (5 shuffle rounds = pure barrier fixed-cost
     # at toy scale, ~15 s of join/groupby latency for 5k rows) and the
     # *_partitioned variants (hash-join escape hatches, same reason) —
