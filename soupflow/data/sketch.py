@@ -298,3 +298,91 @@ def cms_oracle_sql(d: int = 4, w: int = 1024, k: int = 20) -> str:
            CAST(cms_est AS BIGINT) AS cms_est
     FROM ranked WHERE rn <= {k}
     """
+
+
+def histogram_quantiles(ds, col: str, *, lo: int, width: int,
+                        nbins: int, qs: tuple[int, ...] = (25, 50, 75)):
+    """Fixed-bin mergeable QUANTILE sketch — the fourth sketch class
+    (KMV/HLL = distinct, CMS = frequency, Bloom = membership, this =
+    quantiles). For unbounded/unknown value domains where the exact
+    per-value histogram of rank.py `quantiles` would blow up, a
+    CONSTANT-size equi-width histogram (``nbins`` int64 cells,
+    independent of both row count and value domain) answers any
+    quantile with error ≤ one bin width.
+
+    Sums commute, so per-block (bin, n) partials merge exactly under
+    ANY partitioning; the estimate — the UPPER EDGE ``lo + (b+1)·width``
+    of the first bin where 100·cumcount ≥ q·total — is pure integer
+    arithmetic, so a SQL oracle reproduces it bit-for-bit (the
+    cross-multiplied comparison avoids float division entirely).
+
+    Scale shape: ONE streaming pass of vectorized clip+bincount
+    partials, ONE groupby over ≤ nbins narrow rows, driver-side
+    cumsum over the tiny bin table. The value column never shuffles.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..io import collect_table
+
+    if nbins <= 0 or width <= 0:
+        raise ValueError("nbins and width must be positive")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = np.clip((v - lo) // width, 0, nbins - 1)
+        n = np.bincount(b, minlength=nbins).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "n": pa.array(n[nz], pa.int64())})
+    partial.__name__ = "hist_bin_partial"
+
+    agg = collect_table(
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin").aggregate(Sum("n", alias_name="n")))
+    # Ray 2.49: a groupby over an empty dataset collects to a
+    # SCHEMA-LESS empty table — guard before touching columns
+    if agg.num_rows == 0 or "bin" not in agg.schema.names:
+        return pa.table({"q_pct": pa.array([], pa.int64()),
+                         "upper_edge": pa.array([], pa.int64())})
+    bins = agg.column("bin").to_numpy(zero_copy_only=False)
+    counts = agg.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(bins)
+    bins, counts = bins[order], counts[order]
+    cum = np.cumsum(counts)
+    if cum.size == 0:
+        return pa.table({"q_pct": pa.array([], pa.int64()),
+                         "upper_edge": pa.array([], pa.int64())})
+    total = int(cum[-1])
+    out_q, out_v = [], []
+    for q in qs:
+        # first bin where 100*cum >= q*total (integer-exact)
+        pos = np.searchsorted(cum * 100, q * total)
+        out_q.append(int(q))
+        out_v.append(int(lo + (bins[pos] + 1) * width))
+    return pa.table({"q_pct": pa.array(out_q, pa.int64()),
+                     "upper_edge": pa.array(out_v, pa.int64())})
+
+
+def histogram_quantiles_oracle_sql(table: str, col: str, *, lo: int,
+                                   width: int, nbins: int,
+                                   qs: tuple[int, ...]) -> str:
+    """Exact SQL mirror of histogram_quantiles (shared integer
+    arithmetic, cross-multiplied threshold)."""
+    qvals = ", ".join(f"({q})" for q in qs)
+    return f"""
+    WITH b AS (
+        SELECT LEAST(GREATEST(({col} - {lo}) // {width}, 0),
+                     {nbins} - 1) AS bin, count(*) AS n
+        FROM {table} GROUP BY 1),
+    c AS (
+        SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum,
+               (SELECT SUM(n) FROM b) AS tot
+        FROM b)
+    SELECT q_pct, CAST({lo} + (MIN(bin) + 1) * {width} AS BIGINT)
+               AS upper_edge
+    FROM c CROSS JOIN (VALUES {qvals}) AS qs(q_pct)
+    WHERE cum * 100 >= q_pct * tot
+    GROUP BY q_pct
+    """

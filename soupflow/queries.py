@@ -1557,6 +1557,23 @@ def q_top_account_parties(sf_dir: str):
         .limit(k)
 
 
+_HIST_Q = dict(lo=0, width=100, nbins=64, qs=(10, 25, 50, 75, 90, 99))
+
+
+def q_chars_histogram(sf_dir: str):
+    """Fixed-bin mergeable quantile SKETCH over document length — the
+    fourth sketch class (distinct: KMV/HLL, frequency: CMS,
+    membership: Bloom, quantiles: here). Constant-size equi-width
+    histogram partials (≤64 int64 cells per block regardless of rows
+    or value domain), ONE groupby over ≤64 narrow rows, driver-side
+    integer cumsum; the upper-edge estimate is pure integer
+    arithmetic the oracle reproduces bit-for-bit (data/sketch.py
+    histogram_quantiles). n_chars never shuffles."""
+    from .data.sketch import histogram_quantiles
+    return histogram_quantiles(
+        _read(sf_dir, "documents"), "n_chars", **_HIST_Q)
+
+
 def q_daily_events_vs_orders(sf_dir: str):
     """FULL OUTER join of two fact aggregates — days with events, days
     with orders, zero-filled on whichever side is absent — done as the
@@ -2302,6 +2319,7 @@ QUERIES = {
     "favorite_event": q_favorite_event,
     "daily_events_vs_orders": q_daily_events_vs_orders,
     "exclusive_terms": q_exclusive_terms,
+    "chars_histogram": q_chars_histogram,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -3793,3 +3811,7 @@ ORACLE_SQL["exclusive_terms"] = """
     HAVING df_a > 0
        AND SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) = 0
 """
+
+from .data.sketch import histogram_quantiles_oracle_sql as _hq_sql
+ORACLE_SQL["chars_histogram"] = _hq_sql(
+    "documents", "n_chars", **_HIST_Q)

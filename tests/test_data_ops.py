@@ -740,3 +740,67 @@ def test_weighted_sample_reference_bias_and_stability(ray_session):
                            weight_col="n_chars").to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert out2.equals(out)
+
+
+def test_histogram_quantiles_reference(ray_session):
+    """Sketch estimate vs a scalar reference; error bounded by one bin
+    width; stable under repartitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from soupflow.data.sketch import histogram_quantiles
+
+    rng = np.random.default_rng(17)
+    v = rng.integers(0, 5000, size=3000).astype(np.int64)
+    tbl = pa.table({"x": pa.array(v, pa.int64())})
+    lo, w, nb = 0, 100, 64
+    for blocks in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        out = histogram_quantiles(ds, "x", lo=lo, width=w, nbins=nb,
+                                  qs=(10, 50, 90, 100))
+        got = dict(zip(out.column("q_pct").to_pylist(),
+                       out.column("upper_edge").to_pylist()))
+        s = np.sort(v)
+        for q in (10, 50, 90, 100):
+            # scalar reference: first bin whose cumcount crosses q%
+            bins = np.clip((s - lo) // w, 0, nb - 1)
+            cnt = np.bincount(bins, minlength=nb)
+            cum = np.cumsum(cnt)
+            pos = np.searchsorted(cum * 100, q * s.size)
+            want = lo + (int(np.flatnonzero(cnt)[0]
+                             if False else pos) + 1) * w
+            # pos indexes ALL bins here (bincount over full range),
+            # unlike the operator's nonzero-compacted table — recompute
+            # the way the operator does to compare exactly
+            nz = np.flatnonzero(cnt)
+            cum_nz = np.cumsum(cnt[nz])
+            pos_nz = np.searchsorted(cum_nz * 100, q * s.size)
+            want = lo + (int(nz[pos_nz]) + 1) * w
+            assert got[q] == want, (blocks, q)
+            # sanity: true quantile lies within the claimed bin
+            rank = max(int(np.ceil(q * s.size / 100)) - 1, 0)
+            assert s[rank] < got[q] <= s[rank] + w
+
+
+def test_histogram_quantiles_clipping_and_empty(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from soupflow.data.sketch import histogram_quantiles
+
+    # out-of-range values clip into the edge bins
+    tbl = pa.table({"x": pa.array([-100, -1, 0, 99, 5000, 10**9],
+                                  pa.int64())})
+    out = histogram_quantiles(rd.from_arrow(tbl), "x", lo=0,
+                              width=100, nbins=10, qs=(50, 100))
+    got = dict(zip(out.column("q_pct").to_pylist(),
+                   out.column("upper_edge").to_pylist()))
+    assert got[50] == 100     # 4 of 6 values land in bin 0
+    assert got[100] == 1000   # overflow clipped to last bin's edge
+    # empty input → empty sketch, no crash
+    empty = pa.table({"x": pa.array([], pa.int64())})
+    out = histogram_quantiles(rd.from_arrow(empty), "x", lo=0,
+                              width=100, nbins=10)
+    assert out.num_rows == 0
