@@ -1557,6 +1557,60 @@ def q_top_account_parties(sf_dir: str):
         .limit(k)
 
 
+def q_profile_lineitem(sf_dir: str):
+    """One-pass table PROFILING (the DESCRIBE/data-quality surface):
+    per-column row count, null count, min, max and exact integer sum
+    for lineitem's numeric columns — the statistics pass every
+    warehouse runs before trusting a feed. Scale shape: each block
+    emits ONE narrow row per column (k rows per block regardless of
+    block size — min/max/sum/count all commute), ONE groupby over
+    |columns| rows finishes; nothing else shuffles. Money/rate
+    columns are folded to integer cents / basis points map-side
+    (floor(x·scale + 0.5), mirrored by the oracle) so sums are exact
+    and the hash compare is float-free."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    specs = [  # (column, integer scale)
+        ("l_quantity", 1),
+        ("l_extendedprice", 100),
+        ("l_discount", 100),
+        ("l_tax", 100),
+    ]
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for col, scale in specs:
+            arr = b.column(col)
+            null_n = arr.null_count
+            v = arr.drop_null().to_numpy(zero_copy_only=False)
+            iv = np.floor(v * scale + 0.5).astype(np.int64) \
+                if scale != 1 else v.astype(np.int64)
+            names.append(col)
+            ns.append(len(arr))
+            nulls.append(null_n)
+            mins.append(int(iv.min()) if iv.size else 2**62)
+            maxs.append(int(iv.max()) if iv.size else -2**62)
+            sums.append(int(iv.sum()))
+        return pa.table({
+            "col": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "n_null": pa.array(nulls, pa.int64()),
+            "min_v": pa.array(mins, pa.int64()),
+            "max_v": pa.array(maxs, pa.int64()),
+            "sum_v": pa.array(sums, pa.int64())})
+    partial.__name__ = "profile_partial"
+
+    return _read(sf_dir, "lineitem") \
+        .select_columns([c for c, _ in specs]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("col").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+            Sum("sum_v", alias_name="sum_v"))
+
+
 _HIST_Q = dict(lo=0, width=100, nbins=64, qs=(10, 25, 50, 75, 90, 99))
 
 
@@ -2320,6 +2374,7 @@ QUERIES = {
     "daily_events_vs_orders": q_daily_events_vs_orders,
     "exclusive_terms": q_exclusive_terms,
     "chars_histogram": q_chars_histogram,
+    "profile_lineitem": q_profile_lineitem,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -3815,3 +3870,42 @@ ORACLE_SQL["exclusive_terms"] = """
 from .data.sketch import histogram_quantiles_oracle_sql as _hq_sql
 ORACLE_SQL["chars_histogram"] = _hq_sql(
     "documents", "n_chars", **_HIST_Q)
+
+ORACLE_SQL["profile_lineitem"] = """
+    SELECT col, n, n_null, min_v, max_v, sum_v FROM (
+        SELECT 'l_quantity' AS col, count(*) AS n,
+               count(*) - count(l_quantity) AS n_null,
+               CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS min_v,
+               CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS max_v,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS sum_v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(*),
+               count(*) - count(l_extendedprice),
+               min(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                        AS BIGINT)),
+               max(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                        AS BIGINT)),
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*),
+               count(*) - count(l_discount),
+               min(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)),
+               max(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)),
+               CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', count(*),
+               count(*) - count(l_tax),
+               min(CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)),
+               max(CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)),
+               CAST(SUM(CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)
+        FROM lineitem)
+"""

@@ -1023,3 +1023,22 @@ def test_exclusive_terms_except_semantics(ray_session):
     assert set(out.term) == only
     for _, r in out.iterrows():
         assert r.df_a == va[r.term]
+
+
+def test_profile_lineitem_reference(ray_session):
+    """One-pass profile vs a pandas reference (exact integer stats)."""
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_profile_lineitem
+    out = q_profile_lineitem(SF).to_pandas().set_index("col")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    for col, scale in [("l_quantity", 1), ("l_extendedprice", 100),
+                       ("l_discount", 100), ("l_tax", 100)]:
+        iv = np.floor(li[col].to_numpy() * scale + 0.5) \
+            .astype(np.int64) if scale != 1 \
+            else li[col].to_numpy().astype(np.int64)
+        r = out.loc[col]
+        assert r.n == len(li) and r.n_null == li[col].isna().sum()
+        assert r.min_v == iv.min() and r.max_v == iv.max()
+        assert r.sum_v == iv.sum()
