@@ -127,6 +127,106 @@ def sessionize(ds, gap_s: float = 1800.0, user_col: str = "user_id",
     return interior.union(edges)
 
 
+_BCAST_CACHE: dict = {}
+
+
+def _cached_get(handle):
+    """Per-worker deserialization cache for broadcast fixup tables:
+    ray.get of a pickled dict re-deserializes on every task, so the
+    first task on a worker materializes it and later tasks reuse it
+    (same pattern as extract.py's per-worker singleton kernels)."""
+    import ray
+    k = handle.hex()
+    v = _BCAST_CACHE.get(k)
+    if v is None:
+        v = ray.get(handle)
+        while len(_BCAST_CACHE) >= 8:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        _BCAST_CACHE[k] = v
+    return v
+
+
+def _key_segments(keys: np.ndarray):
+    """(seg index per row, segment start offsets) for a key column
+    already sorted within the block."""
+    n = keys.size
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = keys[1:] != keys[:-1]
+    return np.cumsum(change) - 1, np.flatnonzero(change)
+
+
+def _edge_segment_bounds(batch: pa.Table, key_col: str):
+    """The ≤2 segments of a block that can continue into a neighbor
+    after the global sort (first and last key run): [(i0, i1), ...].
+    A key spanning multiple blocks lands ENTIRELY in such segments
+    (in middle blocks it occupies the whole block), so a cross-block
+    fixup that covers these covers every split key exactly."""
+    n = batch.num_rows
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+    seg, starts = _key_segments(keys)
+    out = []
+    for s in sorted({0, int(seg[-1])}):
+        i0 = int(starts[s])
+        i1 = int(starts[s + 1]) if s + 1 < starts.size else n
+        out.append((i0, i1))
+    return out
+
+
+def _boundary_tuple(batch: pa.Table, key_col: str,
+                    order_cols: list[str], i: int) -> tuple:
+    """Identity of a block-edge segment: its key and FIRST row's order
+    values. Under the deterministic-window contract — (key,
+    *order_cols) unique, which any per-row-deterministic SQL window
+    needs anyway — this names the segment unambiguously across the
+    summary and scoring passes."""
+    return (batch.column(key_col)[i].as_py(),
+            *(batch.column(c)[i].as_py() for c in order_cols))
+
+
+def _summary_table(batch: pa.Table, key_col: str,
+                   order_cols: list[str], payload: dict) -> pa.Table:
+    """Build a typed per-edge-segment summary table (schema stable
+    even for empty blocks, so collect_table never unions mismatched
+    null-typed columns)."""
+    names, arrs = [], []
+    for c in (key_col, *order_cols):
+        names.append(c)
+        arrs.append(pa.array(payload[c],
+                             type=batch.schema.field(c).type))
+    for c, v in payload.items():
+        if c in (key_col, *order_cols):
+            continue
+        typ, vals = v
+        names.append(c)
+        arrs.append(pa.array(vals, type=typ))
+    return pa.table(dict(zip(names, arrs)))
+
+
+def _sorted_summary_rows(summ: pa.Table, key_col: str,
+                         order_cols: list[str], extra: list[str]):
+    """Driver-side: order the O(blocks) edge-segment summaries by
+    (key, *order_cols) and yield python rows; duplicate boundary
+    tuples violate the unique-ordering contract and raise loudly."""
+    if summ.num_rows == 0:
+        return []
+    summ = summ.sort_by([(key_col, "ascending")]
+                        + [(c, "ascending") for c in order_cols])
+    cols = [summ.column(key_col).to_pylist()] +         [summ.column(c).to_pylist() for c in order_cols] +         [summ.column(c).to_pylist() for c in extra]
+    rows = list(zip(*cols))
+    n_id = 1 + len(order_cols)
+    seen = set()
+    for r in rows:
+        tup = r[:n_id]
+        if tup in seen:
+            raise ValueError(
+                "windowed operators require (key, *order_cols) to be "
+                "unique at block boundaries (the deterministic-window "
+                f"contract); duplicate boundary {tup!r}")
+        seen.add(tup)
+    return rows
+
+
 def windowed_cumsum(ds, *, key_col: str, order_cols: list[str],
                     val_col: str, out_col: str = "running",
                     num_partitions: int = 16):
@@ -134,60 +234,94 @@ def windowed_cumsum(ds, *, key_col: str, order_cols: list[str],
     ``SUM(val) OVER (PARTITION BY key ORDER BY order_cols ROWS
     UNBOUNDED PRECEDING)`` — with a PER-ROW output. ``val_col`` must
     be int64 (convert money to cents first) so partial sums are exact
-    and order-free on the fixup path.
+    and order-free on the fixup path. Requires (key, *order_cols)
+    unique at block boundaries (any per-row-deterministic SQL window
+    needs a unique ordering anyway); violations raise.
 
-    Scale shape (same interior/edge split as sessionize above): ONE
-    global sort on (key, *order_cols) makes each key's rows contiguous
-    and ordered; every block then finishes its INTERIOR keys with one
-    vectorized segmented cumsum (cumsum minus segment-base, no Python
-    per key). Only rows of the first/last key of each block — O(rows
-    of ≤2 keys per block), independent of key count — go through a
-    small groupby(key) exact fixup, because those keys may continue
-    into a neighboring block. No single-block barrier, no
-    repartition(1)."""
+    Scale shape: ONE global sort on (key, *order_cols) makes each
+    key's rows contiguous and ordered; every block finishes ALL its
+    keys with one vectorized segmented cumsum (cumsum minus
+    segment-base, no Python per key). Cross-block carry is a
+    BROADCAST-BASE fixup with no second shuffle: each block emits ≤2
+    edge-segment summary rows (key, first-row order values, segment
+    sum), the driver computes each segment's exclusive prefix within
+    its key over the O(blocks) summary table, and a zero-shuffle
+    second map adds the base to edge-segment rows in place. No
+    groupby fixup — so a HOT KEY spanning B blocks costs B summary
+    rows and B vectorized block fixes, never a single task holding
+    the key's entire row set (the straggler/OOM mode of per-key
+    map_groups fixups at 100 TB)."""
+    import ray
+
+    from ..io import collect_table
+
     cols = [key_col, *order_cols, val_col]
 
     def split_blocks(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return batch.append_column(
-                out_col, pa.array([], pa.int64())).append_column(
-                "is_edge", pa.array([], pa.bool_()))
+                out_col, pa.array([], pa.int64()))
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         vals = batch.column(val_col).to_numpy(zero_copy_only=False)
-        change = np.empty(n, dtype=bool)
-        change[0] = True
-        change[1:] = keys[1:] != keys[:-1]
-        seg = np.cumsum(change) - 1
-        starts = np.flatnonzero(change)
+        seg, starts = _key_segments(keys)
         cum = np.cumsum(vals)
         base = (cum[starts] - vals[starts])[seg]
-        running = cum - base
-        # first and last segment of the block may continue into a
-        # neighboring block after the global sort → exact fixup path
-        is_edge = (seg == 0) | (seg == seg[-1])
         return batch.append_column(
-            out_col, pa.array(running, pa.int64())).append_column(
-            "is_edge", pa.array(is_edge))
+            out_col, pa.array(cum - base, pa.int64()))
 
     sorted_tagged = ds.select_columns(cols) \
         .repartition(num_partitions) \
         .sort([key_col, *order_cols]) \
-        .map_batches(split_blocks, batch_format="pyarrow") \
-        .materialize()  # narrow rows; feeds two consumers
+        .map_batches(split_blocks, batch_format="pyarrow",
+                     batch_size=None) \
+        .materialize()  # narrow rows; summary + scoring passes must
+    # see the SAME blocks (batch_size=None = whole blocks)
 
-    interior = sorted_tagged.filter(expr="is_edge == False") \
-        .drop_columns(["is_edge"])
+    def summarize(batch: pa.Table) -> pa.Table:
+        payload = {c: [] for c in (key_col, *order_cols)}
+        sums = []
+        if batch.num_rows:
+            run = batch.column(out_col).to_numpy(zero_copy_only=False)
+            for i0, i1 in _edge_segment_bounds(batch, key_col):
+                payload[key_col].append(
+                    batch.column(key_col)[i0].as_py())
+                for c in order_cols:
+                    payload[c].append(batch.column(c)[i0].as_py())
+                sums.append(int(run[i1 - 1]))
+        payload["_seg_sum"] = (pa.int64(), sums)
+        return _summary_table(batch, key_col, order_cols, payload)
+    summarize.__name__ = "cumsum_edge_summaries"
 
-    def fix_edges(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(order_cols).reset_index(drop=True)
-        g[out_col] = g[val_col].to_numpy().cumsum().astype(np.int64)
-        return g.drop(columns=["is_edge"])
+    summ = collect_table(sorted_tagged.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None))
+    bases: dict = {}
+    acc, prev = 0, object()
+    for row in _sorted_summary_rows(summ, key_col, order_cols,
+                                    ["_seg_sum"]):
+        tup, seg_sum = row[:-1], row[-1]
+        if tup[0] != prev:
+            acc, prev = 0, tup[0]
+        bases[tup] = acc
+        acc += seg_sum
+    handle = ray.put(bases)
 
-    edges = sorted_tagged.filter(expr="is_edge == True") \
-        .groupby(key_col).map_groups(fix_edges, batch_format="pandas")
+    def apply_bases(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        b = _cached_get(handle)
+        run = batch.column(out_col).to_numpy(
+            zero_copy_only=False).copy()
+        for i0, i1 in _edge_segment_bounds(batch, key_col):
+            base = b[_boundary_tuple(batch, key_col, order_cols, i0)]
+            if base:
+                run[i0:i1] += base
+        return batch.drop_columns([out_col]).append_column(
+            out_col, pa.array(run, pa.int64()))
+    apply_bases.__name__ = "cumsum_apply_bases"
 
-    return interior.union(edges)
+    return sorted_tagged.map_batches(
+        apply_bases, batch_format="pyarrow", batch_size=None)
 
 
 def windowed_rolling_sum(ds, *, key_col: str, order_cols: list[str],
@@ -197,14 +331,22 @@ def windowed_rolling_sum(ds, *, key_col: str, order_cols: list[str],
     (PARTITION BY key ORDER BY order_cols ROWS BETWEEN ``preceding``
     PRECEDING AND CURRENT ROW)`` — with a per-row output. ``val_col``
     must be int64 (convert money to cents first) so every frame sum is
-    exact.
+    exact. Requires (key, *order_cols) unique at block boundaries.
 
-    Scale shape (same interior/edge split as windowed_cumsum): ONE
-    global sort on (key, *order_cols); block-INTERIOR keys finish with
-    one segmented cumsum + a lagged-gather subtraction (rolled[i] =
-    cum[i] − cum[max(i−p, seg_start)−1], zero per-key Python); only
-    the ≤2 keys touching each block edge take the small exact groupby
-    fixup, which always sees the complete key."""
+    Scale shape (same broadcast-base fixup as windowed_cumsum): ONE
+    global sort; every block finishes all keys with one segmented
+    cumsum + lagged-gather subtraction (rolled[i] = cum[i] −
+    cum[max(i−p, seg_start)−1], zero per-key Python). Cross-block
+    carry: each edge-segment summary carries the segment's LAST ≤p
+    raw values; the driver threads a ≤p-value tail through each key's
+    segments in order, and the zero-shuffle scoring map adds the
+    missing suffix sums to only the first ≤p rows of each edge
+    segment. Hot keys cost O(blocks·p) driver state, never a
+    single-task group."""
+    import ray
+
+    from ..io import collect_table
+
     cols = [key_col, *order_cols, val_col]
     p = int(preceding)
 
@@ -212,49 +354,84 @@ def windowed_rolling_sum(ds, *, key_col: str, order_cols: list[str],
         n = batch.num_rows
         if n == 0:
             return batch.append_column(
-                out_col, pa.array([], pa.int64())).append_column(
-                "is_edge", pa.array([], pa.bool_()))
+                out_col, pa.array([], pa.int64()))
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         vals = batch.column(val_col).to_numpy(zero_copy_only=False)
-        change = np.empty(n, dtype=bool)
-        change[0] = True
-        change[1:] = keys[1:] != keys[:-1]
-        seg = np.cumsum(change) - 1
-        starts = np.flatnonzero(change)
+        seg, starts = _key_segments(keys)
         cum = np.cumsum(vals)
         idx = np.arange(n)
         lo = np.maximum(idx - p, starts[seg])  # frame start row
         prev = lo - 1
         sub = np.where(prev >= 0, cum[np.maximum(prev, 0)], 0)
-        rolled = cum - sub
-        is_edge = (seg == 0) | (seg == seg[-1])
         return batch.append_column(
-            out_col, pa.array(rolled, pa.int64())).append_column(
-            "is_edge", pa.array(is_edge))
+            out_col, pa.array(cum - sub, pa.int64()))
 
     sorted_tagged = ds.select_columns(cols) \
         .repartition(num_partitions) \
         .sort([key_col, *order_cols]) \
-        .map_batches(split_blocks, batch_format="pyarrow") \
-        .materialize()  # narrow rows; feeds two consumers
+        .map_batches(split_blocks, batch_format="pyarrow",
+                     batch_size=None) \
+        .materialize()
 
-    interior = sorted_tagged.filter(expr="is_edge == False") \
-        .drop_columns(["is_edge"])
+    def summarize(batch: pa.Table) -> pa.Table:
+        payload = {c: [] for c in (key_col, *order_cols)}
+        tails, lens = [], []
+        if batch.num_rows:
+            vals = batch.column(val_col).to_numpy(
+                zero_copy_only=False)
+            for i0, i1 in _edge_segment_bounds(batch, key_col):
+                payload[key_col].append(
+                    batch.column(key_col)[i0].as_py())
+                for c in order_cols:
+                    payload[c].append(batch.column(c)[i0].as_py())
+                tails.append(
+                    vals[max(i1 - p, i0):i1].tolist() if p else [])
+                lens.append(i1 - i0)
+        payload["_tail"] = (pa.list_(pa.int64()), tails)
+        payload["_n"] = (pa.int64(), lens)
+        return _summary_table(batch, key_col, order_cols, payload)
+    summarize.__name__ = "rolling_edge_summaries"
 
-    def fix_edges(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(order_cols).reset_index(drop=True)
-        v = g[val_col].to_numpy().astype(np.int64)
-        cum = np.cumsum(v)
-        idx = np.arange(v.size)
-        prev = np.maximum(idx - p, 0) - 1
-        sub = np.where(prev >= 0, cum[np.maximum(prev, 0)], 0)
-        g[out_col] = (cum - sub).astype(np.int64)
-        return g.drop(columns=["is_edge"])
+    summ = collect_table(sorted_tagged.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None))
+    incoming: dict = {}
+    carry = np.empty(0, np.int64)
+    prev = object()
+    for row in _sorted_summary_rows(summ, key_col, order_cols,
+                                    ["_tail", "_n"]):
+        tup, tail, n_seg = row[:-2], row[-2], row[-1]
+        if tup[0] != prev:
+            carry, prev = np.empty(0, np.int64), tup[0]
+        incoming[tup] = carry
+        seg_tail = np.asarray(tail, np.int64)
+        if n_seg >= p:
+            carry = seg_tail
+        else:
+            carry = np.concatenate([carry, seg_tail])[
+                max(len(carry) + len(seg_tail) - p, 0):]
+    handle = ray.put(incoming)
 
-    edges = sorted_tagged.filter(expr="is_edge == True") \
-        .groupby(key_col).map_groups(fix_edges, batch_format="pandas")
+    def apply_tails(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or p == 0:
+            return batch
+        inc_map = _cached_get(handle)
+        run = batch.column(out_col).to_numpy(
+            zero_copy_only=False).copy()
+        for i0, i1 in _edge_segment_bounds(batch, key_col):
+            inc = inc_map[_boundary_tuple(batch, key_col,
+                                          order_cols, i0)]
+            if inc.size:
+                ssum = np.concatenate(
+                    [[0], np.cumsum(inc[::-1])])  # ssum[t] = last t
+                j = np.arange(min(p, i1 - i0))
+                t = np.minimum(p - j, inc.size)
+                run[i0:i0 + j.size] += ssum[t]
+        return batch.drop_columns([out_col]).append_column(
+            out_col, pa.array(run, pa.int64()))
+    apply_tails.__name__ = "rolling_apply_tails"
 
-    return interior.union(edges)
+    return sorted_tagged.map_batches(
+        apply_tails, batch_format="pyarrow", batch_size=None)
 
 
 def windowed_lag(ds, *, key_col: str, ts_col: str, id_col: str,
@@ -263,16 +440,22 @@ def windowed_lag(ds, *, key_col: str, ts_col: str, id_col: str,
     ``ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts, id)`` — emitting
     per-row gaps to the previous and next event of the same key in
     MICROSECONDS (int64; -1 sentinel where SQL yields NULL, i.e. the
-    first/last row of each key).
+    first/last row of each key). The (ts, id) ordering must be unique
+    per key (ids unique suffices).
 
-    Scale shape (same interior/edge split as windowed_cumsum above):
-    the timestamp is folded to int64 micros BEFORE the shuffle so only
-    three int64 columns move; ONE global sort on (key, ts_us, id)
-    makes each key contiguous and ordered; block-INTERIOR keys finish
-    with two vectorized diffs (no Python per key); only the ≤2 keys
-    touching each block edge go through a small exact groupby fixup —
-    and a key that spans blocks has ALL its rows in first/last
-    segments, so the fixup always sees the complete key."""
+    Scale shape (same broadcast fixup as windowed_cumsum): the
+    timestamp folds to int64 micros BEFORE the shuffle so only three
+    int64 columns move; ONE global sort on (key, ts_us, id); every
+    block finishes all keys with two vectorized diffs. Cross-block
+    carry: each edge-segment summary carries its first/last ts; the
+    driver pairs neighboring segments of the same key, and the
+    zero-shuffle scoring map overwrites exactly one gap at each
+    segment end. Hot keys never form a single-task group."""
+    import ray
+
+    from ..io import collect_table
+
+    order_cols = ["ts_us", id_col]
 
     def to_us(b: pa.Table) -> pa.Table:
         ts = b.column(ts_col).to_numpy(zero_copy_only=False) \
@@ -286,13 +469,9 @@ def windowed_lag(ds, *, key_col: str, ts_col: str, id_col: str,
     def split_blocks(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return pa.table({
-                id_col: pa.array([], pa.int64()),
-                key_col: pa.array([], pa.int64()),
-                "ts_us": pa.array([], pa.int64()),
-                "gap_prev": pa.array([], pa.int64()),
-                "gap_next": pa.array([], pa.int64()),
-                "is_edge": pa.array([], pa.bool_())})
+            return batch.append_column(
+                "gap_prev", pa.array([], pa.int64())).append_column(
+                "gap_next", pa.array([], pa.int64()))
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         ts = batch.column("ts_us").to_numpy(zero_copy_only=False)
         change = np.empty(n, dtype=bool)
@@ -305,44 +484,75 @@ def windowed_lag(ds, *, key_col: str, ts_col: str, id_col: str,
         gn = np.empty(n, np.int64)
         gn[-1] = -1
         gn[:-1] = np.where(change[1:], -1, diff)
-        seg = np.cumsum(change) - 1
-        is_edge = (seg == 0) | (seg == seg[-1])
-        return pa.table({
-            id_col: batch.column(id_col),
-            key_col: batch.column(key_col),
-            "ts_us": batch.column("ts_us"),
-            "gap_prev": pa.array(gp, pa.int64()),
-            "gap_next": pa.array(gn, pa.int64()),
-            "is_edge": pa.array(is_edge)})
+        return batch.append_column(
+            "gap_prev", pa.array(gp, pa.int64())).append_column(
+            "gap_next", pa.array(gn, pa.int64()))
 
     sorted_tagged = ds.map_batches(to_us, batch_format="pyarrow") \
         .repartition(num_partitions) \
-        .sort([key_col, "ts_us", id_col]) \
-        .map_batches(split_blocks, batch_format="pyarrow") \
-        .materialize()  # narrow int64 rows; feeds two consumers
+        .sort([key_col, *order_cols]) \
+        .map_batches(split_blocks, batch_format="pyarrow",
+                     batch_size=None) \
+        .materialize()
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        payload = {c: [] for c in (key_col, *order_cols)}
+        first_ts, last_ts = [], []
+        if batch.num_rows:
+            ts = batch.column("ts_us").to_numpy(zero_copy_only=False)
+            for i0, i1 in _edge_segment_bounds(batch, key_col):
+                payload[key_col].append(
+                    batch.column(key_col)[i0].as_py())
+                for c in order_cols:
+                    payload[c].append(batch.column(c)[i0].as_py())
+                first_ts.append(int(ts[i0]))
+                last_ts.append(int(ts[i1 - 1]))
+        payload["_first_ts"] = (pa.int64(), first_ts)
+        payload["_last_ts"] = (pa.int64(), last_ts)
+        return _summary_table(batch, key_col, order_cols, payload)
+    summarize.__name__ = "lag_edge_summaries"
+
+    summ = collect_table(sorted_tagged.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None))
+    rows = _sorted_summary_rows(summ, key_col, order_cols,
+                                ["_first_ts", "_last_ts"])
+    neighbors: dict = {}
+    for i, row in enumerate(rows):
+        tup = row[:-2]
+        prev_last = rows[i - 1][-1] \
+            if i > 0 and rows[i - 1][0] == tup[0] else None
+        next_first = rows[i + 1][-2] \
+            if i + 1 < len(rows) and rows[i + 1][0] == tup[0] else None
+        neighbors[tup] = (prev_last, next_first)
+    handle = ray.put(neighbors)
 
     out_cols = [id_col, key_col, "gap_prev", "gap_next"]
-    interior = sorted_tagged.filter(expr="is_edge == False") \
-        .select_columns(out_cols)
 
-    def fix_edges(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts_us", id_col]).reset_index(drop=True)
-        ts = g["ts_us"].to_numpy()
-        n = ts.size
-        gp = np.empty(n, np.int64)
-        gp[0] = -1
-        gp[1:] = ts[1:] - ts[:-1]
-        gn = np.empty(n, np.int64)
-        gn[-1] = -1
-        gn[:-1] = ts[1:] - ts[:-1]
-        g["gap_prev"] = gp
-        g["gap_next"] = gn
-        return g[out_cols]
+    def apply_neighbors(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(out_cols)
+        nb = _cached_get(handle)
+        ts = batch.column("ts_us").to_numpy(zero_copy_only=False)
+        gp = batch.column("gap_prev").to_numpy(
+            zero_copy_only=False).copy()
+        gn = batch.column("gap_next").to_numpy(
+            zero_copy_only=False).copy()
+        for i0, i1 in _edge_segment_bounds(batch, key_col):
+            prev_last, next_first = nb[_boundary_tuple(
+                batch, key_col, order_cols, i0)]
+            if prev_last is not None:
+                gp[i0] = ts[i0] - prev_last
+            if next_first is not None:
+                gn[i1 - 1] = next_first - ts[i1 - 1]
+        return pa.table({
+            id_col: batch.column(id_col),
+            key_col: batch.column(key_col),
+            "gap_prev": pa.array(gp, pa.int64()),
+            "gap_next": pa.array(gn, pa.int64())})
+    apply_neighbors.__name__ = "lag_apply_neighbors"
 
-    edges = sorted_tagged.filter(expr="is_edge == True") \
-        .groupby(key_col).map_groups(fix_edges, batch_format="pandas")
-
-    return interior.union(edges)
+    return sorted_tagged.map_batches(
+        apply_neighbors, batch_format="pyarrow", batch_size=None)
 
 
 def hopping_window_agg(ds, *, window_s: int = 7200, hop_s: int = 3600,

@@ -1126,9 +1126,9 @@ def q_running_total(sf_dir: str):
     converted to integer cents map-side (floor(x·100 + 0.5), the
     expression the oracle mirrors) so every partial sum is exact; ONE
     global sort on (custkey, date, orderkey), vectorized segmented
-    cumsum for block-interior keys, tiny per-key fixup only for the
-    ≤2 keys that touch each block edge (data/windows.py
-    windowed_cumsum)."""
+    cumsum per block, zero-shuffle BROADCAST-BASE fixup for the ≤2
+    edge segments per block — hot keys never form a single-task
+    group (data/windows.py windowed_cumsum)."""
     from .data.windows import windowed_cumsum
 
     def to_cents(b: pa.Table) -> pa.Table:
@@ -1771,9 +1771,9 @@ def q_rolling_revenue(sf_dir: str):
     class SUM(...) OVER (... ROWS BETWEEN 2 PRECEDING AND CURRENT
     ROW). Money folds to integer cents map-side (floor(x·100 + 0.5),
     mirrored by the oracle); ONE global sort on (custkey, date,
-    orderkey), segmented cumsum + lagged-gather subtraction for
-    block-interior keys, exact groupby fixup only for the ≤2 keys per
-    block edge (data/windows.py windowed_rolling_sum)."""
+    orderkey), segmented cumsum + lagged-gather subtraction per
+    block, zero-shuffle broadcast tail-injection fixup for the ≤2
+    edge segments per block (data/windows.py windowed_rolling_sum)."""
     from .data.windows import windowed_rolling_sum
 
     def to_cents(b: pa.Table) -> pa.Table:
@@ -1798,10 +1798,10 @@ def q_event_gaps(sf_dir: str):
     (``ts - LAG(ts) OVER (PARTITION BY user ORDER BY ts, id)``), the
     inter-arrival-time feature every behavioural pipeline computes.
     Timestamps fold to int64 micros BEFORE the shuffle (three int64
-    columns move, nothing else); ONE global sort, vectorized diffs for
-    block-interior users, exact groupby fixup only for the ≤2 users
-    touching each block edge (data/windows.py windowed_lag). -1
-    sentinel where SQL LAG/LEAD yields NULL."""
+    columns move, nothing else); ONE global sort, vectorized diffs per block,
+    zero-shuffle broadcast neighbor-ts fixup for the ≤2 edge
+    segments per block (data/windows.py windowed_lag). -1 sentinel
+    where SQL LAG/LEAD yields NULL."""
     from .data.windows import windowed_lag
 
     ds = _read(sf_dir, "events").select_columns(

@@ -815,3 +815,34 @@ def test_windowed_rolling_sum_frame_edges(ray_session):
         num_partitions=4).to_pandas().sort_values("o1")
     assert (cum["roll"].to_numpy()
             == np.cumsum(np.arange(1, n + 1))).all()
+
+
+def test_sorted_summary_rows_duplicate_boundary_raises():
+    """The deterministic-window contract: duplicate (key, order)
+    tuples at block boundaries must fail loudly, not mis-assign
+    bases."""
+    from soupflow.data.windows import _sorted_summary_rows
+    summ = pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "o1": pa.array([5, 5], pa.int64()),
+        "_seg_sum": pa.array([10, 20], pa.int64())})
+    with pytest.raises(ValueError, match="unique at block boundaries"):
+        _sorted_summary_rows(summ, "k", ["o1"], ["_seg_sum"])
+
+
+def test_windowed_cumsum_hot_key_many_blocks(ray_session):
+    """A single HOT key spanning every block must stream through the
+    broadcast-base fixup (per-block vectorized adds), never a
+    single-task per-key group — and stay exact."""
+    from soupflow.data.windows import windowed_cumsum
+    n = 200_000
+    tbl = pa.table({"k": pa.array(np.ones(n, np.int64)),
+                    "o1": pa.array(np.arange(n), pa.int64()),
+                    "v": pa.array(np.ones(n, np.int64))})
+    out = windowed_cumsum(_ray_ds(tbl, 16), key_col="k",
+                          order_cols=["o1"], val_col="v",
+                          out_col="run", num_partitions=16) \
+        .to_pandas().sort_values("o1")
+    got = out["run"].to_numpy()
+    assert got.size == n
+    assert (got == np.arange(1, n + 1)).all()
