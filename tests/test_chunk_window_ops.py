@@ -846,3 +846,67 @@ def test_windowed_cumsum_hot_key_many_blocks(ray_session):
     got = out["run"].to_numpy()
     assert got.size == n
     assert (got == np.arange(1, n + 1)).all()
+
+
+def test_window_family_randomized_differential(ray_session):
+    """Seeded randomized differential for the broadcast-base fixup:
+    random key cardinality / block layout / frame width, all three
+    window ops vs pandas references in one pass per config."""
+    import pandas as pd
+
+    from soupflow.data.windows import (windowed_cumsum, windowed_lag,
+                                       windowed_rolling_sum)
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        n = int(rng.integers(50, 900))
+        n_keys = int(rng.integers(1, 8))      # few keys → spans likely
+        blocks = int(rng.integers(1, 12))
+        p = int(rng.integers(0, 6))
+        keys = rng.integers(0, n_keys, n)
+        ts_us = rng.integers(0, 10**8, n)
+        ids = rng.permutation(n)              # unique, shuffled
+        vals = rng.integers(-30, 300, n)
+        df = pd.DataFrame({"k": keys, "o1": ts_us, "o2": ids,
+                           "v": vals}).sort_values(["k", "o1", "o2"])
+        g = df.groupby("k")
+        df["cum"] = g["v"].cumsum()
+        df["roll"] = g["v"].transform(
+            lambda s: s.rolling(p + 1, min_periods=1).sum()) \
+            .astype(np.int64)
+        df["gp"] = (df.o1 - g["o1"].shift(1)).fillna(-1) \
+            .astype(np.int64)
+        df["gn"] = (g["o1"].shift(-1) - df.o1).fillna(-1) \
+            .astype(np.int64)
+
+        tbl = pa.table({"k": pa.array(keys, pa.int64()),
+                        "o1": pa.array(ts_us, pa.int64()),
+                        "o2": pa.array(ids, pa.int64()),
+                        "v": pa.array(vals, pa.int64())})
+        cum = windowed_cumsum(_ray_ds(tbl, blocks), key_col="k",
+                              order_cols=["o1", "o2"], val_col="v",
+                              out_col="cum", num_partitions=blocks) \
+            .to_pandas().sort_values(["k", "o1", "o2"])
+        assert (cum["cum"].to_numpy()
+                == df["cum"].to_numpy()).all(), trial
+        roll = windowed_rolling_sum(
+            _ray_ds(tbl, blocks), key_col="k",
+            order_cols=["o1", "o2"], val_col="v", out_col="roll",
+            preceding=p, num_partitions=blocks) \
+            .to_pandas().sort_values(["k", "o1", "o2"])
+        assert (roll["roll"].to_numpy()
+                == df["roll"].to_numpy()).all(), trial
+
+        lag_tbl = pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "k": pa.array(keys, pa.int64()),
+            "ts": pa.array(ts_us.astype("datetime64[us]"),
+                           pa.timestamp("us"))})
+        lag = windowed_lag(_ray_ds(lag_tbl, blocks), key_col="k",
+                           ts_col="ts", id_col="id",
+                           num_partitions=blocks).to_pandas() \
+            .set_index("id")
+        ref = df.set_index("o2")
+        got_gp = lag.loc[ref.index, "gap_prev"].to_numpy()
+        got_gn = lag.loc[ref.index, "gap_next"].to_numpy()
+        assert (got_gp == ref["gp"].to_numpy()).all(), trial
+        assert (got_gn == ref["gn"].to_numpy()).all(), trial
