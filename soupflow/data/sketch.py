@@ -386,3 +386,84 @@ def histogram_quantiles_oracle_sql(table: str, col: str, *, lo: int,
     WHERE cum * 100 >= q_pct * tot
     GROUP BY q_pct
     """
+
+
+def hll_grouped(ds, group_col: str, col: str, p: int = 8):
+    """GROUPED HyperLogLog — approximate ``COUNT(DISTINCT col) GROUP
+    BY group_col`` when the exact two-phase distinct shape (see
+    q_daily_active_users) is too heavy: per-group register state is
+    ``2^p`` int64s regardless of group size, so a billion-member group
+    costs the same shuffle bytes as a ten-member one.
+
+    Scale shape: per-block, groups are factorized once (np.unique)
+    and ALL (group, bucket) registers fold in a single np.maximum.at
+    over packed ``code·m + bucket`` scatter keys — no per-group
+    Python; ONE groupby((group, bucket)) MAX over ≤ |groups|·m narrow
+    rows finishes (max commutes, so any partitioning yields identical
+    registers). The hashed column never shuffles. Output is the
+    sketch's full integer state, bit-for-bit reproducible in SQL
+    (hll_grouped_oracle_sql)."""
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+    w = 64 - p
+    shift = np.uint64(w)
+    mask = np.uint64((1 << w) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gtype = batch.schema.field(group_col).type
+        if batch.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], gtype),
+                "bucket": pa.array([], pa.int64()),
+                "maxrank": pa.array([], pa.int64())})
+        vals = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        grp = batch.column(group_col).to_numpy(zero_copy_only=False)
+        g_uniq, g_codes = np.unique(grp, return_inverse=True)
+        hv = _mix(vals)
+        bucket = (hv >> shift).astype(np.int64)
+        rest = (hv & mask).astype(np.float64)  # < 2^52: float-exact
+        _, e = np.frexp(rest)
+        rank = w - e.astype(np.int64) + 1
+        regs = np.zeros(len(g_uniq) * m, dtype=np.int64)
+        np.maximum.at(regs, g_codes * m + bucket, rank)
+        nz = np.nonzero(regs)[0]
+        return pa.table({
+            group_col: pa.array(g_uniq[nz // m].tolist(), gtype),
+            "bucket": pa.array((nz % m).astype(np.int64)),
+            "maxrank": pa.array(regs[nz])})
+    partial.__name__ = f"hll{p}_grouped_partial"
+
+    return ds.select_columns([group_col, col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, "bucket"]) \
+        .aggregate(Max("maxrank", alias_name="maxrank"))
+
+
+def hll_grouped_oracle_sql(table: str, group_col: str, col: str,
+                           p: int = 8) -> str:
+    """DuckDB SQL mirror of hll_grouped (same arithmetic as
+    hll_oracle_sql with the group key threaded through)."""
+    w = 64 - p
+    pow_w = 1 << w
+    return f"""
+    WITH h AS (
+        SELECT {group_col},
+               ((CAST({col} AS HUGEINT) * {PHI64})
+                % 18446744073709551616) AS hv
+        FROM {table}),
+    br AS (
+        SELECT {group_col},
+               CAST(hv // {pow_w} AS BIGINT) AS bucket,
+               CAST(hv % {pow_w} AS BIGINT) AS rest
+        FROM h),
+    rk AS (
+        SELECT {group_col}, bucket,
+               CASE WHEN rest = 0 THEN {w + 1}
+                    ELSE {w} - length(format('{{:b}}', rest)) + 1
+               END AS rank
+        FROM br)
+    SELECT {group_col}, bucket, CAST(max(rank) AS BIGINT) AS maxrank
+    FROM rk GROUP BY {group_col}, bucket
+    """

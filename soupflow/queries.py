@@ -1611,6 +1611,20 @@ def q_profile_lineitem(sf_dir: str):
             Sum("sum_v", alias_name="sum_v"))
 
 
+def q_dau_hll(sf_dir: str):
+    """GROUPED HyperLogLog — approximate distinct users per event
+    type, the constant-memory scale path where the exact two-phase
+    COUNT(DISTINCT) of q_daily_active_users gets too heavy: a
+    billion-user group ships the same 2^p registers as a ten-user
+    one. Per-block single np.maximum.at over packed (group, bucket)
+    scatter keys, ONE groupby over ≤ |groups|·2^p narrow rows; users
+    never shuffle. Registers are the sketch's full integer state, so
+    the oracle matches bit-for-bit (data/sketch.py hll_grouped)."""
+    from .data.sketch import hll_grouped
+    return hll_grouped(_read(sf_dir, "events"),
+                       "event_type", "user_id", p=8)
+
+
 _HIST_Q = dict(lo=0, width=100, nbins=64, qs=(10, 25, 50, 75, 90, 99))
 
 
@@ -2375,6 +2389,7 @@ QUERIES = {
     "exclusive_terms": q_exclusive_terms,
     "chars_histogram": q_chars_histogram,
     "profile_lineitem": q_profile_lineitem,
+    "dau_hll": q_dau_hll,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -3909,3 +3924,7 @@ ORACLE_SQL["profile_lineitem"] = """
                     AS BIGINT)
         FROM lineitem)
 """
+
+from .data.sketch import hll_grouped_oracle_sql as _hllg_sql
+ORACLE_SQL["dau_hll"] = _hllg_sql("events", "event_type",
+                                  "user_id", p=8)

@@ -804,3 +804,65 @@ def test_histogram_quantiles_clipping_and_empty(ray_session):
     out = histogram_quantiles(rd.from_arrow(empty), "x", lo=0,
                               width=100, nbins=10)
     assert out.num_rows == 0
+
+
+def test_hll_grouped_matches_per_group_global(ray_session):
+    """Grouped registers must equal running the global sketch on each
+    group separately, and be stable under repartitioning; the derived
+    estimate stays within the HLL error envelope."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from soupflow.data.sketch import hll_grouped, hll_registers
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    grp = rng.choice(["a", "b", "c"], size=n)
+    # distinct pools of very different sizes per group — RANDOM
+    # values, not progressions: the multiplicative hash shared with
+    # the SQL oracle is (documentedly) weak on arithmetic
+    # progressions, which only degrades the estimate, never the
+    # bit-exact register state
+    pool = {g: rng.integers(0, 1 << 40, size=k)
+            for g, k in (("a", 40), ("b", 400), ("c", 2000))}
+    vals = np.array([pool[g][rng.integers(0, pool[g].size)]
+                     for g in grp], dtype=np.int64)
+    tbl = pa.table({"g": pa.array(grp, pa.string()),
+                    "v": pa.array(vals, pa.int64())})
+
+    p = 8
+    ref = {}
+    for g in ("a", "b", "c"):
+        sub = pa.table({"v": pa.array(vals[grp == g], pa.int64())})
+        t = hll_registers(rd.from_arrow(sub), "v", p=p)
+        ref[g] = dict(zip(t.column("bucket").to_pylist(),
+                          t.column("maxrank").to_pylist()))
+
+    prev = None
+    for blocks in (1, 9):
+        out = hll_grouped(rd.from_arrow(tbl).repartition(blocks),
+                          "g", "v", p=p).to_pandas()
+        got = {}
+        for _, r in out.iterrows():
+            got.setdefault(r.g, {})[r.bucket] = r.maxrank
+        assert got == ref, blocks
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+    # estimate sanity: alpha m^2 / sum 2^-rank within ~3 std errors
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    for g in ("a", "b", "c"):
+        true = len(set(vals[grp == g].tolist()))
+        ranks = np.zeros(m)
+        for b, r in ref[g].items():
+            ranks[b] = r
+        est = alpha * m * m / np.sum(2.0 ** -ranks)
+        if est <= 2.5 * m:  # small-range correction regime
+            zeros = int((ranks == 0).sum())
+            if zeros:
+                est = m * np.log(m / zeros)
+        assert abs(est - true) / true < 3 * 1.04 / np.sqrt(m), \
+            (g, est, true)
