@@ -1611,6 +1611,93 @@ def q_profile_lineitem(sf_dir: str):
             Sum("sum_v", alias_name="sum_v"))
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Cohort RETENTION analysis — the classic product-analytics
+    composite: users grouped by first-seen day (cohort), counted at
+    each later active day offset k. Scale shape: (1) per-block
+    DISTINCT (user, epoch-day) pairs shrink the shuffle before it
+    happens, ONE groupby finishes the global dedup (bounded by
+    |users|·|days|, never event count); (2) the per-user first-seen
+    day reduces map-side to (user, min day) partials + ONE
+    user-bounded groupby, broadcast as sorted arrays (partitioned
+    hash-join hatch applies when the user set outgrows the driver —
+    same escape documented at customers_no_orders); (3) a zero-shuffle
+    map scores k = day − cohort and pre-counts per block, finishing
+    with ONE tiny groupby over |cohorts|·|offsets| rows. Events
+    themselves never shuffle."""
+    import ray
+    from ray.data.aggregate import Count, Min, Sum
+
+    from .io import collect_table
+
+    US_PER_DAY = 86_400_000_000
+
+    def pairs_partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        t = pa.table({
+            "user_id": b.column("user_id"),
+            "day": pa.array(ts // US_PER_DAY, pa.int64())})
+        return t.group_by(["user_id", "day"]).aggregate([])
+    pairs_partial.__name__ = "distinct_user_day_partial"
+
+    pairs = _read(sf_dir, "events") \
+        .select_columns(["user_id", "ts"]) \
+        .map_batches(pairs_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"]) \
+        .materialize()  # narrow (user, day) rows; feeds two consumers
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["user_id", "day"]).group_by("user_id") \
+            .aggregate([("day", "min")])
+        return g.rename_columns(["user_id", "cohort"])
+    min_partial.__name__ = "first_seen_partial"
+
+    cohorts = collect_table(
+        pairs.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("user_id").aggregate(Min("cohort",
+                                          alias_name="cohort")))
+    cu = cohorts.column("user_id").to_numpy(zero_copy_only=False)
+    cc = cohorts.column("cohort").to_numpy(zero_copy_only=False)
+    order = np.argsort(cu)
+    handle = ray.put((cu[order], cc[order]))
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        us, cs = ray.get(handle)
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(us, u)
+        # every user of a pair row is in the cohort table by
+        # construction; guard anyway (empty-corpus safety)
+        if us.size == 0:
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        pos = np.minimum(pos, us.size - 1)
+        coh = cs[pos]
+        t = pa.table({"cohort": pa.array(coh, pa.int64()),
+                      "k": pa.array(d - coh, pa.int64())})
+        g = t.group_by(["cohort", "k"]).aggregate([("k", "count")])
+        return g.rename_columns(["cohort", "k", "n_users"])
+    score_partial.__name__ = "cohort_offset_partial"
+
+    agg = pairs.map_batches(score_partial, batch_format="pyarrow") \
+        .groupby(["cohort", "k"]) \
+        .aggregate(Sum("n_users", alias_name="n_users"))
+
+    def to_day_str(b: pa.Table) -> pa.Table:
+        d = b.column("cohort").to_numpy(zero_copy_only=False)
+        days = d.astype("datetime64[D]").astype(str)
+        return pa.table({
+            "cohort_day": pa.array(days.tolist(), pa.string()),
+            "k": b.column("k"),
+            "n_users": b.column("n_users")})
+    to_day_str.__name__ = "cohort_to_date_string"
+
+    return agg.map_batches(to_day_str, batch_format="pyarrow")
+
+
 def q_dau_hll(sf_dir: str):
     """GROUPED HyperLogLog — approximate distinct users per event
     type, the constant-memory scale path where the exact two-phase
@@ -2390,6 +2477,7 @@ QUERIES = {
     "chars_histogram": q_chars_histogram,
     "profile_lineitem": q_profile_lineitem,
     "dau_hll": q_dau_hll,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -3928,3 +4016,16 @@ ORACLE_SQL["profile_lineitem"] = """
 from .data.sketch import hll_grouped_oracle_sql as _hllg_sql
 ORACLE_SQL["dau_hll"] = _hllg_sql("events", "event_type",
                                   "user_id", p=8)
+
+ORACLE_SQL["retention_cohorts"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events),
+    fs AS (
+        SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(day - cohort AS BIGINT) AS k,
+           count(*) AS n_users
+    FROM ud JOIN fs USING (user_id)
+    GROUP BY cohort, day - cohort
+"""

@@ -1042,3 +1042,24 @@ def test_profile_lineitem_reference(ray_session):
         assert r.n == len(li) and r.n_null == li[col].isna().sum()
         assert r.min_v == iv.min() and r.max_v == iv.max()
         assert r.sum_v == iv.sum()
+
+
+def test_retention_cohorts_reference(ray_session):
+    """Cohort retention vs a pandas reference (distinct days, min
+    first-seen, offset counts)."""
+    import pandas as pd
+
+    from soupflow.queries import q_retention_cohorts
+    out = q_retention_cohorts(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ud = ev.assign(day=ev.ts.dt.floor("D")) \
+        .drop_duplicates(["user_id", "day"])[["user_id", "day"]]
+    fs = ud.groupby("user_id")["day"].min().rename("cohort")
+    j = ud.join(fs, on="user_id")
+    j["k"] = (j.day - j.cohort).dt.days
+    j["cohort_day"] = j.cohort.dt.strftime("%Y-%m-%d")
+    ref = j.groupby(["cohort_day", "k"]).size()
+    assert len(out) == len(ref)
+    for _, r in out.iterrows():
+        assert r.n_users == ref.loc[(r.cohort_day, r.k)], \
+            (r.cohort_day, r.k)
