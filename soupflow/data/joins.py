@@ -10,14 +10,17 @@ single narrow stream, ONE ``sort((key, ts, side, tie))`` co-locates
 and orders each key's rows, then every block resolves its left rows
 with a numpy forward-fill (no per-key Python). Rows whose match could
 live in an earlier block — only UNMATCHED left rows of each block's
-FIRST key run, plus each block's last-run trailing right row; both
-O(num_blocks), independent of key count — go through one small
-``groupby(key).map_groups`` fixup.
+FIRST key run — are resolved by a ZERO-SHUFFLE broadcast lookup: the
+O(num_blocks) per-block trailing rights are collected once, sorted by
+(key, ts, tie) driver-side, and each unmatched left searchsorts into
+them in place (they are sufficient — any right in an earlier block
+sorts before the left, so its ts is ≤ the left's, and each block's
+per-key max right dominates its others for every later-block left).
 
-Partitioning assumption: a single key's rows may span blocks freely
-(the edge fixup handles it); per-fixup-group work is bounded by the
-number of blocks the key touches plus the unmatched lefts of boundary
-runs, not by the key's total row count.
+Partitioning assumption: a single key's rows may span blocks freely;
+fixup cost is O(num_blocks) driver state plus one vectorized pass
+over the unmatched lefts — never a per-key task holding a hot key's
+whole row set (the straggler/OOM mode of a groupby fixup).
 """
 
 from __future__ import annotations
@@ -200,35 +203,62 @@ def asof_join(left, right, *, left_on: str, right_on: str,
     done = resolved_all.filter(expr="kind == 0") \
         .drop_columns(["kind", "k", "t", "tie_o"])
 
-    def _pd_dtype(t: pa.DataType) -> str:
-        return "Int64" if pa.types.is_integer(t) else "float64"
+    # Cross-block resolution WITHOUT a groupby: the kind=2 boundary
+    # rights are O(blocks) rows (each block's last-run max right), and
+    # they are SUFFICIENT — any right of key k living in a block
+    # before a left's block sorts before it, so its timestamp is ≤ the
+    # left's, hence each block's per-key max right dominates all its
+    # other rights for every later-block left. Collect them once, sort
+    # by (k, t, tie) driver-side, broadcast, and resolve the kind=1
+    # unmatched lefts with a zero-shuffle searchsorted map. A HOT key
+    # whose lefts span many pure-left blocks now costs one vectorized
+    # fix per block instead of one task holding every unmatched left
+    # (the straggler/OOM mode of the old groupby(k).map_groups fixup).
+    import ray
 
-    def fix_edges(group: pd.DataFrame) -> pd.DataFrame:
-        lefts = group[group["kind"] == 1]
-        rights = group[group["kind"] == 2]
-        out = {c: lefts[c].reset_index(drop=True)
-               for c in left_cols}
-        if rights.empty:
-            for c in payload:
-                out[f"matched_{c}"] = pd.array(
-                    [None] * len(lefts), dtype=_pd_dtype(rtypes[c]))
-            return pd.DataFrame(out)
-        r = rights.sort_values(["t", "tie_o"]).reset_index(drop=True)
-        rts = r["t"].to_numpy()
-        pos = np.searchsorted(rts, lefts["t"].to_numpy(),
-                              side="right") - 1
+    from ..io import collect_table
+    from .windows import _cached_get
+
+    boundary = collect_table(resolved_all.filter(expr="kind == 2"))
+    if boundary.num_rows:
+        boundary = boundary.sort_by(
+            [("k", "ascending"), ("t", "ascending"),
+             ("tie_o", "ascending")])
+    handle = ray.put(boundary)
+    out_cols = [*left_cols, *(f"matched_{c}" for c in payload)]
+
+    def resolve_unmatched(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(out_cols)
+        rt_tbl = _cached_get(handle)
+        if rt_tbl.num_rows == 0:
+            return batch.select(out_cols)  # matched_* already null
+        rk = rt_tbl.column("k").to_numpy(zero_copy_only=False)
+        rts = rt_tbl.column("t").to_numpy(zero_copy_only=False)
+        ks = batch.column("k").to_numpy(zero_copy_only=False)
+        ts = batch.column("t").to_numpy(zero_copy_only=False)
+        pos = np.full(ks.size, -1, dtype=np.int64)
+        for key in np.unique(ks):  # ≤ distinct keys per block (≈1:
+            # kind=1 rows come from each source block's FIRST run)
+            msk = ks == key
+            lo = np.searchsorted(rk, key, side="left")
+            hi = np.searchsorted(rk, key, side="right")
+            if hi > lo:
+                p = lo + np.searchsorted(rts[lo:hi], ts[msk],
+                                         side="right") - 1
+                p[p < lo] = -1
+                pos[msk] = p
         has = pos >= 0
-        safe = np.where(has, pos, 0)
+        cols = {c: batch.column(c) for c in left_cols}
         for c in payload:
-            vals = r[f"matched_{c}"].iloc[safe] \
-                .reset_index(drop=True) \
-                .astype(_pd_dtype(rtypes[c]))
-            vals[~has] = None
-            out[f"matched_{c}"] = vals
-        return pd.DataFrame(out)
+            cols[f"matched_{c}"] = _masked_take(
+                rt_tbl.column(f"matched_{c}"), pos, has)
+        return pa.table(cols)
+    resolve_unmatched.__name__ = "asof_resolve_unmatched"
 
-    edges = resolved_all.filter(expr="kind > 0") \
-        .groupby("k").map_groups(fix_edges, batch_format="pandas")
+    edges = resolved_all.filter(expr="kind == 1") \
+        .map_batches(resolve_unmatched, batch_format="pyarrow",
+                     batch_size=None)
 
     return done.union(edges)
 

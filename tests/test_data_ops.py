@@ -866,3 +866,29 @@ def test_hll_grouped_matches_per_group_global(ray_session):
                 est = m * np.log(m / zeros)
         assert abs(est - true) / true < 3 * 1.04 / np.sqrt(m), \
             (g, est, true)
+
+
+def test_asof_join_hot_key_pure_left_blocks(ray_session):
+    """A hot key with 60k lefts across 16 blocks and rights ONLY at
+    the very start: every later block is pure unmatched lefts, which
+    must stream through the broadcast boundary-rights fixup (never
+    one task holding all of them) and still match exactly."""
+    from soupflow.data.joins import asof_join
+    n = 60_000
+    left = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "k": pa.array(np.zeros(n, np.int64)),
+        "t": pa.array(np.arange(n, dtype=np.int64) + 100),
+    })
+    right = pa.table({
+        "o": pa.array([7, 9], pa.int64()),
+        "k": pa.array([0, 0], pa.int64()),
+        "t": pa.array([0, 50], pa.int64()),
+    })
+    res = asof_join(_ray_ds(left, 16), _ray_ds(right, 1),
+                    left_on="k", right_on="k", left_ts="t",
+                    right_ts="t", payload=["o"],
+                    left_cols=["event_id"], tie="o",
+                    num_partitions=16).take_all()
+    assert len(res) == n
+    assert all(r["matched_o"] == 9 for r in res)
