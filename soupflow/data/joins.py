@@ -285,6 +285,15 @@ def range_join_count(left, right, *, left_on: str, right_on: str,
     fixup: O(num_blocks) groups, independent of key count. Counts
     are emitted directly map-side — no corpus-wide aggregate.
 
+    Skew bound: an edge-fixup GROUP holds one (key, bucket) run, so
+    its size is bounded by one key's rows within 2·window — not the
+    key's full history (unlike asof, the cross-block count needs the
+    run's right-timestamp multiset, so a broadcast scalar cannot
+    replace the group). If a single key can exceed worker memory
+    within one window (bot traffic), subdivide: shrink ``window_ns``
+    bucketing and sum subdivided counts, or pre-aggregate rights to
+    (k, b, ts-quantized, n) histogram rows before tagging.
+
     (First cut used ``Dataset.join`` + a corpus-wide groupby-sum;
     Ray 2.49's hash join/aggregate dominated wall time ~10x over
     this sort-merge shape on narrow int rows.)
