@@ -49,6 +49,7 @@ TIMED_QUERIES = [
     "running_total", "event_gaps", "rank_by_lang", "corr_by_flag",
     "revenue_rollup", "daily_active_users", "favorite_event",
     "exclusive_terms", "priority_by_status", "orders_with_returns",
+    "retention_cohorts", "dau_hll",
     # rolling_revenue shares windowed_cumsum's sort machinery with
     # running_total; common_terms shares exclusive_terms' shape;
     # nation_customer_stats / top_account_parties /
