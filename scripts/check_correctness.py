@@ -54,8 +54,15 @@ def main(sf_dir, names):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
+    failed = []
     for name in names:
-        res = to_pandas(qs[name](sf_dir))
+        try:
+            res = to_pandas(qs[name](sf_dir))
+        except Exception as exc:  # keep sweeping — one bad query
+            # (or a transient Ray failure) must not mask the rest
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}")
+            failed.append(name)
+            continue
         if name not in osql:
             print(f"{name}: rows={len(res)} (no_oracle)")
             continue
@@ -70,6 +77,11 @@ def main(sf_dir, names):
             print("  orc cols:", list(orc.columns))
             print(res.head(8))
             print(orc.head(8))
+
+
+    if failed:
+        print(f"FAILED ({len(failed)}): {' '.join(failed)}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
