@@ -313,7 +313,7 @@ def group_corr(ds, key: str, xcol: str, ycol: str):
 
 
 def group_rank(ds, key: str, col: str, id_col: str = "doc_id",
-               out_col: str = "rnk"):
+               out_col: str = "rnk", dense: bool = False):
     """Per-row RANK() OVER (PARTITION BY key ORDER BY col) — WITHOUT a
     global sort. ``col`` must be a bounded-domain non-negative int64
     (< 2^32): rank(x) = 1 + #rows in the group with a smaller value,
@@ -324,8 +324,9 @@ def group_rank(ds, key: str, col: str, id_col: str = "doc_id",
     bounded-histogram contract as quantiles above), a driver-side
     within-key exclusive cumsum, then a zero-shuffle scoring map that
     looks ranks up through one packed searchsorted — the corpus rows
-    never move. Ties share the min rank (SQL RANK semantics),
-    dense/percent variants are one line on the same histogram."""
+    never move. Ties share the min rank (SQL RANK semantics);
+    ``dense=True`` yields DENSE_RANK (1 + #distinct smaller) from the
+    SAME histogram — a cumsum of ones instead of counts."""
     from ray.data.aggregate import Sum
 
     import ray
@@ -358,11 +359,19 @@ def group_rank(ds, key: str, col: str, id_col: str = "doc_id",
     kinv, hv, hn = kinv[order], hv[order], hn[order]
     packed = kinv * (2**32) + hv
     # exclusive within-key cumsum → #smaller-in-group, rank base
-    cum = np.cumsum(hn) - hn
-    starts = np.r_[True, kinv[1:] != kinv[:-1]]
-    base = np.repeat(cum[starts], np.diff(
-        np.r_[np.flatnonzero(starts), kinv.size]))
-    rank = cum - base + 1
+    starts = np.r_[True, kinv[1:] != kinv[:-1]] \
+        if kinv.size else np.empty(0, bool)
+    seg_lens = np.diff(np.r_[np.flatnonzero(starts), kinv.size])
+    if dense:
+        # DENSE_RANK: 1 + #distinct smaller values = position of the
+        # value among the key's sorted distinct values — a cumsum of
+        # ONES over the same histogram instead of the counts
+        idx = np.arange(kinv.size)
+        rank = idx - np.repeat(idx[starts], seg_lens) + 1
+    else:
+        # RANK: 1 + #rows smaller (ties share the min rank)
+        cum = np.cumsum(hn) - hn
+        rank = cum - np.repeat(cum[starts], seg_lens) + 1
     handle = ray.put((uk, packed, rank))
 
     def score(batch: pa.Table) -> pa.Table:

@@ -1275,6 +1275,17 @@ def q_rank_by_lang(sf_dir: str):
         ["doc_id", "lang", "n_chars"]), key="lang", col="n_chars")
 
 
+def q_dense_rank_by_lang(sf_dir: str):
+    """Per-row DENSE_RANK() OVER (PARTITION BY lang ORDER BY n_chars)
+    — same sort-free histogram machinery as rank_by_lang, with the
+    within-key cumsum taken over ONES (1 + #distinct smaller) instead
+    of counts (data/rank.py group_rank dense=True)."""
+    from .data.rank import group_rank
+    return group_rank(_read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars"]), key="lang", col="n_chars",
+        out_col="drnk", dense=True)
+
+
 def q_revenue_rollup(sf_dir: str):
     """GROUP BY ROLLUP(priority, year) revenue cube: the multi-level
     reporting aggregate. Scale shape: ONE corpus pass of in-batch
@@ -1609,6 +1620,28 @@ def q_profile_lineitem(sf_dir: str):
             Min("min_v", alias_name="min_v"),
             Max("max_v", alias_name="max_v"),
             Sum("sum_v", alias_name="sum_v"))
+
+
+def q_order_seq(sf_dir: str):
+    """Per-customer order SEQUENCE NUMBER — ROW_NUMBER() OVER
+    (PARTITION BY custkey ORDER BY date, orderkey). Zero new
+    machinery: row_number is the running COUNT, i.e. windowed_cumsum
+    over a ones column — same one-sort + broadcast-base fixup, same
+    hot-key safety."""
+    from .data.windows import windowed_cumsum
+
+    def ones(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "one", pa.array(np.ones(b.num_rows, np.int64)))
+    ones.__name__ = "append_ones"
+
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .map_batches(ones, batch_format="pyarrow")
+    out = windowed_cumsum(ds, key_col="o_custkey",
+                          order_cols=["o_orderdate", "o_orderkey"],
+                          val_col="one", out_col="seq")
+    return out.select_columns(["o_orderkey", "o_custkey", "seq"])
 
 
 def q_retention_cohorts(sf_dir: str):
@@ -2478,6 +2511,8 @@ QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "dau_hll": q_dau_hll,
     "retention_cohorts": q_retention_cohorts,
+    "order_seq": q_order_seq,
+    "dense_rank_by_lang": q_dense_rank_by_lang,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -4028,4 +4063,20 @@ ORACLE_SQL["retention_cohorts"] = """
            count(*) AS n_users
     FROM ud JOIN fs USING (user_id)
     GROUP BY cohort, day - cohort
+"""
+
+ORACLE_SQL["order_seq"] = """
+    SELECT o_orderkey, o_custkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS seq
+    FROM orders
+"""
+
+ORACLE_SQL["dense_rank_by_lang"] = """
+    SELECT doc_id, lang,
+           CAST(DENSE_RANK() OVER (PARTITION BY lang
+                                   ORDER BY n_chars)
+                AS BIGINT) AS drnk
+    FROM documents
 """

@@ -892,3 +892,34 @@ def test_asof_join_hot_key_pure_left_blocks(ray_session):
                     num_partitions=16).take_all()
     assert len(res) == n
     assert all(r["matched_o"] == 9 for r in res)
+
+
+def test_group_rank_dense_semantics(ray_session):
+    """dense=True must match SQL DENSE_RANK (consecutive ranks over
+    distinct values, ties collapse) on a tie-dense table, for any
+    block layout; plain RANK on the same data differs where ties
+    exist (guard that the two modes are actually distinct here)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from soupflow.data.rank import group_rank
+
+    ids = np.arange(12, dtype=np.int64)
+    keys = np.array(["a"] * 6 + ["b"] * 6, dtype=object)
+    vals = np.array([5, 5, 7, 7, 7, 9, 1, 2, 2, 2, 3, 3],
+                    dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "lang": pa.array(keys.tolist(), pa.string()),
+                    "n_chars": pa.array(vals)})
+    want_dense = [1, 1, 2, 2, 2, 3, 1, 2, 2, 2, 3, 3]
+    want_rank = [1, 1, 3, 3, 3, 6, 1, 2, 2, 2, 5, 5]
+    for blocks in (1, 4):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        d = group_rank(ds, key="lang", col="n_chars",
+                       out_col="r", dense=True).to_pandas() \
+            .sort_values("doc_id")
+        r = group_rank(ds, key="lang", col="n_chars",
+                       out_col="r").to_pandas().sort_values("doc_id")
+        assert list(d["r"]) == want_dense, blocks
+        assert list(r["r"]) == want_rank, blocks
+    assert want_dense != want_rank
