@@ -1339,6 +1339,67 @@ def q_revenue_rollup(sf_dir: str):
                              total])
 
 
+def q_revenue_cube(sf_dir: str):
+    """GROUP BY CUBE(priority, year): the full grouping-sets lattice
+    — base (p, y), both one-dimension margins (p, ALL) and (ALL, y),
+    and the grand total. Same scale shape as revenue_rollup: ONE
+    corpus pass + ONE bounded groupby builds the base level; all
+    coarser grouping sets derive driver-side from the
+    |priorities|·|years|-row base table (a CUBE costs no more scans
+    than a ROLLUP). ('ALL', 0) sentinels, integer-cents sums."""
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        tp = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(tp * 100.0 + 0.5).astype(np.int64)
+        yr = pc.year(b.column("o_orderdate")).cast(pa.int64())
+        t = pa.table({"prio": b.column("o_orderpriority"),
+                      "yr": yr,
+                      "cents": pa.array(cents, pa.int64())})
+        g = t.group_by(["prio", "yr"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["prio", "yr", "rev_cents",
+                                 "n_orders"])
+    partial.__name__ = "cube_partial"
+
+    base = collect_table(
+        _read(sf_dir, "orders")
+        .select_columns(["o_orderpriority", "o_orderdate",
+                         "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["prio", "yr"]).aggregate(
+            Sum("rev_cents", alias_name="rev_cents"),
+            Sum("n_orders", alias_name="n_orders")))
+
+    def margin(keys: list[str]) -> pa.Table:
+        g = base.group_by(keys).aggregate(
+            [("rev_cents", "sum"), ("n_orders", "sum")]) \
+            .rename_columns([*keys, "rev_cents", "n_orders"])
+        if "prio" not in keys:
+            g = g.add_column(0, "prio", pa.array(
+                ["ALL"] * g.num_rows, pa.string()))
+        if "yr" not in keys:
+            g = g.add_column(1, "yr", pa.array(
+                [0] * g.num_rows, pa.int64()))
+        return g
+
+    total = pa.table({
+        "prio": pa.array(["ALL"], pa.string()),
+        "yr": pa.array([0], pa.int64()),
+        "rev_cents": pa.array(
+            [pc.sum(base.column("rev_cents")).as_py() or 0],
+            pa.int64()),
+        "n_orders": pa.array(
+            [pc.sum(base.column("n_orders")).as_py() or 0],
+            pa.int64())})
+    cols = ["prio", "yr", "rev_cents", "n_orders"]
+    return pa.concat_tables([
+        base.select(cols), margin(["prio"]).select(cols),
+        margin(["yr"]).select(cols), total])
+
+
 def _source_df_agg(sf_dir: str, src_a: str = "src0",
                    src_b: str = "src1"):
     """Shared two-source per-term document-frequency aggregate: rows
@@ -2513,6 +2574,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "order_seq": q_order_seq,
     "dense_rank_by_lang": q_dense_rank_by_lang,
+    "revenue_cube": q_revenue_cube,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -4079,4 +4141,14 @@ ORACLE_SQL["dense_rank_by_lang"] = """
                                    ORDER BY n_chars)
                 AS BIGINT) AS drnk
     FROM documents
+"""
+
+ORACLE_SQL["revenue_cube"] = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+           CAST(COALESCE(year(o_orderdate), 0) AS BIGINT) AS yr,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, year(o_orderdate))
 """

@@ -1063,3 +1063,35 @@ def test_retention_cohorts_reference(ray_session):
     for _, r in out.iterrows():
         assert r.n_users == ref.loc[(r.cohort_day, r.k)], \
             (r.cohort_day, r.k)
+
+
+def test_revenue_cube_lattice_consistent(ray_session):
+    """All four CUBE grouping sets must be internally consistent and
+    the (ALL, yr) margin must match a pandas reference."""
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_revenue_cube
+    out = q_revenue_cube(SF).to_pandas()
+    base = out[(out.prio != "ALL") & (out.yr != 0)]
+    m_p = out[(out.prio != "ALL") & (out.yr == 0)]
+    m_y = out[(out.prio == "ALL") & (out.yr != 0)]
+    total = out[(out.prio == "ALL") & (out.yr == 0)]
+    assert len(total) == 1
+    for margin, key in ((m_p, "prio"), (m_y, "yr")):
+        ref = base.groupby(key)[["rev_cents", "n_orders"]].sum()
+        assert len(margin) == len(ref)
+        for _, r in margin.iterrows():
+            assert r.rev_cents == ref.loc[r[key], "rev_cents"]
+            assert r.n_orders == ref.loc[r[key], "n_orders"]
+    assert total.rev_cents.iloc[0] == base.rev_cents.sum()
+    assert total.n_orders.iloc[0] == base.n_orders.sum()
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    orders["cents"] = np.floor(
+        orders.o_totalprice * 100 + 0.5).astype("int64")
+    orders["yr"] = orders.o_orderdate.dt.year
+    ref_y = orders.groupby("yr")["cents"].agg(["sum", "count"])
+    for _, r in m_y.iterrows():
+        assert r.rev_cents == ref_y.loc[r.yr, "sum"]
+        assert r.n_orders == ref_y.loc[r.yr, "count"]
