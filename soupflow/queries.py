@@ -2469,6 +2469,247 @@ def q_reader_pipeline(sf_dir: str):
         _task(ReaderPipelineActor), batch_format="pyarrow")
 
 
+_NTILE_N = 4
+
+
+def q_order_quartile(sf_dir: str):
+    """NTILE(4) OVER (PARTITION BY custkey ORDER BY date, orderkey):
+    the bucketing window function completing the window family
+    (cumsum / rank / dense_rank / row_number / lag / rolling / ntile).
+    Zero new shuffle machinery: row_number comes from windowed_cumsum
+    over a ones column (the order_seq shape — ONE global sort,
+    broadcast-base edge fixup, hot-key safe); per-key totals reduce
+    map-side to (key, n) partials + ONE key-bounded groupby broadcast
+    as sorted arrays (partitioned-join hatch documented at
+    customers_no_orders for key sets that outgrow the driver); the
+    tile assignment is a zero-shuffle pure-integer map mirroring SQL
+    NTILE's first-(count%n)-buckets-get-the-remainder rule, so the
+    oracle hash is float-free by construction."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .data.windows import windowed_cumsum
+    from .io import collect_table
+
+    def ones(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "one", pa.array(np.ones(b.num_rows, np.int64)))
+    ones.__name__ = "append_ones"
+
+    seq = windowed_cumsum(
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_orderdate", "o_orderkey"])
+        .map_batches(ones, batch_format="pyarrow"),
+        key_col="o_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        val_col="one", out_col="seq")
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        k, n = np.unique(
+            b.column("o_custkey").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+    cnt_partial.__name__ = "key_count_partial"
+
+    cnt = collect_table(
+        _read(sf_dir, "orders").select_columns(["o_custkey"])
+        .map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("n", alias_name="n")))
+    ks = cnt.column("k").to_numpy(zero_copy_only=False)
+    ns = cnt.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(ks, kind="stable")
+    handle = ray.put((ks[order], ns[order]))
+
+    def tile(b: pa.Table) -> pa.Table:
+        ks_s, ns_s = ray.get(handle)
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        sq = b.column("seq").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks_s, ck)
+        if pos.size and (pos.max() >= ks_s.size
+                         or not np.array_equal(ks_s[pos], ck)):
+            raise ValueError("order key missing from count table")
+        c = ns_s[pos]
+        q, r = c // _NTILE_N, c % _NTILE_N
+        hi = r * (q + 1)
+        first = sq <= hi
+        t = np.where(first, (sq - 1) // (q + 1),
+                     r + (sq - 1 - hi) // np.maximum(q, 1)) + 1
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_custkey": b.column("o_custkey"),
+                         "tile": pa.array(t.astype(np.int64))})
+    tile.__name__ = "ntile_assign"
+
+    return seq.map_batches(tile, batch_format="pyarrow")
+
+
+def q_first_order_value(sf_dir: str):
+    """FIRST_VALUE — per-customer totalprice of the EARLIEST order
+    (ties by orderkey): grouped argmin ROW selection without a sort.
+    (orderdate-days, orderkey) pack into one int64 (contract: days <
+    2^22, orderkey < 2^40 — fails loudly), so per-block Arrow group_by
+    MIN partials + ONE key-bounded groupby pick each customer's
+    winning orderkey; the winner set (≤ |customers| int64s) broadcasts
+    and a second zero-shuffle membership pass emits the winning rows'
+    price as integer cents. Orders never shuffle. Same packed-argmax
+    trick as favorite_event, pointed at row selection instead of mode."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from .io import collect_table
+
+    _OK_BITS = 40
+
+    def packed_partial(b: pa.Table) -> pa.Table:
+        days = b.column("o_orderdate").cast(pa.date32()) \
+            .cast(pa.int32()).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        if days.size and (days.min() < 0 or days.max() >= (1 << 22)
+                          or ok.min() < 0 or ok.max() >= (1 << _OK_BITS)):
+            raise ValueError("first_order_value pack contract: "
+                             "0 <= days < 2^22, 0 <= orderkey < 2^40")
+        p = (days << _OK_BITS) | ok
+        t = pa.table({"ck": b.column("o_custkey"),
+                      "p": pa.array(p, pa.int64())})
+        g = t.group_by("ck").aggregate([("p", "min")])
+        return g.rename_columns(["ck", "p"])
+    packed_partial.__name__ = "argmin_pack_partial"
+
+    win = collect_table(
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_orderdate", "o_orderkey"])
+        .map_batches(packed_partial, batch_format="pyarrow")
+        .groupby("ck").aggregate(Min("p", alias_name="p")))
+    winners = np.sort(
+        win.column("p").to_numpy(zero_copy_only=False)
+        & ((1 << _OK_BITS) - 1)) if win.num_rows \
+        else np.empty(0, np.int64)
+    handle = ray.put(winners)
+
+    def pick(b: pa.Table) -> pa.Table:
+        ws = ray.get(handle)
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        if ws.size:
+            pos = np.minimum(np.searchsorted(ws, ok), ws.size - 1)
+            keep = ws[pos] == ok
+        else:
+            keep = np.zeros(ok.size, dtype=bool)
+        kept = b.filter(pa.array(keep))
+        tp = kept.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(tp * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_custkey": kept.column("o_custkey"),
+                         "first_cents": pa.array(cents, pa.int64())})
+    pick.__name__ = "pick_winning_rows"
+
+    return _read(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(pick, batch_format="pyarrow")
+
+
+def q_props_k_stats(sf_dir: str):
+    """JSON sidecar field extraction: pull the integer `k` out of
+    the events props JSON with ONE vectorized RE2 extraction
+    (pc.extract_regex — no per-row json.loads), then reduce map-side
+    to (event_type, n, sum_k) partials into ONE groupby bounded by
+    |event types|. Contract: every row matches (the sidecar schema
+    guarantees it); a non-matching row raises rather than silently
+    dropping from the sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(b.column("props"),
+                               r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(ext, "k")
+        if k.null_count:
+            raise ValueError("props row without an integer k field")
+        kv = k.cast(pa.int64())
+        t = pa.table({"event_type": b.column("event_type"),
+                      "k": kv})
+        g = t.group_by("event_type").aggregate(
+            [("k", "sum"), ("k", "count")])
+        return g.rename_columns(["event_type", "sum_k", "n_events"])
+    partial.__name__ = "props_extract_partial"
+
+    return _read(sf_dir, "events") \
+        .select_columns(["event_type", "props"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Sum("n_events", alias_name="n_events"))
+
+
+_REDACT_PAT = r"\b(spark|hash|join)\b"
+
+
+def q_redact_terms(sf_dir: str):
+    """Blocklist term redaction — the PII/toxic-term scrubbing pass
+    every training-data pipeline runs before packing: every
+    whole-word occurrence of a blocklisted term is replaced with
+    [X], plus a per-doc redaction count. ONE vectorized RE2
+    replace + count per block (Arrow C++ kernels), zero shuffle,
+    zero per-row Python; both engines run the same RE2 pattern so
+    \\b semantics agree exactly."""
+    def red(b: pa.Table) -> pa.Table:
+        txt = b.column("text")
+        n = pc.count_substring_regex(txt, _REDACT_PAT).cast(pa.int64())
+        out = pc.replace_substring_regex(txt, _REDACT_PAT,
+                                         replacement="[X]")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": out, "n_redacted": n})
+    red.__name__ = "redact_terms"
+
+    return _read(sf_dir, "documents") \
+        .select_columns(["doc_id", "text"]) \
+        .map_batches(red, batch_format="pyarrow")
+
+
+def q_lexical_diversity(sf_dir: str):
+    """Per-doc lexical diversity — (n_tokens, n_distinct), the
+    type-token-ratio quality signal. Zero shuffle: per block the
+    token stream is whitespace-split once (shared guarded kernel),
+    dictionary-encoded once, and distinct-per-doc counted with a
+    single np.unique over packed (row<<32 | code) int64 — no per-doc
+    Python. Output stays an integer pair so the hash compare is
+    float-free (ratio = n_distinct / n_tokens is the consumer's one
+    division). Contract: block vocab < 2^32, block rows < 2^31
+    (any sane block size)."""
+    from .data.textstats import _ws_tokens
+
+    def div(b: pa.Table) -> pa.Table:
+        arr = b.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs, flat = _ws_tokens(arr)
+        nonempty = pc.not_equal(flat, "").to_numpy(
+            zero_copy_only=False)
+        cs = np.concatenate([np.zeros(1, np.int64),
+                             np.cumsum(nonempty.astype(np.int64))])
+        n_tokens = cs[offs[1:]] - cs[offs[:-1]]
+        codes = pc.dictionary_encode(flat).combine_chunks() \
+            if isinstance(flat, pa.ChunkedArray) \
+            else flat.dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nvocab = len(codes.dictionary)
+        if nvocab >= (1 << 32) or b.num_rows >= (1 << 31):
+            raise ValueError("lexical_diversity pack contract")
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                        np.diff(offs))
+        pk = np.unique((row[nonempty] << 32) | idx[nonempty])
+        n_distinct = np.bincount(pk >> 32, minlength=b.num_rows) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64())})
+    div.__name__ = "lexical_diversity"
+
+    return _read(sf_dir, "documents") \
+        .select_columns(["doc_id", "text"]) \
+        .map_batches(div, batch_format="pyarrow")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -2575,6 +2816,11 @@ QUERIES = {
     "order_seq": q_order_seq,
     "dense_rank_by_lang": q_dense_rank_by_lang,
     "revenue_cube": q_revenue_cube,
+    "order_quartile": q_order_quartile,
+    "first_order_value": q_first_order_value,
+    "props_k_stats": q_props_k_stats,
+    "redact_terms": q_redact_terms,
+    "lexical_diversity": q_lexical_diversity,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -4151,4 +4397,52 @@ ORACLE_SQL["revenue_cube"] = """
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders
     GROUP BY CUBE(o_orderpriority, year(o_orderdate))
+"""
+
+ORACLE_SQL["order_quartile"] = """
+    SELECT o_orderkey, o_custkey,
+           CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS tile
+    FROM orders
+"""
+
+ORACLE_SQL["first_order_value"] = """
+    SELECT o_custkey, first_cents FROM (
+        SELECT o_custkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS first_cents,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+                   AS rn
+        FROM orders) WHERE rn = 1
+"""
+
+ORACLE_SQL["props_k_stats"] = """
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                         AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+"""
+
+ORACLE_SQL["redact_terms"] = """
+    SELECT doc_id,
+           regexp_replace(text, '\\b(spark|hash|join)\\b', '[X]', 'g')
+               AS text,
+           CAST(len(regexp_extract_all(text,
+                    '\\b(spark|hash|join)\\b')) AS BIGINT)
+               AS n_redacted
+    FROM documents
+"""
+
+ORACLE_SQL["lexical_diversity"] = """
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text),
+                             '\\s+'), x -> x <> '') AS toks
+          FROM documents)
 """

@@ -1095,3 +1095,97 @@ def test_revenue_cube_lattice_consistent(ray_session):
     for _, r in m_y.iterrows():
         assert r.rev_cents == ref_y.loc[r.yr, "sum"]
         assert r.n_orders == ref_y.loc[r.yr, "count"]
+
+
+def test_order_quartile_ntile_semantics(ray_session):
+    """NTILE remainder rule (first count%4 buckets get the extra row)
+    against a scalar reference — and the corpus must contain a group
+    where the naive floor((rn-1)*n/count) formula would differ, so the
+    test genuinely bites."""
+    import math
+
+    import pandas as pd
+
+    from soupflow.queries import q_order_quartile
+    out = q_order_quartile(SF).to_pandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    orders = orders.sort_values(["o_custkey", "o_orderdate",
+                                 "o_orderkey"])
+    got = dict(zip(out.o_orderkey, out.tile))
+    bites = 0
+    for _, grp in orders.groupby("o_custkey"):
+        c = len(grp)
+        q, r = divmod(c, 4)
+        for i, ok in enumerate(grp.o_orderkey):
+            ref = i // (q + 1) + 1 if i < r * (q + 1) \
+                else r + (i - r * (q + 1)) // max(q, 1) + 1
+            assert got[ok] == ref, (ok, got[ok], ref)
+            naive = math.floor(i * 4 / c) + 1
+            bites += naive != ref
+    assert bites > 0, "corpus never exercises the remainder rule"
+
+
+def test_first_order_value_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_first_order_value
+    out = q_first_order_value(SF).to_pandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    first = orders.sort_values(
+        ["o_orderdate", "o_orderkey"]).groupby("o_custkey").head(1)
+    ref = dict(zip(first.o_custkey,
+                   np.floor(first.o_totalprice * 100 + 0.5)
+                   .astype("int64")))
+    assert len(out) == len(ref)
+    for _, r in out.iterrows():
+        assert r.first_cents == ref[r.o_custkey]
+
+
+def test_props_k_stats_reference(ray_session):
+    import json
+
+    import pandas as pd
+
+    from soupflow.queries import q_props_k_stats
+    out = q_props_k_stats(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["k"] = ev.props.map(lambda s: json.loads(s)["k"])
+    ref = ev.groupby("event_type")["k"].agg(["sum", "count"])
+    assert len(out) == len(ref)
+    for _, r in out.iterrows():
+        assert r.sum_k == ref.loc[r.event_type, "sum"]
+        assert r.n_events == ref.loc[r.event_type, "count"]
+
+
+def test_redact_terms_reference(ray_session):
+    import re
+
+    import pandas as pd
+
+    from soupflow.queries import q_redact_terms
+    out = q_redact_terms(SF).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    pat = re.compile(r"\b(spark|hash|join)\b")
+    bites = 0
+    for _, d in docs.iterrows():
+        assert out.loc[d.doc_id, "text"] == pat.sub("[X]", d.text)
+        n = len(pat.findall(d.text))
+        assert out.loc[d.doc_id, "n_redacted"] == n
+        bites += n
+    assert bites > 0, "blocklist never matched — vacuous corpus"
+
+
+def test_lexical_diversity_reference(ray_session):
+    import pandas as pd
+
+    from soupflow.queries import q_lexical_diversity
+    out = q_lexical_diversity(SF).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    repeats = 0
+    for _, d in docs.iterrows():
+        toks = d.text.split()
+        assert out.loc[d.doc_id, "n_tokens"] == len(toks)
+        assert out.loc[d.doc_id, "n_distinct"] == len(set(toks))
+        repeats += len(toks) != len(set(toks))
+    assert repeats > 0, "no doc has repeated tokens — vacuous"
