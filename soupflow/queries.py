@@ -2710,6 +2710,170 @@ def q_lexical_diversity(sf_dir: str):
         .map_batches(div, batch_format="pyarrow")
 
 
+_BIG_ORDER_QTY = 150
+
+
+def q_big_orders(sf_dir: str):
+    """TPC-H Q18 shape — large-volume orders: the HAVING-subquery
+    semi-join composite. Stage 1 is the one genuinely WIDE groupby in
+    the catalog (keys = fact orderkeys, not a bounded dimension):
+    per-block Arrow sum partials shrink it by the lineitems-per-order
+    factor before the shuffle, and only (orderkey, qty) int64 pairs
+    move — never lineitem rows. The HAVING filter then bounds the
+    winner set, which broadcasts for a zero-shuffle membership pass
+    over orders (partitioned hash-join hatch documented at
+    orders_with_returns when the post-HAVING set outgrows the
+    driver); customer names attach via the standard broadcast dim
+    lookup. Quantities are integral by TPC-H construction — folded to
+    int64 map-side so every partial is exact and the hash float-free."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        t = pa.table({"k": b.column("l_orderkey"),
+                      "q": pa.array(np.floor(q + 0.5).astype(np.int64))})
+        return t.group_by("k").aggregate([("q", "sum")]) \
+            .rename_columns(["k", "q"])
+    qty_partial.__name__ = "order_qty_partial"
+
+    def having(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("q"), _BIG_ORDER_QTY))
+    having.__name__ = "having_qty"
+
+    tq = collect_table(
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("q", alias_name="q"))
+        .map_batches(having, batch_format="pyarrow"))
+    wk = tq.column("k").to_numpy(zero_copy_only=False)
+    wq = tq.column("q").to_numpy(zero_copy_only=False)
+    order = np.argsort(wk, kind="stable")
+    handle = ray.put((wk[order], wq[order]))
+
+    cust = collect_table(_read(sf_dir, "customer")
+                         .select_columns(["c_custkey", "c_name"]))
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    cn = cust.column("c_name").to_pylist()
+    corder = np.argsort(ck, kind="stable")
+    chandle = ray.put((ck[corder],
+                       np.asarray(cn, dtype=object)[corder]))
+
+    def attach(b: pa.Table) -> pa.Table:
+        ws, qs = ray.get(handle)
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        if ws.size:
+            pos = np.minimum(np.searchsorted(ws, ok), ws.size - 1)
+            keep = ws[pos] == ok
+        else:
+            keep = np.zeros(ok.size, dtype=bool)
+        kept = b.filter(pa.array(keep))
+        okk = kept.column("o_orderkey").to_numpy(zero_copy_only=False)
+        qty = qs[np.searchsorted(ws, okk)] if okk.size \
+            else np.empty(0, np.int64)
+        cks, cns = ray.get(chandle)
+        cc = kept.column("o_custkey").to_numpy(zero_copy_only=False)
+        cpos = np.searchsorted(cks, cc)
+        if cc.size and (cpos.max() >= cks.size
+                        or not np.array_equal(cks[cpos], cc)):
+            raise ValueError("order custkey missing from customer dim")
+        tp = kept.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_name": pa.array(cns[cpos].tolist() if cc.size else [],
+                               pa.string()),
+            "o_custkey": kept.column("o_custkey"),
+            "o_orderkey": kept.column("o_orderkey"),
+            "price_cents": pa.array(
+                np.floor(tp * 100.0 + 0.5).astype(np.int64)),
+            "total_qty": pa.array(qty, pa.int64())})
+    attach.__name__ = "big_order_attach"
+
+    return _read(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(attach, batch_format="pyarrow")
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT / melt — wide metric columns to narrow (row, metric,
+    value) triples, the long-format reshape feeding any generic
+    per-metric aggregate or plotting layer. Pure zero-shuffle
+    map-side expansion: per block, three constant-metric tables
+    concat (Arrow take-free column reuse), each metric folded to its
+    exact integer unit (qty, price cents, discount basis points) so
+    the triple stream is type-uniform int64 and the hash float-free."""
+    def melt(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey")
+        ln = b.column("l_linenumber").cast(pa.int64())
+        qty = np.floor(b.column("l_quantity")
+                       .to_numpy(zero_copy_only=False) + 0.5) \
+            .astype(np.int64)
+        price = np.floor(b.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        disc = np.floor(b.column("l_discount")
+                        .to_numpy(zero_copy_only=False) * 10000.0
+                        + 0.5).astype(np.int64)
+        parts = []
+        for name, vals in (("qty", qty), ("price_cents", price),
+                           ("disc_bp", disc)):
+            parts.append(pa.table({
+                "l_orderkey": ok, "l_linenumber": ln,
+                "metric": pa.array([name] * b.num_rows, pa.string()),
+                "value": pa.array(vals, pa.int64())}))
+        return pa.concat_tables(parts)
+    melt.__name__ = "unpivot_melt"
+
+    return _read(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_linenumber", "l_quantity",
+                         "l_extendedprice", "l_discount"]) \
+        .map_batches(melt, batch_format="pyarrow")
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSON-lines sink + source round trip: events reduce to
+    (event_type, value_cents) — integer BEFORE serialization so the
+    float never crosses a text format — write_json to a partitioned
+    /tmp tree, read_json back, ONE bounded groupby. Validates the
+    JSONL I/O path end to end the way partitioned_write does for
+    hive-parquet; the oracle is the same aggregate on the parquet
+    input."""
+    import os
+    import shutil
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    out = os.path.join("/tmp/soupflow_jsonl",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "value_cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64))})
+    narrow.__name__ = "jsonl_narrow"
+
+    _read(sf_dir, "events").select_columns(["event_type", "value"]) \
+        .map_batches(narrow, batch_format="pyarrow").write_json(out)
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type").cast(pa.string()),
+            "value_cents": b.column("value_cents").cast(pa.int64())})
+    fix.__name__ = "jsonl_schema_fix"
+
+    return ray.data.read_json(out) \
+        .map_batches(fix, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("value_cents", alias_name="sum_cents"),
+            Count(alias_name="n"))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -2821,6 +2985,9 @@ QUERIES = {
     "props_k_stats": q_props_k_stats,
     "redact_terms": q_redact_terms,
     "lexical_diversity": q_lexical_diversity,
+    "big_orders": q_big_orders,
+    "lineitem_unpivot": q_lineitem_unpivot,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -4445,4 +4612,45 @@ ORACLE_SQL["lexical_diversity"] = """
                  list_filter(regexp_split_to_array(trim(text),
                              '\\s+'), x -> x <> '') AS toks
           FROM documents)
+"""
+
+ORACLE_SQL["big_orders"] = """
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+               AS price_cents,
+           t.total_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (SELECT l_orderkey,
+                 CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                      AS BIGINT) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING total_qty > 150) t
+      ON t.l_orderkey = o.o_orderkey
+"""
+
+ORACLE_SQL["lineitem_unpivot"] = """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           'qty' AS metric,
+           CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+           'price_cents',
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+           'disc_bp',
+           CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)
+    FROM lineitem
+"""
+
+ORACLE_SQL["jsonl_roundtrip"] = """
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
 """

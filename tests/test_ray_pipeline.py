@@ -1189,3 +1189,77 @@ def test_lexical_diversity_reference(ray_session):
         assert out.loc[d.doc_id, "n_distinct"] == len(set(toks))
         repeats += len(toks) != len(set(toks))
     assert repeats > 0, "no doc has repeated tokens — vacuous"
+
+
+def test_big_orders_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_big_orders
+    out = q_big_orders(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li["q"] = np.floor(li.l_quantity + 0.5).astype("int64")
+    tq = li.groupby("l_orderkey")["q"].sum()
+    winners = tq[tq > 150]
+    assert len(out) == len(winners) > 0
+    orders = pd.read_parquet(f"{SF}/orders.parquet") \
+        .set_index("o_orderkey")
+    cust = pd.read_parquet(f"{SF}/customer.parquet") \
+        .set_index("c_custkey")
+    for _, r in out.iterrows():
+        o = orders.loc[r.o_orderkey]
+        assert r.total_qty == winners.loc[r.o_orderkey]
+        assert r.o_custkey == o.o_custkey
+        assert r.price_cents == np.floor(
+            o.o_totalprice * 100 + 0.5).astype("int64")
+        assert r.c_name == cust.loc[o.o_custkey, "c_name"]
+
+
+def test_lineitem_unpivot_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_lineitem_unpivot
+    out = q_lineitem_unpivot(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    assert len(out) == 3 * len(li)
+    # (orderkey, linenumber) is NOT unique in the synthetic table —
+    # compare as a row multiset, exactly like the driver's hash gate
+    ref = pd.concat([
+        pd.DataFrame({"l_orderkey": li.l_orderkey,
+                      "l_linenumber": li.l_linenumber.astype("int64"),
+                      "metric": m,
+                      "value": np.floor(v).astype("int64")})
+        for m, v in (("qty", li.l_quantity + 0.5),
+                     ("price_cents", li.l_extendedprice * 100 + 0.5),
+                     ("disc_bp", li.l_discount * 10000 + 0.5))])
+    cols = ["l_orderkey", "l_linenumber", "metric", "value"]
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = ref[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_jsonl_roundtrip_reference(ray_session):
+    import glob
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_jsonl_roundtrip
+    out = q_jsonl_roundtrip(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["cents"] = np.floor(ev.value * 100 + 0.5).astype("int64")
+    ref = ev.groupby("event_type")["cents"].agg(["sum", "count"])
+    assert len(out) == len(ref)
+    for _, r in out.iterrows():
+        assert r.sum_cents == ref.loc[r.event_type, "sum"]
+        assert r.n == ref.loc[r.event_type, "count"]
+    # the sink genuinely wrote JSON lines
+    files = glob.glob(os.path.join(
+        "/tmp/soupflow_jsonl", os.path.basename(SF), "*.json"))
+    assert files
+    with open(files[0]) as f:
+        rec = json.loads(f.readline())
+    assert set(rec) == {"event_type", "value_cents"}
