@@ -467,3 +467,128 @@ def hll_grouped_oracle_sql(table: str, group_col: str, col: str,
     SELECT {group_col}, bucket, CAST(max(rank) AS BIGINT) AS maxrank
     FROM rk GROUP BY {group_col}, bucket
     """
+
+
+def misra_gries_heavy(docs, k: int = 29):
+    """Deterministic heavy hitters via the Misra-Gries mergeable
+    summary (Misra & Gries 1982; merge rule and error bound: Agarwal
+    et al., "Mergeable Summaries", 2013): every term with frequency
+    > n/(k+1), output with its EXACT count.
+
+    The fifth sketch class, and the constant-size counterpoint to
+    Count-Min: where CMS ships a d×w matrix, MG ships AT MOST k
+    (term, counter) pairs per block no matter the block vocabulary.
+    Each block's exact counts are reduced by subtracting the
+    (k+1)-th largest counter and dropping non-positives (per-block
+    error ≤ n_b/(k+1)); summaries merge by addition and reduce the
+    same way, so total undercount ≤ n/(k+1) and every term with true
+    frequency above that threshold necessarily survives with a
+    positive merged counter. The ≤ k surviving candidates broadcast
+    for ONE exact confirming pass (candidate-bounded narrow partials
+    + ONE groupby), and the final HAVING (k+1)·f > n is pure integer
+    arithmetic — so the output is deterministic and SQL-oracle-able
+    even though the first pass is approximate.
+
+    Scale shape: two streaming passes over text; nothing wider than
+    k+1 rows per block ever leaves a block, and the broadcast is
+    ≤ k strings."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..io import collect_table
+    from .textstats import _text_array, _ws_tokens
+
+    def _reduce(terms: np.ndarray, cnts: np.ndarray):
+        if cnts.size <= k:
+            return terms, cnts
+        t = np.partition(cnts, cnts.size - k - 1)[cnts.size - k - 1]
+        c2 = cnts - t
+        keep = c2 > 0
+        return terms[keep], c2[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = pc.utf8_lower(_text_array(batch))
+        _, flat = _ws_tokens(arr)
+        vc = flat.value_counts()
+        terms = np.asarray(vc.field("values").to_pylist(),
+                           dtype=object)
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mask = terms != ""
+        terms, cnts = terms[mask], cnts[mask]
+        n_b = int(cnts.sum())
+        terms, cnts = _reduce(terms, cnts)
+        return pa.table({
+            "term": pa.array(list(terms) + [""], pa.string()),
+            "c": pa.array(np.append(cnts, n_b), pa.int64())})
+    partial.__name__ = "mg_summary_partial"
+
+    parts = collect_table(
+        docs.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow"))
+    terms = np.asarray(parts.column("term").to_pylist(), dtype=object)
+    cnts = parts.column("c").to_numpy(zero_copy_only=False)
+    sent = terms == ""
+    n_total = int(cnts[sent].sum())
+    terms, cnts = terms[~sent], cnts[~sent]
+    if terms.size:
+        order = np.argsort(terms, kind="stable")
+        terms, cnts = terms[order], cnts[order]
+        starts = np.flatnonzero(
+            np.r_[True, terms[1:] != terms[:-1]])
+        merged = np.add.reduceat(cnts, starts)
+        terms, cnts = _reduce(terms[starts], merged)
+
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "n_occurrences": pa.array([], pa.int64())})
+    if not terms.size:
+        return ray.data.from_arrow(empty)
+
+    cand = sorted(terms.tolist())
+    handle = ray.put(cand)
+
+    def confirm(batch: pa.Table) -> pa.Table:
+        cands = ray.get(handle)
+        arr = pc.utf8_lower(_text_array(batch))
+        _, flat = _ws_tokens(arr)
+        pos = pc.index_in(flat, value_set=pa.array(cands, pa.string()))
+        hit = pos.drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bc = np.bincount(hit, minlength=len(cands))
+        nz = np.flatnonzero(bc)
+        return pa.table({
+            "term": pa.array([cands[i] for i in nz], pa.string()),
+            "n": pa.array(bc[nz], pa.int64())})
+    confirm.__name__ = "mg_confirm_partial"
+
+    agg = docs.select_columns(["text"]) \
+        .map_batches(confirm, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n", alias_name="n_occurrences"))
+
+    def having(b: pa.Table) -> pa.Table:
+        if "n_occurrences" not in b.schema.names:  # empty-groupby guard
+            return empty
+        keep = pc.greater(
+            pc.multiply(b.column("n_occurrences"),
+                        pa.scalar(k + 1, pa.int64())),
+            pa.scalar(n_total, pa.int64()))
+        return b.filter(keep).select(["term", "n_occurrences"])
+    having.__name__ = "mg_having"
+
+    return agg.map_batches(having, batch_format="pyarrow")
+
+
+def misra_gries_oracle_sql(k: int = 29) -> str:
+    """Exact ground truth for misra_gries_heavy: terms with
+    (k+1)·count > total token count — the deterministic final output
+    the two-pass MG computation must reproduce exactly."""
+    return f"""
+    WITH t AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS w
+        FROM documents)
+    SELECT w AS term, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM t GROUP BY w
+    HAVING {k + 1} * count(*) > (SELECT count(*) FROM t)
+    """

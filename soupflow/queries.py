@@ -2874,6 +2874,66 @@ def q_jsonl_roundtrip(sf_dir: str):
             Count(alias_name="n"))
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Deterministic heavy hitters: every term with frequency >
+    n/30 and its EXACT count, via the Misra-Gries mergeable summary
+    (data/sketch.py misra_gries_heavy — ≤ k rows per block shuffle,
+    candidate-bounded exact confirm pass). k=29 sits inside this
+    corpus's near-uniform 31-word frequency spread, so the output is
+    a PROPER nonempty subset and the per-block reduction genuinely
+    bites (31 distinct > k)."""
+    from .data.sketch import misra_gries_heavy
+    return misra_gries_heavy(_read(sf_dir, "documents"), k=29)
+
+
+_IQR_M = 1  # multiplier in HALF-IQR units: bounds q1/q3 ∓ m·IQR/2
+
+
+def q_iqr_outliers(sf_dir: str):
+    """IQR outlier detection — the classic distribution-based
+    data-cleaning pass: docs whose n_chars falls outside
+    [q1 − m·IQR/2, q3 + m·IQR/2] of their own language's
+    distribution. Reuses the exact grouped-quantile machinery
+    (bounded (lang, value) histogram, ONE narrow groupby —
+    data/rank.py grouped_quantiles); the per-lang integer (q1, q3)
+    bounds broadcast and the corpus filters in ONE zero-shuffle
+    pass. All comparisons run in DOUBLED units (2·x vs 2·q1 −
+    m·(q3−q1)) so fractional IQR multiples stay integer-exact and
+    the oracle mirrors the arithmetic term for term. m is
+    parameterized; the textbook 1.5·IQR is vacuous on this
+    synthetic corpus's well-behaved tails, so the catalog pins
+    m = 0.5·IQR, which bites at both test scales."""
+    import ray
+
+    from .data.rank import grouped_quantiles
+
+    qdf = grouped_quantiles(_read(sf_dir, "documents"),
+                            "lang", "n_chars", (25, 75))
+    piv = qdf.pivot(index="lang", columns="q_pct", values="value")
+    langs = np.asarray(sorted(piv.index), dtype=object)
+    q1 = piv.loc[langs, 25].to_numpy().astype(np.int64)
+    q3 = piv.loc[langs, 75].to_numpy().astype(np.int64)
+    iqr = q3 - q1
+    handle = ray.put((langs, 2 * q1 - _IQR_M * iqr,
+                      2 * q3 + _IQR_M * iqr))
+
+    def keep(b: pa.Table) -> pa.Table:
+        ls, lo, hi = ray.get(handle)
+        lg = np.asarray(b.column("lang").to_pylist(), dtype=object)
+        x = b.column("n_chars").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ls, lg)
+        if lg.size and (pos.max() >= ls.size
+                        or not np.array_equal(ls[pos], lg)):
+            raise ValueError("lang missing from quantile table")
+        mask = (2 * x < lo[pos]) | (2 * x > hi[pos])
+        return b.filter(pa.array(mask))
+    keep.__name__ = "iqr_outlier_filter"
+
+    return _read(sf_dir, "documents") \
+        .select_columns(["doc_id", "lang", "n_chars"]) \
+        .map_batches(keep, batch_format="pyarrow")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -2988,6 +3048,8 @@ QUERIES = {
     "big_orders": q_big_orders,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "heavy_hitters": q_heavy_hitters,
+    "iqr_outliers": q_iqr_outliers,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -4653,4 +4715,28 @@ ORACLE_SQL["jsonl_roundtrip"] = """
            CAST(count(*) AS BIGINT) AS n
     FROM events
     GROUP BY event_type
+"""
+
+from .data.sketch import misra_gries_oracle_sql as _mg_sql  # noqa: E402
+
+ORACLE_SQL["heavy_hitters"] = _mg_sql(k=29)
+
+ORACLE_SQL["iqr_outliers"] = """
+    WITH c AS (SELECT lang, n_chars AS v, count(*) AS n
+               FROM documents GROUP BY lang, n_chars),
+    cum AS (SELECT lang, v,
+                   sum(n) OVER (PARTITION BY lang ORDER BY v) AS cn,
+                   sum(n) OVER (PARTITION BY lang) AS total
+            FROM c),
+    q AS (SELECT lang, q_pct, CAST(min(v) AS BIGINT) AS val
+          FROM cum, (VALUES (25), (75)) qq(q_pct)
+          WHERE cn >= (q_pct * total + 99) // 100
+          GROUP BY lang, q_pct),
+    b AS (SELECT q1.lang, q1.val AS q1, q3.val AS q3
+          FROM (SELECT * FROM q WHERE q_pct = 25) q1
+          JOIN (SELECT * FROM q WHERE q_pct = 75) q3 USING (lang))
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN b ON d.lang = b.lang
+    WHERE 2 * d.n_chars < 2 * b.q1 - 1 * (b.q3 - b.q1)
+       OR 2 * d.n_chars > 2 * b.q3 + 1 * (b.q3 - b.q1)
 """

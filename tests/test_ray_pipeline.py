@@ -1263,3 +1263,73 @@ def test_jsonl_roundtrip_reference(ray_session):
     with open(files[0]) as f:
         rec = json.loads(f.readline())
     assert set(rec) == {"event_type", "value_cents"}
+
+
+def test_heavy_hitters_reference(ray_session):
+    """MG two-pass output == exact Counter reference, and the corpus
+    genuinely exercises the per-block reduction (block vocab > k) and
+    a PROPER subset (some terms below threshold)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from soupflow.queries import q_heavy_hitters
+    out = q_heavy_hitters(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cnt = Counter(w for t in docs.text for w in t.lower().split())
+    n = sum(cnt.values())
+    ref = {w: c for w, c in cnt.items() if 30 * c > n}
+    assert 0 < len(ref) < len(cnt), "threshold must be a proper subset"
+    assert len(cnt) > 29, "vocab must exceed k for reduction to bite"
+    got = dict(zip(out.term, out.n_occurrences))
+    assert got == ref
+
+
+def test_misra_gries_skewed_synthetic(ray_session):
+    """Tiny k on a skewed synthetic corpus split across many blocks:
+    reduction bites hard in every block, yet every true heavy hitter
+    survives with its exact count (the mergeable-summary guarantee)."""
+    import numpy as np
+    import ray
+
+    from soupflow.data.sketch import misra_gries_heavy
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(200):
+        toks = ["alpha"] * 30 + ["beta"] * 20 + \
+            list(rng.choice(words, size=50))
+        rng.shuffle(toks)
+        docs.append({"doc_id": i, "text": " ".join(toks)})
+    ds = ray.data.from_items(docs).repartition(16)
+    out = misra_gries_heavy(ds, k=4).to_pandas()
+    total = 200 * 100
+    # exact reference
+    from collections import Counter
+    cnt = Counter(w for d in docs for w in d["text"].split())
+    ref = {w: c for w, c in cnt.items() if 5 * c > total}
+    assert ref, "synthetic corpus must contain heavy hitters"
+    assert dict(zip(out.term, out.n_occurrences)) == ref
+
+
+def test_iqr_outliers_reference(ray_session):
+    import pandas as pd
+
+    from soupflow.queries import q_iqr_outliers
+    out = q_iqr_outliers(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def qv(g, pct):  # smallest v with rank >= ceil(pct*N/100)
+        s = g.n_chars.sort_values().to_numpy()
+        return int(s[(pct * len(s) + 99) // 100 - 1])
+
+    keep = set()
+    for lang, g in docs.groupby("lang"):
+        q1, q3 = qv(g, 25), qv(g, 75)
+        iqr = q3 - q1
+        m = g[(2 * g.n_chars < 2 * q1 - iqr)
+              | (2 * g.n_chars > 2 * q3 + iqr)]
+        keep.update(m.doc_id.tolist())
+    assert keep, "corpus must contain IQR outliers at m=0.5"
+    assert set(out.doc_id) == keep
