@@ -657,3 +657,129 @@ def funnel(ds, *, steps: tuple[str, str] = ("view", "purchase"),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def transition_counts(ds, *, key_col: str, ts_col: str, id_col: str,
+                      val_col: str, num_partitions: int = 16):
+    """Per-key Markov TRANSITION counts — for every consecutive pair
+    of events of the same key (ordered by (ts, id)), count
+    (prev value → cur value). → pyarrow Table (prev, cur, n). The
+    LAG-then-GROUP-BY composite, produced WITHOUT per-row LAG output:
+    transitions are aggregates, so blocks emit ≤ |V|² count partials
+    plus O(1) edge rows and the corpus never shuffles a second time.
+
+    Scale shape (window-family contract): the value dictionary is
+    collected once (bounded — event-type-like vocabularies) and
+    broadcast; rows fold to four int64 columns BEFORE the ONE global
+    sort on (key, ts_us, id); each sorted block counts its
+    consecutive-row transitions with one bincount over packed
+    prev·V+cur and emits its ≤2-per-block edge-run summaries (first
+    run / last run: key, first (ts, id), first/last codes). A key's
+    rows are globally contiguous after the sort, so every cross-block
+    adjacency is between edge runs of neighboring blocks; the driver
+    sorts the O(blocks) edge table by (key, ts, id) and adds one
+    transition per consecutive same-key pair. (ts, id) must be unique
+    per key (unique ids suffice) — duplicate edge orderings raise."""
+    import ray
+    from ray.data.aggregate import Sum  # noqa: F401 (partials only)
+
+    from ..io import collect_table
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        u = pc.unique(b.column(val_col))
+        return pa.table({"v": u.cast(pa.string())})
+
+    vt = collect_table(ds.select_columns([val_col]).map_batches(
+        vocab_partial, batch_format="pyarrow"))
+    vocab = np.asarray(
+        sorted(set(vt.column("v").to_pylist())), dtype=object)
+    V = vocab.size
+    vhandle = ray.put(vocab)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        vs = ray.get(vhandle)
+        vals = np.asarray(b.column(val_col).to_pylist(), dtype=object)
+        code = np.searchsorted(vs, vals)
+        ts = b.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        return pa.table({
+            key_col: b.column(key_col).cast(pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            id_col: b.column(id_col).cast(pa.int64()),
+            "code": pa.array(code.astype(np.int64), pa.int64())})
+    narrow.__name__ = "transition_narrow"
+
+    cols = ["kind", "a", "b", "c", "d", "e"]
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in cols})
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        ts = batch.column("ts_us").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        code = batch.column("code").to_numpy(zero_copy_only=False)
+        n = keys.size
+        same = keys[1:] == keys[:-1]
+        pairs = code[:-1][same] * V + code[1:][same]
+        bc = np.bincount(pairs, minlength=V * V)
+        nz = np.flatnonzero(bc)
+        # edge runs: first and last key-run of the block
+        change = np.r_[True, ~same]
+        starts = np.flatnonzero(change)
+        run_rows = []
+        last_start = starts[-1]
+        edges = [(0, int(starts[1] - 1 if starts.size > 1 else n - 1))]
+        if starts.size > 1:
+            edges.append((int(last_start), n - 1))
+        for s, e in edges:
+            run_rows.append((1, int(keys[s]), int(ts[s]), int(ids[s]),
+                             int(code[s]), int(code[e])))
+        kind = [0] * nz.size + [r[0] for r in run_rows]
+        a = list(nz // V) + [r[1] for r in run_rows]
+        bb = list(nz % V) + [r[2] for r in run_rows]
+        c = list(bc[nz]) + [r[3] for r in run_rows]
+        d = [0] * nz.size + [r[4] for r in run_rows]
+        e_ = [0] * nz.size + [r[5] for r in run_rows]
+        return pa.table({
+            "kind": pa.array(kind, pa.int64()),
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(bb, pa.int64()),
+            "c": pa.array(c, pa.int64()),
+            "d": pa.array(d, pa.int64()),
+            "e": pa.array(e_, pa.int64())})
+    per_block.__name__ = "transition_block"
+
+    parts = collect_table(
+        ds.select_columns([key_col, ts_col, id_col, val_col])
+        .map_batches(narrow, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .sort([key_col, "ts_us", id_col])
+        .map_batches(per_block, batch_format="pyarrow",
+                     batch_size=None))
+
+    kind = parts.column("kind").to_numpy(zero_copy_only=False)
+    a = parts.column("a").to_numpy(zero_copy_only=False)
+    b = parts.column("b").to_numpy(zero_copy_only=False)
+    c = parts.column("c").to_numpy(zero_copy_only=False)
+    d = parts.column("d").to_numpy(zero_copy_only=False)
+    e = parts.column("e").to_numpy(zero_copy_only=False)
+    mat = np.zeros((V, V), dtype=np.int64)
+    cm = kind == 0
+    np.add.at(mat, (a[cm], b[cm]), c[cm])
+    em = ~cm
+    ek, ets, eid = a[em], b[em], c[em]
+    efirst, elast = d[em], e[em]
+    order = np.lexsort((eid, ets, ek))
+    ek, ets, eid = ek[order], ets[order], eid[order]
+    efirst, elast = efirst[order], elast[order]
+    adj = ek[1:] == ek[:-1]
+    if np.any(adj & (ets[1:] == ets[:-1]) & (eid[1:] == eid[:-1])):
+        raise ValueError("duplicate (key, ts, id) at block boundary — "
+                         "transition order would be nondeterministic")
+    np.add.at(mat, (elast[:-1][adj], efirst[1:][adj]), 1)
+    pnz = np.nonzero(mat)
+    return pa.table({
+        "prev": pa.array(vocab[pnz[0]].tolist(), pa.string()),
+        "cur": pa.array(vocab[pnz[1]].tolist(), pa.string()),
+        "n": pa.array(mat[pnz], pa.int64())})

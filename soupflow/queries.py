@@ -2934,6 +2934,59 @@ def q_iqr_outliers(sf_dir: str):
         .map_batches(keep, batch_format="pyarrow")
 
 
+def q_event_transitions(sf_dir: str):
+    """Per-user Markov transition matrix — (prev event type → cur
+    event type, n) over each user's (ts, event_id)-ordered stream:
+    the LAG-then-GROUP-BY composite computed WITHOUT per-row LAG
+    output (data/windows.py transition_counts — ONE global sort,
+    ≤ |V|² count partials + O(blocks) edge rows, corpus never
+    shuffles twice)."""
+    from .data.windows import transition_counts
+    return transition_counts(_read(sf_dir, "events"),
+                             key_col="user_id", ts_col="ts",
+                             id_col="event_id", val_col="event_type")
+
+
+def q_top_terms_per_lang(sf_dir: str):
+    """Top-3 most frequent terms per language (ties lexicographic) —
+    grouped top-k over an AGGREGATE, not a raw column: per-block the
+    token stream reduces to (lang, term, n) distinct-pair counts (one
+    Arrow group_by — text never shuffles), ONE groupby bounded by
+    |langs|·|vocab| finishes the counts, and the top-3 cut runs
+    driver-side on that bounded table (the same derive-from-the-base
+    finish as revenue_rollup)."""
+    from ray.data.aggregate import Sum
+
+    from .data.textstats import _ws_tokens
+    from .io import collect_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.utf8_lower(arr)
+        offs, flat = _ws_tokens(arr)
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                        np.diff(offs))
+        t = pa.table({"lang": b.column("lang").take(pa.array(row)),
+                      "term": flat})
+        t = t.filter(pc.not_equal(t.column("term"), ""))
+        g = t.group_by(["lang", "term"]).aggregate([("term", "count")])
+        return g.rename_columns(["lang", "term", "n"])
+    partial.__name__ = "lang_term_count_partial"
+
+    agg = collect_table(
+        _read(sf_dir, "documents").select_columns(["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "term"]).aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas()
+    out = df.sort_values(["lang", "n", "term"],
+                         ascending=[True, False, True]) \
+        .groupby("lang").head(3).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["lang", "term", "n"]],
+                                preserve_index=False)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -3050,6 +3103,8 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "heavy_hitters": q_heavy_hitters,
     "iqr_outliers": q_iqr_outliers,
+    "event_transitions": q_event_transitions,
+    "top_terms_per_lang": q_top_terms_per_lang,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -4739,4 +4794,28 @@ ORACLE_SQL["iqr_outliers"] = """
     FROM documents d JOIN b ON d.lang = b.lang
     WHERE 2 * d.n_chars < 2 * b.q1 - 1 * (b.q3 - b.q1)
        OR 2 * d.n_chars > 2 * b.q3 + 1 * (b.q3 - b.q1)
+"""
+
+ORACLE_SQL["event_transitions"] = """
+    WITH s AS (
+        SELECT event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events)
+    SELECT prev, event_type AS cur, CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+"""
+
+ORACLE_SQL["top_terms_per_lang"] = """
+    WITH t AS (
+        SELECT lang,
+               unnest(list_filter(regexp_split_to_array(
+                   trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+        FROM documents),
+    g AS (SELECT lang, term, count(*) AS n FROM t GROUP BY lang, term),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY n DESC, term) AS rn
+          FROM g)
+    SELECT lang, term, CAST(n AS BIGINT) AS n FROM r WHERE rn <= 3
 """

@@ -1333,3 +1333,64 @@ def test_iqr_outliers_reference(ray_session):
         keep.update(m.doc_id.tolist())
     assert keep, "corpus must contain IQR outliers at m=0.5"
     assert set(out.doc_id) == keep
+
+
+def test_event_transitions_reference(ray_session):
+    import pandas as pd
+
+    from soupflow.queries import q_event_transitions
+    out = q_event_transitions(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet") \
+        .sort_values(["user_id", "ts", "event_id"])
+    ev["prev"] = ev.groupby("user_id").event_type.shift(1)
+    ref = ev.dropna(subset=["prev"]) \
+        .groupby(["prev", "event_type"]).size()
+    assert len(out) == len(ref)
+    for _, r in out.iterrows():
+        assert r.n == ref.loc[(r.prev, r.cur)], (r.prev, r.cur)
+
+
+def test_transition_counts_single_hot_key_many_blocks(ray_session):
+    """One key spanning every block: every cross-block adjacency goes
+    through the edge-run pairing, and the result must equal the
+    scalar reference exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import transition_counts
+
+    rng = np.random.default_rng(3)
+    n = 30000
+    types = np.array(["a", "b", "c"], dtype=object)
+    seq = types[rng.integers(0, 3, size=n)]
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, np.int64),
+        "ts": pd.to_datetime(np.arange(n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": seq})
+    ds = ray.data.from_pandas(df).repartition(24)
+    out = transition_counts(ds, key_col="user_id", ts_col="ts",
+                            id_col="event_id", val_col="event_type") \
+        .to_pandas()
+    ref = pd.DataFrame({"prev": seq[:-1], "cur": seq[1:]}) \
+        .groupby(["prev", "cur"]).size()
+    assert out.n.sum() == n - 1
+    assert len(out) == len(ref)
+    for _, r in out.iterrows():
+        assert r.n == ref.loc[(r.prev, r.cur)]
+
+
+def test_top_terms_per_lang_reference(ray_session):
+    from collections import Counter
+
+    import pandas as pd
+
+    from soupflow.queries import q_top_terms_per_lang
+    out = q_top_terms_per_lang(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    for lang, g in docs.groupby("lang"):
+        cnt = Counter(w for t in g.text for w in t.lower().split())
+        ref = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = out[out.lang == lang]
+        assert list(zip(got.term, got.n)) == ref, lang
