@@ -2874,7 +2874,7 @@ def q_jsonl_roundtrip(sf_dir: str):
             Count(alias_name="n"))
 
 
-def q_heavy_hitters(sf_dir: str):
+def q_mg_heavy_hitters(sf_dir: str):
     """Deterministic heavy hitters: every term with frequency >
     n/30 and its EXACT count, via the Misra-Gries mergeable summary
     (data/sketch.py misra_gries_heavy — ≤ k rows per block shuffle,
@@ -3101,7 +3101,7 @@ QUERIES = {
     "big_orders": q_big_orders,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
-    "heavy_hitters": q_heavy_hitters,
+    "mg_heavy_hitters": q_mg_heavy_hitters,
     "iqr_outliers": q_iqr_outliers,
     "event_transitions": q_event_transitions,
     "top_terms_per_lang": q_top_terms_per_lang,
@@ -4774,7 +4774,7 @@ ORACLE_SQL["jsonl_roundtrip"] = """
 
 from .data.sketch import misra_gries_oracle_sql as _mg_sql  # noqa: E402
 
-ORACLE_SQL["heavy_hitters"] = _mg_sql(k=29)
+ORACLE_SQL["mg_heavy_hitters"] = _mg_sql(k=29)
 
 ORACLE_SQL["iqr_outliers"] = """
     WITH c AS (SELECT lang, n_chars AS v, count(*) AS n

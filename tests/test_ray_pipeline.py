@@ -1265,7 +1265,7 @@ def test_jsonl_roundtrip_reference(ray_session):
     assert set(rec) == {"event_type", "value_cents"}
 
 
-def test_heavy_hitters_reference(ray_session):
+def test_mg_heavy_hitters_reference(ray_session):
     """MG two-pass output == exact Counter reference, and the corpus
     genuinely exercises the per-block reduction (block vocab > k) and
     a PROPER subset (some terms below threshold)."""
@@ -1273,8 +1273,8 @@ def test_heavy_hitters_reference(ray_session):
 
     import pandas as pd
 
-    from soupflow.queries import q_heavy_hitters
-    out = q_heavy_hitters(SF).to_pandas()
+    from soupflow.queries import q_mg_heavy_hitters
+    out = q_mg_heavy_hitters(SF).to_pandas()
     docs = pd.read_parquet(f"{SF}/documents.parquet")
     cnt = Counter(w for t in docs.text for w in t.lower().split())
     n = sum(cnt.values())
