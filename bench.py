@@ -50,6 +50,12 @@ TIMED_QUERIES = [
     "revenue_rollup", "daily_active_users", "favorite_event",
     "exclusive_terms", "priority_by_status", "orders_with_returns",
     "retention_cohorts", "dau_hll",
+    "big_orders", "event_transitions", "mg_heavy_hitters",
+    "order_quartile", "lexical_diversity", "jsonl_roundtrip",
+    "iqr_outliers", "lineitem_unpivot",
+    # revenue_cube/first_order_value/redact_terms/props_k_stats/
+    # top_terms_per_lang/order_seq/dense_rank share machinery with
+    # timed queries above — oracle-gated, not separately timed.
     # rolling_revenue shares windowed_cumsum's sort machinery with
     # running_total; common_terms shares exclusive_terms' shape;
     # nation_customer_stats / top_account_parties /

@@ -783,3 +783,157 @@ def transition_counts(ds, *, key_col: str, ts_col: str, id_col: str,
         "prev": pa.array(vocab[pnz[0]].tolist(), pa.string()),
         "cur": pa.array(vocab[pnz[1]].tolist(), pa.string()),
         "n": pa.array(mat[pnz], pa.int64())})
+
+
+def windowed_range_sum(ds, *, key_col: str, ts_col: str, id_col: str,
+                       val_col: str, window_us: int,
+                       num_partitions: int = 16):
+    """Time-based moving window — ``SUM(val) OVER (PARTITION BY key
+    ORDER BY ts RANGE BETWEEN <W> PRECEDING AND CURRENT ROW)`` —
+    completing the frame-type family (ROWS frames:
+    windowed_rolling_sum; RANGE frames: here). → (id, roll) per row,
+    window boundary inclusive (ts ≥ t−W), int64 values.
+
+    Scale shape: rows fold to four int64 columns before ONE global
+    sort on (key, ts, id) and are materialized once; two zero-shuffle
+    maps over the SAME blocks (batch_size=None) finish everything.
+    In-block sums are one prefix-cumsum + ONE packed searchsorted
+    (run·span + ts-offset composite, so no per-key Python; falls back
+    to a per-run loop only if the packing would overflow int64 —
+    pathological ts ranges). Cross-block windows: each block's last
+    run emits its trailing rows within W of the run end — provably
+    sufficient for every later row of that key, since a later row's
+    window start t−W ≥ (that block's last ts)−W — the driver
+    broadcasts the per-key sorted tails with prefix sums, and only
+    each block's FIRST run (the only possible continuation, keys
+    being globally contiguous after the sort) adds its pre-block
+    contribution via two searchsorteds. Tail volume is bounded by
+    key×window row density (the range_join bound class), not corpus
+    size.
+
+    Contract: (key, ts) unique — RANGE peers would otherwise need
+    merging; duplicates in a block or across a boundary raise."""
+    import ray
+
+    from ..io import collect_table
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts = b.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        return pa.table({
+            key_col: b.column(key_col).cast(pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            id_col: b.column(id_col).cast(pa.int64()),
+            "v": b.column(val_col).cast(pa.int64())})
+    narrow.__name__ = "range_narrow"
+
+    sorted_ds = ds.select_columns([key_col, ts_col, id_col, val_col]) \
+        .map_batches(narrow, batch_format="pyarrow") \
+        .repartition(num_partitions) \
+        .sort([key_col, "ts_us", id_col]) \
+        .materialize()  # tail + scoring passes must see SAME blocks
+
+    def _runs(keys: np.ndarray):
+        change = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(change)
+        run_id = np.cumsum(change) - 1
+        return starts, run_id
+
+    def _check_unique(keys, ts):
+        if keys.size > 1 and np.any((keys[1:] == keys[:-1])
+                                    & (ts[1:] == ts[:-1])):
+            raise ValueError("duplicate (key, ts) — RANGE window "
+                             "peers are not mergeable here")
+
+    def tails(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        ts = batch.column("ts_us").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        _check_unique(keys, ts)
+        starts, _ = _runs(keys)
+        s = starts[-1]  # last run only — the only continuable run
+        seg_ts = ts[s:]
+        lo = s + np.searchsorted(seg_ts, seg_ts[-1] - window_us,
+                                 side="left")
+        return pa.table({"k": pa.array(keys[lo:], pa.int64()),
+                         "t": pa.array(ts[lo:], pa.int64()),
+                         "v": pa.array(v[lo:], pa.int64())})
+    tails.__name__ = "range_tails"
+
+    tt = collect_table(sorted_ds.map_batches(
+        tails, batch_format="pyarrow", batch_size=None))
+    tk = tt.column("k").to_numpy(zero_copy_only=False)
+    tts = tt.column("t").to_numpy(zero_copy_only=False)
+    tv = tt.column("v").to_numpy(zero_copy_only=False)
+    order = np.lexsort((tts, tk))
+    tk, tts, tv = tk[order], tts[order], tv[order]
+    if tk.size > 1 and np.any((tk[1:] == tk[:-1])
+                              & (tts[1:] == tts[:-1])):
+        raise ValueError("duplicate (key, ts) across blocks — RANGE "
+                         "window peers are not mergeable here")
+    # per-position prefix (global; key ranges sliced by searchsorted)
+    tpref = np.concatenate([np.zeros(1, np.int64), np.cumsum(tv)])
+    handle = ray.put((tk, tts, tpref))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "roll": pa.array([], pa.int64())})
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        ts = batch.column("ts_us").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        n = keys.size
+        starts, run_id = _runs(keys)
+        pref = np.concatenate([np.zeros(1, np.int64), np.cumsum(v)])
+        # in-block window start index per row: packed searchsorted
+        run_min = ts[starts]
+        off = ts - run_min[run_id]
+        span = int(off.max()) + window_us + 1 if n else 1
+        q_off = np.maximum(off - window_us, 0)
+        n_runs = starts.size
+        if span > 0 and n_runs * span < (1 << 62):
+            packed = run_id * span + off
+            lo = np.searchsorted(packed, run_id * span + q_off,
+                                 side="left")
+        else:  # pathological ts range: per-run fallback
+            lo = np.empty(n, dtype=np.int64)
+            ends = np.append(starts[1:], n)
+            for i in range(n_runs):
+                s, e = starts[i], ends[i]
+                lo[s:e] = s + np.searchsorted(
+                    ts[s:e], ts[s:e] - window_us, side="left")
+        roll = pref[np.arange(n) + 1] - pref[lo]
+        # pre-block contribution for the FIRST run only
+        ks, tss, tp = ray.get(handle)
+        k0 = keys[0]
+        e0 = starts[1] if starts.size > 1 else n
+        a = np.searchsorted(ks, k0, side="left")
+        bz = np.searchsorted(ks, k0, side="right")
+        if bz > a:
+            seg = tss[a:bz]
+            hi = int(np.searchsorted(seg, ts[0], side="left"))
+            # tails may legitimately contain ts[0] ONCE: this block's
+            # own tail, when the block is a single run whose window
+            # reaches row 0. Any extra equal entry is a cross-block
+            # duplicate (the previous block's last row is always in
+            # its own tail, so a boundary duplicate is always seen).
+            own = int(starts.size == 1
+                      and ts[-1] - window_us <= ts[0])
+            eq = int(np.searchsorted(seg, ts[0], side="right")) - hi
+            if eq > own:
+                raise ValueError("duplicate (key, ts) at a block "
+                                 "boundary")
+            qlo = np.searchsorted(seg, ts[:e0] - window_us,
+                                  side="left")
+            qlo = np.minimum(qlo, hi)
+            roll[:e0] += tp[a + hi] - tp[a + qlo]
+        return pa.table({id_col: batch.column(id_col),
+                         "roll": pa.array(roll, pa.int64())})
+    score.__name__ = "range_score"
+
+    return sorted_ds.map_batches(score, batch_format="pyarrow",
+                                 batch_size=None)

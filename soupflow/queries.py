@@ -2987,6 +2987,35 @@ def q_top_terms_per_lang(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_rolling_day_value(sf_dir: str):
+    """Time-based RANGE-frame window — per-user 24-hour rolling value
+    sum (SUM OVER ... RANGE BETWEEN INTERVAL 24h PRECEDING AND
+    CURRENT ROW), completing the frame-type family (ROWS:
+    rolling_revenue; RANGE: here). data/windows.py windowed_range_sum:
+    ONE sort, packed-searchsorted in-block kernel, W-bounded tail
+    broadcast for cross-block windows. Values fold to integer cents
+    map-side so every frame sum is exact."""
+    from .data.windows import windowed_range_sum
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+            "event_id": b.column("event_id"),
+            "cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64))})
+    cents.__name__ = "value_to_cents"
+
+    ds = _read(sf_dir, "events") \
+        .select_columns(["user_id", "ts", "event_id", "value"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    out = windowed_range_sum(ds, key_col="user_id", ts_col="ts",
+                             id_col="event_id", val_col="cents",
+                             window_us=24 * 3600 * 1_000_000)
+    return out.select_columns(["event_id", "roll"])
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -3105,6 +3134,7 @@ QUERIES = {
     "iqr_outliers": q_iqr_outliers,
     "event_transitions": q_event_transitions,
     "top_terms_per_lang": q_top_terms_per_lang,
+    "rolling_day_value": q_rolling_day_value,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -4818,4 +4848,13 @@ ORACLE_SQL["top_terms_per_lang"] = """
                                        ORDER BY n DESC, term) AS rn
           FROM g)
     SELECT lang, term, CAST(n AS BIGINT) AS n FROM r WHERE rn <= 3
+"""
+
+ORACLE_SQL["rolling_day_value"] = """
+    SELECT event_id,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL '24 hours' PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS roll
+    FROM events
 """

@@ -1394,3 +1394,125 @@ def test_top_terms_per_lang_reference(ray_session):
         ref = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         got = out[out.lang == lang]
         assert list(zip(got.term, got.n)) == ref, lang
+
+
+def _range_ref(df, w_us):
+    import numpy as np
+    out = {}
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        t = g.ts_us.to_numpy()
+        v = g.cents.to_numpy()
+        cs = np.concatenate([[0], np.cumsum(v)])
+        lo = np.searchsorted(t, t - w_us, side="left")
+        roll = cs[np.arange(t.size) + 1] - cs[lo]
+        out.update(zip(g.event_id, roll))
+    return out
+
+
+def test_windowed_range_sum_reference_layouts(ray_session):
+    """Scalar reference across 3 block layouts (1 / 7 / 40 blocks) —
+    cross-block windows must be exact under any partitioning."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import windowed_range_sum
+
+    rng = np.random.default_rng(11)
+    n, w_us = 4000, 50_000_000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n).astype("int64"),
+        "ts_us": rng.integers(0, 10_000_000_000, n).astype("int64"),
+        "event_id": np.arange(n, dtype="int64"),
+        "cents": rng.integers(-500, 500, n).astype("int64")})
+    df = df.drop_duplicates(["user_id", "ts_us"])
+    ref = _range_ref(df, w_us)
+    ds_df = df.assign(ts=pd.to_datetime(df.ts_us, unit="us"))
+    for nblocks in (1, 7, 40):
+        ds = ray.data.from_pandas(
+            ds_df[["user_id", "ts", "event_id", "cents"]]) \
+            .repartition(nblocks)
+        out = windowed_range_sum(
+            ds, key_col="user_id", ts_col="ts", id_col="event_id",
+            val_col="cents", window_us=w_us).to_pandas()
+        got = dict(zip(out.event_id, out.roll))
+        assert got == ref, f"layout {nblocks}"
+
+
+def test_windowed_range_sum_hot_key_wide_window(ray_session):
+    """ONE key across 32 blocks with a window spanning multiple
+    blocks: every row's pre-block contribution goes through the
+    broadcast tails, including tails from several blocks back."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import windowed_range_sum
+
+    n = 20000
+    t = np.arange(n, dtype="int64") * 1000  # 1ms spacing
+    w_us = 2_000_000  # 2000 rows per window >> rows per block
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, dtype="int64"),
+        "ts_us": t, "event_id": np.arange(n, dtype="int64"),
+        "cents": np.ones(n, dtype="int64")})
+    ref = _range_ref(df, w_us)
+    ds = ray.data.from_pandas(
+        df.assign(ts=pd.to_datetime(df.ts_us, unit="us"))
+        [["user_id", "ts", "event_id", "cents"]]).repartition(32)
+    out = windowed_range_sum(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        val_col="cents", window_us=w_us).to_pandas()
+    assert out.roll.max() == 2001  # window genuinely spans blocks
+    assert dict(zip(out.event_id, out.roll)) == ref
+
+
+def test_windowed_range_sum_degenerate_frames(ray_session):
+    """W=0 → own value only; W=inf → per-key cumsum."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import windowed_range_sum
+
+    rng = np.random.default_rng(5)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 5, n).astype("int64"),
+        "ts_us": np.arange(n, dtype="int64") * 7,
+        "event_id": np.arange(n, dtype="int64"),
+        "cents": rng.integers(1, 100, n).astype("int64")})
+    base = ray.data.from_pandas(
+        df.assign(ts=pd.to_datetime(df.ts_us, unit="us"))
+        [["user_id", "ts", "event_id", "cents"]]).repartition(6)
+    z = windowed_range_sum(base, key_col="user_id", ts_col="ts",
+                           id_col="event_id", val_col="cents",
+                           window_us=0).to_pandas()
+    own = dict(zip(df.event_id, df.cents))
+    assert dict(zip(z.event_id, z.roll)) == own
+    inf = windowed_range_sum(base, key_col="user_id", ts_col="ts",
+                             id_col="event_id", val_col="cents",
+                             window_us=10**15).to_pandas()
+    csum = df.sort_values("ts_us").groupby("user_id").cents.cumsum()
+    ref = dict(zip(df.event_id, csum))
+    assert dict(zip(inf.event_id, inf.roll)) == ref
+
+
+def test_windowed_range_sum_duplicate_ts_raises(ray_session):
+    import pandas as pd
+    import pytest
+    import ray
+
+    from soupflow.data.windows import windowed_range_sum
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": pd.to_datetime([100, 100, 200], unit="us"),
+        "event_id": [1, 2, 3],
+        "cents": [5, 6, 7]})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(Exception, match="duplicate"):
+        windowed_range_sum(ds, key_col="user_id", ts_col="ts",
+                           id_col="event_id", val_col="cents",
+                           window_us=50).materialize()
