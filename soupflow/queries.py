@@ -2796,6 +2796,112 @@ def q_big_orders(sf_dir: str):
         .map_batches(attach, batch_format="pyarrow")
 
 
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUTOFF = np.datetime64("1998-06-01")
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — top-k over a WIDE aggregate: unshipped revenue
+    per order for one market segment's orders placed before a cutoff,
+    top 10 by revenue. Three scale regimes compose: the SEGMENT custkey
+    set is a bounded fraction of the customer dim, so it broadcasts
+    (sorted-array membership; the partitioned semi-join hatch of
+    orders_with_returns applies when a segment outgrows the driver);
+    orders fold to narrow (orderkey, day-string) rows map-side; the
+    lineitem side — the WIDE part — pre-aggregates per block by
+    orderkey (revenue folded to the exact integer cents·(100−disc)
+    unit BEFORE the shuffle), ONE groupby finishes, and ONE
+    partitioned hash join attaches the order day. The top-10 cut never
+    sorts the wide aggregate globally: each block emits its own top 10
+    (lexsort partial — top-k of a union is the top-k of per-block
+    top-ks), the O(blocks)·10 candidate table collects driver-side and
+    the final sort runs on ≤ 10·num_blocks rows. Ties break by
+    orderkey in both engines, so the cut is deterministic."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    cust = collect_table(
+        _read(sf_dir, "customer")
+        .select_columns(["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.equal(b.column("c_mktsegment"), _Q3_SEGMENT))
+            .select(["c_custkey"]),
+            batch_format="pyarrow"))
+    seg_keys = np.sort(
+        cust.column("c_custkey").to_numpy(zero_copy_only=False))
+    seg_handle = ray.put(seg_keys)
+
+    cutoff_us = _Q3_CUTOFF.astype("datetime64[us]")
+
+    def ord_fold(b: pa.Table) -> pa.Table:
+        ks = ray.get(seg_handle)
+        od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        mask = od < cutoff_us
+        if ks.size:
+            pos = np.minimum(np.searchsorted(ks, ck), ks.size - 1)
+            mask &= ks[pos] == ck
+        else:
+            mask &= False
+        kept = b.filter(pa.array(mask))
+        return pa.table({
+            "o_orderkey": kept.column("o_orderkey"),
+            "o_day": pc.strftime(kept.column("o_orderdate"),
+                                 format="%Y-%m-%d")})
+    ord_fold.__name__ = "q3_order_fold"
+
+    orders_n = _read(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_fold, batch_format="pyarrow").repartition(8)
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        sd = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        kept = b.filter(pa.array(sd > cutoff_us))
+        p = kept.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)
+        d = kept.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = (np.floor(p * 100.0 + 0.5).astype(np.int64)
+               * (100 - np.floor(d * 100.0 + 0.5).astype(np.int64)))
+        t = pa.table({"l_orderkey": kept.column("l_orderkey"),
+                      "rev_i": pa.array(rev, pa.int64())})
+        return t.group_by("l_orderkey").aggregate([("rev_i", "sum")]) \
+            .rename_columns(["l_orderkey", "rev_i"])
+    rev_partial.__name__ = "q3_rev_partial"
+
+    li = _read(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_extendedprice",
+                         "l_discount", "l_shipdate"]) \
+        .map_batches(rev_partial, batch_format="pyarrow") \
+        .groupby("l_orderkey") \
+        .aggregate(Sum("rev_i", alias_name="rev_i"))
+
+    joined = li.join(orders_n, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def topk_partial(b: pa.Table) -> pa.Table:
+        k = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        r = b.column("rev_i").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -r))[:10]
+        return pa.table({
+            "l_orderkey": pa.array(k[order], pa.int64()),
+            "rev_i": pa.array(r[order], pa.int64()),
+            "o_day": b.column("o_day").take(pa.array(order))})
+    topk_partial.__name__ = "q3_topk_partial"
+
+    cand = collect_table(
+        joined.map_batches(topk_partial, batch_format="pyarrow"))
+    k = cand.column("l_orderkey").to_numpy(zero_copy_only=False)
+    r = cand.column("rev_i").to_numpy(zero_copy_only=False)
+    order = np.lexsort((k, -r))[:10]
+    return pa.table({
+        "l_orderkey": pa.array(k[order], pa.int64()),
+        "rev_i": pa.array(r[order], pa.int64()),
+        "o_day": cand.column("o_day").take(pa.array(order))})
+
+
 def q_lineitem_unpivot(sf_dir: str):
     """UNPIVOT / melt — wide metric columns to narrow (row, metric,
     value) triples, the long-format reshape feeding any generic
@@ -3016,6 +3122,66 @@ def q_rolling_day_value(sf_dir: str):
     return out.select_columns(["event_id", "roll"])
 
 
+def q_term_cooccurrence(sf_dir: str):
+    """Term CO-OCCURRENCE counts — the PMI / word-vector / topic-model
+    feeder: for every unordered term pair (a < b), the number of
+    documents containing BOTH. The textbook form is a distinct
+    doc-term SELF-JOIN — a quadratic shuffle of the token stream. Here
+    no join ever happens: each block reduces every doc to its sorted
+    distinct term codes (one packed np.unique), emits all in-doc pairs
+    with a segment-arange gather (no per-doc Python), and counts them
+    via np.unique on the packed pair code — so a block's partial is
+    bounded by min(pairs present, vocab²) regardless of its row count.
+    ONE groupby((term_a, term_b)) over those narrow partials finishes;
+    the text itself never shuffles. Codes are sorted, so a < b falls
+    out of the packing and both engines cut the pair space identically.
+    Open-vocabulary corpora bound the pair blowup by df-pruning terms
+    first (the common_terms aggregate) or hashing — documented hatch;
+    this corpus's vocabulary is closed, the exact path."""
+    from ray.data.aggregate import Sum
+
+    from .data.textstats import _text_array, _ws_tokens
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        arr = pc.utf8_lower(_text_array(batch))
+        offs, flat = _ws_tokens(arr)
+        toks = flat.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64),
+                            np.diff(offs))
+        keep = toks != ""
+        toks, doc_idx = toks[keep], doc_idx[keep]
+        uniq, codes = np.unique(toks, return_inverse=True)
+        nu = max(len(uniq), 1)
+        if nu * nu >= 2**62:
+            raise ValueError("block vocabulary too large to pack")
+        upair = np.unique(doc_idx * nu + codes)
+        ucodes, udoc = upair % nu, upair // nu
+        # all (i < j) index pairs within each doc's sorted code run
+        cnt = np.bincount(udoc, minlength=0)
+        seg_end = np.repeat(np.cumsum(cnt), cnt)
+        pos = np.arange(ucodes.size, dtype=np.int64)
+        rep = seg_end - pos - 1
+        i_idx = np.repeat(pos, rep)
+        starts = np.concatenate(
+            ([0], np.cumsum(rep)[:-1])) if rep.size else \
+            np.empty(0, np.int64)
+        off = np.arange(int(rep.sum()), dtype=np.int64) \
+            - np.repeat(starts, rep)
+        j_idx = i_idx + 1 + off
+        pair_code, n = np.unique(
+            ucodes[i_idx] * nu + ucodes[j_idx], return_counts=True)
+        return pa.table({
+            "term_a": pa.array(uniq[pair_code // nu], pa.string()),
+            "term_b": pa.array(uniq[pair_code % nu], pa.string()),
+            "n_both": pa.array(n.astype(np.int64), pa.int64())})
+    pair_partial.__name__ = "cooccur_pair_partial"
+
+    return _read(sf_dir, "documents").select_columns(["text"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["term_a", "term_b"]) \
+        .aggregate(Sum("n_both", alias_name="n_both"))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -3128,6 +3294,8 @@ QUERIES = {
     "redact_terms": q_redact_terms,
     "lexical_diversity": q_lexical_diversity,
     "big_orders": q_big_orders,
+    "shipping_priority": q_shipping_priority,
+    "term_cooccurrence": q_term_cooccurrence,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -4774,6 +4942,37 @@ ORACLE_SQL["big_orders"] = """
           FROM lineitem GROUP BY l_orderkey
           HAVING total_qty > 150) t
       ON t.l_orderkey = o.o_orderkey
+"""
+
+ORACLE_SQL["shipping_priority"] = """
+    SELECT l_orderkey,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                  AS BIGINT))) AS BIGINT) AS rev_i,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_day
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY rev_i DESC, l_orderkey
+    LIMIT 10
+"""
+
+ORACLE_SQL["term_cooccurrence"] = """
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '')) AS term
+        FROM documents)
+    SELECT a.term AS term_a, b.term AS term_b,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM toks a JOIN toks b
+      ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2
 """
 
 ORACLE_SQL["lineitem_unpivot"] = """

@@ -1215,6 +1215,72 @@ def test_big_orders_reference(ray_session):
         assert r.c_name == cust.loc[o.o_custkey, "c_name"]
 
 
+def test_shipping_priority_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_shipping_priority
+    out = q_shipping_priority(SF).to_pandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    cutoff = pd.Timestamp("1998-06-01")
+    seg = set(cust[cust.c_mktsegment == "BUILDING"].c_custkey)
+    o = orders[(orders.o_orderdate < cutoff)
+               & orders.o_custkey.isin(seg)]
+    l = li[li.l_shipdate > cutoff]
+    l = l[l.l_orderkey.isin(set(o.o_orderkey))].copy()
+    l["rev_i"] = (np.floor(l.l_extendedprice * 100 + 0.5)
+                  .astype("int64")
+                  * (100 - np.floor(l.l_discount * 100 + 0.5)
+                     .astype("int64")))
+    agg = l.groupby("l_orderkey")["rev_i"].sum().reset_index()
+    assert len(agg) > 10, "limit never bites — vacuous"
+    agg = agg.merge(o[["o_orderkey", "o_orderdate"]],
+                    left_on="l_orderkey", right_on="o_orderkey")
+    agg["o_day"] = agg.o_orderdate.dt.strftime("%Y-%m-%d")
+    ref = agg.sort_values(["rev_i", "l_orderkey"],
+                          ascending=[False, True]).head(10)
+    cols = ["l_orderkey", "rev_i", "o_day"]
+    pd.testing.assert_frame_equal(
+        out[cols].reset_index(drop=True),
+        ref[cols].reset_index(drop=True))
+
+
+def test_term_cooccurrence_reference(ray_session):
+    from collections import Counter
+    from itertools import combinations
+
+    import pandas as pd
+
+    from soupflow.queries import q_term_cooccurrence
+    out = q_term_cooccurrence(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ref = Counter()
+    for t in docs.text:
+        ref.update(combinations(sorted(set(t.lower().split())), 2))
+    assert len(out) == len(ref) > 0
+    got = {(r.term_a, r.term_b): r.n_both for r in out.itertuples()}
+    assert got == dict(ref)
+
+
+def test_term_cooccurrence_edge_docs(ray_session, tmp_path):
+    # empty doc, single-term doc, repeated-token doc, and a multi-block
+    # layout drive the segment-arange pair generator's rep=0 paths
+    import pandas as pd
+
+    from soupflow.queries import q_term_cooccurrence
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["", "solo", "dup dup dup", "a b", "b a c", "  "],
+        "lang": ["en"] * 6, "source": ["src0"] * 6,
+        "n_chars": [0, 4, 11, 3, 5, 2]})
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = q_term_cooccurrence(str(tmp_path)).to_pandas()
+    got = {(r.term_a, r.term_b): r.n_both for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
 def test_lineitem_unpivot_reference(ray_session):
     import numpy as np
     import pandas as pd
