@@ -937,3 +937,151 @@ def windowed_range_sum(ds, *, key_col: str, ts_col: str, id_col: str,
 
     return sorted_ds.map_batches(score, batch_format="pyarrow",
                                  batch_size=None)
+
+
+def interval_union(ds, *, key_col: str, ts_col: str, id_col: str,
+                   dur_col: str, num_partitions: int = 16):
+    """Per-key interval UNION — the gaps-and-islands class: merge each
+    key's overlapping-or-touching ``[ts, ts+dur)`` intervals and
+    return ``(key, n_islands, covered_us)``. The SQL form is the
+    running-max window (``max(e) OVER (... ROWS UNBOUNDED PRECEDING
+    AND 1 PRECEDING)``); a segmented running MAX has no exact
+    vectorized reset trick, so instead each interval expands map-side
+    into two ±1 boundary EVENTS and the whole problem becomes a
+    segmented running SUM — which the windowed_cumsum machinery
+    already solves hot-key-safely (ONE global sort, per-block
+    vectorized cumsum, ≤2 edge-summary rows per block, broadcast-base
+    fixup — a key spanning B blocks never lands in one task).
+
+    Start events sort BEFORE coincident end events (kind 0 < 1), so
+    touching intervals (e == next s) keep the active count positive
+    and merge — exactly the SQL running-max semantics. Coverage and
+    island counts then need NO further shuffle: per block, dt-to-next
+    × [active>0] accumulates into int64 per-key partials (np.add.at —
+    exact, no float accumulation) and island starts are purely per-row
+    (delta=+1 ∧ active==1); the only cross-block term is the dt
+    spanning a block boundary, handled by an O(2·blocks) first/last
+    edge-event table paired driver-side (transition_counts' bound
+    class — a key's final event always has active==0, so a seam where
+    the key changes contributes nothing, asserted). Output rows are
+    key-bounded; ONE groupby(key) sums the partials.
+
+    Contract: ``dur_col`` int64 µs > 0; ``id_col`` unique, < 2^62
+    (packed ×2 with the boundary kind for the sort tiebreak);
+    ``key_col`` integer-typed (the driver-side seam pairing lexsorts
+    it — dictionary-encode string keys first).
+    """
+    import ray  # noqa: F401  (windowed_cumsum owns the broadcast)
+
+    from ..io import collect_table
+
+    def expand(b: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(b.schema.field(key_col).type):
+            raise ValueError("interval_union requires an integer key "
+                             "column (dictionary-encode strings)")
+        t = b.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        dur = b.column(dur_col).to_numpy(zero_copy_only=False)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        if dur.size and (int(dur.min()) <= 0):
+            raise ValueError("interval durations must be > 0")
+        if ids.size and (int(ids.min()) < 0
+                         or int(ids.max()) >= 2**62):
+            raise ValueError("interval ids must be in [0, 2^62)")
+        n = b.num_rows
+        kc = b.select([key_col])
+        kind = np.concatenate([np.zeros(n, np.int64),
+                               np.ones(n, np.int64)])
+        return pa.table({
+            key_col: pa.concat_tables([kc, kc]).column(key_col),
+            "t": pa.array(np.concatenate([t, t + dur]), pa.int64()),
+            "kind": pa.array(kind, pa.int64()),
+            "uid": pa.array(
+                np.concatenate([ids, ids]) * 2 + kind, pa.int64()),
+            "delta": pa.array(
+                np.concatenate([np.ones(n, np.int64),
+                                -np.ones(n, np.int64)]), pa.int64())})
+    expand.__name__ = "interval_expand"
+
+    events = ds.select_columns([key_col, ts_col, id_col, dur_col]) \
+        .map_batches(expand, batch_format="pyarrow")
+    act = windowed_cumsum(
+        events, key_col=key_col, order_cols=["t", "kind", "uid"],
+        val_col="delta", out_col="active",
+        num_partitions=num_partitions).materialize()
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int64()),
+                             "uid": pa.array([], pa.int64()),
+                             "active": pa.array([], pa.int64()),
+                             "tag": pa.array([], pa.int64())})
+        idx = pa.array([0, batch.num_rows - 1])
+        sl = batch.select([key_col, "t", "kind", "uid", "active"]) \
+            .take(idx)
+        return sl.append_column("tag", pa.array([0, 1], pa.int64()))
+    edge_rows.__name__ = "interval_edge_rows"
+
+    summ = collect_table(act.map_batches(
+        edge_rows, batch_format="pyarrow", batch_size=None))
+    ek = summ.column(key_col).to_numpy(zero_copy_only=False)
+    et = summ.column("t").to_numpy(zero_copy_only=False)
+    ekind = summ.column("kind").to_numpy(zero_copy_only=False)
+    euid = summ.column("uid").to_numpy(zero_copy_only=False)
+    eact = summ.column("active").to_numpy(zero_copy_only=False)
+    etag = summ.column("tag").to_numpy(zero_copy_only=False)
+    order = np.lexsort((etag, euid, ekind, et, ek))
+    extra: dict = {}
+    for i in range(order.size - 1):
+        a, bnext = order[i], order[i + 1]
+        if etag[a] != 1 or etag[bnext] != 0:
+            continue  # only last→first seams span blocks
+        if ek[a] != ek[bnext]:
+            if eact[a] != 0:
+                raise ValueError(
+                    "active count nonzero at a key's final event — "
+                    "corrupt interval stream")
+            continue
+        if eact[a] > 0:
+            extra[int(ek[a])] = extra.get(int(ek[a]), 0) \
+                + int(et[bnext] - et[a])
+
+    def cov_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "n_islands": pa.array([], pa.int64()),
+                             "covered_us": pa.array([], pa.int64())})
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        t = batch.column("t").to_numpy(zero_copy_only=False)
+        d = batch.column("delta").to_numpy(zero_copy_only=False)
+        a = batch.column("active").to_numpy(zero_copy_only=False)
+        seg, starts = _key_segments(k)
+        nseg = int(seg[-1]) + 1
+        cov = np.zeros(nseg, np.int64)
+        if k.size > 1:
+            same = (k[1:] == k[:-1]) & (a[:-1] > 0)
+            dt = (t[1:] - t[:-1])[same]
+            np.add.at(cov, seg[:-1][same], dt)
+        isl = np.bincount(seg[(d == 1) & (a == 1)],
+                          minlength=nseg).astype(np.int64)
+        return pa.table({
+            key_col: batch.column(key_col).take(pa.array(starts)),
+            "n_islands": pa.array(isl, pa.int64()),
+            "covered_us": pa.array(cov, pa.int64())})
+    cov_partial.__name__ = "interval_cov_partial"
+
+    partials = act.map_batches(cov_partial, batch_format="pyarrow",
+                               batch_size=None)
+    if extra:
+        boundary = pa.table({
+            key_col: pa.array(list(extra.keys()), pa.int64()),
+            "n_islands": pa.array([0] * len(extra), pa.int64()),
+            "covered_us": pa.array(list(extra.values()), pa.int64())})
+        partials = partials.union(ray.data.from_arrow(boundary))
+
+    from ray.data.aggregate import Sum
+    return partials.groupby(key_col).aggregate(
+        Sum("n_islands", alias_name="n_islands"),
+        Sum("covered_us", alias_name="covered_us"))

@@ -3182,6 +3182,35 @@ def q_term_cooccurrence(sf_dir: str):
         .aggregate(Sum("n_both", alias_name="n_both"))
 
 
+def q_interval_coverage(sf_dir: str):
+    """Gaps-and-islands interval merge: each event opens a
+    [ts, ts + value-scaled) interval; per user, overlapping-or-
+    touching intervals MERGE and the query reports island count +
+    total covered time — the classic uptime/session-coverage
+    composite whose SQL form is the running-max window. Durations
+    fold to integer µs map-side (exact, > 0 by construction);
+    data/windows.py interval_union does the rest with ±1 boundary
+    events riding the hot-key-safe segmented-cumsum machinery."""
+    from .data.windows import interval_union
+
+    def to_iv(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        dur = np.maximum(
+            1, np.floor(v * 100.0 + 0.5).astype(np.int64)) * 6_000_000
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+            "event_id": b.column("event_id"),
+            "dur_us": pa.array(dur, pa.int64())})
+    to_iv.__name__ = "event_to_interval"
+
+    ds = _read(sf_dir, "events") \
+        .select_columns(["user_id", "ts", "event_id", "value"]) \
+        .map_batches(to_iv, batch_format="pyarrow")
+    return interval_union(ds, key_col="user_id", ts_col="ts",
+                          id_col="event_id", dur_col="dur_us")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -3296,6 +3325,7 @@ QUERIES = {
     "big_orders": q_big_orders,
     "shipping_priority": q_shipping_priority,
     "term_cooccurrence": q_term_cooccurrence,
+    "interval_coverage": q_interval_coverage,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -4973,6 +5003,27 @@ ORACLE_SQL["term_cooccurrence"] = """
     FROM toks a JOIN toks b
       ON a.doc_id = b.doc_id AND a.term < b.term
     GROUP BY 1, 2
+"""
+
+ORACLE_SQL["interval_coverage"] = """
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s,
+               epoch_us(ts)
+               + greatest(1, CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 * 6000000 AS e
+        FROM events),
+    m AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm
+        FROM iv)
+    SELECT user_id,
+           CAST(sum(CASE WHEN pm IS NULL OR s > pm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_islands,
+           CAST(sum(greatest(0, e - greatest(s, coalesce(pm, s))))
+                AS BIGINT) AS covered_us
+    FROM m GROUP BY user_id
 """
 
 ORACLE_SQL["lineitem_unpivot"] = """

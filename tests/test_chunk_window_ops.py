@@ -910,3 +910,109 @@ def test_window_family_randomized_differential(ray_session):
         got_gn = lag.loc[ref.index, "gap_next"].to_numpy()
         assert (got_gp == ref["gp"].to_numpy()).all(), trial
         assert (got_gn == ref["gn"].to_numpy()).all(), trial
+
+
+# -- interval_union -----------------------------------------------------------
+
+def _interval_ref(keys, starts, durs):
+    """Scalar sweep: per key, (n merged islands, union coverage)."""
+    from collections import defaultdict
+    by_key = defaultdict(list)
+    for k, s, d in zip(keys, starts, durs):
+        by_key[k].append((s, s + d))
+    out = {}
+    for k, iv in by_key.items():
+        iv.sort()
+        isl = cov = 0
+        cur = None
+        for s, e in iv:
+            if cur is None or s > cur:
+                isl += 1
+                cov += e - s
+                cur = e
+            elif e > cur:
+                cov += e - cur
+                cur = e
+        out[k] = (isl, cov)
+    return out
+
+
+def _interval_tbl(keys, starts, durs):
+    return pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "ts": pa.array(np.asarray(starts, np.int64),
+                       pa.timestamp("us")),
+        "id": pa.array(np.arange(len(keys)), pa.int64()),
+        "dur": pa.array(np.asarray(durs, np.int64), pa.int64())})
+
+
+def _run_interval(tbl, blocks, parts=16):
+    from soupflow.data.windows import interval_union
+    out = interval_union(_ray_ds(tbl, blocks), key_col="k",
+                         ts_col="ts", id_col="id", dur_col="dur",
+                         num_partitions=parts).to_pandas()
+    return {r.k: (r.n_islands, r.covered_us)
+            for r in out.itertuples()}
+
+
+@pytest.mark.parametrize("blocks,parts", [(1, 1), (3, 4), (11, 16)])
+def test_interval_union_matches_reference(ray_session, blocks, parts):
+    rng = np.random.default_rng(7)
+    n = 600
+    keys = rng.integers(0, 12, n)
+    starts = rng.integers(0, 50_000, n)
+    durs = rng.integers(1, 8_000, n)  # dense enough that merges bite
+    ref = _interval_ref(keys, starts, durs)
+    assert any(v[0] > 1 for v in ref.values()), "no gaps — vacuous"
+    assert any(
+        v[0] < np.sum(keys == k)
+        for k, v in ref.items()), "no merges — vacuous"
+    got = _run_interval(_interval_tbl(keys, starts, durs),
+                        blocks, parts)
+    assert got == ref
+
+
+def test_interval_union_touching_and_nested(ray_session):
+    # touching intervals merge (e == next s); a giant interval
+    # swallows later ones (running max, not last end)
+    keys = [1, 1, 1, 2, 2, 2]
+    starts = [0, 10, 20, 0, 5, 100]
+    durs = [10, 10, 5, 90, 10, 7]
+    ref = _interval_ref(keys, starts, durs)
+    assert ref[1] == (1, 25) and ref[2] == (2, 97)
+    got = _run_interval(_interval_tbl(keys, starts, durs), 2, 4)
+    assert got == ref
+
+
+def test_interval_union_hot_key_many_blocks(ray_session):
+    # one key spanning every block: seeded cumsum carry + boundary dt
+    # seams both bite; interleaved long intervals keep active>1 across
+    # block edges
+    rng = np.random.default_rng(3)
+    n = 20_000
+    starts = np.cumsum(rng.integers(0, 30, n))
+    durs = rng.integers(1, 200, n)
+    keys = np.zeros(n, np.int64)
+    ref = _interval_ref(keys, starts, durs)
+    got = _run_interval(_interval_tbl(keys, starts, durs), 24, 24)
+    assert got == ref
+
+
+def test_interval_union_contracts(ray_session):
+    import ray.data
+    from soupflow.data.windows import interval_union
+    bad = _interval_tbl([1], [0], [5]).set_column(
+        3, "dur", pa.array([0], pa.int64()))
+    with pytest.raises(Exception):
+        interval_union(ray.data.from_arrow(bad), key_col="k",
+                       ts_col="ts", id_col="id",
+                       dur_col="dur").to_pandas()
+    skey = pa.table({
+        "k": pa.array(["a"], pa.string()),
+        "ts": pa.array(np.asarray([0], np.int64), pa.timestamp("us")),
+        "id": pa.array([0], pa.int64()),
+        "dur": pa.array([5], pa.int64())})
+    with pytest.raises(Exception):
+        interval_union(ray.data.from_arrow(skey), key_col="k",
+                       ts_col="ts", id_col="id",
+                       dur_col="dur").to_pandas()
