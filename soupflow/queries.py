@@ -3211,6 +3211,19 @@ def q_interval_coverage(sf_dir: str):
                           id_col="event_id", dur_col="dur_us")
 
 
+def q_embed_quantize(sf_dir: str):
+    """Per-dimension min-max INT8 vector quantization — the ANN-store
+    compression pass (data/similarity.py quantize_embeddings): exact
+    integer micro-units map-side, ONE dim-bounded groupby for global
+    ranges, broadcast ranges + zero-shuffle integer scoring. The
+    oracle-facing long (id, dim, code) layout is produced here; the
+    production layout is the fixed-width codes list (out='list'),
+    pytest-pinned equal."""
+    from .data.similarity import quantize_embeddings
+    return quantize_embeddings(_read(sf_dir, "embeddings"),
+                               out="long")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -3326,6 +3339,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "term_cooccurrence": q_term_cooccurrence,
     "interval_coverage": q_interval_coverage,
+    "embed_quantize": q_embed_quantize,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5024,6 +5038,23 @@ ORACLE_SQL["interval_coverage"] = """
            CAST(sum(greatest(0, e - greatest(s, coalesce(pm, s))))
                 AS BIGINT) AS covered_us
     FROM m GROUP BY user_id
+"""
+
+ORACLE_SQL["embed_quantize"] = """
+    WITH flat AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS v6
+        FROM embeddings),
+    stats AS (
+        SELECT dim, min(v6) AS mn, max(v6) AS mx
+        FROM flat GROUP BY dim)
+    SELECT f.vec_id, f.dim,
+           CAST(CASE WHEN s.mx > s.mn
+                     THEN ((f.v6 - s.mn) * 255) // (s.mx - s.mn)
+                     ELSE 0 END AS BIGINT) AS code
+    FROM flat f JOIN stats s USING (dim)
 """
 
 ORACLE_SQL["lineitem_unpivot"] = """

@@ -923,3 +923,65 @@ def test_group_rank_dense_semantics(ray_session):
         assert list(d["r"]) == want_dense, blocks
         assert list(r["r"]) == want_rank, blocks
     assert want_dense != want_rank
+
+
+# -- quantize_embeddings ------------------------------------------------------
+
+def _quant_ref(m: np.ndarray, levels: int = 256) -> np.ndarray:
+    v = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+    mn, mx = v.min(axis=0), v.max(axis=0)
+    span = mx - mn
+    return np.where(span > 0,
+                    (v - mn) * (levels - 1) // np.maximum(span, 1), 0)
+
+
+def _emb_tbl(m: np.ndarray) -> pa.Table:
+    return pa.table({
+        "vec_id": pa.array(np.arange(m.shape[0]), pa.int64()),
+        "embedding": pa.array(list(m.astype(np.float32)),
+                              pa.list_(pa.float32()))})
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 7])
+def test_quantize_embeddings_reference(ray_session, blocks):
+    from soupflow.data.similarity import quantize_embeddings
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(200, 16)).astype(np.float32)
+    m[:, 5] = 0.25  # constant dim: span == 0 -> code 0 everywhere
+    ref = _quant_ref(m)
+    out = quantize_embeddings(
+        _ray_ds(_emb_tbl(m), blocks), out="long").to_pandas() \
+        .sort_values(["vec_id", "dim"])
+    got = out.code.to_numpy().reshape(200, 16)
+    assert np.array_equal(got, ref)
+    assert (got[:, 5] == 0).all()
+    assert got.min() == 0 and got.max() == 255
+
+
+def test_quantize_embeddings_list_layout_matches_long(ray_session):
+    from soupflow.data.similarity import quantize_embeddings
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(60, 8)).astype(np.float32)
+    ds = _ray_ds(_emb_tbl(m), 4)
+    long = quantize_embeddings(ds, out="long").to_pandas() \
+        .sort_values(["vec_id", "dim"]).code.to_numpy().reshape(60, 8)
+    lst = quantize_embeddings(ds, out="list").to_pandas() \
+        .sort_values("vec_id")
+    packed = np.stack(lst.codes.to_numpy())
+    assert np.array_equal(packed, long)
+
+
+def test_quantize_embeddings_roundtrip_error_bound(ray_session):
+    # dequantized values stay within one quantization step of the
+    # original — the property ANN candidate generation relies on
+    from soupflow.data.similarity import quantize_embeddings
+    rng = np.random.default_rng(2)
+    m = rng.normal(size=(100, 12)).astype(np.float32)
+    out = quantize_embeddings(
+        _ray_ds(_emb_tbl(m), 3), out="long").to_pandas() \
+        .sort_values(["vec_id", "dim"])
+    codes = out.code.to_numpy().reshape(100, 12)
+    v = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+    mn, mx = v.min(axis=0), v.max(axis=0)
+    deq = mn + codes * (mx - mn) / 255.0
+    assert np.abs(deq - v).max() <= (mx - mn).max() / 255.0 + 1
