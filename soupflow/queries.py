@@ -3224,6 +3224,75 @@ def q_embed_quantize(sf_dir: str):
                                out="long")
 
 
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread each of x's low 32 bits to the even bit positions
+    (Morton/Z-order magic-number spreading, public-domain bit trick).
+    Inputs must be < 2^31 so the interleaved code fits in int64."""
+    x = x & 0xFFFFFFFF
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFF
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0F
+    x = (x | (x << 2)) & 0x3333333333333333
+    x = (x | (x << 1)) & 0x5555555555555555
+    return x
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-ORDER (Morton-curve) data layout — the multi-column
+    clustering pass a 100-TB lakehouse runs so range filters on EITHER
+    column prune files (Delta/Iceberg OPTIMIZE ZORDER class). Each
+    order's (custkey, order-day) pair interleaves bit-by-bit into one
+    int64 Z-code via magic-number spreading — a zero-shuffle
+    vectorized map — and the static top-bits cut assigns the range
+    bucket a partitioned writer would cluster by. The oracle
+    reproduces the interleaving with the same shift/mask algebra in
+    SQL, so codes match bit-for-bit. At scale the only data movement
+    this op implies is the final repartition-by-bucket before the
+    write (partitioned_write's machinery); code assignment itself
+    touches nothing."""
+    def zmap(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        od = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        day = od // (86400 * 1_000_000)
+        if ck.size and (int(ck.max()) >= 2**31 or int(ck.min()) < 0
+                        or int(day.max()) >= 2**31
+                        or int(day.min()) < 0):
+            raise ValueError("z-order inputs must be in [0, 2^31)")
+        z = _part1by1(ck) | (_part1by1(day) << 1)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "zcode": pa.array(z, pa.int64()),
+            "zbucket": pa.array(z >> 36, pa.int64())})
+    zmap.__name__ = "zorder_map"
+
+    return _read(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(zmap, batch_format="pyarrow")
+
+
+def _zorder_oracle_sql() -> str:
+    """The same magic-number bit spreading as _part1by1, unrolled as
+    a SQL CTE chain over BIGINT shift/mask algebra (decimal literals —
+    DuckDB-safe), interleaving (custkey, order-day) bit-for-bit."""
+    masks = [(16, 281470681808895), (8, 71777214294589695),
+             (4, 1085102592571150095), (2, 3689348814741910323),
+             (1, 6148914691236517205)]
+    ctes = ["b0 AS (SELECT o_orderkey,"
+            " (o_custkey & 4294967295) AS x,"
+            " ((CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT))"
+            "  & 4294967295) AS y FROM orders)"]
+    for i, (sh, m) in enumerate(masks):
+        ctes.append(
+            f"b{i + 1} AS (SELECT o_orderkey,"
+            f" ((x | (x << {sh})) & {m}) AS x,"
+            f" ((y | (y << {sh})) & {m}) AS y FROM b{i})")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT o_orderkey, (x | (y << 1)) AS zcode,"
+            f" ((x | (y << 1)) >> 36) AS zbucket"
+            f" FROM b{len(masks)}")
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -3340,6 +3409,7 @@ QUERIES = {
     "term_cooccurrence": q_term_cooccurrence,
     "interval_coverage": q_interval_coverage,
     "embed_quantize": q_embed_quantize,
+    "zorder_layout": q_zorder_layout,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5056,6 +5126,8 @@ ORACLE_SQL["embed_quantize"] = """
                      ELSE 0 END AS BIGINT) AS code
     FROM flat f JOIN stats s USING (dim)
 """
+
+ORACLE_SQL["zorder_layout"] = _zorder_oracle_sql()
 
 ORACLE_SQL["lineitem_unpivot"] = """
     SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -1281,6 +1281,46 @@ def test_term_cooccurrence_edge_docs(ray_session, tmp_path):
     assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
 
 
+def test_zorder_bit_interleave_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import _part1by1, q_zorder_layout
+
+    # scalar bit-by-bit interleave pins the magic-number spreading
+    def interleave(a: int, b: int) -> int:
+        z = 0
+        for i in range(32):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = np.random.default_rng(9)
+    xs = rng.integers(0, 2**31, 200)
+    ys = rng.integers(0, 2**31, 200)
+    z = _part1by1(xs) | (_part1by1(ys) << 1)
+    for a, b, got in zip(xs[:50], ys[:50], z[:50]):
+        assert got == interleave(int(a), int(b))
+
+    out = q_zorder_layout(SF).to_pandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet") \
+        .set_index("o_orderkey")
+    assert len(out) == len(orders)
+    for _, r in out.head(40).iterrows():
+        o = orders.loc[r.o_orderkey]
+        day = int(o.o_orderdate.timestamp()) // 86400
+        assert r.zcode == interleave(int(o.o_custkey), day)
+        assert r.zbucket == r.zcode >> 36
+    # the layout property: sorting by zcode keeps BOTH dimensions
+    # locally clustered (mean absolute neighbor jump far below the
+    # random-order expectation)
+    s = out.sort_values("zcode")
+    ck = s.o_orderkey.map(orders.o_custkey).to_numpy()
+    rnd = np.abs(np.diff(np.sort(ck)[
+        np.random.default_rng(0).permutation(len(ck))])).mean()
+    assert np.abs(np.diff(ck)).mean() < rnd / 2
+
+
 def test_lineitem_unpivot_reference(ray_session):
     import numpy as np
     import pandas as pd
