@@ -3293,6 +3293,32 @@ def _zorder_oracle_sql() -> str:
             f" FROM b{len(masks)}")
 
 
+def q_lineitem_skyline(sf_dir: str):
+    """2-D SKYLINE / Pareto front (data/rank.py skyline2d): the
+    (quantity, price) pairs no lineitem strictly dominates on both
+    axes — the multi-objective selection whose SQL form is a
+    quadratic NOT-EXISTS self-join, computed here with mergeable
+    per-block frontier partials and ZERO shuffle. Money folds to
+    integer cents map-side so the frontier compare is exact."""
+    from .data.rank import skyline2d
+
+    def fold(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        p = b.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "qty": pa.array(np.floor(q + 0.5).astype(np.int64)),
+            "cents": pa.array(
+                np.floor(p * 100.0 + 0.5).astype(np.int64))})
+    fold.__name__ = "skyline_fold"
+
+    ds = _read(sf_dir, "lineitem") \
+        .select_columns(["l_quantity", "l_extendedprice"]) \
+        .map_batches(fold, batch_format="pyarrow")
+    return skyline2d(ds, xcol="qty", ycol="cents",
+                     out_cols=("qty", "cents", "n"))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -3410,6 +3436,7 @@ QUERIES = {
     "interval_coverage": q_interval_coverage,
     "embed_quantize": q_embed_quantize,
     "zorder_layout": q_zorder_layout,
+    "lineitem_skyline": q_lineitem_skyline,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5128,6 +5155,21 @@ ORACLE_SQL["embed_quantize"] = """
 """
 
 ORACLE_SQL["zorder_layout"] = _zorder_oracle_sql()
+
+ORACLE_SQL["lineitem_skyline"] = """
+    WITH t AS (
+        SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM lineitem)
+    SELECT qty, cents, CAST(count(*) AS BIGINT) AS n
+    FROM t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM t u
+        WHERE u.qty >= t.qty AND u.cents >= t.cents
+          AND (u.qty > t.qty OR u.cents > t.cents))
+    GROUP BY qty, cents
+"""
 
 ORACLE_SQL["lineitem_unpivot"] = """
     SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

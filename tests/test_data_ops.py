@@ -985,3 +985,45 @@ def test_quantize_embeddings_roundtrip_error_bound(ray_session):
     mn, mx = v.min(axis=0), v.max(axis=0)
     deq = mn + codes * (mx - mn) / 255.0
     assert np.abs(deq - v).max() <= (mx - mn).max() / 255.0 + 1
+
+
+# -- skyline2d ----------------------------------------------------------------
+
+def _skyline_ref(xs, ys):
+    from collections import Counter
+    pairs = Counter(zip(map(int, xs), map(int, ys)))
+    out = {}
+    for (x, y), n in pairs.items():
+        dominated = any(
+            (u >= x and v >= y and (u > x or v > y))
+            for (u, v) in pairs)
+        if not dominated:
+            out[(x, y)] = n
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 4, 9])
+def test_skyline2d_matches_bruteforce(ray_session, blocks):
+    from soupflow.data.rank import skyline2d
+    rng = np.random.default_rng(17)
+    # anti-correlated axes give a multi-point frontier; the small
+    # domain plus tiling forces duplicates, x-ties and equal-y cases
+    xs = rng.integers(0, 40, 500)
+    ys = np.clip(40 - xs + rng.integers(-6, 7, 500), 0, None)
+    xs = np.concatenate([xs, xs[:60]])
+    ys = np.concatenate([ys, ys[:60]])
+    ref = _skyline_ref(xs, ys)
+    assert len(ref) > 1 and any(n > 1 for n in ref.values())
+    tbl = pa.table({"x": pa.array(xs, pa.int64()),
+                    "y": pa.array(ys, pa.int64())})
+    out = skyline2d(_ray_ds(tbl, blocks), xcol="x", ycol="y")
+    got = {(r["x"], r["y"]): r["n"] for r in out.to_pylist()}
+    assert got == ref
+
+
+def test_skyline2d_domain_contract(ray_session):
+    from soupflow.data.rank import skyline2d
+    tbl = pa.table({"x": pa.array([2**22], pa.int64()),
+                    "y": pa.array([0], pa.int64())})
+    with pytest.raises(Exception):
+        skyline2d(_ray_ds(tbl, 1), xcol="x", ycol="y")
