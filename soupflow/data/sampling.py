@@ -233,3 +233,80 @@ def weighted_sample(ds, k: int, weight_col: str,
     return ds.map_batches(partial, batch_format="pyarrow") \
         .sort(["skey", id_col], descending=[True, False]) \
         .limit(k).drop_columns(["skey"])
+
+
+def shuffle_rank(ds, id_col: str = "doc_id", seed: int = 1,
+                 num_partitions: int = 16):
+    """Deterministic GLOBAL training-epoch shuffle: every row gets its
+    ordinal position under the hash permutation ``ORDER BY
+    mix(id + seed), id`` — the reproducible data-order pass a trainer
+    runs per epoch (seed = epoch), and the one global op
+    ``random_shuffle`` can't give you deterministically across
+    engines.
+
+    Shape: the hash attaches map-side, so only narrow (id, h) pairs
+    move through the ONE global sort. The ordinal then needs NO second
+    shuffle: each sorted block emits its first (h, id) tuple + row
+    count (an O(blocks) summary), the driver prefix-sums the block
+    offsets, and a second zero-shuffle map over the SAME materialized
+    blocks adds offset + local arange. Duplicate ids would make the
+    block-identity tuple ambiguous — the driver raises loudly."""
+    import ray
+
+    from ..io import collect_table
+    from .windows import _cached_get
+
+    def hmap(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        h = _mix(ids + seed)
+        return pa.table({id_col: b.column(id_col),
+                         "h": pa.array(h, pa.uint64())})
+    hmap.__name__ = "shuffle_hash"
+
+    sorted_ds = ds.select_columns([id_col]) \
+        .map_batches(hmap, batch_format="pyarrow") \
+        .repartition(num_partitions) \
+        .sort(["h", id_col]) \
+        .materialize()
+
+    def counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"h0": pa.array([], pa.uint64()),
+                             "id0": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "h0": b.column("h").slice(0, 1),
+            "id0": b.column(id_col).slice(0, 1).cast(pa.int64()),
+            "n": pa.array([b.num_rows], pa.int64())})
+    counts.__name__ = "shuffle_block_counts"
+
+    summ = collect_table(sorted_ds.map_batches(
+        counts, batch_format="pyarrow", batch_size=None))
+    h0 = summ.column("h0").to_numpy(zero_copy_only=False)
+    id0 = summ.column("id0").to_numpy(zero_copy_only=False)
+    n = summ.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((id0, h0))
+    keys = list(zip(h0[order].tolist(), id0[order].tolist()))
+    if len(set(keys)) != len(keys):
+        raise ValueError("shuffle_rank requires unique ids (block "
+                         "boundary tuples collided)")
+    offs = np.concatenate(([0], np.cumsum(n[order])[:-1]))
+    handle = ray.put(dict(zip(keys, offs.tolist())))
+
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        table = _cached_get(handle)
+        key = (int(b.column("h")[0].as_py()),
+               int(b.column(id_col)[0].as_py()))
+        off = table[key]
+        return pa.table({
+            id_col: b.column(id_col),
+            "pos": pa.array(off + np.arange(b.num_rows,
+                                            dtype=np.int64),
+                            pa.int64())})
+    tag.__name__ = "shuffle_rank_tag"
+
+    return sorted_ds.map_batches(tag, batch_format="pyarrow",
+                                 batch_size=None)

@@ -3319,6 +3319,17 @@ def q_lineitem_skyline(sf_dir: str):
                      out_cols=("qty", "cents", "n"))
 
 
+def q_shuffle_rank(sf_dir: str):
+    """Deterministic global epoch shuffle (data/sampling.py
+    shuffle_rank): every doc's ordinal position under the seed-1 hash
+    permutation — the reproducible data-order pass a trainer runs per
+    epoch. ONE narrow-column sort; ordinals attach with an O(blocks)
+    offset summary + zero-shuffle second map."""
+    from .data.sampling import shuffle_rank
+    return shuffle_rank(_read(sf_dir, "documents")
+                        .select_columns(["doc_id"]), seed=1)
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -3437,6 +3448,7 @@ QUERIES = {
     "embed_quantize": q_embed_quantize,
     "zorder_layout": q_zorder_layout,
     "lineitem_skyline": q_lineitem_skyline,
+    "shuffle_rank": q_shuffle_rank,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5169,6 +5181,18 @@ ORACLE_SQL["lineitem_skyline"] = """
         WHERE u.qty >= t.qty AND u.cents >= t.cents
           AND (u.qty > t.qty OR u.cents > t.cents))
     GROUP BY qty, cents
+"""
+
+ORACLE_SQL["shuffle_rank"] = """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM (
+        SELECT doc_id,
+               (CAST(doc_id + 1 AS HUGEINT)
+                * 11400714819323198485)
+                 % 18446744073709551616 AS h
+        FROM documents)
 """
 
 ORACLE_SQL["lineitem_unpivot"] = """

@@ -1027,3 +1027,51 @@ def test_skyline2d_domain_contract(ray_session):
                     "y": pa.array([0], pa.int64())})
     with pytest.raises(Exception):
         skyline2d(_ray_ds(tbl, 1), xcol="x", ycol="y")
+
+
+# -- shuffle_rank -------------------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 5, 13])
+def test_shuffle_rank_is_deterministic_permutation(ray_session,
+                                                   blocks):
+    from soupflow.data.sampling import _mix, shuffle_rank
+    ids = np.arange(997, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    out = shuffle_rank(_ray_ds(tbl, blocks), seed=3,
+                       num_partitions=7).to_pandas()
+    assert sorted(out.pos) == list(range(997))
+    # matches the scalar definition: ORDER BY mix(id+seed), id
+    ref = ids[np.lexsort((ids, _mix(ids + 3)))]
+    got = out.sort_values("pos").doc_id.to_numpy()
+    assert np.array_equal(got, ref)
+
+
+def test_shuffle_rank_seed_changes_permutation(ray_session):
+    from soupflow.data.sampling import shuffle_rank
+    ids = np.arange(300, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    a = shuffle_rank(_ray_ds(tbl, 4), seed=1).to_pandas() \
+        .sort_values("doc_id").pos.to_numpy()
+    b = shuffle_rank(_ray_ds(tbl, 4), seed=2).to_pandas() \
+        .sort_values("doc_id").pos.to_numpy()
+    assert not np.array_equal(a, b)
+    assert sorted(a) == sorted(b) == list(range(300))
+
+
+def test_shuffle_rank_duplicate_ids_never_silently_wrong(ray_session):
+    # duplicates are only hazardous when equal (h, id) tuples split
+    # across a block boundary — exactly the case the driver-side guard
+    # raises on. Ray's range-partitioned sort usually co-locates equal
+    # keys, in which case the output must still be a valid permutation
+    # (ties take arbitrary but exactly-once positions). Either way:
+    # never silently corrupt.
+    from soupflow.data.sampling import shuffle_rank
+    tbl = pa.table({"doc_id": pa.array(
+        [7] * 5000 + list(range(100, 300)), pa.int64())})
+    try:
+        out = shuffle_rank(_ray_ds(tbl, 8),
+                           num_partitions=8).to_pandas()
+    except ValueError as e:
+        assert "unique ids" in str(e)
+    else:
+        assert sorted(out.pos) == list(range(5200))
