@@ -3330,6 +3330,67 @@ def q_shuffle_rank(sf_dir: str):
                         .select_columns(["doc_id"]), seed=1)
 
 
+_BPE_MERGES = 8
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (data/bpe.py bpe_train):
+    8 merge rounds over the corpus word-frequency table — the
+    subword-vocabulary pass every LLM data pipeline runs. Corpus
+    shuffles once (the vocab-bounded word count); each round is a
+    pair-bounded groupby + broadcast argmax + one vectorized
+    replace_substring whose left-to-right non-overlap IS the greedy
+    merge rule. The sentinel-segmentation representation is shared
+    with the SQL oracle, so the full iterative run is bit-compared."""
+    from .data.bpe import bpe_train
+    merges, _ = bpe_train(_read(sf_dir, "documents"),
+                          num_merges=_BPE_MERGES)
+    return merges
+
+
+def _bpe_oracle_sql(k: int = _BPE_MERGES) -> str:
+    """The same k BPE rounds as a generated CTE chain: identical
+    sentinel segmentation (chr(31) between symbols), identical pair
+    statistic (overlapping adjacencies, frequency-weighted), identical
+    winner rule (count DESC, pair lexicographic), identical greedy
+    merge (SQL replace = left-to-right non-overlapping scan)."""
+    pair_cte = (
+        "p{r} AS (SELECT string_split(pr, chr(30))[1] a,"
+        " string_split(pr, chr(30))[2] b,"
+        " CAST(sum(n) AS BIGINT) c FROM"
+        " (SELECT unnest(list_transform(range(1, len(ls)),"
+        "   i -> ls[i] || chr(30) || ls[i+1])) pr, n FROM"
+        "  (SELECT n, string_split(trim(s, chr(31)),"
+        "   chr(31) || chr(31)) ls FROM seg{r})) GROUP BY 1, 2)")
+    best_cte = ("b{r} AS (SELECT a, b, c FROM p{r}"
+                " ORDER BY c DESC, a, b LIMIT 1)")
+    # double-sentinel boundaries: a merge consumes only the INNER
+    # halves of its surrounding boundaries, so replace's left-to-right
+    # scan reproduces textbook greedy BPE on repeated-symbol runs
+    next_cte = (
+        "seg{r1} AS (SELECT w, n, replace(s,"
+        " chr(31) || a || chr(31) || chr(31) || b || chr(31),"
+        " chr(31) || a || b || chr(31)) s FROM seg{r}, b{r})")
+    ctes = [
+        "toks AS (SELECT unnest(list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'),"
+        " x -> x <> '')) AS w FROM documents)",
+        "wf AS (SELECT w, CAST(count(*) AS BIGINT) n"
+        " FROM toks GROUP BY w)",
+        "seg0 AS (SELECT w, n, chr(31) || chr(31) ||"
+        " array_to_string(regexp_split_to_array(w, ''),"
+        " chr(31) || chr(31)) || chr(31) || chr(31) s FROM wf)"]
+    for r in range(k):
+        ctes.append(pair_cte.format(r=r))
+        ctes.append(best_cte.format(r=r))
+        if r + 1 < k:
+            ctes.append(next_cte.format(r=r, r1=r + 1))
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, a AS lhs, b AS rhs,"
+        f" c AS n_pair FROM b{r}" for r in range(k))
+    return f"WITH {', '.join(ctes)} {sel}"
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -3449,6 +3510,7 @@ QUERIES = {
     "zorder_layout": q_zorder_layout,
     "lineitem_skyline": q_lineitem_skyline,
     "shuffle_rank": q_shuffle_rank,
+    "bpe_merges": q_bpe_merges,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5194,6 +5256,8 @@ ORACLE_SQL["shuffle_rank"] = """
                  % 18446744073709551616 AS h
         FROM documents)
 """
+
+ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
 
 ORACLE_SQL["lineitem_unpivot"] = """
     SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -1075,3 +1075,70 @@ def test_shuffle_rank_duplicate_ids_never_silently_wrong(ray_session):
         assert "unique ids" in str(e)
     else:
         assert sorted(out.pos) == list(range(5200))
+
+
+# -- bpe_train ----------------------------------------------------------------
+
+def _bpe_ref(texts, k):
+    """Classic dict-based BPE trainer (Sennrich): overlapping pair
+    counts weighted by word frequency; winner = max count, then
+    lexicographic; greedy left-to-right non-overlapping merge."""
+    wf = collections.Counter(
+        w for t in texts for w in t.lower().split())
+    segs = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(k):
+        pc_ = collections.Counter()
+        for w, syms in segs.items():
+            for i in range(len(syms) - 1):
+                pc_[(syms[i], syms[i + 1])] += wf[w]
+        if not pc_:
+            raise ValueError("no pairs")
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        merges.append((a, b, c))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_bpe_train_matches_scalar_reference(ray_session, blocks):
+    from soupflow.data.bpe import BOUND, bpe_train
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wider wide wide widest",
+        "aaa aaaa aaa",  # odd/even runs drive greedy non-overlap
+    ] * 3
+    tbl = pa.table({"text": pa.array(texts)})
+    k = 7
+    ref_merges, ref_segs = _bpe_ref(texts, k)
+    merges, word_ds = bpe_train(_ray_ds(tbl, blocks), num_merges=k)
+    got = list(zip(merges.column("lhs").to_pylist(),
+                   merges.column("rhs").to_pylist(),
+                   merges.column("n_pair").to_pylist()))
+    assert got == ref_merges
+    # a later merge must consume an earlier merged symbol — else the
+    # iterative path is untested
+    earlier = {a + b for a, b, _ in ref_merges[:-1]}
+    assert any(a in earlier or b in earlier for a, b, _ in ref_merges)
+    segs = {r["w"]: r["s"] for r in word_ds.take_all()}
+    for w, syms in ref_segs.items():
+        assert segs[w] == BOUND + BOUND.join(syms) + BOUND
+
+
+def test_bpe_train_exhausted_vocabulary_raises(ray_session):
+    from soupflow.data.bpe import bpe_train
+    tbl = pa.table({"text": pa.array(["ab ab ab cd"])})
+    with pytest.raises(ValueError):
+        bpe_train(_ray_ds(tbl, 1), num_merges=5)
