@@ -53,6 +53,9 @@ TIMED_QUERIES = [
     "big_orders", "event_transitions", "mg_heavy_hitters",
     "order_quartile", "lexical_diversity", "jsonl_roundtrip",
     "iqr_outliers", "lineitem_unpivot",
+    "shipping_priority", "term_cooccurrence", "interval_coverage",
+    "embed_quantize", "zorder_layout", "lineitem_skyline",
+    "shuffle_rank", "bpe_merges",
     # revenue_cube/first_order_value/redact_terms/props_k_stats/
     # top_terms_per_lang/order_seq/dense_rank share machinery with
     # timed queries above — oracle-gated, not separately timed.
