@@ -3391,6 +3391,64 @@ def _bpe_oracle_sql(k: int = _BPE_MERGES) -> str:
     return f"WITH {', '.join(ctes)} {sel}"
 
 
+def q_custdist(sf_dir: str):
+    """TPC-H Q13 shape — customer distribution by order count: the
+    two-level aggregation (groupby OF a groupby) with a LEFT-JOIN zero
+    group. No join runs at all: the join's only contribution is the
+    customers with NO qualifying order, and that group's size is
+    ``|customer| - |custkeys present in the filtered orders|`` — the
+    customer table contributes exactly one scalar (its row count, a
+    parquet-footer metadata read). Level 1: orders filter map-side
+    (the Q13 join predicate, here priority = 1-URGENT) and reduce to
+    per-block (custkey, count) partials, so only narrow int64 pairs
+    move through the ONE custkey-bounded groupby. Level 2: the
+    per-customer counts reduce map-side again to (c_count, partial)
+    pairs into a groupby bounded by max-orders-per-customer — tiny.
+    The zero row is appended driver-side on that bounded table. Every
+    number is an exact integer count; the output is
+    max-count-bounded, never customer-bounded."""
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def per_cust_partial(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        t = pa.table({"ck": b.filter(mask).column("o_custkey")})
+        g = t.group_by("ck").aggregate([("ck", "count")])
+        return g.rename_columns(["ck", "c_count"])
+    per_cust_partial.__name__ = "custdist_per_cust_partial"
+
+    def dist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"c_count": b.column("c_count")})
+        g = t.group_by("c_count").aggregate([("c_count", "count")])
+        return g.rename_columns(["c_count", "custdist"])
+    dist_partial.__name__ = "custdist_dist_partial"
+
+    dist = collect_table(
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_orderpriority"])
+        .map_batches(per_cust_partial, batch_format="pyarrow")
+        .groupby("ck").aggregate(Sum("c_count", alias_name="c_count"))
+        .map_batches(dist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist")))
+
+    n_customers = _read(sf_dir, "customer").count()
+    counts = dist.column("c_count").to_numpy(zero_copy_only=False) \
+        if dist.num_rows else np.empty(0, np.int64)
+    sizes = dist.column("custdist").to_numpy(zero_copy_only=False) \
+        if dist.num_rows else np.empty(0, np.int64)
+    zero = n_customers - int(sizes.sum())
+    if zero < 0:
+        raise ValueError("orders reference custkeys missing from "
+                         "customer — FK contract violated")
+    if zero > 0:
+        counts = np.concatenate([counts, [0]])
+        sizes = np.concatenate([sizes, [zero]])
+    return pa.table({"c_count": pa.array(counts, pa.int64()),
+                     "custdist": pa.array(sizes, pa.int64())})
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -3511,6 +3569,7 @@ QUERIES = {
     "lineitem_skyline": q_lineitem_skyline,
     "shuffle_rank": q_shuffle_rank,
     "bpe_merges": q_bpe_merges,
+    "custdist": q_custdist,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5258,6 +5317,21 @@ ORACLE_SQL["shuffle_rank"] = """
 """
 
 ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
+
+# TPC-H Q13: the LEFT JOIN's zero group (customers with no 1-URGENT
+# order) must be nonempty for the shape to bite — 18 customers at
+# sf0.001, 203 at sf0.01.
+ORACLE_SQL["custdist"] = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey,
+                 COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority = '1-URGENT'
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+"""
 
 ORACLE_SQL["lineitem_unpivot"] = """
     SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

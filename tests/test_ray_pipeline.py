@@ -1622,3 +1622,19 @@ def test_windowed_range_sum_duplicate_ts_raises(ray_session):
         windowed_range_sum(ds, key_col="user_id", ts_col="ts",
                            id_col="event_id", val_col="cents",
                            window_us=50).materialize()
+
+
+def test_custdist_reference(ray_session):
+    import pandas as pd
+
+    from soupflow.queries import q_custdist
+    out = q_custdist(SF).to_pandas().set_index("c_count")["custdist"]
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    urgent = orders[orders.o_orderpriority == "1-URGENT"]
+    per_cust = urgent.groupby("o_custkey").size() \
+        .reindex(cust.c_custkey, fill_value=0)
+    ref = per_cust.value_counts()
+    assert ref.get(0, 0) > 0, "zero-order group never bites — vacuous"
+    assert dict(out) == dict(ref)
+    assert out.sum() == len(cust)
