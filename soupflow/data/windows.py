@@ -227,6 +227,114 @@ def _sorted_summary_rows(summ: pa.Table, key_col: str,
     return rows
 
 
+def ordered_string_agg(ds, *, key_col: str, order_cols: list[str],
+                       val_col: str, sep: str = ">",
+                       out_col: str = "path",
+                       num_partitions: int = 16):
+    """ORDER-SENSITIVE grouped aggregation — the
+    ``string_agg(val, sep ORDER BY order_cols) GROUP BY key`` class
+    (array_agg / collect_list ORDER BY is the same machinery): each
+    key's values concatenated in a deterministic order, the "user
+    journey path" surface of product analytics.
+
+    Scale shape: ONE global sort on (key, *order_cols) — the shuffle
+    any ordered aggregate inherently needs — then every block reduces
+    each key run to ONE partial string with a single vectorized
+    ``pc.binary_join`` over a run-offset ListArray (no Python per key
+    or per row). A run neither first nor last in its block is a
+    COMPLETE key (sort made keys globally contiguous) and is emitted
+    finished, zero further movement. Edge runs — ≤2 per block, so
+    O(blocks) ROWS — merge through one small groupby(key). Unlike the
+    window family (per-row outputs, where a per-key groupby fixup was
+    a hot-key hazard), here a spanning key's edge-group payload IS its
+    output row, so the grouped merge is inherent, not avoidable: the
+    bytes that meet in one task are exactly the bytes of the result
+    row. Contract: (key, *order_cols) unique — a duplicate ordering
+    tuple makes the SQL result itself nondeterministic; duplicates
+    meeting the edge fixup raise loudly."""
+
+    cols = [key_col, *order_cols, val_col]
+
+    def run_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            names = [key_col, *order_cols, "_part", "_edge"]
+            arrs = ([pa.array([], batch.schema.field(c).type)
+                     for c in (key_col, *order_cols)]
+                    + [pa.array([], pa.string()),
+                       pa.array([], pa.bool_())])
+            return pa.table(dict(zip(names, arrs)))
+        n = batch.num_rows
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        _, starts = _key_segments(keys)
+        if n > 1:
+            # the block is sorted on (key, *order_cols), so a
+            # duplicate ordering tuple is ADJACENT — one vectorized
+            # equality sweep per column catches it in-block (the
+            # cross-block case is caught in the edge merge)
+            dup = keys[1:] == keys[:-1]
+            for c in order_cols:
+                oc = batch.column(c).to_numpy(zero_copy_only=False)
+                dup = dup & (oc[1:] == oc[:-1])
+            if dup.any():
+                raise ValueError(
+                    "ordered_string_agg requires (key, *order_cols) "
+                    "unique — duplicate ordering tuple for key "
+                    f"{keys[int(np.flatnonzero(dup)[0])]!r} makes "
+                    "the aggregate nondeterministic")
+        vals = batch.column(val_col)
+        if pa.types.is_large_string(vals.type):
+            vals = vals.cast(pa.string())
+        offsets = np.append(starts, n).astype(np.int32)
+        parts = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     vals.combine_chunks()),
+            sep)
+        edge = np.zeros(starts.size, dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        idx = pa.array(starts, pa.int64())
+        out = {key_col: batch.column(key_col).take(idx)}
+        for c in order_cols:
+            out[c] = batch.column(c).take(idx)
+        out["_part"] = parts
+        out["_edge"] = pa.array(edge)
+        return pa.table(out)
+    run_partials.__name__ = "string_agg_run_partials"
+
+    partials = ds.select_columns(cols) \
+        .repartition(num_partitions) \
+        .sort([key_col, *order_cols]) \
+        .map_batches(run_partials, batch_format="pyarrow",
+                     batch_size=None) \
+        .materialize()  # ≤ keys + 2·blocks rows; feeds two consumers
+
+    def finish_interior(batch: pa.Table) -> pa.Table:
+        return pa.table({key_col: batch.column(key_col),
+                         out_col: batch.column("_part")})
+    finish_interior.__name__ = "string_agg_finish_interior"
+
+    interior = partials.filter(expr="_edge == False") \
+        .map_batches(finish_interior, batch_format="pyarrow")
+
+    def merge_edges(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order_cols)
+        if g.duplicated(subset=order_cols).any():
+            raise ValueError(
+                "ordered_string_agg requires (key, *order_cols) "
+                "unique — duplicate ordering tuple for key "
+                f"{g[key_col].iloc[0]!r} makes the aggregate "
+                "nondeterministic")
+        return pd.DataFrame({
+            key_col: g[key_col].iloc[:1].reset_index(drop=True),
+            out_col: pd.Series([sep.join(g["_part"])])})
+
+    edges = partials.filter(expr="_edge == True") \
+        .groupby(key_col).map_groups(merge_edges,
+                                     batch_format="pandas")
+
+    return interior.union(edges)
+
+
 def windowed_cumsum(ds, *, key_col: str, order_cols: list[str],
                     val_col: str, out_col: str = "running",
                     num_partitions: int = 16):

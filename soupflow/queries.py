@@ -3391,6 +3391,25 @@ def _bpe_oracle_sql(k: int = _BPE_MERGES) -> str:
     return f"WITH {', '.join(ctes)} {sel}"
 
 
+def q_user_paths(sf_dir: str):
+    """Ordered grouped string aggregation — the
+    ``string_agg(val, sep ORDER BY ...)`` class (data/windows.py
+    ordered_string_agg): each user's chronological event-type journey
+    as one '>'-joined path string, the session-path surface of
+    product analytics. ONE global sort (inherent to any ordered
+    aggregate); blocks reduce key runs to single partials with one
+    vectorized binary_join; interior keys finish zero-shuffle; the
+    O(blocks) edge runs merge in one small groupby whose per-group
+    payload IS the key's output row."""
+    from .data.windows import ordered_string_agg
+    ds = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_id", "event_type"])
+    return ordered_string_agg(ds, key_col="user_id",
+                              order_cols=["ts", "event_id"],
+                              val_col="event_type", sep=">",
+                              out_col="path")
+
+
 def q_custdist(sf_dir: str):
     """TPC-H Q13 shape — customer distribution by order count: the
     two-level aggregation (groupby OF a groupby) with a LEFT-JOIN zero
@@ -3570,6 +3589,7 @@ QUERIES = {
     "shuffle_rank": q_shuffle_rank,
     "bpe_merges": q_bpe_merges,
     "custdist": q_custdist,
+    "user_paths": q_user_paths,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5317,6 +5337,13 @@ ORACLE_SQL["shuffle_rank"] = """
 """
 
 ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
+
+ORACLE_SQL["user_paths"] = """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM events
+    GROUP BY user_id
+"""
 
 # TPC-H Q13: the LEFT JOIN's zero group (customers with no 1-URGENT
 # order) must be nonempty for the shape to bite — 18 customers at

@@ -1638,3 +1638,64 @@ def test_custdist_reference(ray_session):
     assert ref.get(0, 0) > 0, "zero-order group never bites — vacuous"
     assert dict(out) == dict(ref)
     assert out.sum() == len(cust)
+
+
+def test_ordered_string_agg_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import ordered_string_agg
+
+    rng = np.random.default_rng(7)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, n),          # hot keys span blocks
+        "t": rng.permutation(n),             # unique order -> det.
+        "v": [f"w{i % 13}" for i in range(n)]})
+    ref = df.sort_values(["k", "t"]).groupby("k")["v"] \
+        .apply(lambda s: ",".join(s)).to_dict()
+    for parts in (1, 4, 24):
+        ds = ray.data.from_pandas(df).repartition(6)
+        out = ordered_string_agg(
+            ds, key_col="k", order_cols=["t"], val_col="v",
+            sep=",", out_col="p", num_partitions=parts).to_pandas()
+        assert dict(zip(out.k, out.p)) == ref, parts
+    # single-key corpus: every block is one edge run of the same key
+    one = df.assign(k=0)
+    ref1 = ",".join(one.sort_values("t")["v"])
+    out1 = ordered_string_agg(
+        ray.data.from_pandas(one).repartition(8), key_col="k",
+        order_cols=["t"], val_col="v", sep=",", out_col="p",
+        num_partitions=8).to_pandas()
+    assert len(out1) == 1 and out1.p.iloc[0] == ref1
+
+
+def test_ordered_string_agg_duplicate_order_raises(ray_session):
+    import pandas as pd
+    import pytest
+    import ray
+
+    from soupflow.data.windows import ordered_string_agg
+
+    # duplicate (key, order) tuples on a key that spans blocks must
+    # hit the edge fixup and raise
+    df = pd.DataFrame({"k": [1] * 40, "t": [5] * 40,
+                       "v": ["a"] * 40})
+    ds = ray.data.from_pandas(df).repartition(4)
+    with pytest.raises(Exception, match="unique"):
+        ordered_string_agg(ds, key_col="k", order_cols=["t"],
+                           val_col="v", num_partitions=4) \
+            .materialize()
+
+
+def test_user_paths_reference(ray_session):
+    import pandas as pd
+
+    from soupflow.queries import q_user_paths
+    out = q_user_paths(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ref = ev.sort_values(["ts", "event_id"]).groupby("user_id") \
+        ["event_type"].apply(lambda s: ">".join(s)).to_dict()
+    assert dict(zip(out.user_id, out.path)) == ref
+    assert max(len(p.split(">")) for p in out.path) > 10
