@@ -3410,6 +3410,130 @@ def q_user_paths(sf_dir: str):
                               out_col="path")
 
 
+_Q21_LATE_DAYS = 60
+
+
+def q_late_suppliers(sf_dir: str):
+    """TPC-H Q21 shape — suppliers who were the SOLE late supplier in
+    a multi-supplier order: the correlated EXISTS + NOT-EXISTS double
+    self-join, decorrelated into grouped set aggregates so lineitem
+    self-joins NEVER run. Per (order, supplier) the three predicates
+    collapse to three per-order statistics: n_suppliers ≥ 2 (the
+    EXISTS), n_late_suppliers = 1 (the NOT EXISTS), and the late
+    supplier's identity — all derivable from ONE per-(orderkey,
+    suppkey) MAX-shipdate reduction. Scale shape: lineitem pre-reduces
+    per block with an Arrow group_by (narrow int64 partials; text and
+    prices never read), ONE (orderkey, suppkey)-bounded groupby
+    finishes, ONE partitioned hash join attaches the order date
+    (orders fold map-side to (orderkey, day) first), a second
+    orderkey-bounded groupby computes the per-order triple via
+    SUM/SUM/MAX of (1, late, (suppkey+1)·late), and the post-filter
+    supplier counts collapse through O(blocks × |supplier|) partials
+    finished driver-side against the broadcast supplier dim. Late =
+    day(l_shipdate) − day(o_orderdate) > 60, day-truncated in both
+    engines."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from .io import collect_table
+
+    def ord_fold(b: pa.Table) -> pa.Table:
+        od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        days = od.astype("datetime64[D]").astype(np.int64)
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_day": pa.array(days, pa.int64())})
+    ord_fold.__name__ = "q21_order_fold"
+
+    orders_n = _read(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_orderdate"]) \
+        .map_batches(ord_fold, batch_format="pyarrow").repartition(8)
+
+    def ship_partial(b: pa.Table) -> pa.Table:
+        sd = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        days = sd.astype("datetime64[D]").astype(np.int64)
+        t = pa.table({"ok": b.column("l_orderkey"),
+                      "sk": b.column("l_suppkey").cast(pa.int64()),
+                      "ship_day": pa.array(days, pa.int64())})
+        return t.group_by(["ok", "sk"]) \
+            .aggregate([("ship_day", "max")]) \
+            .rename_columns(["ok", "sk", "ship_day"])
+    ship_partial.__name__ = "q21_ship_partial"
+
+    per_os = _read(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_suppkey", "l_shipdate"]) \
+        .map_batches(ship_partial, batch_format="pyarrow") \
+        .groupby(["ok", "sk"]) \
+        .aggregate(Max("ship_day", alias_name="ship_day"))
+
+    joined = per_os.join(orders_n, join_type="inner",
+                         num_partitions=8, on=("ok",),
+                         right_on=("o_orderkey",))
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        sk = b.column("sk").to_numpy(zero_copy_only=False)
+        if sk.size and sk.min() < 0:
+            raise ValueError(
+                "late_suppliers requires suppkey >= 0 — a negative "
+                "key would alias the no-late-supplier sentinel in "
+                "the max((sk+1)*late) encoding")
+        late = (b.column("ship_day").to_numpy(zero_copy_only=False)
+                - b.column("o_day").to_numpy(zero_copy_only=False)
+                > _Q21_LATE_DAYS).astype(np.int64)
+        t = pa.table({"ok": b.column("ok"),
+                      "ns": pa.array(np.ones(sk.size, np.int64)),
+                      "nl": pa.array(late, pa.int64()),
+                      "late_sk": pa.array((sk + 1) * late,
+                                          pa.int64())})
+        return t.group_by("ok").aggregate(
+            [("ns", "sum"), ("nl", "sum"), ("late_sk", "max")]) \
+            .rename_columns(["ok", "ns", "nl", "late_sk"])
+    order_partial.__name__ = "q21_order_partial"
+
+    per_order = joined \
+        .map_batches(order_partial, batch_format="pyarrow") \
+        .groupby("ok").aggregate(Sum("ns", alias_name="ns"),
+                                 Sum("nl", alias_name="nl"),
+                                 Max("late_sk", alias_name="late_sk"))
+
+    def wait_partial(b: pa.Table) -> pa.Table:
+        ns = b.column("ns").to_numpy(zero_copy_only=False)
+        nl = b.column("nl").to_numpy(zero_copy_only=False)
+        sk = b.column("late_sk").to_numpy(zero_copy_only=False)
+        win = sk[(ns >= 2) & (nl == 1)] - 1  # undo the +1 sentinel
+        ks, cnts = np.unique(win, return_counts=True)
+        return pa.table({"sk": pa.array(ks, pa.int64()),
+                         "n": pa.array(cnts, pa.int64())})
+    wait_partial.__name__ = "q21_wait_partial"
+
+    cand = collect_table(per_order.map_batches(
+        wait_partial, batch_format="pyarrow"))
+    sk = cand.column("sk").to_numpy(zero_copy_only=False)
+    n = cand.column("n").to_numpy(zero_copy_only=False)
+    ks = np.unique(sk)
+    numwait = np.zeros(ks.size, np.int64)
+    np.add.at(numwait, np.searchsorted(ks, sk), n)
+
+    supp = collect_table(
+        _read(sf_dir, "supplier")
+        .select_columns(["s_suppkey", "s_name"]))
+    skeys = supp.column("s_suppkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    order_ = np.argsort(skeys)
+    skeys = skeys[order_]
+    pos = np.searchsorted(skeys, ks)
+    if pos.size and (pos.max() >= skeys.size
+                     or not np.all(skeys[pos] == ks)):
+        raise ValueError("late supplier key missing from supplier "
+                         "dim — FK violation")
+    names = supp.column("s_name").take(
+        pa.array(order_[pos], pa.int64())).to_pylist()
+    final = sorted(zip(names, numwait.tolist()),
+                   key=lambda t: (-t[1], t[0]))
+    return pa.table({
+        "s_name": pa.array([t[0] for t in final], pa.string()),
+        "numwait": pa.array([t[1] for t in final], pa.int64())})
+
+
 def q_custdist(sf_dir: str):
     """TPC-H Q13 shape — customer distribution by order count: the
     two-level aggregation (groupby OF a groupby) with a LEFT-JOIN zero
@@ -3590,6 +3714,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "custdist": q_custdist,
     "user_paths": q_user_paths,
+    "late_suppliers": q_late_suppliers,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5343,6 +5468,33 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# TPC-H Q21 (adapted: late = day-truncated shipdate more than 60 days
+# after the order date; DISTINCT per (order, supplier) granularity).
+# The textbook correlated EXISTS + NOT-EXISTS double self-join — the
+# engine decorrelates it into grouped set aggregates.
+ORACLE_SQL["late_suppliers"] = """
+    WITH cand AS (
+      SELECT DISTINCT l1.l_suppkey AS sk
+           , l1.l_orderkey AS ok
+      FROM lineitem l1
+      JOIN orders o1 ON o1.o_orderkey = l1.l_orderkey
+      WHERE date_diff('day', o1.o_orderdate, l1.l_shipdate) > 60
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND date_diff('day', o3.o_orderdate,
+                              l3.l_shipdate) > 60))
+    SELECT s_name, count(*) AS numwait
+    FROM cand JOIN supplier ON s_suppkey = sk
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
 """
 
 # TPC-H Q13: the LEFT JOIN's zero group (customers with no 1-URGENT

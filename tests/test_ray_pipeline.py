@@ -1699,3 +1699,35 @@ def test_user_paths_reference(ray_session):
         ["event_type"].apply(lambda s: ">".join(s)).to_dict()
     assert dict(zip(out.user_id, out.path)) == ref
     assert max(len(p.split(">")) for p in out.path) > 10
+
+
+def test_late_suppliers_reference(ray_session):
+    import pandas as pd
+
+    from soupflow.queries import q_late_suppliers
+    out = q_late_suppliers(SF).to_pandas()
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    su = pd.read_parquet(f"{SF}/supplier.parquet")
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    j["late"] = (j.l_shipdate.dt.floor("D")
+                 - j.o_orderdate.dt.floor("D")).dt.days > 60
+    per = j.groupby(["l_orderkey", "l_suppkey"])["late"].max() \
+        .reset_index()
+    g = per.groupby("l_orderkey").agg(
+        ns=("l_suppkey", "size"), nl=("late", "sum"))
+    # both decorrelated legs must bite: single-supplier orders with a
+    # late supplier (EXISTS) and multi-late orders (NOT EXISTS)
+    assert ((g.ns == 1) & (g.nl == 1)).any()
+    assert ((g.ns >= 2) & (g.nl >= 2)).any()
+    qual = g[(g.ns >= 2) & (g.nl == 1)].index
+    assert len(qual) > 0
+    win = per[per.l_orderkey.isin(qual) & per.late]
+    ref = win.merge(su, left_on="l_suppkey", right_on="s_suppkey") \
+        .groupby("s_name").size().to_dict()
+    assert dict(zip(out.s_name, out.numwait)) == ref
+    # deterministic ordering: numwait desc, name asc
+    assert list(out.itertuples(index=False)) == sorted(
+        out.itertuples(index=False), key=lambda t: (-t.numwait,
+                                                    t.s_name))
