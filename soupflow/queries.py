@@ -3534,6 +3534,86 @@ def q_late_suppliers(sf_dir: str):
         "numwait": pa.array([t[1] for t in final], pa.int64())})
 
 
+def q_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape — customers with above-average account balance
+    and NO large order, counted and summed per nation: the scalar
+    subquery + NOT-EXISTS anti-join composite. The scalar AVG never
+    materializes as a float: per-block (n_pos, sum_cents) partials
+    collect driver-side (O(blocks) rows) and the predicate
+    cents · n_pos > sum_cents is pure int64 cross-multiplication, so
+    both engines compare exactly. The anti-join side reduces orders
+    map-side to distinct large-order custkeys (narrow int64; the
+    customers_no_orders broadcast-membership machinery, with the same
+    left_anti partitioned hatch for key sets that outgrow the
+    driver). Customers then filter + pre-aggregate per block in one
+    zero-shuffle pass and ONE nation-bounded groupby finishes."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        pos = bal > 0.0
+        cents = np.floor(bal[pos] * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"n": pa.array([int(pos.sum())], pa.int64()),
+                         "s": pa.array([int(cents.sum())],
+                                       pa.int64())})
+    bal_partial.__name__ = "q22_bal_partial"
+
+    cust_cols = _read(sf_dir, "customer") \
+        .select_columns(["c_custkey", "c_nationkey", "c_acctbal"]) \
+        .materialize()  # narrow projection feeds two passes
+    parts = collect_table(cust_cols.map_batches(
+        bal_partial, batch_format="pyarrow"))
+    n_pos = int(pc.sum(parts.column("n")).as_py() or 0)
+    sum_cents = int(pc.sum(parts.column("s")).as_py() or 0)
+    if n_pos == 0:
+        raise ValueError("sales_opportunity: no positive-balance "
+                         "customers — average undefined")
+
+    def big_keys(b: pa.Table) -> pa.Table:
+        price = b.column("o_totalprice") \
+            .to_numpy(zero_copy_only=False)
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(
+            np.unique(ck[price > 400000.0]), pa.int64())})
+    big_keys.__name__ = "q22_big_order_keys"
+
+    kt = collect_table(
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(big_keys, batch_format="pyarrow"))
+    keys = np.unique(kt.column("k").to_numpy(zero_copy_only=False)) \
+        if kt.num_rows else np.empty(0, np.int64)
+    handle = ray.put(keys)
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        ks = ray.get(handle)
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        keep = cents * n_pos > sum_cents
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        if ks.size:
+            pos = np.minimum(np.searchsorted(ks, ck), ks.size - 1)
+            keep &= ks[pos] != ck
+        t = pa.table({
+            "c_nationkey": b.column("c_nationkey")
+            .filter(pa.array(keep)).cast(pa.int64()),
+            "cnt": pa.array(np.ones(int(keep.sum()), np.int64)),
+            "bal_cents": pa.array(cents[keep], pa.int64())})
+        return t.group_by("c_nationkey").aggregate(
+            [("cnt", "sum"), ("bal_cents", "sum")]) \
+            .rename_columns(["c_nationkey", "cnt", "bal_cents"])
+    nation_partial.__name__ = "q22_nation_partial"
+
+    return cust_cols \
+        .map_batches(nation_partial, batch_format="pyarrow") \
+        .groupby("c_nationkey") \
+        .aggregate(Sum("cnt", alias_name="cnt"),
+                   Sum("bal_cents", alias_name="bal_cents"))
+
+
 def q_custdist(sf_dir: str):
     """TPC-H Q13 shape — customer distribution by order count: the
     two-level aggregation (groupby OF a groupby) with a LEFT-JOIN zero
@@ -3715,6 +3795,7 @@ QUERIES = {
     "custdist": q_custdist,
     "user_paths": q_user_paths,
     "late_suppliers": q_late_suppliers,
+    "sales_opportunity": q_sales_opportunity,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5468,6 +5549,25 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# TPC-H Q22 (adapted: the "no orders" anti-join is "no large order",
+# so it bites on this synthetic corpus where every customer has
+# orders; the scalar AVG compares as exact int64 cross-multiplication
+# in both engines).
+ORACLE_SQL["sales_opportunity"] = """
+    SELECT c_nationkey,
+           count(*) AS cnt,
+           sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS bal_cents
+    FROM customer
+    WHERE round(c_acctbal * 100)::BIGINT
+          * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT sum(round(c_acctbal * 100)::BIGINT)
+             FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 400000)
+    GROUP BY c_nationkey
 """
 
 # TPC-H Q21 (adapted: late = day-truncated shipdate more than 60 days

@@ -1731,3 +1731,33 @@ def test_late_suppliers_reference(ray_session):
     assert list(out.itertuples(index=False)) == sorted(
         out.itertuples(index=False), key=lambda t: (-t.numwait,
                                                     t.s_name))
+
+
+def test_sales_opportunity_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_sales_opportunity
+    out = q_sales_opportunity(SF).to_pandas() \
+        .sort_values("c_nationkey").reset_index(drop=True)
+
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = np.floor(cu.c_acctbal.to_numpy() * 100.0 + 0.5) \
+        .astype(np.int64)
+    pos = cu.c_acctbal.to_numpy() > 0
+    big = set(od.loc[od.o_totalprice > 400000, "o_custkey"])
+    keep = (cents * int(pos.sum()) > int(cents[pos].sum())) \
+        & ~cu.c_custkey.isin(big).to_numpy()
+    # both legs must bite: above-avg customers WITH a big order are
+    # excluded, and below-avg customers without one are excluded
+    assert ((cents * int(pos.sum()) > int(cents[pos].sum()))
+            & cu.c_custkey.isin(big).to_numpy()).any()
+    assert keep.any() and not keep.all()
+    ref = pd.DataFrame({"nk": cu.c_nationkey[keep],
+                        "cents": cents[keep]}) \
+        .groupby("nk").agg(cnt=("cents", "size"),
+                           bal=("cents", "sum"))
+    assert list(out.c_nationkey) == list(ref.index)
+    assert list(out.cnt) == list(ref.cnt)
+    assert list(out.bal_cents) == list(ref.bal)
