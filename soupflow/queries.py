@@ -3614,6 +3614,56 @@ def q_sales_opportunity(sf_dir: str):
                    Sum("bal_cents", alias_name="bal_cents"))
 
 
+def q_order_triangles(sf_dir: str):
+    """Distributed TRIANGLE COUNTING (data/graph.py triangle_counts)
+    over a fact-scale co-membership graph: orders are vertices, with
+    an edge when two orders ship from the same supplier in the same
+    ISO week — vertices and edges both grow with the corpus, so this
+    is the genuinely distributed regime (the co-supplier and co-part
+    projections are complete graphs on this corpus; dimension-bounded
+    and driver-trivial). Edge generation is the same
+    distinct_pairs_per_key sort-pass over (bucket → order), bucket
+    sizes bounded by data model (≤ 9 orders per supplier-week here);
+    the SQL oracle is the cubic triple self-join the engine never
+    runs. Output: per-order triangle participation counts."""
+    from .data.graph import distinct_pairs_per_key, triangle_counts
+
+    def buckets(b: pa.Table) -> pa.Table:
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        days = b.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        # ISO week start (Monday); epoch day 0 = Thursday
+        wk = days - ((days + 3) % 7)
+        if sk.size and (sk.max() >= 1 << 20 or sk.min() < 0
+                        or wk.max() >= 1 << 22 or wk.min() < 0):
+            raise ValueError("order_triangles bucket packing "
+                             "requires 0 <= suppkey < 2^20 and "
+                             "0 <= week-day < 2^22")
+        bkt = sk * (1 << 22) + wk
+        t = pa.table({"bkt": pa.array(bkt, pa.int64()),
+                      "ok": pa.array(ok, pa.int64())})
+        # in-block distinct before the sort shuffles anything
+        return t.group_by(["bkt", "ok"]).aggregate([]) \
+            .rename_columns(["bkt", "ok"])
+    buckets.__name__ = "order_triangle_buckets"
+
+    bkt_ds = _read(sf_dir, "lineitem") \
+        .select_columns(["l_suppkey", "l_orderkey", "l_shipdate"]) \
+        .map_batches(buckets, batch_format="pyarrow")
+    edges, _ = distinct_pairs_per_key(bkt_ds, key_col="bkt",
+                                      val_col="ok", max_run=4096)
+    tri = triangle_counts(edges, src_col="a", dst_col="b",
+                          max_degree=65536)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"ok": b.column("v"),
+                         "n_tri": b.column("n_tri")})
+    finish.__name__ = "order_triangles_finish"
+    return tri.map_batches(finish, batch_format="pyarrow")
+
+
 def q_custdist(sf_dir: str):
     """TPC-H Q13 shape — customer distribution by order count: the
     two-level aggregation (groupby OF a groupby) with a LEFT-JOIN zero
@@ -3796,6 +3846,7 @@ QUERIES = {
     "user_paths": q_user_paths,
     "late_suppliers": q_late_suppliers,
     "sales_opportunity": q_sales_opportunity,
+    "order_triangles": q_order_triangles,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5549,6 +5600,33 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# Triangle counting: vertices = orders, edge when two orders ship
+# from the same supplier in the same ISO week (Monday-truncated, the
+# engine's epoch-day arithmetic == date_trunc('week')). The oracle is
+# the cubic triple self-join the engine decomposes into one sort-pass
+# + one hash join.
+ORACLE_SQL["order_triangles"] = """
+    WITH pos AS (
+      SELECT DISTINCT l_suppkey sk,
+             date_trunc('week', l_shipdate) wk,
+             l_orderkey ok
+      FROM lineitem),
+    e AS (
+      SELECT DISTINCT p1.ok x, p2.ok y
+      FROM pos p1 JOIN pos p2
+        ON p1.sk = p2.sk AND p1.wk = p2.wk AND p1.ok < p2.ok),
+    tri AS (
+      SELECT e1.x a, e1.y b, e2.y c
+      FROM e e1
+      JOIN e e2 ON e2.x = e1.y
+      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+    SELECT v AS ok, count(*)::BIGINT AS n_tri
+    FROM (SELECT a v FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY v
 """
 
 # TPC-H Q22 (adapted: the "no orders" anti-join is "no large order",

@@ -1761,3 +1761,108 @@ def test_sales_opportunity_reference(ray_session):
     assert list(out.c_nationkey) == list(ref.index)
     assert list(out.cnt) == list(ref.cnt)
     assert list(out.bal_cents) == list(ref.bal)
+
+
+def test_distinct_pairs_per_key_reference(ray_session):
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.graph import distinct_pairs_per_key
+
+    rng = np.random.default_rng(11)
+    n = 800
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, n),      # hot keys span blocks
+        "v": rng.integers(0, 30, n)})     # duplicates guaranteed
+    per = df.drop_duplicates().groupby("k")["v"] \
+        .apply(lambda s: sorted(s))
+    ref_pairs = sorted(
+        (k, a, b) for k, vs in per.items()
+        for a, b in itertools.combinations(vs, 2))
+    ref_distinct = sorted(map(tuple, df.drop_duplicates().values))
+    assert ref_pairs, "vacuous: no pairs"
+    for parts in (1, 5, 24):
+        ds = ray.data.from_pandas(df).repartition(7)
+        pairs, distinct = distinct_pairs_per_key(
+            ds, key_col="k", val_col="v", num_partitions=parts)
+        got_p = sorted(map(tuple, pairs.to_pandas().values))
+        got_d = sorted(map(tuple, distinct.to_pandas().values))
+        assert got_p == ref_pairs, parts
+        assert got_d == ref_distinct, parts
+    # single hot key across every block: all rows are edge runs
+    one = df.assign(k=3)
+    pairs1, dist1 = distinct_pairs_per_key(
+        ray.data.from_pandas(one).repartition(9), key_col="k",
+        val_col="v", num_partitions=9)
+    vs = sorted(set(one.v))
+    assert sorted(map(tuple, pairs1.to_pandas().values)) == sorted(
+        (3, a, b) for a, b in itertools.combinations(vs, 2))
+    assert dist1.count() == len(vs)
+
+
+def test_distinct_pairs_max_run_raises(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray
+
+    from soupflow.data.graph import distinct_pairs_per_key
+
+    df = pd.DataFrame({"k": np.zeros(50, np.int64),
+                       "v": np.arange(50, dtype=np.int64)})
+    with pytest.raises(Exception, match="max_run"):
+        p, _ = distinct_pairs_per_key(
+            ray.data.from_pandas(df), key_col="k", val_col="v",
+            num_partitions=1, max_run=8)
+        p.materialize()
+
+
+def test_triangle_counts_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.graph import triangle_counts
+
+    rng = np.random.default_rng(23)
+    nv = 40
+    # random graph + a pendant vertex (degree 1, zero triangles)
+    edges = {(int(a), int(b)) for a, b in
+             rng.integers(0, nv, (220, 2)) if a != b}
+    edges = {(min(a, b), max(a, b)) for a, b in edges}
+    edges.add((nv, nv + 1))  # pendant pair, no triangle
+    adj = {v: set() for v in range(nv + 2)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    ref = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            for v in (a, b, c):
+                ref[v] = ref.get(v, 0) + 1
+    ref = {v: n // 3 for v, n in ref.items()}  # each tri seen 3x
+    assert ref and sum(ref.values()) % 3 == 0
+    # duplicate edge rows (cross-source duplicates) must not double
+    el = sorted(edges) + sorted(edges)[:50]
+    df = pd.DataFrame(el, columns=["a", "b"])
+    for parts in (1, 4, 16):
+        out = triangle_counts(
+            ray.data.from_pandas(df).repartition(5),
+            src_col="a", dst_col="b",
+            num_partitions=parts).to_pandas()
+        assert dict(zip(out.v, out.n_tri)) == ref, parts
+    assert nv not in dict(zip(out.v, out.n_tri)).keys() or True
+    # pendant vertices never appear
+    got = dict(zip(out.v, out.n_tri))
+    assert nv not in got and nv + 1 not in got
+
+
+def test_order_triangles_invariants(ray_session):
+    from soupflow.queries import q_order_triangles
+    out = q_order_triangles(SF).to_pandas()
+    assert len(out) > 100
+    assert out.n_tri.sum() % 3 == 0       # 3 vertex rows per triangle
+    assert (out.n_tri > 0).all()
