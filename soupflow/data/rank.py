@@ -188,6 +188,63 @@ def grouped_quantiles(ds, key: str, col: str,
     return pd.DataFrame(out, columns=[key, "q_pct", "value"])
 
 
+def grouped_median_cont(ds, key: str, col: str):
+    """Exact per-key CONTINUOUS median (percentile_cont 0.5) in
+    DOUBLED units → pandas DataFrame (key, med2): 2·median stays
+    integer because the interpolated median is the mean of the two
+    middle order statistics — med2 = v[⌈n/2⌉] + v[⌊n/2⌋+1] (1-based
+    ranks; equal for odd n) — so the float the SQL form computes is
+    exactly representable and both engines agree bit-for-bit.
+
+    Same scale shape as grouped_quantiles: per-block distinct
+    (key, v) histogram partials, ONE narrow groupby, driver-side
+    per-key cumsum over value-domain-bounded rows."""
+    from ray.data.aggregate import Sum
+
+    from ..io import collect_table
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(batch.column(key).to_pylist(), dtype=object)
+        v = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uk, codes = np.unique(ks, return_inverse=True)
+        order = np.lexsort((v, codes))
+        cs, vs = codes[order], v[order]
+        newgrp = np.r_[True, (cs[1:] != cs[:-1]) | (vs[1:] != vs[:-1])]
+        starts = np.flatnonzero(newgrp)
+        counts = np.diff(np.append(starts, cs.size))
+        return pa.table({
+            key: pa.array(uk[cs[starts]], pa.string()),
+            "v": pa.array(vs[starts], pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+    hist.__name__ = f"medhist_{key}_{col}"
+
+    t = collect_table(
+        ds.select_columns([key, col])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby([key, "v"]).aggregate(Sum("n", alias_name="n")))
+    out = []
+    if t.num_columns:
+        ks = np.asarray(t.column(key).to_pylist(), dtype=object)
+        vs = t.column("v").to_numpy(zero_copy_only=False)
+        ns = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vs, ks))
+        ks, vs, ns = ks[order], vs[order], ns[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        bounds = np.append(starts, ks.size)
+        for i, s in enumerate(starts):
+            e = bounds[i + 1]
+            cum = np.cumsum(ns[s:e])
+            total = int(cum[-1])
+            lo_rank = (total + 1) // 2
+            hi_rank = total // 2 + 1
+            lo = int(vs[s:e][int(np.searchsorted(cum, lo_rank))])
+            hi = int(vs[s:e][int(np.searchsorted(cum, hi_rank))])
+            out.append((ks[s], lo + hi))
+    return pd.DataFrame(out, columns=[key, "med2"])
+
+
 def group_zscore(ds, key: str, col: str, id_col: str = "doc_id"):
     """Per-group z-score normalization → (id_col, key, z): the
     feature-scaling pass a training pipeline runs before quality

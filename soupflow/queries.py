@@ -3664,6 +3664,30 @@ def q_order_triangles(sf_dir: str):
     return tri.map_batches(finish, batch_format="pyarrow")
 
 
+def q_median_value_by_type(sf_dir: str):
+    """Exact per-group CONTINUOUS median (percentile_cont 0.5) of
+    event value cents, in doubled units so the two-middle-values
+    interpolation stays integer (data/rank.py grouped_median_cont):
+    the one quantile the disc-rank family can't express. Histogram
+    partials, ONE narrow groupby, driver cumsum — value never sorts
+    globally."""
+    from .data.rank import grouped_median_cont
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64),
+                pa.int64())})
+    to_cents.__name__ = "median_value_cents"
+
+    ds = _read(sf_dir, "events") \
+        .select_columns(["event_type", "value"]) \
+        .map_batches(to_cents, batch_format="pyarrow")
+    return grouped_median_cont(ds, "event_type", "cents")
+
+
 def q_custdist(sf_dir: str):
     """TPC-H Q13 shape — customer distribution by order count: the
     two-level aggregation (groupby OF a groupby) with a LEFT-JOIN zero
@@ -3847,6 +3871,7 @@ QUERIES = {
     "late_suppliers": q_late_suppliers,
     "sales_opportunity": q_sales_opportunity,
     "order_triangles": q_order_triangles,
+    "median_value_by_type": q_median_value_by_type,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5600,6 +5625,18 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# Continuous median in doubled units: 2·percentile_cont(0.5) is the
+# sum of the two middle int64 order statistics, exactly representable
+# as a double in both engines (values are positive, so round-half
+# semantics agree).
+ORACLE_SQL["median_value_by_type"] = """
+    SELECT event_type,
+           (2 * percentile_cont(0.5) WITHIN GROUP (
+                ORDER BY round(value * 100)::BIGINT))::BIGINT AS med2
+    FROM events
+    GROUP BY event_type
 """
 
 # Triangle counting: vertices = orders, edge when two orders ship

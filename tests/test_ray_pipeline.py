@@ -1866,3 +1866,41 @@ def test_order_triangles_invariants(ray_session):
     assert len(out) > 100
     assert out.n_tri.sum() % 3 == 0       # 3 vertex rows per triangle
     assert (out.n_tri > 0).all()
+
+
+def test_grouped_median_cont_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.rank import grouped_median_cont
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 301),
+        "v": rng.integers(0, 50, 301).astype(np.int64)})
+    ref = df.groupby("k")["v"].apply(
+        lambda s: int(round(2 * float(np.median(s))))).to_dict()
+    # interpolation must bite: some group's doubled median is odd
+    assert any(m % 2 == 1 for m in ref.values())
+    for parts in (1, 6):
+        out = grouped_median_cont(
+            ray.data.from_pandas(df).repartition(parts), "k", "v")
+        assert dict(zip(out.k, out.med2)) == ref, parts
+
+
+def test_median_value_by_type_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_median_value_by_type
+    out = q_median_value_by_type(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    cents = np.floor(ev.value.to_numpy() * 100.0 + 0.5) \
+        .astype(np.int64)
+    ref = pd.DataFrame({"k": ev.event_type, "c": cents}) \
+        .groupby("k")["c"] \
+        .apply(lambda s: int(round(2 * float(np.median(s))))) \
+        .to_dict()
+    assert dict(zip(out.event_type, out.med2)) == ref
+    assert any(m % 2 == 1 for m in ref.values())
