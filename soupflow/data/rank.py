@@ -188,6 +188,103 @@ def grouped_quantiles(ds, key: str, col: str,
     return pd.DataFrame(out, columns=[key, "q_pct", "value"])
 
 
+def grouped_topk_rows(ds, *, key_col: str, order_col: str,
+                      tie_col: str, k: int,
+                      descending: bool = True,
+                      num_partitions: int = 16):
+    """Per-key top-k ROW selection over FACT-SCALE group counts — the
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY v [DESC], tie)
+    <= k`` class with unboundedly many keys, where a
+    groupby.map_groups would put one hot key's whole row set in one
+    task. Returns the selected rows (all input columns).
+
+    Scale shape: ONE global sort on (key, order [desc], tie) makes
+    keys contiguous and each key's rows rank-ordered; interior runs
+    (complete keys by contiguity) emit their first k rows in-block,
+    zero further movement. Edge runs never ship whole: a key's global
+    top-k is the top-k of the union of its per-piece top-ks (each
+    piece is itself sorted), so each block contributes ≤ 2·k
+    candidate rows and the driver finishes an O(blocks · k) table
+    with the same cut — hot keys cost k rows per block they touch,
+    never their row count. Tie contract: (key, order, tie) unique —
+    duplicates meeting the driver cut raise loudly (the in-block cut
+    would be silently arbitrary only across exact duplicate rows)."""
+    import ray
+
+    from ..io import collect_table
+
+    sorted_ds = ds.repartition(num_partitions) \
+        .sort([key_col, order_col, tie_col],
+              descending=[False, descending, False]) \
+        .materialize()
+
+    def _runs(batch: pa.Table):
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if keys.size == 0:
+            return keys, np.empty(0, np.int64), 0, 0
+        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate(([0], change)).astype(np.int64)
+        lo = int(starts[1]) if starts.size > 1 else keys.size
+        hi = int(starts[-1]) if starts.size > 1 else 0
+        return keys, starts, lo, hi
+
+    def interior_topk(batch: pa.Table) -> pa.Table:
+        keys, starts, lo, hi = _runs(batch)
+        if keys.size == 0:
+            return batch
+        inner_mask = (starts >= lo) & (starts < hi)
+        inner = starts[inner_mask]
+        ends = np.append(starts, keys.size)[1:][inner_mask]
+        cnts = np.minimum(k, ends - inner)
+        offs = np.concatenate(([0], np.cumsum(cnts)[:-1])) \
+            if cnts.size else np.empty(0, np.int64)
+        take = (np.repeat(inner, cnts)
+                + np.arange(int(cnts.sum()), dtype=np.int64)
+                - np.repeat(offs, cnts))
+        return batch.take(pa.array(take, pa.int64()))
+    interior_topk.__name__ = f"topk_rows_interior_{k}"
+
+    def edge_topk(batch: pa.Table) -> pa.Table:
+        keys, starts, lo, hi = _runs(batch)
+        if keys.size == 0:
+            return batch
+        take = np.concatenate([
+            np.arange(0, min(k, lo)),
+            np.arange(hi, min(hi + k, keys.size))])
+        take = np.unique(take)
+        return batch.take(pa.array(take, pa.int64()))
+    edge_topk.__name__ = f"topk_rows_edge_{k}"
+
+    side = collect_table(sorted_ds.map_batches(
+        edge_topk, batch_format="pyarrow", batch_size=None))
+    fix = pa.table({c: pa.array([], side.schema.field(c).type)
+                    for c in side.schema.names})
+    if side.num_rows:
+        sk = side.column(key_col).to_numpy(zero_copy_only=False)
+        ov = side.column(order_col).to_numpy(zero_copy_only=False)
+        tv = side.column(tie_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tv, -ov if descending else ov, sk))
+        sk2, ov2, tv2 = sk[order], ov[order], tv[order]
+        dup = (sk2[1:] == sk2[:-1]) & (ov2[1:] == ov2[:-1]) \
+            & (tv2[1:] == tv2[:-1])
+        if dup.any():
+            raise ValueError(
+                "grouped_topk_rows requires (key, order, tie) "
+                "unique — duplicate tuple at the top-k cut makes "
+                "the selection nondeterministic")
+        change = np.r_[True, sk2[1:] != sk2[:-1]]
+        rnk = np.arange(sk2.size) - np.maximum.accumulate(
+            np.where(change, np.arange(sk2.size), -1))
+        keep = order[rnk < k]
+        fix = side.take(pa.array(np.sort(keep), pa.int64()))
+
+    interior = sorted_ds.map_batches(
+        interior_topk, batch_format="pyarrow", batch_size=None)
+    if fix.num_rows:
+        return interior.union(ray.data.from_arrow(fix))
+    return interior
+
+
 def grouped_median_cont(ds, key: str, col: str):
     """Exact per-key CONTINUOUS median (percentile_cont 0.5) in
     DOUBLED units → pandas DataFrame (key, med2): 2·median stays

