@@ -423,6 +423,25 @@ def q_dedup_components(sf_dir: str):
     return jaccard_components(_read(sf_dir, "documents"), threshold=0.8)
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """LEAKAGE-SAFE train/val/test split — the contamination guard a
+    training corpus needs that plain hash_split cannot give: near-
+    duplicate documents MUST land in the same split (a test doc whose
+    near-twin sits in train leaks the benchmark). Composition: the
+    verified near-dup connected components (min-label propagation,
+    data/dedup.jaccard_components) assign every doc its cluster
+    representative, and the deterministic splitmix bucket is computed
+    on the COMPONENT id, not the doc id — so a whole cluster moves as
+    one unit and membership is stable under corpus growth. Pure
+    map-side after the components pass; the oracle replays the
+    recursive-CTE components plus the same HUGEINT hash."""
+    from .data.dedup import jaccard_components
+    from .data.sampling import hash_split
+    comp = jaccard_components(_read(sf_dir, "documents"),
+                              threshold=0.8)
+    return hash_split(comp, id_col="component")
+
+
 def q_training_pipeline(sf_dir: str):
     """Flagship training-data composition — what a corpus run chains
     end-to-end: quality filter → exact dedup (md5 keeper) → near-dup
@@ -3902,6 +3921,7 @@ QUERIES = {
     "order_triangles": q_order_triangles,
     "median_value_by_type": q_median_value_by_type,
     "top_orders_per_customer": q_top_orders_per_customer,
+    "leakage_safe_split": q_leakage_safe_split,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5655,6 +5675,21 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# Leakage-safe split: the recursive-CTE components oracle feeds the
+# same HUGEINT splitmix bucket, computed on the COMPONENT id.
+ORACLE_SQL["leakage_safe_split"] = f"""
+    WITH comp AS ({ORACLE_SQL["dedup_components"]})
+    SELECT doc_id, component,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, component,
+               (CAST(component AS HUGEINT) * 11400714819323198485)
+                 % 18446744073709551616 % 100 AS bucket
+        FROM comp)
 """
 
 ORACLE_SQL["top_orders_per_customer"] = """

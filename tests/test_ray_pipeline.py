@@ -1980,3 +1980,34 @@ def test_top_orders_per_customer_reference(ray_session):
         == set(map(tuple,
                    ref[["o_custkey", "o_orderkey",
                         "price_cents"]].values))
+
+
+def test_leakage_safe_split_reference(ray_session):
+    import numpy as np
+
+    from soupflow.data.sampling import PHI64
+    from soupflow.queries import (q_dedup_components,
+                                  q_leakage_safe_split)
+
+    out = q_leakage_safe_split(SF).to_pandas()
+    comp = q_dedup_components(SF).to_pandas()
+    ref_comp = dict(zip(comp.doc_id, comp.component))
+    assert dict(zip(out.doc_id, out.component)) == ref_comp
+
+    def split_of(ids):
+        b = (ids.astype(np.uint64) * np.uint64(PHI64)) \
+            % np.uint64(100)
+        return np.where(b < 80, "train",
+                        np.where(b < 90, "val", "test"))
+
+    with np.errstate(over="ignore"):
+        assert list(out.split) == list(
+            split_of(out.component.to_numpy()))
+        own = split_of(out.doc_id.to_numpy())
+    # the guard must BITE: some clustered doc's split moved versus
+    # what its own id would have assigned
+    moved = (out.component.to_numpy() != out.doc_id.to_numpy()) \
+        & (own != out.split.to_numpy())
+    assert moved.any(), "leakage guard vacuous on this corpus"
+    # and every cluster is split-pure (the whole point)
+    assert (out.groupby("component")["split"].nunique() == 1).all()
