@@ -423,6 +423,60 @@ def q_dedup_components(sf_dir: str):
     return jaccard_components(_read(sf_dir, "documents"), threshold=0.8)
 
 
+def q_user_entropy(sf_dir: str):
+    """Per-user Shannon ENTROPY of the event-type distribution — the
+    behavioral-diversity signal (bot detection: near-zero entropy =
+    single-action automation). Never materializes probabilities:
+    H = ln(N) − (Σ nᵢ·ln nᵢ)/N, and both Σ terms are plain SUMs, so
+    the shape is two narrow groupbys — per-block (user, type) count
+    partials feed ONE (user × type)-bounded groupby for exact counts,
+    a zero-shuffle map folds each count row to (n·ln n, n), ONE
+    groupby(user) sums, and the entropy is a final map-side
+    expression whose float tree the SQL oracle mirrors term for
+    term."""
+    from ray.data.aggregate import Sum
+
+    def type_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b.column("user_id"),
+                      "event_type": b.column("event_type"),
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["user_id", "event_type"]) \
+            .aggregate([("n", "sum")]) \
+            .rename_columns(["user_id", "event_type", "n"])
+    type_partial.__name__ = "entropy_type_partial"
+
+    counts = _read(sf_dir, "events") \
+        .select_columns(["user_id", "event_type"]) \
+        .map_batches(type_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "nlogn": pa.array(n * np.log(n), pa.float64()),
+            "n": b.column("n")})
+    fold.__name__ = "entropy_fold"
+
+    summed = counts.map_batches(fold, batch_format="pyarrow") \
+        .groupby("user_id") \
+        .aggregate(Sum("nlogn", alias_name="s"),
+                   Sum("n", alias_name="n_events"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        n = b.column("n_events").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "n_events": b.column("n_events"),
+            "entropy": pa.array(np.log(n) - s / n, pa.float64())})
+    finish.__name__ = "entropy_finish"
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
 def q_leakage_safe_split(sf_dir: str):
     """LEAKAGE-SAFE train/val/test split — the contamination guard a
     training corpus needs that plain hash_split cannot give: near-
@@ -3922,6 +3976,7 @@ QUERIES = {
     "median_value_by_type": q_median_value_by_type,
     "top_orders_per_customer": q_top_orders_per_customer,
     "leakage_safe_split": q_leakage_safe_split,
+    "user_entropy": q_user_entropy,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5675,6 +5730,19 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# Entropy via H = ln(N) - sum(n*ln n)/N: both engines evaluate the
+# identical float expression tree (the driver compares floats at 1e-6,
+# far above libm/summation-order noise).
+ORACLE_SQL["user_entropy"] = """
+    WITH c AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS n
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           sum(n)::BIGINT AS n_events,
+           ln(sum(n)) - sum(n * ln(n)) / sum(n) AS entropy
+    FROM c GROUP BY user_id
 """
 
 # Leakage-safe split: the recursive-CTE components oracle feeds the

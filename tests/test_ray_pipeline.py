@@ -2011,3 +2011,28 @@ def test_leakage_safe_split_reference(ray_session):
     assert moved.any(), "leakage guard vacuous on this corpus"
     # and every cluster is split-pure (the whole point)
     assert (out.groupby("component")["split"].nunique() == 1).all()
+
+
+def test_user_entropy_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_user_entropy
+    out = q_user_entropy(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+
+    def ent(s):
+        n = s.value_counts().to_numpy().astype(np.float64)
+        tot = n.sum()
+        return float(np.log(tot) - (n * np.log(n)).sum() / tot)
+
+    ref = ev.groupby("user_id")["event_type"].apply(ent).to_dict()
+    refn = ev.groupby("user_id").size().to_dict()
+    got = dict(zip(out.user_id, out.entropy))
+    assert set(got) == set(ref)
+    assert all(abs(got[u] - ref[u]) < 1e-9 for u in ref)
+    assert dict(zip(out.user_id, out.n_events)) == refn
+    # distribution genuinely varies across users
+    assert out.entropy.nunique() > 1
+    assert (out.entropy > 0).all() and (out.entropy
+                                        <= np.log(5) + 1e-12).all()
