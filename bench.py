@@ -56,6 +56,12 @@ TIMED_QUERIES = [
     "shipping_priority", "term_cooccurrence", "interval_coverage",
     "embed_quantize", "zorder_layout", "lineitem_skyline",
     "shuffle_rank", "bpe_merges",
+    "custdist", "user_paths", "late_suppliers", "order_triangles",
+    "top_orders_per_customer", "leakage_safe_split", "user_entropy",
+    # sales_opportunity shares customers_no_orders' broadcast
+    # anti-join machinery; median_value_by_type shares the
+    # grouped_quantiles histogram shape — oracle-gated, not
+    # separately timed.
     # revenue_cube/first_order_value/redact_terms/props_k_stats/
     # top_terms_per_lang/order_seq/dense_rank share machinery with
     # timed queries above — oracle-gated, not separately timed.

@@ -2036,3 +2036,24 @@ def test_user_entropy_reference(ray_session):
     assert out.entropy.nunique() > 1
     assert (out.entropy > 0).all() and (out.entropy
                                         <= np.log(5) + 1e-12).all()
+
+
+def test_dense_daily_orders_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_dense_daily_orders
+    out = q_dense_daily_orders(SF).to_pandas()
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    d = od.o_orderdate.dt.floor("D")
+    c = od.groupby([od.o_orderpriority, d]).size()
+    lo, hi = d.min(), d.max()
+    span = (hi - lo).days + 1
+    prios = sorted(od.o_orderpriority.unique())
+    assert len(out) == span * len(prios)
+    # zero-fill must bite
+    assert (out.n == 0).any() and (out.n > 0).any()
+    got = {(p, day): n for p, day, n in out.values}
+    for (p, day), n in c.items():
+        assert got[(p, day.strftime("%Y-%m-%d"))] == n
+    assert sum(got.values()) == len(od)  # partition of all orders
