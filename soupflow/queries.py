@@ -423,6 +423,53 @@ def q_dedup_components(sf_dir: str):
     return jaccard_components(_read(sf_dir, "documents"), threshold=0.8)
 
 
+def q_priority_status_chi2(sf_dir: str):
+    """Chi-square INDEPENDENCE TEST over the priority × status
+    contingency table — the statistical-audit pass (is a categorical
+    drift real?), computed from ONE bounded groupby: per-block
+    (priority, status) count partials collapse the fact table, the
+    driver builds the FULL lattice (zero cells contribute their
+    expected mass — summing observed cells only is the classic bug),
+    and each cell's term uses the integer-cored form
+    (o·t − r·c)² / (t·r·c) so both engines evaluate the same float
+    tree: the numerator root and denominator are exact int64, only
+    the square and divide are float. Output: (chi2, dof, n)."""
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"p": b.column("o_orderpriority"),
+                      "s": b.column("o_orderstatus"),
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["p", "s"]).aggregate([("n", "sum")]) \
+            .rename_columns(["p", "s", "n"])
+    cell_partial.__name__ = "chi2_cell_partial"
+
+    agg = collect_table(
+        _read(sf_dir, "orders")
+        .select_columns(["o_orderpriority", "o_orderstatus"])
+        .map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["p", "s"]).aggregate(Sum("n", alias_name="n")))
+    p = np.asarray(agg.column("p").to_pylist(), dtype=object)
+    s = np.asarray(agg.column("s").to_pylist(), dtype=object)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    ps, pi = np.unique(p, return_inverse=True)
+    ss, si = np.unique(s, return_inverse=True)
+    obs = np.zeros((ps.size, ss.size), dtype=np.int64)
+    obs[pi, si] = n
+    rn = obs.sum(axis=1)
+    cn = obs.sum(axis=0)
+    t = int(obs.sum())
+    num = (obs * t - rn[:, None] * cn[None, :]).astype(np.float64)
+    den = (t * rn[:, None] * cn[None, :]).astype(np.float64)
+    chi2 = float((num * num / den).sum())
+    dof = (ps.size - 1) * (ss.size - 1)
+    return pa.table({"chi2": pa.array([chi2], pa.float64()),
+                     "dof": pa.array([dof], pa.int64()),
+                     "n": pa.array([t], pa.int64())})
+
+
 def q_dense_daily_orders(sf_dir: str):
     """Calendar GAP-FILL / densification — per order priority, a row
     for EVERY day in the global date span with zero-filled counts:
@@ -4033,6 +4080,7 @@ QUERIES = {
     "leakage_safe_split": q_leakage_safe_split,
     "user_entropy": q_user_entropy,
     "dense_daily_orders": q_dense_daily_orders,
+    "priority_status_chi2": q_priority_status_chi2,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5786,6 +5834,32 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# Chi-square over the FULL lattice (cross join of margins, zero cells
+# included — they contribute their expected mass). Integer-cored
+# float tree: (o*t - r*c) and t*r*c are exact int64; only the square
+# and divide are float, identical in both engines to well below the
+# driver's 1e-6 comparison.
+ORACLE_SQL["priority_status_chi2"] = """
+    WITH c AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s,
+             count(*)::BIGINT AS n
+      FROM orders GROUP BY 1, 2),
+    r AS (SELECT p, sum(n)::BIGINT AS rn FROM c GROUP BY p),
+    co AS (SELECT s, sum(n)::BIGINT AS cn FROM c GROUP BY s),
+    tot AS (SELECT sum(n)::BIGINT AS t FROM c),
+    lattice AS (
+      SELECT r.p, co.s, r.rn, co.cn, tot.t,
+             coalesce(c.n, 0)::BIGINT AS o
+      FROM r CROSS JOIN co CROSS JOIN tot
+      LEFT JOIN c ON c.p = r.p AND c.s = co.s)
+    SELECT sum(((o * t - rn * cn)::DOUBLE)^2
+               / (t * rn * cn)::DOUBLE) AS chi2,
+           ((SELECT count(*) FROM r) - 1)
+             * ((SELECT count(*) FROM co) - 1) AS dof,
+           (SELECT t FROM tot) AS n
+    FROM lattice
 """
 
 # Calendar gap-fill: the dense lattice is generate_series CROSS JOIN

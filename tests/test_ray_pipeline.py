@@ -2057,3 +2057,28 @@ def test_dense_daily_orders_reference(ray_session):
     for (p, day), n in c.items():
         assert got[(p, day.strftime("%Y-%m-%d"))] == n
     assert sum(got.values()) == len(od)  # partition of all orders
+
+
+def test_priority_status_chi2_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_priority_status_chi2
+    out = q_priority_status_chi2(SF).to_pylist()[0]
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    ct = pd.crosstab(od.o_orderpriority, od.o_orderstatus)
+    obs = ct.to_numpy().astype(np.float64)
+    t = obs.sum()
+    e = obs.sum(1)[:, None] * obs.sum(0)[None, :] / t
+    ref = float(((obs - e) ** 2 / e).sum())
+    assert abs(out["chi2"] - ref) < 1e-9 * max(ref, 1.0)
+    assert out["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert out["n"] == len(od)
+    # scipy cross-check when available
+    try:
+        from scipy.stats import chi2_contingency
+        assert abs(out["chi2"]
+                   - chi2_contingency(ct, correction=False)[0]) \
+            < 1e-9 * max(ref, 1.0)
+    except ImportError:
+        pass
