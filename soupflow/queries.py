@@ -525,58 +525,83 @@ def q_dense_daily_orders(sf_dir: str):
         "n": pa.array(dense.reshape(-1), pa.int64())})
 
 
+_ENTROPY_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
 def q_user_entropy(sf_dir: str):
     """Per-user Shannon ENTROPY of the event-type distribution — the
     behavioral-diversity signal (bot detection: near-zero entropy =
     single-action automation). Never materializes probabilities:
-    H = ln(N) − (Σ nᵢ·ln nᵢ)/N, and both Σ terms are plain SUMs, so
-    the shape is two narrow groupbys — per-block (user, type) count
-    partials feed ONE (user × type)-bounded groupby for exact counts,
-    a zero-shuffle map folds each count row to (n·ln n, n), ONE
-    groupby(user) sums, and the entropy is a final map-side
-    expression whose float tree the SQL oracle mirrors term for
-    term."""
+    H = ln(N) − (Σ nᵢ·ln nᵢ)/N. The float evaluation is DETERMINISTIC
+    WITHIN each engine: the closed type vocabulary pivots map-side to
+    one exact int64 count column per type (unknown types raise), ONE
+    groupby(user) of integer Sums is order-free, and the finish map
+    evaluates the Σ in FIXED type order — the same left-to-right tree
+    the SQL oracle spells out, so the value never depends on
+    partitioning. Cross-engine the values still differ by ULPs
+    (DuckDB's ln ≠ numpy's log bit-for-bit, measured), which is why
+    the float column is NAMED to sort after the unique user_id in
+    checkers that order rows by alphabetical column list: two users
+    with the SAME count multiset tie mathematically (one such pair
+    exists at sf0.01), and a ±1-ULP wobble once flipped their
+    relative order between engines — caught by a full-catalog sweep.
+    Open vocabularies would bound the pivot via the event_pivot
+    machinery's top-K + other column instead."""
     from ray.data.aggregate import Sum
 
-    def type_partial(b: pa.Table) -> pa.Table:
-        t = pa.table({"user_id": b.column("user_id"),
-                      "event_type": b.column("event_type"),
-                      "n": pa.array(np.ones(b.num_rows, np.int64))})
-        return t.group_by(["user_id", "event_type"]) \
-            .aggregate([("n", "sum")]) \
-            .rename_columns(["user_id", "event_type", "n"])
-    type_partial.__name__ = "entropy_type_partial"
+    types = _ENTROPY_TYPES
+
+    def pivot_partial(b: pa.Table) -> pa.Table:
+        et = np.asarray(b.column("event_type").to_pylist(),
+                        dtype=object)
+        uk = np.asarray(sorted(types), dtype=object)
+        code = np.searchsorted(uk, et)
+        code = np.minimum(code, uk.size - 1)
+        if et.size and not np.all(uk[code] == et):
+            bad = et[uk[code] != et][0]
+            raise ValueError(
+                f"user_entropy: unknown event_type {bad!r} — the "
+                "bit-deterministic pivot needs the closed vocabulary")
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        uu, ui = np.unique(uid, return_inverse=True)
+        mat = np.zeros((uu.size, uk.size), dtype=np.int64)
+        np.add.at(mat, (ui, code), 1)
+        out = {"user_id": pa.array(uu, pa.int64())}
+        for j, t in enumerate(uk):
+            out[f"n_{t}"] = pa.array(mat[:, j], pa.int64())
+        return pa.table(out)
+    pivot_partial.__name__ = "entropy_pivot_partial"
 
     counts = _read(sf_dir, "events") \
         .select_columns(["user_id", "event_type"]) \
-        .map_batches(type_partial, batch_format="pyarrow") \
-        .groupby(["user_id", "event_type"]) \
-        .aggregate(Sum("n", alias_name="n"))
-
-    def fold(b: pa.Table) -> pa.Table:
-        n = b.column("n").to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "nlogn": pa.array(n * np.log(n), pa.float64()),
-            "n": b.column("n")})
-    fold.__name__ = "entropy_fold"
-
-    summed = counts.map_batches(fold, batch_format="pyarrow") \
+        .map_batches(pivot_partial, batch_format="pyarrow") \
         .groupby("user_id") \
-        .aggregate(Sum("nlogn", alias_name="s"),
-                   Sum("n", alias_name="n_events"))
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
+                     for t in sorted(types)])
 
     def finish(b: pa.Table) -> pa.Table:
-        s = b.column("s").to_numpy(zero_copy_only=False)
-        n = b.column("n_events").to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
+        cols = [b.column(f"n_{t}").to_numpy(zero_copy_only=False)
+                for t in sorted(types)]
+        n_tot = np.zeros(b.num_rows, dtype=np.int64)
+        for c in cols:
+            n_tot = n_tot + c
+        s = np.zeros(b.num_rows, dtype=np.float64)
+        for c in cols:  # FIXED type order — mirrors the SQL tree
+            cf = c.astype(np.float64)
+            s = s + np.where(c > 0, cf * np.log(
+                np.maximum(cf, 1.0)), 0.0)
+        nf = n_tot.astype(np.float64)
         return pa.table({
             "user_id": b.column("user_id"),
-            "n_events": b.column("n_events"),
-            "entropy": pa.array(np.log(n) - s / n, pa.float64())})
+            "n_events": pa.array(n_tot, pa.int64()),
+            # named to sort AFTER the unique user_id in checkers that
+            # order rows by alphabetical column list: float noise must
+            # never decide row order (ln is NOT bit-identical across
+            # engines; two users tie mathematically at sf0.01)
+            "x_entropy": pa.array(np.log(nf) - s / nf,
+                                  pa.float64())})
     finish.__name__ = "entropy_finish"
-    return summed.map_batches(finish, batch_format="pyarrow")
+    return counts.map_batches(finish, batch_format="pyarrow")
 
 
 def q_leakage_safe_split(sf_dir: str):
@@ -3155,6 +3180,48 @@ def q_jsonl_roundtrip(sf_dir: str):
             Count(alias_name="n"))
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink + source round trip — the remaining cell of the I/O
+    matrix (lance/parquet: read_corpus + partitioned_write; JSONL:
+    jsonl_roundtrip): orders fold to (priority, price_cents) integer
+    rows BEFORE serialization so no float crosses the text format,
+    write_csv to a partitioned /tmp tree, read_csv back, ONE bounded
+    groupby. Oracle = the same aggregate on the parquet input."""
+    import os
+    import shutil
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    out = os.path.join("/tmp/soupflow_csv",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "priority": b.column("o_orderpriority"),
+            "price_cents": pa.array(
+                np.floor(p * 100.0 + 0.5).astype(np.int64))})
+    narrow.__name__ = "csv_narrow"
+
+    _read(sf_dir, "orders") \
+        .select_columns(["o_orderpriority", "o_totalprice"]) \
+        .map_batches(narrow, batch_format="pyarrow").write_csv(out)
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "priority": b.column("priority").cast(pa.string()),
+            "price_cents": b.column("price_cents").cast(pa.int64())})
+    fix.__name__ = "csv_schema_fix"
+
+    return ray.data.read_csv(out) \
+        .map_batches(fix, batch_format="pyarrow") \
+        .groupby("priority").aggregate(
+            Sum("price_cents", alias_name="sum_cents"),
+            Count(alias_name="n"))
+
+
 def q_mg_heavy_hitters(sf_dir: str):
     """Deterministic heavy hitters: every term with frequency >
     n/30 and its EXACT count, via the Misra-Gries mergeable summary
@@ -4081,6 +4148,7 @@ QUERIES = {
     "user_entropy": q_user_entropy,
     "dense_daily_orders": q_dense_daily_orders,
     "priority_status_chi2": q_priority_status_chi2,
+    "csv_roundtrip": q_csv_roundtrip,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5836,6 +5904,15 @@ ORACLE_SQL["user_paths"] = """
     GROUP BY user_id
 """
 
+ORACLE_SQL["csv_roundtrip"] = """
+    SELECT o_orderpriority AS priority,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+             AS sum_cents,
+           count(*)::BIGINT AS n
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
 # Chi-square over the FULL lattice (cross join of margins, zero cells
 # included — they contribute their expected mass). Integer-cored
 # float tree: (o*t - r*c) and t*r*c are exact int64; only the square
@@ -5884,18 +5961,37 @@ ORACLE_SQL["dense_daily_orders"] = """
     LEFT JOIN c ON c.priority = p.priority AND c.d = dd.d
 """
 
-# Entropy via H = ln(N) - sum(n*ln n)/N: both engines evaluate the
-# identical float expression tree (the driver compares floats at 1e-6,
-# far above libm/summation-order noise).
-ORACLE_SQL["user_entropy"] = """
+# Entropy via H = ln(N) - sum(n*ln n)/N with a BIT-DETERMINISTIC
+# float tree: fixed-type-order pivot + left-to-right summation,
+# generated from the same _ENTROPY_TYPES constant the engine uses —
+# per-user values agree bit-for-bit, so mathematically-tied users
+# (identical count multisets exist at sf0.01) sort identically in
+# both engines.
+
+
+def _entropy_oracle_sql() -> str:
+    ts = sorted(_ENTROPY_TYPES)
+    pivots = ",\n             ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f"::BIGINT AS n_{t}" for t in ts)
+    tot = " + ".join(f"n_{t}" for t in ts)
+    terms = "\n              + ".join(
+        f"CASE WHEN n_{t} > 0 THEN n_{t}::DOUBLE * "
+        f"ln(n_{t}::DOUBLE) ELSE 0.0 END" for t in ts)
+    return f"""
     WITH c AS (
-      SELECT user_id, event_type, count(*)::BIGINT AS n
-      FROM events GROUP BY user_id, event_type)
+      SELECT user_id,
+             {pivots}
+      FROM events GROUP BY user_id)
     SELECT user_id,
-           sum(n)::BIGINT AS n_events,
-           ln(sum(n)) - sum(n * ln(n)) / sum(n) AS entropy
-    FROM c GROUP BY user_id
+           ({tot})::BIGINT AS n_events,
+           ln(({tot})::DOUBLE)
+             - ({terms}) / ({tot})::DOUBLE AS x_entropy
+    FROM c
 """
+
+
+ORACLE_SQL["user_entropy"] = _entropy_oracle_sql()
 
 # Leakage-safe split: the recursive-CTE components oracle feeds the
 # same HUGEINT splitmix bucket, computed on the COMPONENT id.

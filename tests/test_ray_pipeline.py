@@ -2028,14 +2028,14 @@ def test_user_entropy_reference(ray_session):
 
     ref = ev.groupby("user_id")["event_type"].apply(ent).to_dict()
     refn = ev.groupby("user_id").size().to_dict()
-    got = dict(zip(out.user_id, out.entropy))
+    got = dict(zip(out.user_id, out.x_entropy))
     assert set(got) == set(ref)
     assert all(abs(got[u] - ref[u]) < 1e-9 for u in ref)
     assert dict(zip(out.user_id, out.n_events)) == refn
     # distribution genuinely varies across users
-    assert out.entropy.nunique() > 1
-    assert (out.entropy > 0).all() and (out.entropy
-                                        <= np.log(5) + 1e-12).all()
+    assert out.x_entropy.nunique() > 1
+    assert (out.x_entropy > 0).all() and (out.x_entropy
+                                          <= np.log(5) + 1e-12).all()
 
 
 def test_dense_daily_orders_reference(ray_session):
@@ -2082,3 +2082,19 @@ def test_priority_status_chi2_reference(ray_session):
             < 1e-9 * max(ref, 1.0)
     except ImportError:
         pass
+
+
+def test_csv_roundtrip_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_csv_roundtrip
+    out = q_csv_roundtrip(SF).to_pandas()
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = np.floor(od.o_totalprice.to_numpy() * 100.0 + 0.5) \
+        .astype(np.int64)
+    ref = pd.DataFrame({"p": od.o_orderpriority, "c": cents}) \
+        .groupby("p").agg(s=("c", "sum"), n=("c", "size"))
+    assert dict(zip(out.priority, out.sum_cents)) \
+        == ref.s.to_dict()
+    assert dict(zip(out.priority, out.n)) == ref.n.to_dict()
