@@ -2491,10 +2491,35 @@ def q_chunk_docs(sf_dir: str):
 def q_window_hop(sf_dir: str):
     """Hopping-window aggregate: 2h windows every 1h over events —
     K-fold replication collapsed by an in-batch partial before the one
-    small groupby (data/windows.py)."""
+    small groupby (data/windows.py). Values fold to integer cents
+    BEFORE the aggregate: overlapping hop windows can contain the
+    same event multiset, so two (event_type, n_events)-tied rows with
+    mathematically-equal float sums would let ULP noise decide their
+    checker sort order (the user_entropy fragility class, flagged by
+    the float audit) — an int64 sum cannot wobble."""
     from .data.windows import hopping_window_agg
-    return hopping_window_agg(_read(sf_dir, "events"),
-                              window_s=7200, hop_s=3600)
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ts": b.column("ts"),
+            "event_type": b.column("event_type"),
+            "cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64),
+                pa.int64())})
+    to_cents.__name__ = "window_hop_cents"
+
+    ds = _read(sf_dir, "events") \
+        .select_columns(["ts", "event_type", "value"]) \
+        .map_batches(to_cents, batch_format="pyarrow")
+    agg = hopping_window_agg(ds, window_s=7200, hop_s=3600,
+                             val_col="cents")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["window_start", "event_type", "n_events", "sum_cents"])
+    rename.__name__ = "window_hop_rename"
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 def q_tfidf_topk(sf_dir: str):
@@ -4932,7 +4957,8 @@ ORACLE_SQL["window_hop"] = """
                event_type, value
         FROM events, generate_series(0, 1) AS g(i))
     SELECT window_start, event_type,
-           count(*) AS n_events, sum(value) AS sum_value
+           count(*) AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
     FROM r GROUP BY window_start, event_type
 """
 
