@@ -2098,3 +2098,94 @@ def test_csv_roundtrip_reference(ray_session):
     assert dict(zip(out.priority, out.sum_cents)) \
         == ref.s.to_dict()
     assert dict(zip(out.priority, out.n)) == ref.n.to_dict()
+
+
+# -- property fuzz: pair-emission kernels (pure, no Ray) ----------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(runs=st.lists(st.tuples(st.integers(0, 6),
+                               st.integers(0, 7)), max_size=12))
+def test_run_pairs_matches_combinations(runs):
+    """_run_pairs on ANY sorted key array == per-key
+    itertools.combinations of positions."""
+    import itertools
+
+    import numpy as np
+
+    from soupflow.data.graph import _run_pairs
+    keys = np.array(sorted(k for k, c in runs for _ in range(c)),
+                    dtype=np.int64)
+    i_idx, j_idx = _run_pairs(keys)
+    got = sorted(zip(i_idx.tolist(), j_idx.tolist()))
+    want = []
+    for k in np.unique(keys):
+        pos = np.flatnonzero(keys == k)
+        want.extend(itertools.combinations(pos.tolist(), 2))
+    assert got == sorted(want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pairs=st.lists(st.tuples(st.integers(0, 5),
+                                st.integers(0, 5)), max_size=40))
+def test_dedup_sorted_matches_drop_duplicates(pairs):
+    import numpy as np
+
+    from soupflow.data.graph import _dedup_sorted
+    pairs = sorted(pairs)
+    k = np.array([p[0] for p in pairs], dtype=np.int64)
+    v = np.array([p[1] for p in pairs], dtype=np.int64)
+    keep = _dedup_sorted(k, v)
+    got = list(zip(k[keep].tolist(), v[keep].tolist()))
+    assert got == sorted(set(pairs))
+
+
+def test_distinct_pairs_and_topk_seeded_differential(ray_session):
+    """Randomized differential: 5 seeds x random partition counts, the
+    Ray primitives vs scalar references — the layout-sensitivity net
+    for the edge-run fixups."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.graph import distinct_pairs_per_key
+    from soupflow.data.rank import grouped_topk_rows
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(50, 400))
+        df = pd.DataFrame({
+            "k": rng.integers(0, int(rng.integers(2, 10)), n),
+            "v": rng.integers(0, 25, n)})
+        parts = int(rng.integers(1, 9))
+        blocks = int(rng.integers(1, 9))
+        pairs, distinct = distinct_pairs_per_key(
+            ray.data.from_pandas(df).repartition(blocks),
+            key_col="k", val_col="v", num_partitions=parts)
+        per = df.drop_duplicates().groupby("k")["v"] \
+            .apply(lambda s: sorted(s))
+        want = sorted((k, a, b) for k, vs in per.items()
+                      for a, b in itertools.combinations(vs, 2))
+        assert sorted(map(tuple, pairs.to_pandas().values)) \
+            == want, seed
+        assert sorted(map(tuple, distinct.to_pandas().values)) \
+            == sorted(map(tuple, df.drop_duplicates().values)), seed
+
+        df2 = df.assign(t=rng.permutation(n))
+        k = int(rng.integers(1, 4))
+        out = grouped_topk_rows(
+            ray.data.from_pandas(df2).repartition(blocks),
+            key_col="k", order_col="v", tie_col="t", k=k,
+            descending=bool(seed % 2), num_partitions=parts) \
+            .to_pandas()
+        ref = df2.sort_values(
+            ["k", "v", "t"],
+            ascending=[True, not (seed % 2), True]) \
+            .groupby("k").head(k)
+        assert sorted(map(tuple, out[["k", "v", "t"]].values)) \
+            == sorted(map(tuple, ref[["k", "v", "t"]].values)), seed
