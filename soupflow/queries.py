@@ -3247,6 +3247,71 @@ def q_csv_roundtrip(sf_dir: str):
             Count(alias_name="n"))
 
 
+def q_compact_roundtrip(sf_dir: str):
+    """Small-files COMPACTION — the lakehouse OPTIMIZE maintenance
+    pass: a fragmented output tree (24 deliberately tiny parquet
+    files) is rewritten into few right-sized files, with the
+    invariants a production compactor must hold checked loudly —
+    file count strictly reduced, row count preserved (parquet FOOTER
+    sums on both trees, the O(files) metadata read partitioned_write
+    taught us; never a data re-scan just for counts). Content is then
+    proven identical the strong way: the compacted tree feeds ONE
+    bounded groupby whose oracle is the same aggregate on the
+    original parquet input."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    base = os.path.join("/tmp/soupflow_compact",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    frag, comp = base + "/frag", base + "/compact"
+    shutil.rmtree(base, ignore_errors=True)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "value_cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64))})
+    narrow.__name__ = "compact_narrow"
+
+    _read(sf_dir, "events").select_columns(["event_type", "value"]) \
+        .map_batches(narrow, batch_format="pyarrow") \
+        .repartition(24).write_parquet(frag)
+
+    def footer_rows(d):
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        return files, sum(pq.read_metadata(f).num_rows
+                          for f in files)
+
+    frag_files, frag_rows = footer_rows(frag)
+    ray.data.read_parquet(frag).repartition(3).write_parquet(comp)
+    comp_files, comp_rows = footer_rows(comp)
+    if not (len(comp_files) < len(frag_files)):
+        raise ValueError(
+            f"compaction did not reduce file count "
+            f"({len(frag_files)} -> {len(comp_files)})")
+    if comp_rows != frag_rows:
+        raise ValueError(
+            f"compaction lost rows ({frag_rows} -> {comp_rows})")
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type").cast(pa.string()),
+            "value_cents": b.column("value_cents").cast(pa.int64())})
+    fix.__name__ = "compact_schema_fix"
+
+    return ray.data.read_parquet(comp) \
+        .map_batches(fix, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("value_cents", alias_name="sum_cents"),
+            Count(alias_name="n"))
+
+
 def q_mg_heavy_hitters(sf_dir: str):
     """Deterministic heavy hitters: every term with frequency >
     n/30 and its EXACT count, via the Misra-Gries mergeable summary
@@ -4174,6 +4239,7 @@ QUERIES = {
     "dense_daily_orders": q_dense_daily_orders,
     "priority_status_chi2": q_priority_status_chi2,
     "csv_roundtrip": q_csv_roundtrip,
+    "compact_roundtrip": q_compact_roundtrip,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5928,6 +5994,14 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+ORACLE_SQL["compact_roundtrip"] = """
+    SELECT event_type,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+           count(*)::BIGINT AS n
+    FROM events
+    GROUP BY event_type
 """
 
 ORACLE_SQL["csv_roundtrip"] = """

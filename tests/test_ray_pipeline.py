@@ -2189,3 +2189,25 @@ def test_distinct_pairs_and_topk_seeded_differential(ray_session):
             .groupby("k").head(k)
         assert sorted(map(tuple, out[["k", "v", "t"]].values)) \
             == sorted(map(tuple, ref[["k", "v", "t"]].values)), seed
+
+
+def test_compact_roundtrip_reference(ray_session):
+    import glob
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_compact_roundtrip
+    out = q_compact_roundtrip(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    cents = np.floor(ev.value.to_numpy() * 100.0 + 0.5) \
+        .astype(np.int64)
+    ref = pd.DataFrame({"t": ev.event_type, "c": cents}) \
+        .groupby("t").agg(s=("c", "sum"), n=("c", "size"))
+    assert dict(zip(out.event_type, out.sum_cents)) == ref.s.to_dict()
+    assert dict(zip(out.event_type, out.n)) == ref.n.to_dict()
+    base = "/tmp/soupflow_compact/" + os.path.basename(SF)
+    frag = glob.glob(base + "/frag/*.parquet")
+    comp = glob.glob(base + "/compact/*.parquet")
+    assert len(frag) >= 20 and len(comp) <= 4  # compaction bit
