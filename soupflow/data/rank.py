@@ -551,6 +551,86 @@ def group_rank(ds, key: str, col: str, id_col: str = "doc_id",
         .map_batches(score, batch_format="pyarrow")
 
 
+def group_cume_counts(ds, key: str, col: str,
+                      id_col: str = "doc_id"):
+    """Per-row CUME_DIST numerator/denominator as EXACT integers —
+    (id, key, c_le, n_key) where c_le = #rows in the group with
+    value ≤ this row's (SQL's ties-high cumulative count, the default
+    RANGE-frame COUNT(*) OVER (PARTITION BY key ORDER BY col)) and
+    n_key = the group size; cume_dist = c_le / n_key derives exactly
+    downstream, no float ever shuffles. Same bounded-histogram shape
+    as group_rank: per-block (key, value, n) unique-partials, ONE
+    narrow groupby, driver-side within-key INCLUSIVE cumsum + group
+    totals, zero-shuffle broadcast scoring map — corpus rows never
+    move."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(key).to_pylist(), dtype=object)
+        x = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        uk, kinv = np.unique(k, return_inverse=True)
+        if x.size and (x.min() < 0 or x.max() >= 2**32):
+            raise ValueError(
+                "group_cume_counts needs 0 <= col < 2^32")
+        packed = kinv.astype(np.int64) * (2**32) + x
+        up, counts = np.unique(packed, return_counts=True)
+        return pa.table({
+            key: pa.array(uk[(up >> 32)].tolist(), pa.string()),
+            "v": pa.array(up & (2**32 - 1), pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64())})
+    partial.__name__ = f"cume_hist_partial_{col}"
+
+    hist = collect_table(
+        ds.select_columns([key, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key, "v"]).aggregate(Sum("n", alias_name="n")))
+    hk = np.asarray(hist.column(key).to_pylist(), dtype=object)
+    hv = hist.column("v").to_numpy(zero_copy_only=False)
+    hn = hist.column("n").to_numpy(zero_copy_only=False)
+    uk, kinv = np.unique(hk, return_inverse=True) \
+        if hk.size else (np.empty(0, object), np.empty(0, np.int64))
+    order = np.lexsort((hv, kinv))
+    kinv, hv, hn = kinv[order], hv[order], hn[order]
+    packed = kinv * (2**32) + hv
+    starts = np.r_[True, kinv[1:] != kinv[:-1]] \
+        if kinv.size else np.empty(0, bool)
+    seg_lens = np.diff(np.r_[np.flatnonzero(starts), kinv.size])
+    cum = np.cumsum(hn)
+    base = np.repeat((cum - hn)[starts], seg_lens)
+    c_le = cum - base                       # inclusive, ties-high
+    totals = np.repeat(
+        np.add.reduceat(hn, np.flatnonzero(starts)), seg_lens) \
+        if kinv.size else np.empty(0, np.int64)
+    handle = ray.put((uk, packed, c_le, totals))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ks, pk, cl, tot = ray.get(handle)
+        k = np.asarray(batch.column(key).to_pylist(), dtype=object)
+        x = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        kidx = np.searchsorted(ks, k)
+        q = kidx * (2**32) + x
+        pos = np.searchsorted(pk, q)
+        if pos.size and (pk.size == 0 or
+                         not (pk[np.minimum(pos, pk.size - 1)] == q)
+                         .all()):
+            raise ValueError(
+                "group_cume_counts: (key, value) missing from "
+                "histogram — inconsistent input")
+        return pa.table({
+            id_col: batch.column(id_col),
+            key: batch.column(key),
+            "c_le": pa.array(cl[pos], pa.int64()),
+            "n_key": pa.array(tot[pos], pa.int64())})
+    score.__name__ = f"cume_score_{col}"
+
+    return ds.select_columns([id_col, key, col]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
 def _skyline_sweep(x: np.ndarray, y: np.ndarray, n: np.ndarray):
     """2-D maximize-both skyline over DISTINCT (x, y) pairs with
     counts: sort (x desc, y desc); within an x run only the first row

@@ -1475,6 +1475,22 @@ def q_rank_by_lang(sf_dir: str):
         ["doc_id", "lang", "n_chars"]), key="lang", col="n_chars")
 
 
+def q_cume_dist_by_lang(sf_dir: str):
+    """CUME_DIST as exact integer (numerator, denominator) — the last
+    cell of the rank-window family (ROW_NUMBER/RANK/DENSE_RANK/NTILE
+    are already in the catalog): per doc, c_le = the SQL default
+    RANGE-frame COUNT(*) OVER (PARTITION BY lang ORDER BY n_chars) =
+    #rows with value ≤ own (ties-high), plus the group size;
+    cume_dist = c_le / n_key derives exactly, no float shuffles.
+    Sort-free histogram arithmetic (data/rank.py group_cume_counts):
+    corpus rows never move."""
+    from .data.rank import group_cume_counts
+    return group_cume_counts(
+        _read(sf_dir, "documents").select_columns(
+            ["doc_id", "lang", "n_chars"]),
+        key="lang", col="n_chars")
+
+
 def q_dense_rank_by_lang(sf_dir: str):
     """Per-row DENSE_RANK() OVER (PARTITION BY lang ORDER BY n_chars)
     — same sort-free histogram machinery as rank_by_lang, with the
@@ -4240,6 +4256,7 @@ QUERIES = {
     "priority_status_chi2": q_priority_status_chi2,
     "csv_roundtrip": q_csv_roundtrip,
     "compact_roundtrip": q_compact_roundtrip,
+    "cume_dist_by_lang": q_cume_dist_by_lang,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -5994,6 +6011,17 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# CUME_DIST as exact integers: the ties-high cumulative count is the
+# default RANGE-frame COUNT(*) window; the denominator is the
+# partition size. cume_dist() itself = c_le / n_key.
+ORACLE_SQL["cume_dist_by_lang"] = """
+    SELECT doc_id, lang,
+           count(*) OVER (PARTITION BY lang ORDER BY n_chars)
+             AS c_le,
+           count(*) OVER (PARTITION BY lang) AS n_key
+    FROM documents
 """
 
 ORACLE_SQL["compact_roundtrip"] = """

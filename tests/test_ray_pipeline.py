@@ -2211,3 +2211,35 @@ def test_compact_roundtrip_reference(ray_session):
     frag = glob.glob(base + "/frag/*.parquet")
     comp = glob.glob(base + "/compact/*.parquet")
     assert len(frag) >= 20 and len(comp) <= 4  # compaction bit
+
+
+def test_group_cume_counts_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.rank import group_cume_counts
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "k": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(0, 20, n)})       # heavy ties
+    ref_le = df.groupby("k")["v"].transform(
+        lambda s: s.map(lambda x: int((s <= x).sum())))
+    ref_n = df.groupby("k")["v"].transform("size")
+    # ties must bite: some c_le exceeds the RANK position
+    assert (df.groupby(["k", "v"]).size() > 1).any()
+    for parts in (1, 6):
+        out = group_cume_counts(
+            ray.data.from_pandas(df).repartition(parts),
+            key="k", col="v").to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert list(out.c_le) == list(ref_le)
+        assert list(out.n_key) == list(ref_n)
+    # cume_dist in [1/n, 1] and max row per group hits exactly 1
+    cd = out.c_le / out.n_key
+    assert (cd > 0).all() and (cd <= 1).all()
+    assert (out.groupby("k").apply(
+        lambda g: (g.c_le == g.n_key).any())).all()
