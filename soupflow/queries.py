@@ -3882,6 +3882,140 @@ def q_late_suppliers(sf_dir: str):
         "numwait": pa.array([t[1] for t in final], pa.int64())})
 
 
+_Q7_NATIONS = (3, 8)
+
+
+def q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape — cross-nation trade volume: revenue shipped
+    from suppliers of nation A to customers of nation B and vice
+    versa, per year. The 6-way textbook join collapses to ONE
+    partitioned fact-fact join plus broadcasts: supplier and nation
+    are dims (suppkey→nation broadcast filters lineitem map-side —
+    non-participating rows never leave the scan), customer broadcasts
+    custkey→nation into the orders fold the same way, lineitem
+    pre-aggregates per block to (orderkey, supp_nation, year,
+    rev_cents) integer partials BEFORE the join, and the cross-pair
+    filter + final groupby run on the 2×years-bounded result."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    a, b2 = _Q7_NATIONS
+    nat = collect_table(_read(sf_dir, "nation")
+                        .select_columns(["n_nationkey", "n_name"]))
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False)
+    names = dict(zip(nk.tolist(),
+                     nat.column("n_name").to_pylist()))
+
+    supp = collect_table(_read(sf_dir, "supplier")
+                         .select_columns(["s_suppkey",
+                                          "s_nationkey"]))
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    snk = supp.column("s_nationkey") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = (snk == a) | (snk == b2)
+    order_ = np.argsort(sk[keep])
+    s_keys, s_nat = sk[keep][order_], snk[keep][order_]
+    s_handle = ray.put((s_keys, s_nat))
+
+    cust = collect_table(_read(sf_dir, "customer")
+                         .select_columns(["c_custkey",
+                                          "c_nationkey"]))
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    cnk = cust.column("c_nationkey") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = (cnk == a) | (cnk == b2)
+    order_ = np.argsort(ck[keep])
+    c_keys, c_nat = ck[keep][order_], cnk[keep][order_]
+    c_handle = ray.put((c_keys, c_nat))
+
+    def ord_fold(bt: pa.Table) -> pa.Table:
+        ks, nats = ray.get(c_handle)
+        ock = bt.column("o_custkey").to_numpy(zero_copy_only=False)
+        if ks.size:
+            pos = np.minimum(np.searchsorted(ks, ock), ks.size - 1)
+            m = ks[pos] == ock
+        else:
+            m = np.zeros(ock.size, bool)
+        kept = bt.filter(pa.array(m))
+        pos = np.searchsorted(
+            ks, kept.column("o_custkey")
+            .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "o_orderkey": kept.column("o_orderkey"),
+            "cust_nk": pa.array(nats[pos], pa.int64())})
+    ord_fold.__name__ = "q7_order_fold"
+
+    orders_n = _read(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_custkey"]) \
+        .map_batches(ord_fold, batch_format="pyarrow").repartition(8)
+
+    def li_fold(bt: pa.Table) -> pa.Table:
+        ks, nats = ray.get(s_handle)
+        lsk = bt.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if ks.size:
+            pos = np.minimum(np.searchsorted(ks, lsk), ks.size - 1)
+            m = ks[pos] == lsk
+        else:
+            m = np.zeros(lsk.size, bool)
+        kept = bt.filter(pa.array(m))
+        lsk = kept.column("l_suppkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ks, lsk)
+        p = kept.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)
+        d = kept.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = (np.floor(p * 100.0 + 0.5).astype(np.int64)
+               * (100 - np.floor(d * 100.0 + 0.5).astype(np.int64)))
+        sd = kept.column("l_shipdate").to_numpy(zero_copy_only=False)
+        yr = sd.astype("datetime64[Y]").astype(np.int64) + 1970
+        t = pa.table({"l_orderkey": kept.column("l_orderkey"),
+                      "supp_nk": pa.array(nats[pos], pa.int64()),
+                      "yr": pa.array(yr, pa.int64()),
+                      "rev": pa.array(rev, pa.int64())})
+        return t.group_by(["l_orderkey", "supp_nk", "yr"]) \
+            .aggregate([("rev", "sum")]) \
+            .rename_columns(["l_orderkey", "supp_nk", "yr", "rev"])
+    li_fold.__name__ = "q7_lineitem_fold"
+
+    li = _read(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_suppkey",
+                         "l_extendedprice", "l_discount",
+                         "l_shipdate"]) \
+        .map_batches(li_fold, batch_format="pyarrow")
+
+    joined = li.join(orders_n, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def finish_partial(bt: pa.Table) -> pa.Table:
+        snk_ = bt.column("supp_nk").to_numpy(zero_copy_only=False)
+        cnk_ = bt.column("cust_nk").to_numpy(zero_copy_only=False)
+        kept = bt.filter(pa.array(snk_ != cnk_))
+        return kept.select(["supp_nk", "cust_nk", "yr", "rev"]) \
+            .group_by(["supp_nk", "cust_nk", "yr"]) \
+            .aggregate([("rev", "sum")]) \
+            .rename_columns(["supp_nk", "cust_nk", "yr", "rev"])
+    finish_partial.__name__ = "q7_finish_partial"
+
+    agg = collect_table(joined.map_batches(
+        finish_partial, batch_format="pyarrow")
+        .groupby(["supp_nk", "cust_nk", "yr"])
+        .aggregate(Sum("rev", alias_name="rev")))
+    sn = [names[int(x)] for x in
+          agg.column("supp_nk").to_pylist()]
+    cn = [names[int(x)] for x in
+          agg.column("cust_nk").to_pylist()]
+    return pa.table({
+        "supp_nation": pa.array(sn, pa.string()),
+        "cust_nation": pa.array(cn, pa.string()),
+        "yr": agg.column("yr"),
+        "rev_cents": agg.column("rev")})
+
+
 def q_sales_opportunity(sf_dir: str):
     """TPC-H Q22 shape — customers with above-average account balance
     and NO large order, counted and summed per nation: the scalar
@@ -4257,6 +4391,7 @@ QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     "compact_roundtrip": q_compact_roundtrip,
     "cume_dist_by_lang": q_cume_dist_by_lang,
+    "volume_shipping": q_volume_shipping,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -6011,6 +6146,26 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# TPC-H Q7 (adapted: nations 3 and 8 — a pair with suppliers AND
+# customers at both test scales; year from day-truncated shipdate).
+ORACLE_SQL["volume_shipping"] = """
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           year(l_shipdate)::BIGINT AS yr,
+           sum(round(l_extendedprice * 100)::BIGINT
+               * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+             AS rev_cents
+    FROM lineitem
+    JOIN orders    ON o_orderkey = l_orderkey
+    JOIN supplier  ON s_suppkey = l_suppkey
+    JOIN customer  ON c_custkey = o_custkey
+    JOIN nation ns ON ns.n_nationkey = s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c_nationkey
+    WHERE (ns.n_nationkey = 3 AND nc.n_nationkey = 8)
+       OR (ns.n_nationkey = 8 AND nc.n_nationkey = 3)
+    GROUP BY 1, 2, 3
 """
 
 # CUME_DIST as exact integers: the ties-high cumulative count is the

@@ -2243,3 +2243,36 @@ def test_group_cume_counts_reference(ray_session):
     assert (cd > 0).all() and (cd <= 1).all()
     assert (out.groupby("k").apply(
         lambda g: (g.c_le == g.n_key).any())).all()
+
+
+def test_volume_shipping_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_volume_shipping
+    out = q_volume_shipping(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    su = pd.read_parquet(f"{SF}/supplier.parquet")
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    na = pd.read_parquet(f"{SF}/nation.parquet")
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey") \
+        .merge(su, left_on="l_suppkey", right_on="s_suppkey") \
+        .merge(cu, left_on="o_custkey", right_on="c_custkey")
+    j = j[((j.s_nationkey == 3) & (j.c_nationkey == 8))
+          | ((j.s_nationkey == 8) & (j.c_nationkey == 3))]
+    assert j.s_nationkey.nunique() == 2  # both directions bite
+    rev = (np.floor(j.l_extendedprice.to_numpy() * 100 + 0.5)
+           .astype(np.int64)
+           * (100 - np.floor(j.l_discount.to_numpy() * 100 + 0.5)
+              .astype(np.int64)))
+    names = dict(zip(na.n_nationkey, na.n_name))
+    ref = pd.DataFrame({
+        "s": j.s_nationkey.map(names).to_numpy(),
+        "c": j.c_nationkey.map(names).to_numpy(),
+        "y": j.l_shipdate.dt.year.to_numpy(), "r": rev}) \
+        .groupby(["s", "c", "y"])["r"].sum()
+    got = {(a, b, y): r for a, b, y, r in
+           out[["supp_nation", "cust_nation", "yr",
+                "rev_cents"]].values}
+    assert got == ref.to_dict()
