@@ -767,6 +767,128 @@ def funnel(ds, *, steps: tuple[str, str] = ("view", "purchase"),
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def time_weighted_avg(ds, *, key_col: str, ts_col: str,
+                      id_col: str, val_col: str,
+                      num_partitions: int = 16):
+    """Per-key TIME-WEIGHTED average components — each event's value
+    holds until the key's next event, so the TWAP numerator is
+    Σ dt·v over consecutive same-key pairs and the denominator is the
+    covered time: → (key, num_us_val, den_us) EXACT int64 (val must
+    already be integer units; the average derives exactly
+    downstream). The LEAD-then-SUM composite computed WITHOUT per-row
+    LEAD output — like transition_counts, the pair terms are
+    aggregates, so after ONE global sort on (key, ts, id) each block
+    folds its consecutive same-key pairs into per-key (num, den)
+    partials (np.add.at over run codes, no Python per key) and emits
+    only its ≤2 edge-run summaries (key, run-first (ts, id) for
+    ordering, run-last (ts, v) for the seam term). A key's rows are
+    globally contiguous after the sort, so every cross-block pair is
+    between edge runs of NEIGHBORING blocks: the driver sorts the
+    O(blocks) summary table and adds one dt·v term per consecutive
+    same-key summary pair. ONE key-bounded groupby finishes.
+    (ts, id) must be unique per key — duplicates at a seam raise."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..io import collect_table
+
+    sorted_ds = ds.select_columns([key_col, ts_col, id_col, val_col]) \
+        .repartition(num_partitions) \
+        .sort([key_col, ts_col, id_col]) \
+        .materialize()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "num": pa.array([], pa.int64()),
+                             "den": pa.array([], pa.int64())})
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        v = batch.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        same = keys[1:] == keys[:-1]
+        dt = (ts[1:] - ts[:-1])[same]
+        vv = v[:-1][same]
+        ku = np.unique(keys)
+        kidx = np.searchsorted(ku, keys[:-1][same])
+        num = np.zeros(ku.size, np.int64)
+        den = np.zeros(ku.size, np.int64)
+        np.add.at(num, kidx, dt * vv)
+        np.add.at(den, kidx, dt)
+        keep = den > 0
+        return pa.table({key_col: pa.array(ku[keep], pa.int64()),
+                         "num": pa.array(num[keep], pa.int64()),
+                         "den": pa.array(den[keep], pa.int64())})
+    partials.__name__ = "twa_block_partials"
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        names = [key_col, "fts", "fid", "lts", "lv"]
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in names})
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = keys.size
+        change = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(change)
+        runs = [(0, int(starts[1] - 1) if starts.size > 1 else n - 1)]
+        if starts.size > 1:
+            runs.append((int(starts[-1]), n - 1))
+        return pa.table({
+            key_col: pa.array([int(keys[s]) for s, _ in runs],
+                              pa.int64()),
+            "fts": pa.array([int(ts[s]) for s, _ in runs],
+                            pa.int64()),
+            "fid": pa.array([int(ids[s]) for s, _ in runs],
+                            pa.int64()),
+            "lts": pa.array([int(ts[e]) for _, e in runs],
+                            pa.int64()),
+            "lv": pa.array([int(v[e]) for _, e in runs],
+                           pa.int64())})
+    edge_rows.__name__ = "twa_edge_rows"
+
+    side = collect_table(sorted_ds.map_batches(
+        edge_rows, batch_format="pyarrow", batch_size=None))
+    seam = pa.table({key_col: pa.array([], pa.int64()),
+                     "num": pa.array([], pa.int64()),
+                     "den": pa.array([], pa.int64())})
+    if side.num_rows:
+        k = side.column(key_col).to_numpy(zero_copy_only=False)
+        fts = side.column("fts").to_numpy(zero_copy_only=False)
+        fid = side.column("fid").to_numpy(zero_copy_only=False)
+        lts = side.column("lts").to_numpy(zero_copy_only=False)
+        lv = side.column("lv").to_numpy(zero_copy_only=False)
+        order = np.lexsort((fid, fts, k))
+        k, fts, fid = k[order], fts[order], fid[order]
+        lts, lv = lts[order], lv[order]
+        pair = k[1:] == k[:-1]
+        if (pair & (fts[1:] == fts[:-1])
+                & (fid[1:] == fid[:-1])).any():
+            raise ValueError(
+                "time_weighted_avg requires (key, ts, id) unique — "
+                "duplicate ordering tuple at a block seam")
+        dt = (fts[1:] - lts[:-1])[pair]
+        vv = lv[:-1][pair]
+        seam = pa.table({
+            key_col: pa.array(k[1:][pair], pa.int64()),
+            "num": pa.array(dt * vv, pa.int64()),
+            "den": pa.array(dt, pa.int64())})
+
+    parts = sorted_ds.map_batches(partials, batch_format="pyarrow",
+                                  batch_size=None)
+    if seam.num_rows:
+        parts = parts.union(ray.data.from_arrow(seam))
+    return parts.groupby(key_col) \
+        .aggregate(Sum("num", alias_name="num_us_val"),
+                   Sum("den", alias_name="den_us"))
+
+
 def transition_counts(ds, *, key_col: str, ts_col: str, id_col: str,
                       val_col: str, num_partitions: int = 16):
     """Per-key Markov TRANSITION counts — for every consecutive pair

@@ -528,6 +528,33 @@ def q_dense_daily_orders(sf_dir: str):
 _ENTROPY_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def q_value_twa(sf_dir: str):
+    """Per-user TIME-WEIGHTED average value (TWAP) components — each
+    event's value holds until the user's next event (data/windows.py
+    time_weighted_avg): exact int64 (Σ dt·v, Σ dt) in µs·cents / µs,
+    the LEAD-then-SUM composite with NO per-row LEAD output — pair
+    terms are aggregates, so one sort + per-block partials + O(blocks)
+    seam terms + ONE key-bounded groupby."""
+    from .data.windows import time_weighted_avg
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+            "event_id": b.column("event_id"),
+            "cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64),
+                pa.int64())})
+    to_cents.__name__ = "twa_cents"
+
+    ds = _read(sf_dir, "events") \
+        .select_columns(["user_id", "ts", "event_id", "value"]) \
+        .map_batches(to_cents, batch_format="pyarrow")
+    return time_weighted_avg(ds, key_col="user_id", ts_col="ts",
+                             id_col="event_id", val_col="cents")
+
+
 def q_user_entropy(sf_dir: str):
     """Per-user Shannon ENTROPY of the event-type distribution — the
     behavioral-diversity signal (bot detection: near-zero entropy =
@@ -4392,6 +4419,7 @@ QUERIES = {
     "compact_roundtrip": q_compact_roundtrip,
     "cume_dist_by_lang": q_cume_dist_by_lang,
     "volume_shipping": q_volume_shipping,
+    "value_twa": q_value_twa,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -6145,6 +6173,25 @@ ORACLE_SQL["user_paths"] = """
     SELECT user_id,
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
+    GROUP BY user_id
+"""
+
+# TWAP components as exact integers: LEAD over (ts, event_id), the
+# last event per user contributes nothing.
+ORACLE_SQL["value_twa"] = """
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(ts) AS t,
+             round(value * 100)::BIGINT AS v,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM events)
+    SELECT user_id,
+           sum((nxt - t) * v)::BIGINT AS num_us_val,
+           sum(nxt - t)::BIGINT AS den_us
+    FROM e
+    WHERE nxt IS NOT NULL
     GROUP BY user_id
 """
 

@@ -2276,3 +2276,70 @@ def test_volume_shipping_reference(ray_session):
            out[["supp_nation", "cust_nation", "yr",
                 "rev_cents"]].values}
     assert got == ref.to_dict()
+
+
+def test_time_weighted_avg_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import time_weighted_avg
+
+    rng = np.random.default_rng(29)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 6, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            1_700_000_000_000_000
+            + rng.permutation(n).astype(np.int64) * 1_000_000,
+            unit="us"),
+        "i": np.arange(n, dtype=np.int64),
+        "v": rng.integers(1, 100, n).astype(np.int64)})
+
+    def ref(d):
+        out = {}
+        for k, g in d.sort_values(["ts", "i"]).groupby("k"):
+            t = g.ts.astype(np.int64).to_numpy() // 1000  # ns -> us
+            v = g.v.to_numpy()
+            dt = np.diff(t)
+            out[k] = (int((dt * v[:-1]).sum()), int(dt.sum()))
+        return out
+
+    want = ref(df)
+    for parts in (1, 4, 16):
+        out = time_weighted_avg(
+            ray.data.from_pandas(df).repartition(5), key_col="k",
+            ts_col="ts", id_col="i", val_col="v",
+            num_partitions=parts).to_pandas()
+        got = {k: (n_, d_) for k, n_, d_ in
+               out[["k", "num_us_val", "den_us"]].values}
+        assert got == want, parts
+    # single hot key spanning every block: all pairs via seams+blocks
+    one = df.assign(k=3)
+    out1 = time_weighted_avg(
+        ray.data.from_pandas(one).repartition(9), key_col="k",
+        ts_col="ts", id_col="i", val_col="v",
+        num_partitions=9).to_pandas()
+    w1 = ref(one)
+    assert {k: (a, b) for k, a, b in
+            out1[["k", "num_us_val", "den_us"]].values} == w1
+
+
+def test_value_twa_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_value_twa
+    out = q_value_twa(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["cents"] = np.floor(ev.value.to_numpy() * 100 + 0.5) \
+        .astype(np.int64)
+    got = {u: (a, b) for u, a, b in
+           out[["user_id", "num_us_val", "den_us"]].values}
+    for u, g in ev.sort_values(["ts", "event_id"]) \
+            .groupby("user_id"):
+        t = g.ts.to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        dt = np.diff(t)
+        assert got[u] == (int((dt * g.cents.to_numpy()[:-1]).sum()),
+                          int(dt.sum()))
