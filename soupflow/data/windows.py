@@ -767,6 +767,99 @@ def funnel(ds, *, steps: tuple[str, str] = ("view", "purchase"),
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def ordered_funnel(ds, *, key_col: str, ts_col: str, type_col: str,
+                   steps: tuple, window_us: int,
+                   num_partitions: int = 8):
+    """STRICT-SEQUENCE multi-step funnel with a per-step conversion
+    window: how many keys reach step i, where step i must occur
+    STRICTLY after the key's step-(i−1) time and within ``window_us``
+    of it → (step, n_keys). Unlike the 2-step masked-min/max funnel,
+    each stage's threshold DEPENDS on the previous stage's result
+    (t₁ = min ts of step-1 events after t₀), so the composite is
+    inherently sequential — the classic decorrelation is one narrow
+    staged pass per step: events fold map-side to (key, ts_µs) for
+    that step only (other rows never leave the scan), ONE partitioned
+    hash join attaches the previous stage's per-key time, the window
+    filter is a zero-shuffle map, and ONE key-bounded groupby(Min)
+    produces the next stage table. Stage tables are (key, t) int64
+    pairs — fact-scale keyed but narrow, so they stay distributed;
+    only the per-step COUNTS (len(steps) rows) ever reach the
+    driver."""
+    from ray.data.aggregate import Min
+
+    def narrow(step):
+        def fold(b: pa.Table) -> pa.Table:
+            tv = np.asarray(b.column(type_col).to_pylist(),
+                            dtype=object)
+            m = tv == step
+            kept = b.filter(pa.array(m))
+            ts = kept.column(ts_col) \
+                .to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").view(np.int64)
+            t = pa.table({
+                key_col: kept.column(key_col).cast(pa.int64()),
+                "t": pa.array(ts, pa.int64())})
+            return t.group_by(key_col).aggregate([("t", "min")]) \
+                .rename_columns([key_col, "t"])
+        fold.__name__ = f"funnel_fold_{step}"
+        return ds.select_columns([key_col, ts_col, type_col]) \
+            .map_batches(fold, batch_format="pyarrow")
+
+    counts = []
+    prev = None
+    for i, step in enumerate(steps):
+        if i == 0:
+            cur = narrow(step).groupby(key_col) \
+                .aggregate(Min("t", alias_name="t"))
+        else:
+            def fold2(b: pa.Table, _s=step) -> pa.Table:
+                t = b.column("t").to_numpy(zero_copy_only=False)
+                pt = b.column("prev_t") \
+                    .to_numpy(zero_copy_only=False)
+                m = (t > pt) & (t <= pt + window_us)
+                kept = b.filter(pa.array(m))
+                return kept.select([key_col, "t"]) \
+                    .group_by(key_col).aggregate([("t", "min")]) \
+                    .rename_columns([key_col, "t"])
+            fold2.__name__ = f"funnel_window_{step}"
+            # the per-step event stream joins the previous stage's
+            # (key, t) table; the stage filter needs ALL step events
+            # (not the per-block min), so re-fold WITHOUT the
+            # in-block min for stages > 0
+
+            def fold_all(b: pa.Table, _s=step) -> pa.Table:
+                tv = np.asarray(b.column(type_col).to_pylist(),
+                                dtype=object)
+                kept = b.filter(pa.array(tv == _s))
+                ts = kept.column(ts_col) \
+                    .to_numpy(zero_copy_only=False) \
+                    .astype("datetime64[us]").view(np.int64)
+                return pa.table({
+                    key_col: kept.column(key_col).cast(pa.int64()),
+                    "t": pa.array(ts, pa.int64())})
+            fold_all.__name__ = f"funnel_rows_{step}"
+            rows = ds.select_columns([key_col, ts_col, type_col]) \
+                .map_batches(fold_all, batch_format="pyarrow")
+
+            def prep(b: pa.Table) -> pa.Table:
+                return pa.table({"pk": b.column(key_col),
+                                 "prev_t": b.column("t")})
+            prep.__name__ = "funnel_prev_rename"
+            prev_n = prev.map_batches(prep, batch_format="pyarrow") \
+                .repartition(num_partitions)
+            cur = rows.join(prev_n, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=(key_col,), right_on=("pk",)) \
+                .map_batches(fold2, batch_format="pyarrow") \
+                .groupby(key_col) \
+                .aggregate(Min("t", alias_name="t"))
+        prev = cur.materialize()
+        counts.append(prev.count())
+    return pa.table({
+        "step": pa.array(list(steps), pa.string()),
+        "n_keys": pa.array(counts, pa.int64())})
+
+
 def time_weighted_avg(ds, *, key_col: str, ts_col: str,
                       id_col: str, val_col: str,
                       num_partitions: int = 16):

@@ -528,6 +528,23 @@ def q_dense_daily_orders(sf_dir: str):
 _ENTROPY_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def q_strict_funnel(sf_dir: str):
+    """Strict-sequence 3-step conversion funnel with a 1-day window
+    per step (data/windows.py ordered_funnel): view → click →
+    purchase, each step strictly after AND within 24h of the
+    previous step's time — the sequentially-dependent composite the
+    2-step masked-min funnel can't express (stage i's threshold is
+    stage i−1's RESULT). One narrow staged pass per step; drop-off
+    genuinely bites at both scales (15→6→3 / 150→60→25 users)."""
+    from .data.windows import ordered_funnel
+    return ordered_funnel(
+        _read(sf_dir, "events")
+        .select_columns(["user_id", "ts", "event_type"]),
+        key_col="user_id", ts_col="ts", type_col="event_type",
+        steps=("view", "click", "purchase"),
+        window_us=86_400_000_000)
+
+
 def q_value_twa(sf_dir: str):
     """Per-user TIME-WEIGHTED average value (TWAP) components — each
     event's value holds until the user's next event (data/windows.py
@@ -4420,6 +4437,7 @@ QUERIES = {
     "cume_dist_by_lang": q_cume_dist_by_lang,
     "volume_shipping": q_volume_shipping,
     "value_twa": q_value_twa,
+    "strict_funnel": q_strict_funnel,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -6174,6 +6192,32 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# Strict-sequence funnel: each stage's threshold is the previous
+# stage's per-key MIN — the CTE chain mirrors the staged passes.
+ORACLE_SQL["strict_funnel"] = """
+    WITH t0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    t1 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t0 ON e.user_id = t0.user_id
+      WHERE e.event_type = 'click' AND e.ts > t0.t
+        AND e.ts <= t0.t + INTERVAL 86400 SECOND
+      GROUP BY e.user_id),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t1.t
+        AND e.ts <= t1.t + INTERVAL 86400 SECOND
+      GROUP BY e.user_id)
+    SELECT 'view' AS step,
+           (SELECT count(*) FROM t0)::BIGINT AS n_keys
+    UNION ALL
+    SELECT 'click', (SELECT count(*) FROM t1)::BIGINT
+    UNION ALL
+    SELECT 'purchase', (SELECT count(*) FROM t2)::BIGINT
 """
 
 # TWAP components as exact integers: LEAD over (ts, event_id), the

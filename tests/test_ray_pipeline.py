@@ -2343,3 +2343,59 @@ def test_value_twa_reference(ray_session):
         dt = np.diff(t)
         assert got[u] == (int((dt * g.cents.to_numpy()[:-1]).sum()),
                           int(dt.sum()))
+
+
+def test_ordered_funnel_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import ordered_funnel
+
+    rng = np.random.default_rng(41)
+    n = 900
+    df = pd.DataFrame({
+        "k": rng.integers(0, 30, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            1_700_000_000_000_000
+            + rng.permutation(n).astype(np.int64) * 50_000_000,
+            unit="us"),
+        "et": rng.choice(["a", "b", "c", "x"], n)})
+    W = 2_000_000_000  # 2000 s in us
+
+    def ref(d):
+        out = []
+        prev = {}
+        for i, s in enumerate(("a", "b", "c")):
+            ev = d[d.et == s]
+            cur = {}
+            for k, g in ev.groupby("k"):
+                t = g.ts.to_numpy().astype("datetime64[us]") \
+                    .astype(np.int64)
+                if i == 0:
+                    cur[k] = t.min()
+                elif k in prev:
+                    q = t[(t > prev[k]) & (t <= prev[k] + W)]
+                    if q.size:
+                        cur[k] = q.min()
+            prev = cur
+            out.append(len(cur))
+        return out
+
+    want = ref(df)
+    assert want[0] > want[1] > want[2] > 0  # drop-off bites
+    for parts in (1, 6):
+        out = ordered_funnel(
+            ray.data.from_pandas(df).repartition(4), key_col="k",
+            ts_col="ts", type_col="et", steps=("a", "b", "c"),
+            window_us=W, num_partitions=parts)
+        assert out.column("n_keys").to_pylist() == want, parts
+
+
+def test_strict_funnel_reference(ray_session):
+    from soupflow.queries import q_strict_funnel
+    out = q_strict_funnel(SF)
+    n = dict(zip(out.column("step").to_pylist(),
+                 out.column("n_keys").to_pylist()))
+    assert n["view"] > n["click"] > n["purchase"] > 0
+    assert n == {"view": 15, "click": 6, "purchase": 3}
