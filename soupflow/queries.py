@@ -130,6 +130,55 @@ def q_title_links(sf_dir: str):
         _task(TitleLinksActor), batch_format="pyarrow")
 
 
+class OutlinkHostsActor:
+    """Crawl-frontier analytics kernel: parse each page, select its
+    outlinks, resolve them against the page's base URI (absUrl — the
+    relative link exercises real URL resolution), extract the host,
+    and pre-count hosts IN-BATCH so only (host, n) partials leave the
+    worker. HTML is generated deterministically from the row (first
+    three words become absolute-link hosts; one relative link
+    resolves to the base host), so a SQL oracle can predict the
+    aggregate from the raw text."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .parser import parse
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        hosts: list = []
+        for doc_id, text in zip(doc_ids, texts):
+            words = text.split()[:3]
+            links = "".join(
+                f"<a href='https://{w}.example.com/p/{i}'>l</a>"
+                for i, w in enumerate(words))
+            html = (f"<html><body>{links}"
+                    f"<a href='../rel/{doc_id}'>r</a>"
+                    f"</body></html>")
+            doc = parse(html, "https://base.example/dir/page.html")
+            for a in doc.select("a[href]"):
+                url = a.abs_url("href")
+                rest = url.split("://", 1)[1]
+                hosts.append(rest.split("/", 1)[0])
+        uniq, counts = np.unique(np.asarray(hosts, dtype=object),
+                                 return_counts=True)
+        return pa.table({
+            "host": pa.array(uniq.tolist(), pa.string()),
+            "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+
+def q_outlink_hosts(sf_dir: str):
+    """Outlink HOST distribution — the crawl-frontier rollup: parse →
+    select("a[href]") → absUrl (real relative-URL resolution) → host
+    → in-batch count partials → ONE host-bounded groupby. The whole
+    HTML engine sits inside a distributed aggregate whose oracle
+    derives the same counts from the raw text."""
+    from ray.data.aggregate import Sum
+    return _read(sf_dir, "documents") \
+        .select_columns(["doc_id", "text"]) \
+        .map_batches(_task(OutlinkHostsActor),
+                     batch_format="pyarrow") \
+        .groupby("host").aggregate(Sum("n", alias_name="n"))
+
+
 class CleanActor:
     """Sanitize untrusted HTML through the basic whitelist; emit the
     cleaned body html (Cleaner/Whitelist parity path)."""
@@ -4438,6 +4487,7 @@ QUERIES = {
     "volume_shipping": q_volume_shipping,
     "value_twa": q_value_twa,
     "strict_funnel": q_strict_funnel,
+    "outlink_hosts": q_outlink_hosts,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -6192,6 +6242,24 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# Outlink hosts: first three words become absolute-link hosts, the
+# relative link resolves to the base host — counts predictable from
+# raw text.
+ORACLE_SQL["outlink_hosts"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_slice(list_filter(
+               regexp_split_to_array(trim(text), '\\s+'),
+               x -> x <> ''), 1, 3) AS ws
+      FROM documents),
+    hosts AS (
+      SELECT unnest(ws) || '.example.com' AS host FROM w
+      UNION ALL
+      SELECT 'base.example' FROM documents)
+    SELECT host, count(*)::BIGINT AS n
+    FROM hosts GROUP BY host
 """
 
 # Strict-sequence funnel: each stage's threshold is the previous

@@ -2399,3 +2399,20 @@ def test_strict_funnel_reference(ray_session):
                  out.column("n_keys").to_pylist()))
     assert n["view"] > n["click"] > n["purchase"] > 0
     assert n == {"view": 15, "click": 6, "purchase": 3}
+
+
+def test_outlink_hosts_reference(ray_session):
+    from collections import Counter
+
+    import pandas as pd
+
+    from soupflow.queries import q_outlink_hosts
+    out = q_outlink_hosts(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ref = Counter()
+    for text in docs.text:
+        for w in text.split()[:3]:
+            ref[w + ".example.com"] += 1
+    ref["base.example"] = len(docs)  # one relative link per doc
+    assert dict(zip(out.host, out.n)) == dict(ref)
+    assert "base.example" in set(out.host)  # absUrl leg bites
