@@ -58,6 +58,8 @@ TIMED_QUERIES = [
     "shuffle_rank", "bpe_merges",
     "custdist", "user_paths", "late_suppliers", "order_triangles",
     "top_orders_per_customer", "leakage_safe_split", "user_entropy",
+    "volume_shipping", "value_twa", "strict_funnel", "outlink_hosts",
+    "dense_daily_orders", "cume_dist_by_lang",
     # sales_opportunity shares customers_no_orders' broadcast
     # anti-join machinery; median_value_by_type shares the
     # grouped_quantiles histogram shape — oracle-gated, not
