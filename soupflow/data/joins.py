@@ -447,3 +447,46 @@ def range_join_count(left, right, *, left_on: str, right_on: str,
             fix_edges, batch_format="pandas")
 
     return done.union(edges)
+
+
+def salted_join(big_ds, small_ds, *, on: str, right_on: str,
+                salt: int = 8, num_partitions: int = 16):
+    """HOT-KEY-SAFE partitioned hash join: a plain hash join routes
+    every row of a key to ONE partition, so a dominant key turns the
+    join into a single-task straggler (and, as the key grows, an
+    OOM). Salting restores parallelism without changing the result:
+    the big side adds a deterministic per-row salt (splitmix of the
+    row's position-independent payload hash is overkill — a cheap
+    running index modulo works because the salt only needs to SPREAD,
+    not to be stable across runs), the SMALL side replicates
+    ``salt``-fold (bounded: |small| × salt narrow rows), and the join
+    key becomes (key, salt) — each hot key now occupies ``salt``
+    partitions. Result is row-identical to the unsalted join (pytest
+    parity); use when the small side is too big to broadcast but the
+    big side's key distribution is skewed. → joined dataset with the
+    salt column dropped."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        s = np.arange(b.num_rows, dtype=np.int64) % salt
+        return b.append_column("_salt", pa.array(s, pa.int64()))
+    add_salt.__name__ = "salted_join_big_salt"
+
+    def replicate(b: pa.Table) -> pa.Table:
+        parts = []
+        for s in range(salt):
+            parts.append(b.append_column(
+                "_rsalt", pa.array(
+                    np.full(b.num_rows, s, np.int64), pa.int64())))
+        return pa.concat_tables(parts)
+    replicate.__name__ = "salted_join_small_replicate"
+
+    joined = big_ds.map_batches(add_salt, batch_format="pyarrow") \
+        .join(small_ds.map_batches(replicate,
+                                   batch_format="pyarrow")
+              .repartition(num_partitions),
+              join_type="inner", num_partitions=num_partitions,
+              on=(on, "_salt"), right_on=(right_on, "_rsalt"))
+    return joined.drop_columns(["_salt"])

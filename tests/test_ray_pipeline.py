@@ -2416,3 +2416,37 @@ def test_outlink_hosts_reference(ray_session):
     ref["base.example"] = len(docs)  # one relative link per doc
     assert dict(zip(out.host, out.n)) == dict(ref)
     assert "base.example" in set(out.host)  # absUrl leg bites
+
+
+def test_salted_join_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.joins import salted_join
+
+    rng = np.random.default_rng(19)
+    n = 4000
+    big = pd.DataFrame({
+        "k": np.where(rng.random(n) < 0.8, 7,
+                      rng.integers(0, 40, n)).astype(np.int64),
+        "x": np.arange(n, dtype=np.int64)})
+    small = pd.DataFrame({
+        "sk": np.arange(40, dtype=np.int64),
+        "label": [f"L{i}" for i in range(40)]})
+    ref = big.merge(small, left_on="k", right_on="sk")
+    for salt in (2, 16):
+        out = salted_join(
+            ray.data.from_pandas(big).repartition(6),
+            ray.data.from_pandas(small), on="k", right_on="sk",
+            salt=salt, num_partitions=8).to_pandas()
+        assert sorted(map(tuple, out[["k", "x", "label"]].values)) \
+            == sorted(map(tuple, ref[["k", "x", "label"]].values)), \
+            salt
+    # keys missing from the small side drop (inner semantics)
+    big2 = pd.concat([big, pd.DataFrame({"k": [999], "x": [-1]})])
+    out2 = salted_join(
+        ray.data.from_pandas(big2).repartition(3),
+        ray.data.from_pandas(small), on="k", right_on="sk",
+        salt=4).to_pandas()
+    assert len(out2) == len(ref) and -1 not in set(out2.x)
