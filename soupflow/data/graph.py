@@ -194,6 +194,15 @@ def distinct_pairs_per_key(ds, *, key_col: str, val_col: str,
         .repartition(num_partitions) \
         .sort([key_col, val_col]) \
         .materialize()
+    if sorted_ds.count() == 0:
+        # Ray 2.49 emits SCHEMA-LESS blocks from an empty sort —
+        # downstream column access would KeyError. Canonical empty
+        # results (int64 — every in-repo caller's key/val type).
+        e = pa.array([], pa.int64())
+        return (ray.data.from_arrow(
+                    pa.table({key_col: e, "a": e, "b": e})),
+                ray.data.from_arrow(
+                    pa.table({key_col: e, val_col: e})))
 
     def _arrs(batch: pa.Table):
         k = batch.column(key_col).to_numpy(zero_copy_only=False)
@@ -311,13 +320,24 @@ def triangle_counts(edge_ds, *, src_col: str = "a",
         .map_batches(norm, batch_format="pyarrow"),
         key_col="x", val_col="y",
         num_partitions=num_partitions, max_run=max_degree)
+    wedges = wedges.materialize()
+    if wedges.count() == 0:
+        # no wedges ⇒ no triangles; also sidesteps Arrow's hash join
+        # failing on an empty build side
+        import ray
+        e = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table({"v": e, "n_tri": e}))
 
     def ename(batch: pa.Table) -> pa.Table:
         return pa.table({"ea": batch.column("x"),
                          "eb": batch.column("y")})
     ename.__name__ = "triangle_edge_rename"
 
-    closed = wedges.join(
+    # repartition BOTH sides: Ray 2.49's hash join fails with
+    # "No match ... for key field reference" if any input BLOCK is
+    # zero-row (typed-empty interior blocks are normal at small
+    # scale); repartition coalesces them away
+    closed = wedges.repartition(num_partitions).join(
         edges.map_batches(ename, batch_format="pyarrow")
         .repartition(num_partitions),
         join_type="inner", num_partitions=num_partitions,

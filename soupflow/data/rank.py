@@ -504,6 +504,14 @@ def group_rank(ds, key: str, col: str, id_col: str = "doc_id",
         ds.select_columns([key, col])
         .map_batches(partial, batch_format="pyarrow")
         .groupby([key, "v"]).aggregate(Sum("n", alias_name="n")))
+    if hist.num_columns == 0 or hist.num_rows == 0:
+        # empty input: Ray collects a SCHEMA-LESS table from an empty
+        # groupby — the same guard class as group_cume_counts
+        import ray
+        e = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table({
+            id_col: e, key: pa.array([], pa.string()),
+            out_col: e}))
     hk = np.asarray(hist.column(key).to_pylist(), dtype=object)
     hv = hist.column("v").to_numpy(zero_copy_only=False)
     hn = hist.column("n").to_numpy(zero_copy_only=False)
@@ -587,6 +595,14 @@ def group_cume_counts(ds, key: str, col: str,
         ds.select_columns([key, col])
         .map_batches(partial, batch_format="pyarrow")
         .groupby([key, "v"]).aggregate(Sum("n", alias_name="n")))
+    if hist.num_columns == 0 or hist.num_rows == 0:
+        # empty input: Ray collects a SCHEMA-LESS table from an empty
+        # groupby — and the scoring pass has nothing to score
+        import ray
+        e = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table({
+            id_col: e, key: pa.array([], pa.string()),
+            "c_le": e, "n_key": e}))
     hk = np.asarray(hist.column(key).to_pylist(), dtype=object)
     hv = hist.column("v").to_numpy(zero_copy_only=False)
     hn = hist.column("n").to_numpy(zero_copy_only=False)

@@ -839,7 +839,16 @@ def ordered_funnel(ds, *, key_col: str, ts_col: str, type_col: str,
                     "t": pa.array(ts, pa.int64())})
             fold_all.__name__ = f"funnel_rows_{step}"
             rows = ds.select_columns([key_col, ts_col, type_col]) \
-                .map_batches(fold_all, batch_format="pyarrow")
+                .map_batches(fold_all, batch_format="pyarrow") \
+                .materialize()
+            if rows.count() == 0:
+                # no events of this step at all — and Ray 2.49's hash
+                # join cannot take an empty side
+                counts.extend([0] * (len(steps) - len(counts)))
+                break
+            # repartition launders zero-row blocks (step-filtered
+            # streams produce them), which break the hash join
+            rows = rows.repartition(num_partitions)
 
             def prep(b: pa.Table) -> pa.Table:
                 return pa.table({"pk": b.column(key_col),
@@ -855,6 +864,12 @@ def ordered_funnel(ds, *, key_col: str, ts_col: str, type_col: str,
                 .aggregate(Min("t", alias_name="t"))
         prev = cur.materialize()
         counts.append(prev.count())
+        if counts[-1] == 0:
+            # nobody reached this step — every later step is 0, and
+            # joining against the empty stage table would trip
+            # Arrow's empty-build-side hash-join failure
+            counts.extend([0] * (len(steps) - len(counts)))
+            break
     return pa.table({
         "step": pa.array(list(steps), pa.string()),
         "n_keys": pa.array(counts, pa.int64())})

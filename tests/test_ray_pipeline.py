@@ -2450,3 +2450,67 @@ def test_salted_join_parity(ray_session):
         ray.data.from_pandas(small), on="k", right_on="sk",
         salt=4).to_pandas()
     assert len(out2) == len(ref) and -1 not in set(out2.x)
+
+
+def test_new_primitives_empty_and_tiny_inputs(ray_session):
+    """Regression net for the empty/tiny-input class: Ray 2.49 emits
+    SCHEMA-LESS blocks from empty sorts/groupbys, and its hash join
+    fails if ANY input block is zero-row — every new primitive must
+    survive both regimes."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.graph import (distinct_pairs_per_key,
+                                     triangle_counts)
+    from soupflow.data.rank import (group_cume_counts, group_rank,
+                                    grouped_topk_rows)
+    from soupflow.data.windows import (ordered_funnel,
+                                       ordered_string_agg,
+                                       time_weighted_avg)
+
+    ei = pd.Series([], dtype=np.int64)
+    p, d = distinct_pairs_per_key(
+        ray.data.from_pandas(pd.DataFrame({"k": ei, "v": ei})),
+        key_col="k", val_col="v")
+    assert p.count() == 0 and d.count() == 0
+    assert triangle_counts(
+        ray.data.from_pandas(pd.DataFrame({"a": ei, "b": ei})),
+        src_col="a", dst_col="b").count() == 0
+    assert triangle_counts(  # 1 edge: wedge-free graph
+        ray.data.from_pandas(pd.DataFrame({"a": [1], "b": [2]})),
+        src_col="a", dst_col="b").count() == 0
+    tri = triangle_counts(  # smallest triangle, all-edge-run blocks
+        ray.data.from_pandas(
+            pd.DataFrame({"a": [1, 1, 2], "b": [2, 3, 3]})),
+        src_col="a", dst_col="b").to_pandas()
+    assert dict(zip(tri.v, tri.n_tri)) == {1: 1, 2: 1, 3: 1}
+    assert grouped_topk_rows(
+        ray.data.from_pandas(
+            pd.DataFrame({"k": ei, "v": ei, "t": ei})),
+        key_col="k", order_col="v", tie_col="t", k=2).count() == 0
+    es = pd.Series([], dtype=str)
+    assert group_cume_counts(
+        ray.data.from_pandas(
+            pd.DataFrame({"doc_id": ei, "k": es, "v": ei})),
+        key="k", col="v").count() == 0
+    assert group_rank(
+        ray.data.from_pandas(
+            pd.DataFrame({"doc_id": ei, "k": es, "v": ei})),
+        key="k", col="v").count() == 0
+    assert ordered_string_agg(
+        ray.data.from_pandas(pd.DataFrame({"k": ei, "t": ei,
+                                           "v": es})),
+        key_col="k", order_cols=["t"], val_col="v").count() == 0
+    assert time_weighted_avg(
+        ray.data.from_pandas(pd.DataFrame({
+            "k": [1], "ts": pd.to_datetime([0], unit="us"),
+            "i": [0], "v": [5]})), key_col="k", ts_col="ts",
+        id_col="i", val_col="v").count() == 0  # 1 event: no pair
+    # funnel: a step with ZERO events anywhere zero-fills the tail
+    out = ordered_funnel(
+        ray.data.from_pandas(pd.DataFrame({
+            "k": [1, 1], "ts": pd.to_datetime([0, 1], unit="us"),
+            "et": ["a", "a"]})), key_col="k", ts_col="ts",
+        type_col="et", steps=("a", "b", "c"), window_us=10)
+    assert out.column("n_keys").to_pylist() == [1, 0, 0]
