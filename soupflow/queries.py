@@ -472,6 +472,63 @@ def q_dedup_components(sf_dir: str):
     return jaccard_components(_read(sf_dir, "documents"), threshold=0.8)
 
 
+def q_priority_trend(sf_dir: str):
+    """Per-priority ORDER-VOLUME TREND — the OLS slope of daily order
+    count over time, as an EXACT integer rational: slope = num/den
+    with num = n·Σxy − Σx·Σy and den = n·Σx² − (Σx)², computed over
+    the GAP-FILLED daily series (zero days pull the trend down — the
+    same densification dense_daily_orders does; skipping them is the
+    classic trend bug). One scan: map-side (priority, day) count
+    partials, ONE calendar-bounded groupby, moments in driver Python
+    ints over the span × |priorities| lattice — no float exists
+    anywhere, so the hash is exact by construction."""
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "priority": b.column("o_orderpriority"),
+            "day_i": pa.array(od.astype("datetime64[D]")
+                              .astype(np.int64), pa.int64()),
+            "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["priority", "day_i"]) \
+            .aggregate([("n", "sum")]) \
+            .rename_columns(["priority", "day_i", "n"])
+    day_partial.__name__ = "trend_day_partial"
+
+    agg = collect_table(
+        _read(sf_dir, "orders")
+        .select_columns(["o_orderpriority", "o_orderdate"])
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby(["priority", "day_i"])
+        .aggregate(Sum("n", alias_name="n")))
+    prio = np.asarray(agg.column("priority").to_pylist(),
+                      dtype=object)
+    day = agg.column("day_i").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    lo, hi = int(day.min()), int(day.max())
+    span = hi - lo + 1
+    xs = np.arange(lo, hi + 1, dtype=np.int64)
+    sx = int(xs.sum())
+    sxx = int((xs * xs).sum())
+    out_p, out_num, out_den = [], [], []
+    for p in np.unique(prio):
+        m = prio == p
+        y = np.zeros(span, dtype=np.int64)
+        y[day[m] - lo] = n[m]
+        sy = int(y.sum())
+        sxy = int((xs * y).sum())
+        out_p.append(p)
+        out_num.append(span * sxy - sx * sy)   # Python ints: exact
+        out_den.append(span * sxx - sx * sx)
+    return pa.table({
+        "priority": pa.array(out_p, pa.string()),
+        "slope_num": pa.array(out_num, pa.int64()),
+        "slope_den": pa.array(out_den, pa.int64())})
+
+
 def q_priority_status_chi2(sf_dir: str):
     """Chi-square INDEPENDENCE TEST over the priority × status
     contingency table — the statistical-audit pass (is a categorical
@@ -4488,6 +4545,7 @@ QUERIES = {
     "value_twa": q_value_twa,
     "strict_funnel": q_strict_funnel,
     "outlink_hosts": q_outlink_hosts,
+    "priority_trend": q_priority_trend,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -6242,6 +6300,38 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# OLS slope over the gap-filled daily lattice as an exact integer
+# rational — num = n·Σxy − ΣxΣy, den = n·Σx² − (Σx)², all BIGINT.
+ORACLE_SQL["priority_trend"] = """
+    WITH c AS (
+      SELECT o_orderpriority AS priority,
+             date_trunc('day', o_orderdate) AS d,
+             count(*)::BIGINT AS n
+      FROM orders GROUP BY 1, 2),
+    days AS (
+      SELECT unnest(generate_series((SELECT min(d) FROM c),
+                                    (SELECT max(d) FROM c),
+                                    INTERVAL 1 DAY)) AS d),
+    prios AS (SELECT DISTINCT priority FROM c),
+    lattice AS (
+      SELECT p.priority,
+             (epoch(dd.d) // 86400)::BIGINT AS x,
+             coalesce(c.n, 0)::BIGINT AS y
+      FROM prios p CROSS JOIN days dd
+      LEFT JOIN c ON c.priority = p.priority AND c.d = dd.d),
+    m AS (
+      SELECT priority,
+             count(*)::BIGINT AS nn,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx
+      FROM lattice GROUP BY priority)
+    SELECT priority,
+           (nn * sxy - sx * sy)::BIGINT AS slope_num,
+           (nn * sxx - sx * sx)::BIGINT AS slope_den
+    FROM m
 """
 
 # Outlink hosts: first three words become absolute-link hosts, the

@@ -2514,3 +2514,33 @@ def test_new_primitives_empty_and_tiny_inputs(ray_session):
             "et": ["a", "a"]})), key_col="k", ts_col="ts",
         type_col="et", steps=("a", "b", "c"), window_us=10)
     assert out.column("n_keys").to_pylist() == [1, 0, 0]
+
+
+def test_priority_trend_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_priority_trend
+    out = q_priority_trend(SF).to_pandas()
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    d = od.o_orderdate.to_numpy().astype("datetime64[D]") \
+        .astype(np.int64)
+    lo, hi = int(d.min()), int(d.max())
+    xs = np.arange(lo, hi + 1, dtype=np.int64)
+    got = {p: (a, b) for p, a, b in
+           out[["priority", "slope_num", "slope_den"]].values}
+    for p in od.o_orderpriority.unique():
+        y = np.zeros(xs.size, dtype=np.int64)
+        dd = d[(od.o_orderpriority == p).to_numpy()]
+        np.add.at(y, dd - lo, 1)
+        # numpy polyfit cross-check: slope == num/den
+        num, den = got[p]
+        slope = np.polyfit(xs.astype(float), y.astype(float), 1)[0]
+        assert abs(num / den - slope) < 1e-9
+        # exact integer identity
+        n = xs.size
+        assert num == n * int((xs * y).sum()) \
+            - int(xs.sum()) * int(y.sum())
+        assert den == n * int((xs * xs).sum()) - int(xs.sum()) ** 2
+    assert (out.slope_den > 0).all()
+    assert out.slope_num.abs().sum() > 0  # a trend actually exists
