@@ -472,6 +472,138 @@ def q_dedup_components(sf_dir: str):
     return jaccard_components(_read(sf_dir, "documents"), threshold=0.8)
 
 
+def q_spearman_qty_disc(sf_dir: str):
+    """Per-group SPEARMAN rank correlation (quantity vs discount per
+    return flag) with tie-averaged ranks — the distribution-free
+    dependence test Pearson can't give. Ranks never materialize
+    per row as floats: both domains are bounded, so DOUBLED average
+    ranks (2·avgrank = 2·#less + #equal + 1, an integer) come from
+    the grouped value histograms (ONE bounded groupby), broadcast as
+    lookup tables, and a zero-shuffle map accumulates the six exact
+    int64 moment partials. The finish is float-deterministic across
+    engines: cov and the two variances are exact Python ints; the
+    only float ops are int→double casts (deterministic), sqrt
+    (IEEE-correctly-rounded — unlike ln, which we measured diverging
+    in ULPs), one multiply and one divide — the oracle spells the
+    identical tree, so rho matches bit-for-bit."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        f = np.asarray(b.column("l_returnflag").to_pylist(),
+                       dtype=object)
+        q = np.floor(b.column("l_quantity")
+                     .to_numpy(zero_copy_only=False) + 0.5) \
+            .astype(np.int64)
+        d = np.floor(b.column("l_discount")
+                     .to_numpy(zero_copy_only=False) * 10000 + 0.5) \
+            .astype(np.int64)
+        parts = []
+        for col, vals in (("q", q), ("d", d)):
+            uf, fi = np.unique(f, return_inverse=True)
+            packed = fi.astype(np.int64) * (1 << 32) + vals
+            up, cnt = np.unique(packed, return_counts=True)
+            parts.append(pa.table({
+                "f": pa.array(uf[(up >> 32)].tolist(), pa.string()),
+                "which": pa.array([col] * up.size, pa.string()),
+                "v": pa.array(up & ((1 << 32) - 1), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64())}))
+        return pa.concat_tables(parts)
+    hist_partial.__name__ = "spearman_hist_partial"
+
+    li = _read(sf_dir, "lineitem") \
+        .select_columns(["l_returnflag", "l_quantity",
+                         "l_discount"]).materialize()
+    hist = collect_table(
+        li.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["f", "which", "v"])
+        .aggregate(Sum("n", alias_name="n")))
+
+    # doubled average ranks per (flag, which, value)
+    hf = np.asarray(hist.column("f").to_pylist(), dtype=object)
+    hw = np.asarray(hist.column("which").to_pylist(), dtype=object)
+    hv = hist.column("v").to_numpy(zero_copy_only=False)
+    hn = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((hv, hw, hf))
+    hf, hw, hv, hn = hf[order], hw[order], hv[order], hn[order]
+    grp = np.r_[True, (hf[1:] != hf[:-1]) | (hw[1:] != hw[:-1])]
+    cum = np.cumsum(hn)
+    base = np.repeat((cum - hn)[np.flatnonzero(grp)],
+                     np.diff(np.r_[np.flatnonzero(grp), hf.size]))
+    less = (cum - hn) - base
+    rank2 = 2 * less + hn + 1
+    # packed broadcast lookup: (flag code, which bit, value) → 2·rank
+    flags_sorted = np.unique(hf)
+    fcode = np.searchsorted(flags_sorted, hf).astype(np.int64)
+    wbit = (hw == "q").astype(np.int64)
+    pk = (fcode << 33) | (wbit << 32) | hv
+    order2 = np.argsort(pk)
+    handle = ray.put((flags_sorted, pk[order2], rank2[order2]))
+
+    def moments(b: pa.Table) -> pa.Table:
+        fl, keys, r2 = ray.get(handle)
+        f = np.asarray(b.column("l_returnflag").to_pylist(),
+                       dtype=object)
+        q = np.floor(b.column("l_quantity")
+                     .to_numpy(zero_copy_only=False) + 0.5) \
+            .astype(np.int64)
+        d = np.floor(b.column("l_discount")
+                     .to_numpy(zero_copy_only=False) * 10000 + 0.5) \
+            .astype(np.int64)
+        fc = np.searchsorted(fl, f).astype(np.int64)
+        pu = np.searchsorted(keys, (fc << 33) | (1 << 32) | q)
+        pv = np.searchsorted(keys, (fc << 33) | d)
+        if (pu >= keys.size).any() or (pv >= keys.size).any() \
+                or (keys[np.minimum(pu, keys.size - 1)]
+                    != ((fc << 33) | (1 << 32) | q)).any() \
+                or (keys[np.minimum(pv, keys.size - 1)]
+                    != ((fc << 33) | d)).any():
+            raise ValueError("spearman: (flag, value) missing from "
+                             "rank table — inconsistent input")
+        u = r2[pu]
+        v = r2[pv]
+        uf, fi = np.unique(f, return_inverse=True)
+        out = {"f": pa.array(uf.tolist(), pa.string())}
+        for name, arr in (("n", np.ones(f.size, np.int64)),
+                          ("su", u), ("sv", v), ("suv", u * v),
+                          ("suu", u * u), ("svv", v * v)):
+            acc = np.zeros(uf.size, np.int64)
+            np.add.at(acc, fi, arr)
+            out[name] = pa.array(acc, pa.int64())
+        return pa.table(out)
+    moments.__name__ = "spearman_moments"
+
+    m = collect_table(
+        li.map_batches(moments, batch_format="pyarrow")
+        .groupby("f").aggregate(
+            *[Sum(c, alias_name=c)
+              for c in ("n", "su", "sv", "suv", "suu", "svv")]))
+    flags = m.column("f").to_pylist()
+    rho, ns = [], []
+    for i, fl in enumerate(flags):
+        n = int(m.column("n")[i].as_py())
+        su, sv = int(m.column("su")[i].as_py()), \
+            int(m.column("sv")[i].as_py())
+        suv = int(m.column("suv")[i].as_py())
+        suu, svv = int(m.column("suu")[i].as_py()), \
+            int(m.column("svv")[i].as_py())
+        cov = n * suv - su * sv            # exact Python ints
+        varu = n * suu - su * su
+        varv = n * svv - sv * sv
+        rho.append(float(cov)
+                   / (math.sqrt(float(varu))
+                      * math.sqrt(float(varv))))
+        ns.append(n)
+    return pa.table({
+        "l_returnflag": pa.array(flags, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "rho": pa.array(rho, pa.float64())})
+
+
 def q_priority_trend(sf_dir: str):
     """Per-priority ORDER-VOLUME TREND — the OLS slope of daily order
     count over time, as an EXACT integer rational: slope = num/den
@@ -4546,6 +4678,7 @@ QUERIES = {
     "strict_funnel": q_strict_funnel,
     "outlink_hosts": q_outlink_hosts,
     "priority_trend": q_priority_trend,
+    "spearman_qty_disc": q_spearman_qty_disc,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -6300,6 +6433,44 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# Spearman with tie-averaged DOUBLED ranks (integers): the float
+# finish is cast/sqrt/multiply/divide only — all IEEE-deterministic
+# (sqrt is correctly rounded; ln is not), so rho matches bit-for-bit.
+ORACLE_SQL["spearman_qty_disc"] = """
+    WITH r AS (
+      SELECT l_returnflag AS f,
+             round(l_quantity)::BIGINT AS q,
+             round(l_discount * 10000)::BIGINT AS d
+      FROM lineitem),
+    hq AS (SELECT f, q, count(*)::BIGINT AS c FROM r GROUP BY 1, 2),
+    uq AS (SELECT f, q,
+                  (2 * (sum(c) OVER (PARTITION BY f ORDER BY q) - c)
+                   + c + 1)::BIGINT AS u
+           FROM hq),
+    hd AS (SELECT f, d, count(*)::BIGINT AS c FROM r GROUP BY 1, 2),
+    ud AS (SELECT f, d,
+                  (2 * (sum(c) OVER (PARTITION BY f ORDER BY d) - c)
+                   + c + 1)::BIGINT AS v
+           FROM hd),
+    j AS (SELECT r.f, uq.u, ud.v
+          FROM r
+          JOIN uq ON uq.f = r.f AND uq.q = r.q
+          JOIN ud ON ud.f = r.f AND ud.d = r.d),
+    m AS (SELECT f,
+                 count(*)::HUGEINT AS n,
+                 sum(u)::HUGEINT AS su, sum(v)::HUGEINT AS sv,
+                 sum(u * v)::HUGEINT AS suv,
+                 sum(u * u)::HUGEINT AS suu,
+                 sum(v * v)::HUGEINT AS svv
+          FROM j GROUP BY f)
+    SELECT f AS l_returnflag,
+           n::BIGINT AS n,
+           (n * suv - su * sv)::DOUBLE
+             / (sqrt((n * suu - su * su)::DOUBLE)
+                * sqrt((n * svv - sv * sv)::DOUBLE)) AS rho
+    FROM m
 """
 
 # OLS slope over the gap-filled daily lattice as an exact integer

@@ -2544,3 +2544,25 @@ def test_priority_trend_reference(ray_session):
         assert den == n * int((xs * xs).sum()) - int(xs.sum()) ** 2
     assert (out.slope_den > 0).all()
     assert out.slope_num.abs().sum() > 0  # a trend actually exists
+
+
+def test_spearman_qty_disc_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_spearman_qty_disc
+    out = q_spearman_qty_disc(SF)
+    got = dict(zip(out.column("l_returnflag").to_pylist(),
+                   out.column("rho").to_pylist()))
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    q = np.floor(li.l_quantity.to_numpy() + 0.5).astype(np.int64)
+    d = np.floor(li.l_discount.to_numpy() * 10000 + 0.5) \
+        .astype(np.int64)
+    df = pd.DataFrame({"f": li.l_returnflag, "q": q, "d": d})
+    for f, g in df.groupby("f"):
+        # pandas spearman = Pearson on tie-averaged ranks
+        ref = g["q"].rank().corr(g["d"].rank())
+        assert abs(got[f] - ref) < 1e-12, f
+    assert len(got) == 3 and all(abs(r) < 1 for r in got.values())
+    # ties must bite: far fewer distinct values than rows
+    assert df.q.nunique() < len(df) / 10
