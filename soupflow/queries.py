@@ -472,6 +472,98 @@ def q_dedup_components(sf_dir: str):
     return jaccard_components(_read(sf_dir, "documents"), threshold=0.8)
 
 
+def q_spend_gini(sf_dir: str):
+    """GINI concentration of customer spend — the inequality /
+    market-concentration statistic, as an EXACT integer rational:
+    gini = Σ(2i − n − 1)·x₍ᵢ₎ / (n·Σx) over customers sorted by
+    (spend, custkey). Ties broken by key permute only equal x values,
+    so the statistic is tie-safe. Shape: per-customer totals via ONE
+    custkey-bounded groupby of integer-cents partials; the positional
+    weighted sum then needs NO second shuffle — the shuffle_rank
+    pattern: ONE narrow sort on (x, k), each block emits its first
+    (x, k) + row count + Σx (O(blocks) summary), the driver
+    prefix-sums offsets and totals, and a zero-shuffle second map
+    over the SAME materialized blocks folds Σ(2(off+j+1) − n − 1)·xⱼ
+    into one int64 per block. Loud overflow contract (HUGEINT is the
+    oracle's side; the engine pre-checks n·max_x·n < 2⁶²)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .data.windows import _cached_get
+    from .io import collect_table
+
+    def spend_partial(b: pa.Table) -> pa.Table:
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "k": b.column("o_custkey").cast(pa.int64()),
+            "x": pa.array(np.floor(p * 100.0 + 0.5)
+                          .astype(np.int64), pa.int64())})
+        return t.group_by("k").aggregate([("x", "sum")]) \
+            .rename_columns(["k", "x"])
+    spend_partial.__name__ = "gini_spend_partial"
+
+    s = _read(sf_dir, "orders") \
+        .select_columns(["o_custkey", "o_totalprice"]) \
+        .map_batches(spend_partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("x", alias_name="x")) \
+        .repartition(8).sort(["x", "k"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"x0": pa.array([], pa.int64()),
+                             "k0": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.int64())})
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x0": b.column("x").slice(0, 1),
+            "k0": b.column("k").slice(0, 1),
+            "n": pa.array([b.num_rows], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64())})
+    summary.__name__ = "gini_block_summary"
+
+    summ = collect_table(s.map_batches(
+        summary, batch_format="pyarrow", batch_size=None))
+    x0 = summ.column("x0").to_numpy(zero_copy_only=False)
+    k0 = summ.column("k0").to_numpy(zero_copy_only=False)
+    bn = summ.column("n").to_numpy(zero_copy_only=False)
+    bs = summ.column("sx").to_numpy(zero_copy_only=False)
+    order = np.lexsort((k0, x0))
+    keys = list(zip(x0[order].tolist(), k0[order].tolist()))
+    if len(set(keys)) != len(keys):
+        raise ValueError("spend_gini: duplicate block boundary "
+                         "(x, k) tuples — custkeys must be unique")
+    n = int(bn.sum())
+    sumx = int(bs.sum())
+    if n and n * n * int(x0.max() if x0.size else 0) >= (1 << 62):
+        raise ValueError("spend_gini positional sum would overflow "
+                         "int64 — use the HUGEINT hatch")
+    offs = np.concatenate(([0], np.cumsum(bn[order])[:-1]))
+    handle = ray.put((dict(zip(keys, offs.tolist())), n))
+
+    def wsum(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"w": pa.array([], pa.int64())})
+        table, nn = _cached_get(handle)
+        key = (int(b.column("x")[0].as_py()),
+               int(b.column("k")[0].as_py()))
+        off = table[key]
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        i = off + np.arange(b.num_rows, dtype=np.int64) + 1
+        w = int(((2 * i - nn - 1) * x).sum())
+        return pa.table({"w": pa.array([w], pa.int64())})
+    wsum.__name__ = "gini_weighted_partial"
+
+    wt = collect_table(s.map_batches(
+        wsum, batch_format="pyarrow", batch_size=None))
+    num = int(wt.column("w").to_numpy(zero_copy_only=False).sum()) \
+        if wt.num_rows else 0
+    return pa.table({
+        "gini_num": pa.array([num], pa.int64()),
+        "gini_den": pa.array([n * sumx], pa.int64()),
+        "n_customers": pa.array([n], pa.int64())})
+
+
 def q_spearman_qty_disc(sf_dir: str):
     """Per-group SPEARMAN rank correlation (quantity vs discount per
     return flag) with tie-averaged ranks — the distribution-free
@@ -4679,6 +4771,7 @@ QUERIES = {
     "outlink_hosts": q_outlink_hosts,
     "priority_trend": q_priority_trend,
     "spearman_qty_disc": q_spearman_qty_disc,
+    "spend_gini": q_spend_gini,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -6433,6 +6526,26 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# Gini as an exact integer rational: positional weighted sum over
+# customers ordered by (spend, custkey); ties broken by key permute
+# only equal values, so the statistic is tie-safe.
+ORACLE_SQL["spend_gini"] = """
+    WITH s AS (
+      SELECT o_custkey AS k,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS x
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT x,
+             row_number() OVER (ORDER BY x, k)::HUGEINT AS i,
+             (SELECT count(*) FROM s)::HUGEINT AS n
+      FROM s)
+    SELECT sum((2 * i - n - 1) * x)::BIGINT AS gini_num,
+           ((SELECT count(*)::HUGEINT FROM s)
+            * (SELECT sum(x)::HUGEINT FROM s))::BIGINT AS gini_den,
+           (SELECT count(*) FROM s)::BIGINT AS n_customers
+    FROM r
 """
 
 # Spearman with tie-averaged DOUBLED ranks (integers): the float

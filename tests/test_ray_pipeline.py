@@ -2566,3 +2566,30 @@ def test_spearman_qty_disc_reference(ray_session):
     assert len(got) == 3 and all(abs(r) < 1 for r in got.values())
     # ties must bite: far fewer distinct values than rows
     assert df.q.nunique() < len(df) / 10
+
+
+def test_spend_gini_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_spend_gini
+    out = q_spend_gini(SF).to_pylist()[0]
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = np.floor(od.o_totalprice.to_numpy() * 100 + 0.5) \
+        .astype(np.int64)
+    s = pd.DataFrame({"k": od.o_custkey, "x": cents}) \
+        .groupby("k")["x"].sum().reset_index() \
+        .sort_values(["x", "k"]).reset_index(drop=True)
+    n = len(s)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = int(((2 * i - n - 1) * s.x.to_numpy()).sum())
+    den = n * int(s.x.sum())
+    assert out == {"gini_num": num, "gini_den": den,
+                   "n_customers": n}
+    g = num / den
+    assert 0 < g < 1  # genuine inequality, not degenerate
+    # classic alternative formula cross-check: mean absolute
+    # difference / (2 * mean)
+    x = s.x.to_numpy().astype(float)
+    mad = np.abs(x[:, None] - x[None, :]).mean()
+    assert abs(g - mad / (2 * x.mean())) < 1e-9
