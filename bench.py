@@ -60,6 +60,10 @@ TIMED_QUERIES = [
     "top_orders_per_customer", "leakage_safe_split", "user_entropy",
     "volume_shipping", "value_twa", "strict_funnel", "outlink_hosts",
     "dense_daily_orders", "cume_dist_by_lang",
+    "spearman_qty_disc", "spend_gini",
+    # priority_trend shares dense_daily's lattice scan;
+    # sales_opportunity / median_value_by_type / compact & csv
+    # roundtrips share timed machinery — oracle-gated.
     # sales_opportunity shares customers_no_orders' broadcast
     # anti-join machinery; median_value_by_type shares the
     # grouped_quantiles histogram shape — oracle-gated, not
