@@ -4266,7 +4266,10 @@ def q_volume_shipping(sf_dir: str):
     partitioned fact-fact join plus broadcasts: supplier and nation
     are dims (suppkey→nation broadcast filters lineitem map-side —
     non-participating rows never leave the scan), customer broadcasts
-    custkey→nation into the orders fold the same way, lineitem
+    custkey→nation into the orders fold the same way (the two-column
+    int map is MB-scale here; for a customer table beyond driver
+    memory the same fold becomes one more partitioned narrow join on
+    custkey — the revenue_by_nation hatch), lineitem
     pre-aggregates per block to (orderkey, supp_nation, year,
     rev_cents) integer partials BEFORE the join, and the cross-pair
     filter + final groupby run on the 2×years-bounded result."""
