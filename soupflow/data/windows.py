@@ -1024,14 +1024,22 @@ def transition_counts(ds, *, key_col: str, ts_col: str, id_col: str,
     from ..io import collect_table
 
     def vocab_partial(b: pa.Table) -> pa.Table:
+        if val_col not in b.schema.names or b.num_rows == 0:
+            # empty blocks arrive SCHEMA-LESS on Ray 2.49
+            return pa.table({"v": pa.array([], pa.string())})
         u = pc.unique(b.column(val_col))
         return pa.table({"v": u.cast(pa.string())})
 
     vt = collect_table(ds.select_columns([val_col]).map_batches(
         vocab_partial, batch_format="pyarrow"))
     vocab = np.asarray(
-        sorted(set(vt.column("v").to_pylist())), dtype=object)
+        sorted(set(vt.column("v").to_pylist()))
+        if "v" in vt.schema.names else [], dtype=object)
     V = vocab.size
+    if V == 0:                       # empty input: nothing to count
+        return pa.table({"prev": pa.array([], pa.string()),
+                         "cur": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
     vhandle = ray.put(vocab)
 
     def narrow(b: pa.Table) -> pa.Table:
@@ -1314,6 +1322,11 @@ def interval_union(ds, *, key_col: str, ts_col: str, id_col: str,
     from ..io import collect_table
 
     def expand(b: pa.Table) -> pa.Table:
+        if key_col not in b.schema.names or b.num_rows == 0:
+            # empty input blocks can arrive SCHEMA-LESS (Ray 2.49)
+            e = pa.array([], pa.int64())
+            return pa.table({key_col: e, "t": e, "kind": e,
+                             "uid": e, "delta": e})
         if not pa.types.is_integer(b.schema.field(key_col).type):
             raise ValueError("interval_union requires an integer key "
                              "column (dictionary-encode strings)")
@@ -1364,6 +1377,12 @@ def interval_union(ds, *, key_col: str, ts_col: str, id_col: str,
 
     summ = collect_table(act.map_batches(
         edge_rows, batch_format="pyarrow", batch_size=None))
+    if summ.num_columns == 0 or summ.num_rows == 0:
+        # empty input (collect of all-empty blocks is schema-less)
+        e = pa.array([], pa.int64())
+        import ray as _ray
+        return _ray.data.from_arrow(pa.table({
+            key_col: e, "n_islands": e, "covered_us": e}))
     ek = summ.column(key_col).to_numpy(zero_copy_only=False)
     et = summ.column("t").to_numpy(zero_copy_only=False)
     ekind = summ.column("kind").to_numpy(zero_copy_only=False)

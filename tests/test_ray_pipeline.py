@@ -2593,3 +2593,26 @@ def test_spend_gini_reference(ray_session):
     x = s.x.to_numpy().astype(float)
     mad = np.abs(x[:, None] - x[None, :]).mean()
     assert abs(g - mad / (2 * x.mean())) < 1e-9
+
+
+def test_transition_and_interval_empty_inputs(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import interval_union, transition_counts
+
+    ei = pd.Series([], dtype=np.int64)
+    ets = pd.Series([], dtype="datetime64[us]")
+    t = transition_counts(
+        ray.data.from_pandas(pd.DataFrame(
+            {"k": ei, "ts": ets, "i": ei,
+             "v": pd.Series([], dtype=str)})),
+        key_col="k", ts_col="ts", id_col="i", val_col="v")
+    assert t.num_rows == 0
+    assert interval_union(
+        ray.data.from_pandas(pd.DataFrame(
+            {"user_id": ei, "ts": ets, "event_id": ei,
+             "dur_us": ei})),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        dur_col="dur_us").count() == 0
