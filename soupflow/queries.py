@@ -564,6 +564,96 @@ def q_spend_gini(sf_dir: str):
         "n_customers": pa.array([n], pa.int64())})
 
 
+def q_pareto_half(sf_dir: str):
+    """PARETO / 80-20 concentration point — the smallest k such that
+    the top-k customers by spend hold at least HALF the total
+    revenue, plus their exact share numerator: the 'how concentrated
+    is the business' headline. All-integer (2·cum ≥ total avoids the
+    half). Shape: ONE custkey-bounded groupby for per-customer
+    totals, ONE narrow sort on (spend desc, key), per-block (count,
+    sum) summaries collected (O(blocks)), driver prefix locates the
+    crossing block, and a zero-shuffle second map over the SAME
+    blocks lets ONLY that block emit the exact in-block crossing —
+    one row ever reaches the driver from the second pass."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .data.windows import _cached_get
+    from .io import collect_table
+
+    def spend_partial(b: pa.Table) -> pa.Table:
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "k": b.column("o_custkey").cast(pa.int64()),
+            "x": pa.array(np.floor(p * 100.0 + 0.5)
+                          .astype(np.int64), pa.int64())})
+        return t.group_by("k").aggregate([("x", "sum")]) \
+            .rename_columns(["k", "x"])
+    spend_partial.__name__ = "pareto_spend_partial"
+
+    s = _read(sf_dir, "orders") \
+        .select_columns(["o_custkey", "o_totalprice"]) \
+        .map_batches(spend_partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("x", alias_name="x")) \
+        .repartition(8) \
+        .sort(["x", "k"], descending=[True, False]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"x0": pa.array([], pa.int64()),
+                             "k0": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.int64())})
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x0": b.column("x").slice(0, 1),
+            "k0": b.column("k").slice(0, 1),
+            "n": pa.array([b.num_rows], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64())})
+    summary.__name__ = "pareto_block_summary"
+
+    summ = collect_table(s.map_batches(
+        summary, batch_format="pyarrow", batch_size=None))
+    if summ.num_columns == 0 or summ.num_rows == 0:
+        raise ValueError("pareto_half: empty spend table")
+    x0 = summ.column("x0").to_numpy(zero_copy_only=False)
+    k0 = summ.column("k0").to_numpy(zero_copy_only=False)
+    bn = summ.column("n").to_numpy(zero_copy_only=False)
+    bs = summ.column("sx").to_numpy(zero_copy_only=False)
+    order = np.lexsort((k0, -x0))  # block order under (x desc, k)
+    total = int(bs.sum())
+    cum = np.cumsum(bs[order])
+    cross = int(np.searchsorted(2 * cum, total))  # first 2cum>=total
+    off_n = int(bn[order][:cross].sum())
+    off_s = int(cum[cross - 1]) if cross else 0
+    key = (int(x0[order][cross]), int(k0[order][cross]))
+    handle = ray.put((key, off_n, off_s, total))
+
+    def crossing(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k_customers": pa.array([], pa.int64()),
+                             "topk_cents": pa.array([], pa.int64())})
+        kk, on, osum, tot = _cached_get(handle)
+        if (int(b.column("x")[0].as_py()),
+                int(b.column("k")[0].as_py())) != kk:
+            return pa.table({"k_customers": pa.array([], pa.int64()),
+                             "topk_cents": pa.array([], pa.int64())})
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        c = osum + np.cumsum(x)
+        j = int(np.searchsorted(2 * c, tot))
+        return pa.table({
+            "k_customers": pa.array([on + j + 1], pa.int64()),
+            "topk_cents": pa.array([int(c[j])], pa.int64())})
+    crossing.__name__ = "pareto_crossing"
+
+    hit = collect_table(s.map_batches(
+        crossing, batch_format="pyarrow", batch_size=None))
+    return pa.table({
+        "k_customers": hit.column("k_customers"),
+        "topk_cents": hit.column("topk_cents"),
+        "total_cents": pa.array([total], pa.int64())})
+
+
 def q_spearman_qty_disc(sf_dir: str):
     """Per-group SPEARMAN rank correlation (quantity vs discount per
     return flag) with tie-averaged ranks — the distribution-free
@@ -4775,6 +4865,7 @@ QUERIES = {
     "priority_trend": q_priority_trend,
     "spearman_qty_disc": q_spearman_qty_disc,
     "spend_gini": q_spend_gini,
+    "pareto_half": q_pareto_half,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -6529,6 +6620,24 @@ ORACLE_SQL["user_paths"] = """
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM events
     GROUP BY user_id
+"""
+
+# Pareto crossing: smallest k with 2*cum(top-k desc spend) >= total —
+# pure integers, the half never materializes.
+ORACLE_SQL["pareto_half"] = """
+    WITH s AS (
+      SELECT o_custkey AS k,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS x
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT sum(x) OVER (ORDER BY x DESC, k) AS c,
+             row_number() OVER (ORDER BY x DESC, k) AS i
+      FROM s),
+    tot AS (SELECT sum(x)::BIGINT AS t FROM s)
+    SELECT min(i)::BIGINT AS k_customers,
+           min(c)::BIGINT AS topk_cents,
+           (SELECT t FROM tot) AS total_cents
+    FROM r WHERE 2 * c >= (SELECT t FROM tot)
 """
 
 # Gini as an exact integer rational: positional weighted sum over

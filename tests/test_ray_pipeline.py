@@ -2616,3 +2616,26 @@ def test_transition_and_interval_empty_inputs(ray_session):
              "dur_us": ei})),
         key_col="user_id", ts_col="ts", id_col="event_id",
         dur_col="dur_us").count() == 0
+
+
+def test_pareto_half_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_pareto_half
+    out = q_pareto_half(SF).to_pylist()[0]
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = np.floor(od.o_totalprice.to_numpy() * 100 + 0.5) \
+        .astype(np.int64)
+    s = pd.DataFrame({"k": od.o_custkey, "x": cents}) \
+        .groupby("k")["x"].sum().reset_index() \
+        .sort_values(["x", "k"], ascending=[False, True])
+    c = np.cumsum(s.x.to_numpy())
+    tot = int(c[-1])
+    kk = int(np.searchsorted(2 * c, tot)) + 1
+    assert out == {"k_customers": kk, "topk_cents": int(c[kk - 1]),
+                   "total_cents": tot}
+    # concentration bites: fewer than half the customers hold half
+    assert 0 < kk < len(s) / 2
+    # crossing is tight: one fewer customer is below half
+    assert 2 * int(c[kk - 2]) < tot <= 2 * int(c[kk - 1])
