@@ -109,6 +109,40 @@ def _pair_partial(batch: pa.Table) -> pa.Table:
                      "c": pa.array(acc, pa.int64())})
 
 
+def _pair_argmax(pair: np.ndarray, c: np.ndarray) -> int:
+    """Index of the winning pair under the BPE tie rule: count desc,
+    then (lhs, rhs) ascending compared COMPONENT-wise (split on PSEP
+    — raw-string order would let a sub-PSEP codepoint inside a symbol
+    flip the comparison)."""
+    ab = np.array([p.split(PSEP) for p in pair], dtype=object)
+    if ab.ndim == 1:          # single row: np.array gives 1-D
+        ab = ab.reshape(1, 2)
+    return int(np.lexsort((ab[:, 1], ab[:, 0], -c))[0])
+
+
+def _pair_top1_partial(batch: pa.Table) -> pa.Table:
+    """Per-block argmax under the exact merge tie rule — the groupby
+    output holds each distinct pair exactly once, so the global winner
+    is the winner among block winners and only O(blocks) single-row
+    partials ever reach the driver (the pair table itself tracks
+    distinct adjacencies ~ distinct words at web scale; it must never
+    collect). Tolerates Ray 2.49's schema-less empty blocks."""
+    if batch.num_rows == 0 or "pair" not in batch.schema.names:
+        return pa.table({"pair": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64())})
+    c = batch.column("c").to_numpy(zero_copy_only=False)
+    cmax = c.max()
+    tied = np.nonzero(c == cmax)[0]
+    if tied.size > 1:
+        sub = np.asarray(
+            batch.column("pair").take(pa.array(tied)).to_pylist(),
+            dtype=object)
+        best = int(tied[_pair_argmax(sub, c[tied])])
+    else:
+        best = int(tied[0])
+    return batch.slice(best, 1).select(["pair", "c"])
+
+
 def bpe_train(ds, text_col: str = "text", num_merges: int = 8):
     """Run ``num_merges`` BPE rounds over the corpus' word table.
     Returns ``(merges_table, word_ds)`` where merges_table has one
@@ -127,14 +161,14 @@ def bpe_train(ds, text_col: str = "text", num_merges: int = 8):
     for r in range(num_merges):
         pt = collect_table(
             word_ds.map_batches(_pair_partial, batch_format="pyarrow")
-            .groupby("pair").aggregate(Sum("c", alias_name="c")))
+            .groupby("pair").aggregate(Sum("c", alias_name="c"))
+            .map_batches(_pair_top1_partial, batch_format="pyarrow"))
         if pt.num_rows == 0:
             raise ValueError(f"BPE round {r}: no adjacent pairs left")
         pair = np.asarray(pt.column("pair").to_pylist(), dtype=object)
         c = pt.column("c").to_numpy(zero_copy_only=False)
-        ab = np.array([p.split(PSEP) for p in pair], dtype=object)
-        best = np.lexsort((ab[:, 1], ab[:, 0], -c))[0]
-        lhs, rhs = ab[best, 0], ab[best, 1]
+        best = _pair_argmax(pair, c)
+        lhs, rhs = pair[best].split(PSEP)
         ranks.append(r)
         lhss.append(lhs)
         rhss.append(rhs)

@@ -3870,9 +3870,14 @@ def q_top_terms_per_lang(sf_dir: str):
     grouped top-k over an AGGREGATE, not a raw column: per-block the
     token stream reduces to (lang, term, n) distinct-pair counts (one
     Arrow group_by — text never shuffles), ONE groupby bounded by
-    |langs|·|vocab| finishes the counts, and the top-3 cut runs
-    driver-side on that bounded table (the same derive-from-the-base
-    finish as revenue_rollup)."""
+    |langs|·|vocab| finishes the counts, and a per-block top-3-per-
+    lang cut (the data/rank.py grouped_topk partial shape: lexsort +
+    run-position mask, term codes from np.unique so the tie stays
+    lexicographic) shrinks the result so only O(blocks × langs × 3)
+    rows ever reach the driver — the vocabulary table itself (billions
+    of distinct terms on a web corpus) never collects. The driver
+    finish applies the SAME (n desc, term asc) rule to the partials,
+    so the composition is exact."""
     from ray.data.aggregate import Sum
 
     from .data.textstats import _ws_tokens
@@ -3893,10 +3898,33 @@ def q_top_terms_per_lang(sf_dir: str):
         return g.rename_columns(["lang", "term", "n"])
     partial.__name__ = "lang_term_count_partial"
 
-    agg = collect_table(
+    def top3_partial(b: pa.Table) -> pa.Table:
+        # each groupby-output block holds each (lang, term) once —
+        # keep that block's top-3 per lang under (n desc, term asc);
+        # the global top-3 per lang survives any such per-block cut.
+        if b.num_rows == 0 or "lang" not in b.schema.names:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        langs = np.unique(
+            np.asarray(b.column("lang").to_pylist(), dtype=object),
+            return_inverse=True)[1]
+        # np.unique's sort makes term codes order-isomorphic to the
+        # lexicographic term order — a valid integer tie key.
+        terms = np.unique(
+            np.asarray(b.column("term").to_pylist(), dtype=object),
+            return_inverse=True)[1]
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        from .data.rank import _topk_mask
+        idx = _topk_mask(langs, n, terms, 3)
+        return b.take(pa.array(np.sort(idx)))
+    top3_partial.__name__ = "lang_top3_partial"
+
+    agg = collect_table(          # O(blocks × langs × 3) — bounded
         _read(sf_dir, "documents").select_columns(["lang", "text"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["lang", "term"]).aggregate(Sum("n", alias_name="n")))
+        .groupby(["lang", "term"]).aggregate(Sum("n", alias_name="n"))
+        .map_batches(top3_partial, batch_format="pyarrow"))
     df = agg.to_pandas()
     out = df.sort_values(["lang", "n", "term"],
                          ascending=[True, False, True]) \
