@@ -2385,7 +2385,8 @@ def q_order_seq(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_custkey", "seq"])
 
 
-def q_retention_cohorts(sf_dir: str):
+def q_retention_cohorts(sf_dir: str, join: str = "broadcast",
+                        num_partitions: int = 32):
     """Cohort RETENTION analysis — the classic product-analytics
     composite: users grouped by first-seen day (cohort), counted at
     each later active day offset k. Scale shape: (1) per-block
@@ -2393,12 +2394,16 @@ def q_retention_cohorts(sf_dir: str):
     happens, ONE groupby finishes the global dedup (bounded by
     |users|·|days|, never event count); (2) the per-user first-seen
     day reduces map-side to (user, min day) partials + ONE
-    user-bounded groupby, broadcast as sorted arrays (partitioned
-    hash-join hatch applies when the user set outgrows the driver —
-    same escape documented at customers_no_orders); (3) a zero-shuffle
-    map scores k = day − cohort and pre-counts per block, finishing
-    with ONE tiny groupby over |cohorts|·|offsets| rows. Events
-    themselves never shuffle."""
+    user-bounded groupby, broadcast as sorted arrays; (3) a
+    zero-shuffle map scores k = day − cohort and pre-counts per
+    block, finishing with ONE tiny groupby over |cohorts|·|offsets|
+    rows. Events themselves never shuffle.
+
+    ``join="partitioned"``: the IMPLEMENTED escape for user sets
+    beyond driver memory — the (user, cohort) table stays a Dataset
+    and attaches to the distinct (user, day) pairs via ONE
+    user-partitioned hash join; everything downstream is identical.
+    Row-identical to broadcast (parity pytest)."""
     import ray
     from ray.data.aggregate import Count, Min, Sum
 
@@ -2428,37 +2433,67 @@ def q_retention_cohorts(sf_dir: str):
         return g.rename_columns(["user_id", "cohort"])
     min_partial.__name__ = "first_seen_partial"
 
-    cohorts = collect_table(
-        pairs.map_batches(min_partial, batch_format="pyarrow")
+    cohort_agg = pairs.map_batches(min_partial, batch_format="pyarrow") \
         .groupby("user_id").aggregate(Min("cohort",
-                                          alias_name="cohort")))
-    cu = cohorts.column("user_id").to_numpy(zero_copy_only=False)
-    cc = cohorts.column("cohort").to_numpy(zero_copy_only=False)
-    order = np.argsort(cu)
-    handle = ray.put((cu[order], cc[order]))
+                                          alias_name="cohort"))
 
-    def score_partial(b: pa.Table) -> pa.Table:
-        us, cs = ray.get(handle)
-        u = b.column("user_id").to_numpy(zero_copy_only=False)
-        d = b.column("day").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(us, u)
-        # every user of a pair row is in the cohort table by
-        # construction; guard anyway (empty-corpus safety)
-        if us.size == 0:
-            return pa.table({"cohort": pa.array([], pa.int64()),
-                             "k": pa.array([], pa.int64()),
-                             "n_users": pa.array([], pa.int64())})
-        pos = np.minimum(pos, us.size - 1)
-        coh = cs[pos]
-        t = pa.table({"cohort": pa.array(coh, pa.int64()),
-                      "k": pa.array(d - coh, pa.int64())})
-        g = t.group_by(["cohort", "k"]).aggregate([("k", "count")])
-        return g.rename_columns(["cohort", "k", "n_users"])
-    score_partial.__name__ = "cohort_offset_partial"
+    if join == "partitioned":
+        # user-partitioned hash join instead of a driver broadcast —
+        # both sides repartition+materialize (Ray 2.49's hash join
+        # rejects empty/schema-less blocks); a user base that never
+        # fits the driver streams through here unchanged.
+        cohort_ds = cohort_agg.repartition(num_partitions).materialize()
+        if cohort_ds.count() == 0:
+            return ray.data.from_arrow(pa.table({
+                "cohort_day": pa.array([], pa.string()),
+                "k": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64())}))
+        joined = pairs.repartition(num_partitions).join(
+            cohort_ds, join_type="inner", num_partitions=num_partitions,
+            on=("user_id",))
 
-    agg = pairs.map_batches(score_partial, batch_format="pyarrow") \
-        .groupby(["cohort", "k"]) \
-        .aggregate(Sum("n_users", alias_name="n_users"))
+        def score_joined(b: pa.Table) -> pa.Table:
+            d = b.column("day").to_numpy(zero_copy_only=False)
+            coh = b.column("cohort").to_numpy(zero_copy_only=False)
+            t = pa.table({"cohort": pa.array(coh, pa.int64()),
+                          "k": pa.array(d - coh, pa.int64())})
+            g = t.group_by(["cohort", "k"]).aggregate([("k", "count")])
+            return g.rename_columns(["cohort", "k", "n_users"])
+        score_joined.__name__ = "cohort_offset_joined_partial"
+
+        agg = joined.map_batches(score_joined,
+                                 batch_format="pyarrow") \
+            .groupby(["cohort", "k"]) \
+            .aggregate(Sum("n_users", alias_name="n_users"))
+    else:
+        cohorts = collect_table(cohort_agg)
+        cu = cohorts.column("user_id").to_numpy(zero_copy_only=False)
+        cc = cohorts.column("cohort").to_numpy(zero_copy_only=False)
+        order = np.argsort(cu)
+        handle = ray.put((cu[order], cc[order]))
+
+        def score_partial(b: pa.Table) -> pa.Table:
+            us, cs = ray.get(handle)
+            u = b.column("user_id").to_numpy(zero_copy_only=False)
+            d = b.column("day").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(us, u)
+            # every user of a pair row is in the cohort table by
+            # construction; guard anyway (empty-corpus safety)
+            if us.size == 0:
+                return pa.table({"cohort": pa.array([], pa.int64()),
+                                 "k": pa.array([], pa.int64()),
+                                 "n_users": pa.array([], pa.int64())})
+            pos = np.minimum(pos, us.size - 1)
+            coh = cs[pos]
+            t = pa.table({"cohort": pa.array(coh, pa.int64()),
+                          "k": pa.array(d - coh, pa.int64())})
+            g = t.group_by(["cohort", "k"]).aggregate([("k", "count")])
+            return g.rename_columns(["cohort", "k", "n_users"])
+        score_partial.__name__ = "cohort_offset_partial"
+
+        agg = pairs.map_batches(score_partial, batch_format="pyarrow") \
+            .groupby(["cohort", "k"]) \
+            .aggregate(Sum("n_users", alias_name="n_users"))
 
     def to_day_str(b: pa.Table) -> pa.Table:
         d = b.column("cohort").to_numpy(zero_copy_only=False)
@@ -3177,7 +3212,8 @@ def q_reader_pipeline(sf_dir: str):
 _NTILE_N = 4
 
 
-def q_order_quartile(sf_dir: str):
+def q_order_quartile(sf_dir: str, join: str = "broadcast",
+                     num_partitions: int = 32):
     """NTILE(4) OVER (PARTITION BY custkey ORDER BY date, orderkey):
     the bucketing window function completing the window family
     (cumsum / rank / dense_rank / row_number / lag / rolling / ntile).
@@ -3185,11 +3221,16 @@ def q_order_quartile(sf_dir: str):
     over a ones column (the order_seq shape — ONE global sort,
     broadcast-base edge fixup, hot-key safe); per-key totals reduce
     map-side to (key, n) partials + ONE key-bounded groupby broadcast
-    as sorted arrays (partitioned-join hatch documented at
-    customers_no_orders for key sets that outgrow the driver); the
-    tile assignment is a zero-shuffle pure-integer map mirroring SQL
-    NTILE's first-(count%n)-buckets-get-the-remainder rule, so the
-    oracle hash is float-free by construction."""
+    as sorted arrays; the tile assignment is a zero-shuffle
+    pure-integer map mirroring SQL NTILE's
+    first-(count%n)-buckets-get-the-remainder rule, so the oracle
+    hash is float-free by construction.
+
+    ``join="partitioned"``: the IMPLEMENTED escape for customer key
+    sets beyond driver memory — the (key, n) count table stays a
+    Dataset and attaches to the sequenced rows via ONE
+    custkey-partitioned hash join; the tile map is unchanged.
+    Row-identical to broadcast (parity pytest)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -3217,10 +3258,43 @@ def q_order_quartile(sf_dir: str):
                          "n": pa.array(n, pa.int64())})
     cnt_partial.__name__ = "key_count_partial"
 
-    cnt = collect_table(
-        _read(sf_dir, "orders").select_columns(["o_custkey"])
-        .map_batches(cnt_partial, batch_format="pyarrow")
-        .groupby("k").aggregate(Sum("n", alias_name="n")))
+    cnt_agg = _read(sf_dir, "orders").select_columns(["o_custkey"]) \
+        .map_batches(cnt_partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n", alias_name="n"))
+
+    def _ntile(sq: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # SQL NTILE remainder rule: first (c % N) tiles get q+1 rows
+        q, r = c // _NTILE_N, c % _NTILE_N
+        hi = r * (q + 1)
+        first = sq <= hi
+        return (np.where(first, (sq - 1) // (q + 1),
+                         r + (sq - 1 - hi) // np.maximum(q, 1)) + 1) \
+            .astype(np.int64)
+
+    if join == "partitioned":
+        cnt_ds = cnt_agg.repartition(num_partitions).materialize()
+        if cnt_ds.count() == 0:
+            return ray.data.from_arrow(pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "tile": pa.array([], pa.int64())}))
+
+        def tile_joined(b: pa.Table) -> pa.Table:
+            sq = b.column("seq").to_numpy(zero_copy_only=False)
+            c = b.column("n").to_numpy(zero_copy_only=False)
+            return pa.table({"o_orderkey": b.column("o_orderkey"),
+                             "o_custkey": b.column("o_custkey"),
+                             "tile": pa.array(_ntile(sq, c))})
+        tile_joined.__name__ = "ntile_assign_joined"
+
+        return seq.select_columns(
+            ["o_custkey", "o_orderkey", "seq"]) \
+            .repartition(num_partitions).join(
+                cnt_ds, join_type="inner", num_partitions=num_partitions,
+                on=("o_custkey",), right_on=("k",)) \
+            .map_batches(tile_joined, batch_format="pyarrow")
+
+    cnt = collect_table(cnt_agg)
     ks = cnt.column("k").to_numpy(zero_copy_only=False)
     ns = cnt.column("n").to_numpy(zero_copy_only=False)
     order = np.argsort(ks, kind="stable")
@@ -3235,20 +3309,16 @@ def q_order_quartile(sf_dir: str):
                          or not np.array_equal(ks_s[pos], ck)):
             raise ValueError("order key missing from count table")
         c = ns_s[pos]
-        q, r = c // _NTILE_N, c % _NTILE_N
-        hi = r * (q + 1)
-        first = sq <= hi
-        t = np.where(first, (sq - 1) // (q + 1),
-                     r + (sq - 1 - hi) // np.maximum(q, 1)) + 1
         return pa.table({"o_orderkey": b.column("o_orderkey"),
                          "o_custkey": b.column("o_custkey"),
-                         "tile": pa.array(t.astype(np.int64))})
+                         "tile": pa.array(_ntile(sq, c))})
     tile.__name__ = "ntile_assign"
 
     return seq.map_batches(tile, batch_format="pyarrow")
 
 
-def q_first_order_value(sf_dir: str):
+def q_first_order_value(sf_dir: str, join: str = "broadcast",
+                        num_partitions: int = 32):
     """FIRST_VALUE — per-customer totalprice of the EARLIEST order
     (ties by orderkey): grouped argmin ROW selection without a sort.
     (orderdate-days, orderkey) pack into one int64 (contract: days <
@@ -3257,7 +3327,13 @@ def q_first_order_value(sf_dir: str):
     winning orderkey; the winner set (≤ |customers| int64s) broadcasts
     and a second zero-shuffle membership pass emits the winning rows'
     price as integer cents. Orders never shuffle. Same packed-argmax
-    trick as favorite_event, pointed at row selection instead of mode."""
+    trick as favorite_event, pointed at row selection instead of mode.
+
+    ``join="partitioned"``: the IMPLEMENTED escape for customer sets
+    beyond driver memory — the winner set stays a Dataset (unpacked
+    to orderkeys map-side) and selects the winning rows via ONE
+    orderkey-partitioned semi hash join. Row-identical to broadcast
+    (parity pytest)."""
     import ray
     from ray.data.aggregate import Min
 
@@ -3281,11 +3357,42 @@ def q_first_order_value(sf_dir: str):
         return g.rename_columns(["ck", "p"])
     packed_partial.__name__ = "argmin_pack_partial"
 
-    win = collect_table(
-        _read(sf_dir, "orders")
-        .select_columns(["o_custkey", "o_orderdate", "o_orderkey"])
-        .map_batches(packed_partial, batch_format="pyarrow")
-        .groupby("ck").aggregate(Min("p", alias_name="p")))
+    win_agg = _read(sf_dir, "orders") \
+        .select_columns(["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .map_batches(packed_partial, batch_format="pyarrow") \
+        .groupby("ck").aggregate(Min("p", alias_name="p"))
+
+    def cents_out(kept: pa.Table) -> pa.Table:
+        tp = kept.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(tp * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_custkey": kept.column("o_custkey"),
+                         "first_cents": pa.array(cents, pa.int64())})
+
+    if join == "partitioned":
+        def unpack(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "p" not in b.schema.names:
+                return pa.table({
+                    "o_orderkey": pa.array([], pa.int64())})
+            p = b.column("p").to_numpy(zero_copy_only=False)
+            return pa.table({"o_orderkey": pa.array(
+                p & ((1 << _OK_BITS) - 1), pa.int64())})
+        unpack.__name__ = "unpack_winner_orderkeys"
+
+        win_ds = win_agg.map_batches(unpack, batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
+        if win_ds.count() == 0:
+            return ray.data.from_arrow(pa.table({
+                "o_custkey": pa.array([], pa.int64()),
+                "first_cents": pa.array([], pa.int64())}))
+        return _read(sf_dir, "orders") \
+            .select_columns(["o_orderkey", "o_custkey",
+                             "o_totalprice"]) \
+            .repartition(num_partitions).join(
+                win_ds, join_type="inner", num_partitions=num_partitions,
+                on=("o_orderkey",)) \
+            .map_batches(cents_out, batch_format="pyarrow")
+
+    win = collect_table(win_agg)
     winners = np.sort(
         win.column("p").to_numpy(zero_copy_only=False)
         & ((1 << _OK_BITS) - 1)) if win.num_rows \
@@ -3418,7 +3525,8 @@ def q_lexical_diversity(sf_dir: str):
 _BIG_ORDER_QTY = 150
 
 
-def q_big_orders(sf_dir: str):
+def q_big_orders(sf_dir: str, join: str = "broadcast",
+                 num_partitions: int = 32):
     """TPC-H Q18 shape — large-volume orders: the HAVING-subquery
     semi-join composite. Stage 1 is the one genuinely WIDE groupby in
     the catalog (keys = fact orderkeys, not a bounded dimension):
@@ -3426,11 +3534,15 @@ def q_big_orders(sf_dir: str):
     factor before the shuffle, and only (orderkey, qty) int64 pairs
     move — never lineitem rows. The HAVING filter then bounds the
     winner set, which broadcasts for a zero-shuffle membership pass
-    over orders (partitioned hash-join hatch documented at
-    orders_with_returns when the post-HAVING set outgrows the
-    driver); customer names attach via the standard broadcast dim
+    over orders; customer names attach via the standard broadcast dim
     lookup. Quantities are integral by TPC-H construction — folded to
-    int64 map-side so every partial is exact and the hash float-free."""
+    int64 map-side so every partial is exact and the hash float-free.
+
+    ``join="partitioned"``: the IMPLEMENTED escape when the
+    post-HAVING winner set or the customer dim outgrows the driver —
+    winners attach via ONE orderkey-partitioned hash join, names via
+    ONE custkey-partitioned hash join; output identical to broadcast
+    (parity pytest)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -3448,12 +3560,47 @@ def q_big_orders(sf_dir: str):
         return b.filter(pc.greater(b.column("q"), _BIG_ORDER_QTY))
     having.__name__ = "having_qty"
 
-    tq = collect_table(
-        _read(sf_dir, "lineitem")
-        .select_columns(["l_orderkey", "l_quantity"])
-        .map_batches(qty_partial, batch_format="pyarrow")
-        .groupby("k").aggregate(Sum("q", alias_name="q"))
-        .map_batches(having, batch_format="pyarrow"))
+    tq_agg = _read(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_quantity"]) \
+        .map_batches(qty_partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("q", alias_name="q")) \
+        .map_batches(having, batch_format="pyarrow")
+
+    if join == "partitioned":
+        win_ds = tq_agg.repartition(num_partitions).materialize()
+        if win_ds.count() == 0:
+            return ray.data.from_arrow(pa.table({
+                "c_name": pa.array([], pa.string()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "price_cents": pa.array([], pa.int64()),
+                "total_qty": pa.array([], pa.int64())}))
+
+        def shape(b: pa.Table) -> pa.Table:
+            tp = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "c_name": b.column("c_name"),
+                "o_custkey": b.column("o_custkey"),
+                "o_orderkey": b.column("o_orderkey"),
+                "price_cents": pa.array(
+                    np.floor(tp * 100.0 + 0.5).astype(np.int64)),
+                "total_qty": b.column("q")})
+        shape.__name__ = "big_order_shape"
+
+        return _read(sf_dir, "orders") \
+            .select_columns(["o_orderkey", "o_custkey",
+                             "o_totalprice"]) \
+            .repartition(num_partitions).join(
+                win_ds, join_type="inner", num_partitions=num_partitions,
+                on=("o_orderkey",), right_on=("k",)) \
+            .join(_read(sf_dir, "customer")
+                  .select_columns(["c_custkey", "c_name"])
+                  .repartition(num_partitions).materialize(),
+                  join_type="inner", num_partitions=num_partitions,
+                  on=("o_custkey",), right_on=("c_custkey",)) \
+            .map_batches(shape, batch_format="pyarrow")
+
+    tq = collect_table(tq_agg)
     wk = tq.column("k").to_numpy(zero_copy_only=False)
     wq = tq.column("q").to_numpy(zero_copy_only=False)
     order = np.argsort(wk, kind="stable")

@@ -2639,3 +2639,53 @@ def test_pareto_half_reference(ray_session):
     assert 0 < kk < len(s) / 2
     # crossing is tight: one fewer customer is below half
     assert 2 * int(c[kk - 2]) < tot <= 2 * int(c[kk - 1])
+
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _rows_sorted(tbl_or_ds):
+    t = tbl_or_ds if isinstance(tbl_or_ds, pa.Table) \
+        else pa.Table.from_pylist(tbl_or_ds.take_all())
+    cols = sorted(t.schema.names)
+    return sorted(tuple(r[c] for c in cols) for r in t.to_pylist())
+
+
+def test_retention_cohorts_partitioned_matches_broadcast(ray_session):
+    """join="partitioned" (user-partitioned hash join instead of the
+    driver cohort broadcast) must be row-identical at sf0.01."""
+    from soupflow.queries import q_retention_cohorts
+    bc = _rows_sorted(q_retention_cohorts(SF01))
+    pt = _rows_sorted(q_retention_cohorts(SF01, join="partitioned",
+                                          num_partitions=8))
+    assert bc == pt and len(bc) > 0
+
+
+def test_order_quartile_partitioned_matches_broadcast(ray_session):
+    """join="partitioned" (custkey-partitioned count join instead of
+    the sorted-array broadcast) must assign identical tiles."""
+    from soupflow.queries import q_order_quartile
+    bc = _rows_sorted(q_order_quartile(SF01))
+    pt = _rows_sorted(q_order_quartile(SF01, join="partitioned",
+                                       num_partitions=8))
+    assert bc == pt and len(bc) > 0
+
+
+def test_first_order_value_partitioned_matches_broadcast(ray_session):
+    """join="partitioned" (orderkey-partitioned winner semi-join
+    instead of the winner-set broadcast) must pick identical rows."""
+    from soupflow.queries import q_first_order_value
+    bc = _rows_sorted(q_first_order_value(SF01))
+    pt = _rows_sorted(q_first_order_value(SF01, join="partitioned",
+                                          num_partitions=8))
+    assert bc == pt and len(bc) > 0
+
+
+def test_big_orders_partitioned_matches_broadcast(ray_session):
+    """join="partitioned" (orderkey- then custkey-partitioned hash
+    joins instead of the two broadcasts) must be row-identical."""
+    from soupflow.queries import q_big_orders
+    bc = _rows_sorted(q_big_orders(SF01))
+    pt = _rows_sorted(q_big_orders(SF01, join="partitioned",
+                                   num_partitions=8))
+    assert bc == pt and len(bc) > 0
