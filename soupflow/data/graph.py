@@ -247,6 +247,17 @@ def distinct_pairs_per_key(ds, *, key_col: str, val_col: str,
     def edge_rows(batch: pa.Table) -> pa.Table:
         k, v = _arrs(batch)
         lo, hi = _interior_bounds(k)
+        # fail in the WORKER, pre-collect: an edge-run PIECE longer
+        # than max_run already proves the global run oversized —
+        # without this, a dominant key ships its whole distinct set
+        # to the driver before the post-collect guard fires. With
+        # it, driver materialization is bounded by the documented
+        # O(blocks × max_run).
+        if max(lo, k.size - hi) > max_run:
+            raise ValueError(
+                f"distinct_pairs_per_key: boundary key run piece of "
+                f"{max(lo, k.size - hi)} exceeds max_run={max_run} "
+                "— quadratic pair fan-out guard (pre-collect)")
         keep = np.zeros(k.size, dtype=bool)
         keep[:lo] = True
         keep[hi:] = True

@@ -257,9 +257,13 @@ def ordered_string_agg(ds, *, key_col: str, order_cols: list[str],
 
     def run_partials(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            names = [key_col, *order_cols, "_part", "_edge"]
+            names = [key_col, *order_cols,
+                     *[f"_l_{c}" for c in order_cols],
+                     "_part", "_edge"]
             arrs = ([pa.array([], batch.schema.field(c).type)
                      for c in (key_col, *order_cols)]
+                    + [pa.array([], batch.schema.field(c).type)
+                       for c in order_cols]
                     + [pa.array([], pa.string()),
                        pa.array([], pa.bool_())])
             return pa.table(dict(zip(names, arrs)))
@@ -293,9 +297,16 @@ def ordered_string_agg(ds, *, key_col: str, order_cols: list[str],
         edge[0] = True
         edge[-1] = True
         idx = pa.array(starts, pa.int64())
+        # each run's LAST ordering tuple rides along too: the merge
+        # check needs it to catch a duplicate split exactly at a
+        # block boundary where the earlier piece has >1 row (its
+        # run-FIRST tuple differs, so first-vs-first misses it)
+        ends = pa.array(np.append(starts[1:], n) - 1, pa.int64())
         out = {key_col: batch.column(key_col).take(idx)}
         for c in order_cols:
             out[c] = batch.column(c).take(idx)
+        for c in order_cols:
+            out[f"_l_{c}"] = batch.column(c).take(ends)
         out["_part"] = parts
         out["_edge"] = pa.array(edge)
         return pa.table(out)
@@ -318,7 +329,16 @@ def ordered_string_agg(ds, *, key_col: str, order_cols: list[str],
 
     def merge_edges(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(order_cols)
-        if g.duplicated(subset=order_cols).any():
+        dup = g.duplicated(subset=order_cols).any()
+        if not dup and len(g) > 1:
+            # boundary-split duplicates: the earlier piece's LAST
+            # tuple equals the next piece's FIRST tuple
+            eq = np.ones(len(g) - 1, dtype=bool)
+            for c in order_cols:
+                eq &= (g[f"_l_{c}"].to_numpy()[:-1]
+                       == g[c].to_numpy()[1:])
+            dup = bool(eq.any())
+        if dup:
             raise ValueError(
                 "ordered_string_agg requires (key, *order_cols) "
                 "unique — duplicate ordering tuple for key "
@@ -922,9 +942,18 @@ def time_weighted_avg(ds, *, key_col: str, ts_col: str,
         kidx = np.searchsorted(ku, keys[:-1][same])
         num = np.zeros(ku.size, np.int64)
         den = np.zeros(ku.size, np.int64)
+        npairs = np.zeros(ku.size, np.int64)
         np.add.at(num, kidx, dt * vv)
         np.add.at(den, kidx, dt)
-        keep = den > 0
+        np.add.at(npairs, kidx, 1)
+        # keep every key with a pair IN THIS BLOCK — not den > 0: a
+        # key whose events all share one timestamp (legal under the
+        # (ts, id)-unique contract) has pairs with dt = 0 and must
+        # still surface as a (key, 0, 0) row, exactly as the oracle's
+        # LEAD form does (nxt non-null, nxt - t = 0). Keys without
+        # block pairs stay out (their pairs are seam terms or they
+        # are single-event keys, absent from the oracle too).
+        keep = npairs > 0
         return pa.table({key_col: pa.array(ku[keep], pa.int64()),
                          "num": pa.array(num[keep], pa.int64()),
                          "den": pa.array(den[keep], pa.int64())})

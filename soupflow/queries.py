@@ -513,13 +513,15 @@ def q_spend_gini(sf_dir: str):
             return pa.table({"x0": pa.array([], pa.int64()),
                              "k0": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64()),
-                             "sx": pa.array([], pa.int64())})
+                             "sx": pa.array([], pa.int64()),
+                             "xmax": pa.array([], pa.int64())})
         x = b.column("x").to_numpy(zero_copy_only=False)
         return pa.table({
             "x0": b.column("x").slice(0, 1),
             "k0": b.column("k").slice(0, 1),
             "n": pa.array([b.num_rows], pa.int64()),
-            "sx": pa.array([int(x.sum())], pa.int64())})
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "xmax": pa.array([int(x.max())], pa.int64())})
     summary.__name__ = "gini_block_summary"
 
     summ = collect_table(s.map_batches(
@@ -528,6 +530,7 @@ def q_spend_gini(sf_dir: str):
     k0 = summ.column("k0").to_numpy(zero_copy_only=False)
     bn = summ.column("n").to_numpy(zero_copy_only=False)
     bs = summ.column("sx").to_numpy(zero_copy_only=False)
+    bmax = summ.column("xmax").to_numpy(zero_copy_only=False)
     order = np.lexsort((k0, x0))
     keys = list(zip(x0[order].tolist(), k0[order].tolist()))
     if len(set(keys)) != len(keys):
@@ -535,7 +538,10 @@ def q_spend_gini(sf_dir: str):
                          "(x, k) tuples — custkeys must be unique")
     n = int(bn.sum())
     sumx = int(bs.sum())
-    if n and n * n * int(x0.max() if x0.size else 0) >= (1 << 62):
+    # overflow guard over the GLOBAL max spend (per-block maxima ride
+    # the summary — the block-FIRST values are block minima under the
+    # ascending sort and would understate the bound)
+    if n and n * n * int(bmax.max() if bmax.size else 0) >= (1 << 62):
         raise ValueError("spend_gini positional sum would overflow "
                          "int64 — use the HUGEINT hatch")
     offs = np.concatenate(([0], np.cumsum(bn[order])[:-1]))

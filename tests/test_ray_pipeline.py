@@ -2689,3 +2689,80 @@ def test_big_orders_partitioned_matches_broadcast(ray_session):
     pt = _rows_sorted(q_big_orders(SF01, join="partitioned",
                                    num_partitions=8))
     assert bc == pt and len(bc) > 0
+
+
+def test_time_weighted_avg_all_tied_timestamps_key(ray_session):
+    """ADVICE regression: a key whose events ALL share one timestamp
+    (legal — ids differ) must surface as a (key, 0, 0) row exactly
+    like the oracle's LEAD form, not vanish; single-event keys stay
+    absent in both engines."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import time_weighted_avg
+    base = 1_700_000_000_000_000
+    df = pd.DataFrame({
+        "k": np.array([1, 1, 1,      # all-tied key
+                       2,            # single-event key
+                       3, 3, 3],     # normal key
+                      np.int64),
+        "ts": pd.to_datetime(
+            np.array([base, base, base,
+                      base,
+                      base, base + 5_000_000, base + 7_000_000],
+                     np.int64), unit="us"),
+        "i": np.arange(7, dtype=np.int64),
+        "v": np.array([10, 20, 30, 40, 2, 3, 5], np.int64)})
+    for parts in (1, 3):
+        out = time_weighted_avg(
+            ray.data.from_pandas(df).repartition(4), key_col="k",
+            ts_col="ts", id_col="i", val_col="v",
+            num_partitions=parts).to_pandas()
+        got = {k: (n_, d_) for k, n_, d_ in
+               out[["k", "num_us_val", "den_us"]].values}
+        assert got == {1: (0, 0),
+                       3: (2 * 5_000_000 + 3 * 2_000_000, 7_000_000)}
+
+
+def test_ordered_string_agg_boundary_split_duplicate_raises(
+        ray_session):
+    """ADVICE regression: a duplicate (key, order) tuple split
+    EXACTLY at a block boundary — earlier piece >1 row — must raise
+    via the run-LAST vs run-FIRST seam check; every partition layout
+    in the sweep must catch it one way or the other."""
+    import pandas as pd
+    import pytest
+    import ray
+
+    from soupflow.data.windows import ordered_string_agg
+    n = 60
+    t = list(range(n))
+    t[n // 2] = t[n // 2 - 1]  # one duplicated tuple mid-run
+    df = pd.DataFrame({"k": [1] * n, "t": t,
+                       "v": [f"w{i}" for i in range(n)]})
+    for parts in (1, 2, 3, 4, 6, 8):
+        ds = ray.data.from_pandas(df).repartition(5)
+        with pytest.raises(Exception, match="unique"):
+            ordered_string_agg(ds, key_col="k", order_cols=["t"],
+                               val_col="v", num_partitions=parts) \
+                .materialize()
+
+
+def test_distinct_pairs_max_run_raises_pre_collect(ray_session):
+    """ADVICE regression: an oversized run must fail in the WORKER
+    (edge_rows piece check) before its distinct set ships to the
+    driver — not only in the post-collect boundary guard."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray
+
+    from soupflow.data.graph import distinct_pairs_per_key
+
+    df = pd.DataFrame({"k": np.zeros(50, np.int64),
+                       "v": np.arange(50, dtype=np.int64)})
+    with pytest.raises(Exception, match="pre-collect"):
+        distinct_pairs_per_key(
+            ray.data.from_pandas(df), key_col="k", val_col="v",
+            num_partitions=1, max_run=8)
