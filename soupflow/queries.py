@@ -4414,94 +4414,140 @@ def q_late_suppliers(sf_dir: str):
     collapse to three per-order statistics: n_suppliers ≥ 2 (the
     EXISTS), n_late_suppliers = 1 (the NOT EXISTS), and the late
     supplier's identity — all derivable from ONE per-(orderkey,
-    suppkey) MAX-shipdate reduction. Scale shape: lineitem pre-reduces
-    per block with an Arrow group_by (narrow int64 partials; text and
-    prices never read), ONE (orderkey, suppkey)-bounded groupby
-    finishes, ONE partitioned hash join attaches the order date
-    (orders fold map-side to (orderkey, day) first), a second
-    orderkey-bounded groupby computes the per-order triple via
-    SUM/SUM/MAX of (1, late, (suppkey+1)·late), and the post-filter
-    supplier counts collapse through O(blocks × |supplier|) partials
-    finished driver-side against the broadcast supplier dim. Late =
-    day(l_shipdate) − day(o_orderdate) > 60, day-truncated in both
-    engines."""
+    suppkey) MAX-shipdate reduction. Scale shape — ONE wide op total
+    (was groupby + join + groupby at Ray sort fixed cost, the r4
+    floor): lineitem pre-reduces per block with an Arrow group_by to
+    (ok, sk, day) partials (narrow int64; text and prices never
+    read), orders fold to (ok, −1, o_day) SENTINEL rows, the union
+    sorts ONCE on (ok, sk) — sentinels lead each order's run — and a
+    zero-shuffle segment kernel over the sorted blocks computes the
+    per-order triple (ns, nl, late_sk) for every INTERIOR run
+    (complete by contiguity) and pre-counts winners per supplier;
+    the ≤2 edge runs per block (suppliers-per-order-bounded rows)
+    collect driver-side where the same kernel finishes the
+    boundary-spanning orders. Supplier counts then finish against
+    the broadcast supplier dim as before. Late = day(l_shipdate) −
+    day(o_orderdate) > 60, day-truncated in both engines."""
     import ray
-    from ray.data.aggregate import Max, Sum
 
     from .io import collect_table
+
+    _SK_SENT = -1  # sorts before every real suppkey (contract ≥ 0)
 
     def ord_fold(b: pa.Table) -> pa.Table:
         od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
         days = od.astype("datetime64[D]").astype(np.int64)
-        return pa.table({"o_orderkey": b.column("o_orderkey"),
-                         "o_day": pa.array(days, pa.int64())})
+        return pa.table({
+            "ok": b.column("o_orderkey"),
+            "sk": pa.array(np.full(b.num_rows, _SK_SENT, np.int64)),
+            "d": pa.array(days, pa.int64())})
     ord_fold.__name__ = "q21_order_fold"
-
-    orders_n = _read(sf_dir, "orders") \
-        .select_columns(["o_orderkey", "o_orderdate"]) \
-        .map_batches(ord_fold, batch_format="pyarrow").repartition(8)
 
     def ship_partial(b: pa.Table) -> pa.Table:
         sd = b.column("l_shipdate").to_numpy(zero_copy_only=False)
         days = sd.astype("datetime64[D]").astype(np.int64)
-        t = pa.table({"ok": b.column("l_orderkey"),
-                      "sk": b.column("l_suppkey").cast(pa.int64()),
-                      "ship_day": pa.array(days, pa.int64())})
-        return t.group_by(["ok", "sk"]) \
-            .aggregate([("ship_day", "max")]) \
-            .rename_columns(["ok", "sk", "ship_day"])
-    ship_partial.__name__ = "q21_ship_partial"
-
-    per_os = _read(sf_dir, "lineitem") \
-        .select_columns(["l_orderkey", "l_suppkey", "l_shipdate"]) \
-        .map_batches(ship_partial, batch_format="pyarrow") \
-        .groupby(["ok", "sk"]) \
-        .aggregate(Max("ship_day", alias_name="ship_day"))
-
-    joined = per_os.join(orders_n, join_type="inner",
-                         num_partitions=8, on=("ok",),
-                         right_on=("o_orderkey",))
-
-    def order_partial(b: pa.Table) -> pa.Table:
-        sk = b.column("sk").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
         if sk.size and sk.min() < 0:
             raise ValueError(
                 "late_suppliers requires suppkey >= 0 — a negative "
-                "key would alias the no-late-supplier sentinel in "
-                "the max((sk+1)*late) encoding")
-        late = (b.column("ship_day").to_numpy(zero_copy_only=False)
-                - b.column("o_day").to_numpy(zero_copy_only=False)
-                > _Q21_LATE_DAYS).astype(np.int64)
-        t = pa.table({"ok": b.column("ok"),
-                      "ns": pa.array(np.ones(sk.size, np.int64)),
-                      "nl": pa.array(late, pa.int64()),
-                      "late_sk": pa.array((sk + 1) * late,
-                                          pa.int64())})
-        return t.group_by("ok").aggregate(
-            [("ns", "sum"), ("nl", "sum"), ("late_sk", "max")]) \
-            .rename_columns(["ok", "ns", "nl", "late_sk"])
-    order_partial.__name__ = "q21_order_partial"
+                "key would alias the order-date sentinel row")
+        t = pa.table({"ok": b.column("l_orderkey"),
+                      "sk": b.column("l_suppkey").cast(pa.int64()),
+                      "d": pa.array(days, pa.int64())})
+        return t.group_by(["ok", "sk"]) \
+            .aggregate([("d", "max")]) \
+            .rename_columns(["ok", "sk", "d"])
+    ship_partial.__name__ = "q21_ship_partial"
 
-    per_order = joined \
-        .map_batches(order_partial, batch_format="pyarrow") \
-        .groupby("ok").aggregate(Sum("ns", alias_name="ns"),
-                                 Sum("nl", alias_name="nl"),
-                                 Max("late_sk", alias_name="late_sk"))
+    merged = _read(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_suppkey", "l_shipdate"]) \
+        .map_batches(ship_partial, batch_format="pyarrow") \
+        .union(_read(sf_dir, "orders")
+               .select_columns(["o_orderkey", "o_orderdate"])
+               .map_batches(ord_fold, batch_format="pyarrow")) \
+        .sort(["ok", "sk"]).materialize()
 
-    def wait_partial(b: pa.Table) -> pa.Table:
-        ns = b.column("ns").to_numpy(zero_copy_only=False)
-        nl = b.column("nl").to_numpy(zero_copy_only=False)
-        sk = b.column("late_sk").to_numpy(zero_copy_only=False)
-        win = sk[(ns >= 2) & (nl == 1)] - 1  # undo the +1 sentinel
+    def _run_triples(ok: np.ndarray, sk: np.ndarray, d: np.ndarray):
+        """Per-order winner suppkeys over a (ok, sk)-sorted slice
+        whose ok-runs are COMPLETE. Dedups equal (ok, sk) by max d,
+        requires each run to open with its sentinel (FK: every
+        lineitem order exists in orders), applies the triple filter
+        (ns ≥ 2, nl == 1) and returns the winning sk array."""
+        if ok.size == 0:
+            return np.empty(0, np.int64)
+        # segment max over equal (ok, sk): partials from different
+        # blocks meet here
+        new = np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])]
+        seg = np.flatnonzero(new)
+        dmax = np.maximum.reduceat(d, seg)
+        oks, sks = ok[seg], sk[seg]
+        # run starts over the deduped stream
+        rstart = np.flatnonzero(np.r_[True, oks[1:] != oks[:-1]])
+        rid = np.cumsum(np.r_[True, oks[1:] != oks[:-1]]) - 1
+        has_sent = sks[rstart] == _SK_SENT
+        if not has_sent.all():
+            bad = oks[rstart[~has_sent]][0]
+            raise ValueError(
+                f"late_suppliers: order {bad} has lineitems but no "
+                "orders row — FK violation")
+        o_day = dmax[rstart][rid]          # broadcast per run
+        real = sks != _SK_SENT
+        late = real & (dmax - o_day > _Q21_LATE_DAYS)
+        ns = np.bincount(rid, weights=real)
+        nl = np.bincount(rid, weights=late)
+        win_run = (ns >= 2) & (nl == 1)
+        return sks[late & win_run[rid]]
+
+    def interior_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ok" not in b.schema.names:
+            return pa.table({"sk": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ok = b.column("ok").to_numpy(zero_copy_only=False)
+        sk = b.column("sk").to_numpy(zero_copy_only=False)
+        d = b.column("d").to_numpy(zero_copy_only=False)
+        lo = int(np.searchsorted(ok, ok[0], side="right"))
+        hi = int(np.searchsorted(ok, ok[-1], side="left"))
+        hi = max(hi, lo)
+        win = _run_triples(ok[lo:hi], sk[lo:hi], d[lo:hi])
         ks, cnts = np.unique(win, return_counts=True)
         return pa.table({"sk": pa.array(ks, pa.int64()),
                          "n": pa.array(cnts, pa.int64())})
-    wait_partial.__name__ = "q21_wait_partial"
+    interior_counts.__name__ = "q21_interior_counts"
 
-    cand = collect_table(per_order.map_batches(
-        wait_partial, batch_format="pyarrow"))
-    sk = cand.column("sk").to_numpy(zero_copy_only=False)
-    n = cand.column("n").to_numpy(zero_copy_only=False)
+    def edge_rows(b: pa.Table) -> pa.Table:
+        cols = ["ok", "sk", "d"]
+        if b.num_rows == 0 or "ok" not in b.schema.names:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in cols})
+        ok = b.column("ok").to_numpy(zero_copy_only=False)
+        lo = int(np.searchsorted(ok, ok[0], side="right"))
+        hi = int(np.searchsorted(ok, ok[-1], side="left"))
+        hi = max(hi, lo)
+        keep = np.zeros(ok.size, dtype=bool)
+        keep[:lo] = True
+        keep[hi:] = True
+        return b.select(cols).filter(pa.array(keep))
+    edge_rows.__name__ = "q21_edge_rows"
+
+    cand = collect_table(merged.map_batches(
+        interior_counts, batch_format="pyarrow", batch_size=None))
+    side = collect_table(merged.map_batches(
+        edge_rows, batch_format="pyarrow", batch_size=None))
+    # all-empty map outputs collect to a SCHEMA-LESS table (Ray 2.49)
+    if "ok" in side.schema.names:
+        eo = side.column("ok").to_numpy(zero_copy_only=False)
+        es = side.column("sk").to_numpy(zero_copy_only=False)
+        ed = side.column("d").to_numpy(zero_copy_only=False)
+        eorder = np.lexsort((es, eo))
+        ewin = _run_triples(eo[eorder], es[eorder], ed[eorder])
+    else:
+        ewin = np.empty(0, np.int64)
+    csk = cand.column("sk").to_numpy(zero_copy_only=False) \
+        if "sk" in cand.schema.names else np.empty(0, np.int64)
+    cn = cand.column("n").to_numpy(zero_copy_only=False) \
+        if "n" in cand.schema.names else np.empty(0, np.int64)
+    sk = np.concatenate([csk, ewin])
+    n = np.concatenate([cn, np.ones(ewin.size, np.int64)])
     ks = np.unique(sk)
     numwait = np.zeros(ks.size, np.int64)
     np.add.at(numwait, np.searchsorted(ks, sk), n)
