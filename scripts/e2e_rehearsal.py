@@ -1,0 +1,315 @@
+#!/usr/bin/env python
+"""End-to-end 100×-shaped training-data rehearsal (round-5 judge
+item 7): the full chain a production corpus run would execute, on the
+320 k-doc interleaved corpus, write-inclusive, with per-stage wall
+breakdown and the resume-from-manifest path exercised once mid-run.
+
+    extract (HTML → spans, resumable partitioned write + manifest)
+    → flatten spans → text, parse replica ids to int64
+    → quality + lang-id filter
+    → paragraph dedup (drop duplicate paragraphs from doc text)
+    → MinHash-LSH near-dup removal (keep cluster keeper)
+    → n-gram decontamination vs a benchmark set
+    → token stats → sequence packing assignment
+    → partitioned parquet write + footer-counted manifest
+
+Every stage is the already-oracle-checked operator; this script is
+the INTEGRATION rehearsal (stage seams, schemas, broadcast sizes,
+write path), not a new correctness surface. Stage walls include the
+materialize() at each seam — production would fuse where no shuffle
+separates stages, so the per-stage sum is an upper bound on the fused
+wall (the fused figure is the headline in EXTRACT_E2E_320K.json).
+
+Usage: python scripts/e2e_rehearsal.py [--replicate 64] [--cpus 32]
+Writes BENCH/E2E_REHEARSAL_320K.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_SF = "/root/testdata/sf0.001"   # "benchmark" set to decontam
+OUT = "/tmp/soupflow_e2e_rehearsal"
+
+
+def stage(name, timings):
+    class _T:
+        def __enter__(self):
+            self.t0 = time.monotonic()
+            return self
+
+        def __exit__(self, *a):
+            timings.append({"stage": name,
+                            "wall_s": round(time.monotonic() - self.t0,
+                                            2)})
+            print(f"[stage] {name}: {timings[-1]['wall_s']} s",
+                  flush=True)
+    return _T()
+
+
+def flatten_spans(batch: pa.Table) -> pa.Table:
+    """(doc_id str, spans, error) → (doc_id int64, text): join each
+    doc's TEXT spans with spaces, parse '<orig>-r<rep>' replica ids
+    to orig·REP + rep — all Arrow/numpy, no per-row Python."""
+    ls = batch.column("spans")
+    if isinstance(ls, pa.ChunkedArray):
+        ls = ls.combine_chunks()
+    offs = ls.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = ls.values
+    # a sliced ListArray's values child is unsliced — re-base
+    vals = vals.slice(offs[0], offs[-1] - offs[0])
+    offs = offs - offs[0]
+    kind = vals.field("kind").to_numpy(zero_copy_only=False)
+    is_text = kind == "text"
+    txt = vals.field("text").filter(pa.array(is_text))
+    csum = np.concatenate([[0], np.cumsum(is_text, dtype=np.int64)])
+    new_offs = csum[offs].astype(np.int32)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
+                                 txt), " ")
+    ext = pc.extract_regex(batch.column("doc_id"),
+                           r"^(?P<o>\d+)-r(?P<r>\d+)$")
+    if ext.null_count:
+        raise ValueError("unexpected doc_id shape in bench corpus")
+    o = pc.struct_field(ext, "o").cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    r = pc.struct_field(ext, "r").cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    rep = int(os.environ.get("GRAFT_BENCH_REPLICATE", "64"))
+    return pa.table({
+        "doc_id": pa.array(o * rep + r, pa.int64()),
+        "text": joined})
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--replicate", type=int, default=64)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--files-per-partition", type=int, default=64)
+    args = ap.parse_args()
+    os.environ["GRAFT_BENCH_REPLICATE"] = str(args.replicate)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False)
+    import ray.data
+
+    import bench
+    from soupflow.data.decontam import decontaminate
+    from soupflow.data.dedup import minhash_near_dups, para_dedup
+    from soupflow.data.packing import pack_sequences
+    from soupflow.data.textstats import quality_batch, \
+        token_stats_batch
+    from soupflow.io import collect_table, read_corpus, write_corpus
+    from soupflow.pipeline import run_extract
+
+    timings: list[dict] = []
+    report = {"corpus": "interleaved sf0.1 ×" + str(args.replicate),
+              "num_cpus": args.cpus, "stages": timings}
+    t_all = time.monotonic()
+
+    in_dir = bench.prepare_bench_input(SF_DIR)
+    if os.path.isdir(OUT):
+        shutil.rmtree(OUT)
+    ex_dir = os.path.join(OUT, "extracted")
+
+    # -- stage 1: extract (partitioned + manifest) --------------------
+    with stage("extract", timings):
+        manifests = run_extract(
+            in_dir, ex_dir,
+            files_per_partition=args.files_per_partition)
+    n_parts = len(manifests)
+    total_docs = sum(m["row_count"] for m in manifests)
+    report["corpus_docs"] = total_docs
+    report["extract_partitions"] = n_parts
+
+    # -- resume exercise: knock out ONE partition's manifest, re-run —
+    # only that partition may re-process
+    with stage("extract_resume", timings):
+        victim = n_parts // 2
+        os.remove(os.path.join(ex_dir, "manifest",
+                               f"{victim:05d}.json"))
+        re_ms = run_extract(
+            in_dir, ex_dir,
+            files_per_partition=args.files_per_partition)
+    report["resume_reran"] = sorted(m["partition_id"] for m in re_ms)
+    assert report["resume_reran"] == [victim], report["resume_reran"]
+
+    # -- stage 2: flatten + quality + lang filter ---------------------
+    with stage("flatten_quality_lang", timings):
+        docs = read_corpus(os.path.join(ex_dir, "parts")) \
+            .map_batches(flatten_spans, batch_format="pyarrow")
+
+        def qfilter(b: pa.Table) -> pa.Table:
+            q = quality_batch(b)
+            return b.filter(q.column("is_quality").combine_chunks())
+        qfilter.__name__ = "quality_filter"
+
+        from soupflow.queries import _task
+        from soupflow.data.textstats import LangIdActor
+
+        def lfilter(b: pa.Table) -> pa.Table:
+            pred = _task(LangIdActor)(b)
+            keep = pc.not_equal(
+                pred.column("pred_lang").combine_chunks(), "und")
+            return b.filter(keep)
+        lfilter.__name__ = "langid_filter"
+
+        docs = docs.map_batches(qfilter, batch_format="pyarrow") \
+            .map_batches(lfilter, batch_format="pyarrow") \
+            .materialize()
+    report["after_quality_lang"] = docs.count()
+
+    # -- stage 3: paragraph dedup (drop duplicate paragraphs) ---------
+    with stage("para_dedup", timings):
+        paras = para_dedup(docs, words_per_para=15)
+        # only the DROPPED paragraphs matter — dup-cluster-bounded
+        drop_tbl = collect_table(
+            paras.filter(expr="keep == False")
+            .select_columns(["doc_id", "para_idx"]))
+        if "doc_id" in drop_tbl.schema.names and drop_tbl.num_rows:
+            dk = drop_tbl.column("doc_id") \
+                .to_numpy(zero_copy_only=False)
+            dp = drop_tbl.column("para_idx") \
+                .to_numpy(zero_copy_only=False)
+            packed = np.sort(dk * (1 << 20) + dp)
+        else:
+            packed = np.empty(0, np.int64)
+        drop_ref = ray.put(packed)
+
+        def drop_paras(b: pa.Table) -> pa.Table:
+            from soupflow.data.dedup import _para_rows
+            drop = ray.get(drop_ref)
+            d, p, joined = _para_rows(b, 15, "text", "doc_id")
+            if d.size == 0:
+                return b.select(["doc_id", "text"])
+            code = d * (1 << 20) + p
+            pos = np.searchsorted(drop, code)
+            pos = np.minimum(pos, max(len(drop) - 1, 0))
+            kept = ~((len(drop) > 0) & (drop[pos] == code))
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = []
+            # one join per DOC (same count as the parse), not per row
+            # of a hot inner loop
+            j = 0
+            parts: dict[int, list] = {int(i): [] for i in ids}
+            for di, ki, tx in zip(d, kept, joined):
+                if ki:
+                    parts[int(di)].append(tx)
+            texts = [" ".join(parts[int(i)]) for i in ids]
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "text": pa.array(texts, pa.string())})
+        drop_paras.__name__ = "drop_dup_paragraphs"
+
+        docs = docs.map_batches(drop_paras,
+                                batch_format="pyarrow").materialize()
+    report["para_dropped"] = int(packed.size)
+
+    # -- stage 4: MinHash-LSH near-dup removal ------------------------
+    with stage("minhash_dedup", timings):
+        pairs = collect_table(minhash_near_dups(docs))
+        if "doc_id" in pairs.schema.names and pairs.num_rows:
+            dups = np.sort(np.unique(
+                pairs.column("doc_id")
+                .to_numpy(zero_copy_only=False)))
+        else:
+            dups = np.empty(0, np.int64)
+        dup_ref = ray.put(dups)
+
+        def drop_dups(b: pa.Table) -> pa.Table:
+            dd = ray.get(dup_ref)
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            if dd.size == 0:
+                return b
+            pos = np.minimum(np.searchsorted(dd, ids), dd.size - 1)
+            return b.filter(pa.array(~(dd[pos] == ids)))
+        drop_dups.__name__ = "drop_near_dups"
+
+        docs = docs.map_batches(drop_dups,
+                                batch_format="pyarrow").materialize()
+    report["after_minhash"] = docs.count()
+
+    # -- stage 5: decontamination vs the benchmark set ----------------
+    with stage("decontaminate", timings):
+        bench_ds = ray.data.read_parquet(
+            f"{BENCH_SF}/documents.parquet").select_columns(["text"])
+        flags = decontaminate(docs, bench_ds, n=8)
+        bad_tbl = collect_table(
+            flags.filter(expr="contaminated == True")
+            .select_columns(["doc_id"]))
+        bad = np.sort(bad_tbl.column("doc_id")
+                      .to_numpy(zero_copy_only=False)) \
+            if "doc_id" in bad_tbl.schema.names and bad_tbl.num_rows \
+            else np.empty(0, np.int64)
+        bad_ref = ray.put(bad)
+
+        def drop_contam(b: pa.Table) -> pa.Table:
+            bb = ray.get(bad_ref)
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            if bb.size == 0:
+                return b
+            pos = np.minimum(np.searchsorted(bb, ids), bb.size - 1)
+            return b.filter(pa.array(~(bb[pos] == ids)))
+        drop_contam.__name__ = "drop_contaminated"
+
+        docs = docs.map_batches(drop_contam,
+                                batch_format="pyarrow").materialize()
+    report["contaminated_dropped"] = int(bad.size)
+    report["after_decontam"] = docs.count()
+
+    # -- stage 6: token stats + packing assignment --------------------
+    with stage("pack_sequences", timings):
+        stats = docs.map_batches(token_stats_batch,
+                                 batch_format="pyarrow")
+        assign = pack_sequences(stats, budget=4096,
+                                size_col="n_chars_measured").materialize()
+    report["pack_rows"] = assign.count()
+
+    # -- stage 7: partitioned write + manifest ------------------------
+    with stage("final_write", timings):
+        final_dir = os.path.join(OUT, "final")
+        os.makedirs(os.path.join(final_dir, "corpus"), exist_ok=True)
+        write_corpus(docs, os.path.join(final_dir, "corpus"))
+        assign.write_parquet(os.path.join(final_dir, "packing"))
+        files = glob.glob(os.path.join(final_dir, "corpus",
+                                       "*.parquet"))
+        import pyarrow.parquet as pq
+        rows = sum(pq.read_metadata(f).num_rows for f in files)
+        with open(os.path.join(final_dir, "manifest.json"),
+                  "w") as f:
+            json.dump({"row_count": rows, "n_files": len(files),
+                       "status": "done"}, f)
+    report["final_rows"] = rows
+
+    wall = round(time.monotonic() - t_all, 2)
+    report["wall_s_total"] = wall
+    report["docs_per_s_e2e"] = round(total_docs / wall, 1)
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH",
+        "E2E_REHEARSAL_320K.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
