@@ -1,5 +1,31 @@
 """Mini-driver: run queries()[name] vs oracle_sql()[name] on a sf dir,
-compare rows/schema/value-hash the way the graft driver does."""
+compare rows/schema/value-hash the way the graft driver does.
+
+FLOAT-FINISH RECIPE (how to add a query whose hash can never flake):
+the compare sorts rows by the ALPHABETICAL column list, so any float
+column that sorts BEFORE the row's unique key lets ULP noise decide
+row order when two rows tie mathematically — DuckDB's ln() and
+numpy's log() differ in ULPs (measured; ln is NOT correctly rounded),
+so bit-equality of transcendental floats across engines is
+impossible and tie-broken row order diverges. Rules, in force across
+the whole catalog (hunted down in round 4, user_entropy):
+
+ 1. Keep every core statistic INTEGER (cents, µs, doubled ranks,
+    exact rationals num/den) for as long as possible; hash integers,
+    not floats, whenever the semantics allow.
+ 2. When a float must be emitted, NAME it to sort AFTER the row's
+    unique key column(s) (e.g. `x_entropy`, not `entropy`, when the
+    key is `user_id`) so ties in the float never decide row order.
+ 3. Make the float evaluation ORDER-FIXED and mirrored term-for-term
+    in the SQL: fixed-order pivots/sums (no data-order dependence),
+    and only IEEE-correctly-rounded ops on int-derived doubles —
+    casts, +, −, ×, ÷, sqrt are safe; ln/exp/pow are NOT (compute
+    those only when rule 2 already protects the ordering, and round
+    to 6 decimals mentally — canon() rounds floats to 6dp).
+ 4. Integer moment products that can exceed int64 go to driver
+    Python ints (oracle side: HUGEINT) BEFORE the float finish
+    (see spearman_qty_disc / spend_gini for the full pattern).
+"""
 import hashlib
 import sys
 
