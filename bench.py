@@ -60,7 +60,8 @@ TIMED_QUERIES = [
     "top_orders_per_customer", "leakage_safe_split", "user_entropy",
     "volume_shipping", "value_twa", "strict_funnel", "outlink_hosts",
     "dense_daily_orders", "cume_dist_by_lang",
-    "spearman_qty_disc", "spend_gini",
+    "spearman_qty_disc", "spend_gini", "top_terms_per_lang",
+    "pareto_half",
     # priority_trend shares dense_daily's lattice scan;
     # sales_opportunity / median_value_by_type / compact & csv
     # roundtrips share timed machinery — oracle-gated.
@@ -69,8 +70,10 @@ TIMED_QUERIES = [
     # grouped_quantiles histogram shape — oracle-gated, not
     # separately timed.
     # revenue_cube/first_order_value/redact_terms/props_k_stats/
-    # top_terms_per_lang/order_seq/dense_rank share machinery with
+    # order_seq/dense_rank share machinery with
     # timed queries above — oracle-gated, not separately timed.
+    # top_terms_per_lang timed from round 5 (its collect became
+    # top-k-bounded — track the delta).
     # rolling_revenue shares windowed_cumsum's sort machinery with
     # running_total; common_terms shares exclusive_terms' shape;
     # nation_customer_stats / top_account_parties /
