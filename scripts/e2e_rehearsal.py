@@ -301,9 +301,13 @@ def main() -> int:
     wall = round(time.monotonic() - t_all, 2)
     report["wall_s_total"] = wall
     report["docs_per_s_e2e"] = round(total_docs / wall, 1)
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH",
-        "E2E_REHEARSAL_320K.json")
+    # only the full-size run overwrites the committed artifact
+    if args.replicate == 64:
+        out_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH",
+            "E2E_REHEARSAL_320K.json")
+    else:
+        out_path = f"/tmp/e2e_rehearsal_x{args.replicate}.json" 
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))

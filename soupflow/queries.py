@@ -4428,8 +4428,6 @@ def q_late_suppliers(sf_dir: str):
     boundary-spanning orders. Supplier counts then finish against
     the broadcast supplier dim as before. Late = day(l_shipdate) −
     day(o_orderdate) > 60, day-truncated in both engines."""
-    import ray
-
     from .io import collect_table
 
     _SK_SENT = -1  # sorts before every real suppkey (contract ≥ 0)

@@ -56,3 +56,34 @@ def test_collect_table_empty_dataset(ray_session):
     t = collect_table(ds)
     assert t.num_rows == 0
     assert collect_rows(ds) == []
+
+
+def test_e2e_rehearsal_script_smoke():
+    """The write-inclusive rehearsal chain (extract → filters →
+    para/minhash dedup → decontam → pack → partitioned write +
+    manifest + resume) must run end-to-end at replicate 1 in a fresh
+    process — guards the integration script against bit-rot. Runs in
+    its own Ray session (subprocess), not the test fixture's."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "scripts/e2e_rehearsal.py",
+         "--replicate", "1", "--files-per-partition", "4",
+         "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.load(open("/tmp/e2e_rehearsal_x1.json"))
+    assert rep["corpus_docs"] == 5000
+    assert rep["resume_reran"] == [rep["extract_partitions"] // 2]
+    assert rep["final_rows"] > 0
+    assert [s["stage"] for s in rep["stages"]] == [
+        "extract", "extract_resume", "flatten_quality_lang",
+        "para_dedup", "minhash_dedup", "decontaminate",
+        "pack_sequences", "final_write"]
+    # committed full-size artifact untouched by small runs
+    assert json.load(open("BENCH/E2E_REHEARSAL_320K.json"))[
+        "corpus_docs"] == 320000
