@@ -4553,6 +4553,14 @@ def q_late_suppliers(sf_dir: str):
     supp = collect_table(
         _read(sf_dir, "supplier")
         .select_columns(["s_suppkey", "s_name"]))
+    if "s_suppkey" not in supp.schema.names:
+        # an EMPTY supplier table collects schema-less (Ray 2.49);
+        # with no winners it's just the typed-empty result
+        if ks.size:
+            raise ValueError("late supplier key missing from "
+                             "supplier dim — FK violation")
+        return pa.table({"s_name": pa.array([], pa.string()),
+                         "numwait": pa.array([], pa.int64())})
     skeys = supp.column("s_suppkey").to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     order_ = np.argsort(skeys)

@@ -2766,3 +2766,61 @@ def test_distinct_pairs_max_run_raises_pre_collect(ray_session):
         distinct_pairs_per_key(
             ray.data.from_pandas(df), key_col="k", val_col="v",
             num_partitions=1, max_run=8)
+
+
+def test_late_suppliers_empty_and_tiny_sf_dirs(ray_session, tmp_path):
+    """One-pass late_suppliers degenerate regimes: fully empty tables
+    (schema-less sort/collect guards) and a single-supplier order
+    (EXISTS leg must reject ns == 1) both return the typed-empty
+    result instead of crashing; a two-supplier one-late order wins."""
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_late_suppliers
+
+    def write_sf(d, orders, lineitem, supplier):
+        d.mkdir(exist_ok=True)
+        orders.to_parquet(d / "orders.parquet")
+        lineitem.to_parquet(d / "lineitem.parquet")
+        supplier.to_parquet(d / "supplier.parquet")
+        return str(d)
+
+    o_cols = dict(o_orderkey=pd.Series([], dtype="int64"),
+                  o_orderdate=pd.Series([], dtype="datetime64[us]"))
+    l_cols = dict(l_orderkey=pd.Series([], dtype="int64"),
+                  l_suppkey=pd.Series([], dtype="int64"),
+                  l_shipdate=pd.Series([], dtype="datetime64[us]"))
+    s_cols = dict(s_suppkey=pd.Series([], dtype="int64"),
+                  s_name=pd.Series([], dtype="object"))
+    sf_empty = write_sf(tmp_path / "empty", pd.DataFrame(o_cols),
+                        pd.DataFrame(l_cols), pd.DataFrame(s_cols))
+    out = q_late_suppliers(sf_empty)
+    assert out.num_rows == 0
+    assert out.schema.names == ["s_name", "numwait"]
+
+    d0 = pd.Timestamp("1995-01-01")
+    sup = pd.DataFrame({"s_suppkey": np.array([1, 2], np.int64),
+                        "s_name": ["Supplier#1", "Supplier#2"]})
+    # one order, ONE supplier, very late -> ns=1 fails the EXISTS leg
+    sf_one = write_sf(
+        tmp_path / "one",
+        pd.DataFrame({"o_orderkey": np.array([7], np.int64),
+                      "o_orderdate": [d0]}),
+        pd.DataFrame({"l_orderkey": np.array([7], np.int64),
+                      "l_suppkey": np.array([1], np.int64),
+                      "l_shipdate": [d0 + pd.Timedelta(days=200)]}),
+        sup)
+    assert q_late_suppliers(sf_one).num_rows == 0
+
+    # two suppliers, exactly one late -> that supplier wins once
+    sf_two = write_sf(
+        tmp_path / "two",
+        pd.DataFrame({"o_orderkey": np.array([7], np.int64),
+                      "o_orderdate": [d0]}),
+        pd.DataFrame({"l_orderkey": np.array([7, 7], np.int64),
+                      "l_suppkey": np.array([1, 2], np.int64),
+                      "l_shipdate": [d0 + pd.Timedelta(days=200),
+                                     d0 + pd.Timedelta(days=1)]}),
+        sup)
+    rows = q_late_suppliers(sf_two).to_pylist()
+    assert rows == [{"s_name": "Supplier#1", "numwait": 1}]
