@@ -2824,3 +2824,48 @@ def test_late_suppliers_empty_and_tiny_sf_dirs(ray_session, tmp_path):
         sup)
     rows = q_late_suppliers(sf_two).to_pylist()
     assert rows == [{"s_name": "Supplier#1", "numwait": 1}]
+
+
+def test_partitioned_hatches_empty_sf_dirs(ray_session, tmp_path):
+    """The four round-5 partitioned hatches must survive EMPTY input
+    tables (the filter-eliminated-everything regime): each
+    short-circuits to its typed-empty result instead of tripping Ray
+    2.49's empty-side hash-join failure."""
+    import pandas as pd
+
+    from soupflow.queries import (q_big_orders, q_first_order_value,
+                                  q_order_quartile,
+                                  q_retention_cohorts)
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    pd.DataFrame({
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_custkey": pd.Series([], dtype="int64"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        "o_totalprice": pd.Series([], dtype="float64")}) \
+        .to_parquet(d / "orders.parquet")
+    pd.DataFrame({
+        "l_orderkey": pd.Series([], dtype="int64"),
+        "l_quantity": pd.Series([], dtype="float64")}) \
+        .to_parquet(d / "lineitem.parquet")
+    pd.DataFrame({
+        "c_custkey": pd.Series([], dtype="int64"),
+        "c_name": pd.Series([], dtype="object")}) \
+        .to_parquet(d / "customer.parquet")
+    pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[us]")}) \
+        .to_parquet(d / "events.parquet")
+    sf = str(d)
+
+    rc = q_retention_cohorts(sf, join="partitioned",
+                             num_partitions=2)
+    assert rc.count() == 0
+    oq = q_order_quartile(sf, join="partitioned", num_partitions=2)
+    assert oq.count() == 0
+    fv = q_first_order_value(sf, join="partitioned",
+                             num_partitions=2)
+    assert fv.count() == 0
+    bo = q_big_orders(sf, join="partitioned", num_partitions=2)
+    assert bo.count() == 0
