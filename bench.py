@@ -62,6 +62,7 @@ TIMED_QUERIES = [
     "dense_daily_orders", "cume_dist_by_lang",
     "spearman_qty_disc", "spend_gini", "top_terms_per_lang",
     "pareto_half",
+    "priority_check", "returned_revenue", "spend_hhi",
     # priority_trend shares dense_daily's lattice scan;
     # sales_opportunity / median_value_by_type / compact & csv
     # roundtrips share timed machinery — oracle-gated.

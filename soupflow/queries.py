@@ -4957,6 +4957,550 @@ def q_custdist(sf_dir: str):
                      "custdist": pa.array(sizes, pa.int64())})
 
 
+# --- round-5 TPC-H widening: Q6/Q14/Q17/Q4/Q10/Q15/Q19 shapes + HHI ------
+
+def _day(np_dates):
+    return np_dates.astype("datetime64[D]").astype(np.int64)
+
+
+def _dayc(s: str) -> int:
+    return int(np.datetime64(s).astype("datetime64[D]")
+               .astype(np.int64))
+
+
+def _ep_cents(b: pa.Table) -> np.ndarray:
+    p = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    return np.floor(p * 100.0 + 0.5).astype(np.int64)
+
+
+def _disc_pct(b: pa.Table) -> np.ndarray:
+    d = b.column("l_discount").to_numpy(zero_copy_only=False)
+    return np.floor(d * 100.0 + 0.5).astype(np.int64)
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — the band-predicate forecast scan: revenue
+    delta from dropping discounts in a band (shipdate year, discount
+    band, small quantities). The simplest possible scale shape and
+    deliberately kept that way: the predicate and the Σ price·disc
+    product are ONE vectorized zero-shuffle pass; each block emits a
+    single (units, n) row and O(blocks) scalars collect. Exact by
+    units: cents·pct, no floats anywhere."""
+    from .io import collect_table
+
+    lo, hi = _dayc("1996-01-01"), _dayc("1997-01-01")
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = _day(b.column("l_shipdate")
+                   .to_numpy(zero_copy_only=False))
+        qty = np.floor(b.column("l_quantity")
+                       .to_numpy(zero_copy_only=False) + 0.5) \
+            .astype(np.int64)
+        dp = _disc_pct(b)
+        m = ((day >= lo) & (day < hi) & (dp >= 3) & (dp <= 6)
+             & (qty < 24))
+        units = int((_ep_cents(b)[m] * dp[m]).sum())
+        return pa.table({"u": pa.array([units], pa.int64()),
+                         "n": pa.array([int(m.sum())], pa.int64())})
+    partial.__name__ = "q6_partial"
+
+    t = collect_table(
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_shipdate", "l_quantity", "l_discount",
+                         "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow"))
+    u = int(t.column("u").to_numpy(zero_copy_only=False).sum()) \
+        if "u" in t.schema.names else 0
+    n = int(t.column("n").to_numpy(zero_copy_only=False).sum()) \
+        if "n" in t.schema.names else 0
+    return pa.table({"revenue_units": pa.array([u], pa.int64()),
+                     "n_rows": pa.array([n], pa.int64())})
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape — promotion effect: the CASE-numerator ratio
+    (promo revenue / total revenue for one month) as an EXACT integer
+    pair. The part dim folds to a sorted promo-partkey array and
+    broadcasts (|part|-bounded; the partitioned semi-join hatch of
+    orders_with_returns applies beyond driver memory); the scan is
+    zero-shuffle with O(blocks) two-int rows collected. The ratio
+    itself never materializes as a float — consumers divide."""
+    import ray
+
+    from .io import collect_table
+
+    part = collect_table(
+        _read(sf_dir, "part").select_columns(["p_partkey", "p_type"]))
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64) if "p_partkey" in part.schema.names \
+        else np.empty(0, np.int64)
+    is_promo = np.asarray(
+        [t == "PROMO" for t in part.column("p_type").to_pylist()]) \
+        if part.num_rows else np.empty(0, bool)
+    promo = np.sort(pk[is_promo])
+    handle = ray.put(promo)
+    lo, hi = _dayc("1996-03-01"), _dayc("1996-04-01")
+
+    def partial(b: pa.Table) -> pa.Table:
+        pr = ray.get(handle)
+        day = _day(b.column("l_shipdate")
+                   .to_numpy(zero_copy_only=False))
+        m = (day >= lo) & (day < hi)
+        kept = b.filter(pa.array(m))
+        rev = _ep_cents(kept) * (100 - _disc_pct(kept))
+        lpk = kept.column("l_partkey").to_numpy(zero_copy_only=False)
+        if pr.size:
+            pos = np.minimum(np.searchsorted(pr, lpk), pr.size - 1)
+            pm = pr[pos] == lpk
+        else:
+            pm = np.zeros(lpk.size, bool)
+        return pa.table({
+            "pn": pa.array([int(rev[pm].sum())], pa.int64()),
+            "tn": pa.array([int(rev.sum())], pa.int64())})
+    partial.__name__ = "q14_partial"
+
+    t = collect_table(
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_partkey", "l_shipdate",
+                         "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow"))
+    pn = int(t.column("pn").to_numpy(zero_copy_only=False).sum()) \
+        if "pn" in t.schema.names else 0
+    tn = int(t.column("tn").to_numpy(zero_copy_only=False).sum()) \
+        if "tn" in t.schema.names else 0
+    return pa.table({"promo_units": pa.array([pn], pa.int64()),
+                     "total_units": pa.array([tn], pa.int64())})
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — small-quantity-order revenue: lineitems
+    whose quantity is below 20% of their part's average quantity.
+    The textbook correlated scalar subquery decorrelates to ONE
+    partkey-bounded groupby of (sum qty, n) block partials; the
+    threshold test is then EXACT INTEGER — qty < 0.2·avg ⟺
+    5·n·qty < sum_qty (quantities are integral by TPC-H construction,
+    folded map-side) — so no float threshold ever exists. The
+    per-part table broadcasts (|part|-bounded, standard dim-hatch
+    class) and the final pass is zero-shuffle with O(blocks) scalar
+    partials."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        qty = np.floor(b.column("l_quantity")
+                       .to_numpy(zero_copy_only=False) + 0.5) \
+            .astype(np.int64)
+        t = pa.table({"pk": b.column("l_partkey"),
+                      "sq": pa.array(qty, pa.int64()),
+                      "n": pa.array(np.ones(qty.size, np.int64))})
+        return t.group_by("pk").aggregate(
+            [("sq", "sum"), ("n", "sum")]) \
+            .rename_columns(["pk", "sq", "n"])
+    qty_partial.__name__ = "q17_qty_partial"
+
+    agg = collect_table(
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_partkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("pk").aggregate(Sum("sq", alias_name="sq"),
+                                 Sum("n", alias_name="n")))
+    if "pk" in agg.schema.names and agg.num_rows:
+        pk = agg.column("pk").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk)
+        pk = pk[order]
+        sq = agg.column("sq").to_numpy(zero_copy_only=False)[order]
+        nn = agg.column("n").to_numpy(zero_copy_only=False)[order]
+    else:
+        pk = sq = nn = np.empty(0, np.int64)
+    handle = ray.put((pk, sq, nn))
+
+    def pick(b: pa.Table) -> pa.Table:
+        pks, sqs, ns = ray.get(handle)
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = np.floor(b.column("l_quantity")
+                       .to_numpy(zero_copy_only=False) + 0.5) \
+            .astype(np.int64)
+        if pks.size == 0:
+            return pa.table({"c": pa.array([0], pa.int64()),
+                             "n": pa.array([0], pa.int64())})
+        pos = np.searchsorted(pks, lpk)
+        if pos.size and (pos.max() >= pks.size
+                         or not np.all(pks[pos] == lpk)):
+            raise ValueError("lineitem partkey missing from the "
+                             "per-part aggregate — impossible")
+        m = 5 * ns[pos] * qty < sqs[pos]
+        return pa.table({
+            "c": pa.array([int(_ep_cents(b)[m].sum())], pa.int64()),
+            "n": pa.array([int(m.sum())], pa.int64())})
+    pick.__name__ = "q17_pick"
+
+    t = collect_table(
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_partkey", "l_quantity",
+                         "l_extendedprice"])
+        .map_batches(pick, batch_format="pyarrow"))
+    c = int(t.column("c").to_numpy(zero_copy_only=False).sum()) \
+        if "c" in t.schema.names else 0
+    n = int(t.column("n").to_numpy(zero_copy_only=False).sum()) \
+        if "n" in t.schema.names else 0
+    return pa.table({"rev_cents": pa.array([c], pa.int64()),
+                     "n_rows": pa.array([n], pa.int64())})
+
+
+def q_priority_check(sf_dir: str):
+    """TPC-H Q4 shape — order priority checking: orders placed in a
+    window with at least one LATE lineitem (shipped > 30 days after
+    the order date; the reference columns l_commitdate/l_receiptdate
+    do not exist in this corpus, so lateness is shipdate-based),
+    counted per priority. The correlated EXISTS decorrelates to a
+    per-order MAX: EXISTS(ship > o_day + 30) ⟺ max_ship > o_day + 30,
+    so lineitem pre-reduces per block to (ok, max day) partials, ONE
+    ok-bounded groupby finishes, ONE partitioned hash join attaches
+    (o_day, priority) — orders fold map-side to the date window
+    first — and the count collapses through O(blocks × 5) partials
+    into a tiny groupby."""
+    from ray.data.aggregate import Max, Sum
+
+    lo, hi = _dayc("1996-01-01"), _dayc("1997-01-01")
+
+    def ord_fold(b: pa.Table) -> pa.Table:
+        day = _day(b.column("o_orderdate")
+                   .to_numpy(zero_copy_only=False))
+        m = (day >= lo) & (day < hi)
+        kept = b.filter(pa.array(m))
+        return pa.table({
+            "ok": kept.column("o_orderkey"),
+            "o_day": pa.array(day[m], pa.int64()),
+            "prio": kept.column("o_orderpriority")})
+    ord_fold.__name__ = "q4_order_fold"
+
+    orders_n = _read(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_orderdate",
+                         "o_orderpriority"]) \
+        .map_batches(ord_fold, batch_format="pyarrow").repartition(8)
+
+    def ship_partial(b: pa.Table) -> pa.Table:
+        day = _day(b.column("l_shipdate")
+                   .to_numpy(zero_copy_only=False))
+        t = pa.table({"lk": b.column("l_orderkey"),
+                      "d": pa.array(day, pa.int64())})
+        return t.group_by("lk").aggregate([("d", "max")]) \
+            .rename_columns(["lk", "d"])
+    ship_partial.__name__ = "q4_ship_partial"
+
+    per_ok = _read(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_shipdate"]) \
+        .map_batches(ship_partial, batch_format="pyarrow") \
+        .groupby("lk").aggregate(Max("d", alias_name="d"))
+
+    joined = orders_n.join(per_ok, join_type="inner",
+                           num_partitions=8, on=("ok",),
+                           right_on=("lk",))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        late = (b.column("d").to_numpy(zero_copy_only=False)
+                > b.column("o_day").to_numpy(zero_copy_only=False)
+                + 30)
+        kept = b.filter(pa.array(late))
+        t = pa.table({"o_orderpriority": kept.column("prio"),
+                      "n": pa.array(np.ones(kept.num_rows,
+                                            np.int64))})
+        return t.group_by("o_orderpriority").aggregate(
+            [("n", "sum")]).rename_columns(
+            ["o_orderpriority", "order_count"])
+    count_partial.__name__ = "q4_count_partial"
+
+    return joined.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("order_count", alias_name="order_count"))
+
+
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape — returned-item reporting: top-20 customers by
+    revenue on RETURNED ('R') lineitems of orders placed in a
+    half-year window, with name and nation attached. Scale shape:
+    lineitem filters + pre-aggregates per block to (ok, rev) integer
+    partials BEFORE any movement; orders fold map-side to the window
+    (ok, custkey); ONE partitioned hash join + ONE custkey-bounded
+    groupby; the top-20 cut uses per-block top-k partials (the
+    grouped_topk mask), so only O(blocks × 20) candidates collect;
+    names/nations attach driver-side from the broadcast-class dims.
+    Ties break by custkey — deterministic in both engines."""
+    from ray.data.aggregate import Sum
+
+    from .data.rank import _topk_mask
+    from .io import collect_table
+
+    lo, hi = _dayc("1996-01-01"), _dayc("1996-07-01")
+
+    def li_fold(b: pa.Table) -> pa.Table:
+        rf = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+        kept = b.filter(pa.array(rf == "R"))
+        rev = _ep_cents(kept) * (100 - _disc_pct(kept))
+        t = pa.table({"lk": kept.column("l_orderkey"),
+                      "rev": pa.array(rev, pa.int64())})
+        return t.group_by("lk").aggregate([("rev", "sum")]) \
+            .rename_columns(["lk", "rev"])
+    li_fold.__name__ = "q10_li_fold"
+
+    li = _read(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_returnflag",
+                         "l_extendedprice", "l_discount"]) \
+        .map_batches(li_fold, batch_format="pyarrow")
+
+    def ord_fold(b: pa.Table) -> pa.Table:
+        day = _day(b.column("o_orderdate")
+                   .to_numpy(zero_copy_only=False))
+        kept = b.filter(pa.array((day >= lo) & (day < hi)))
+        return pa.table({"ok": kept.column("o_orderkey"),
+                         "ck": kept.column("o_custkey")})
+    ord_fold.__name__ = "q10_order_fold"
+
+    orders_n = _read(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_fold, batch_format="pyarrow").repartition(8)
+
+    per_cust = li.join(orders_n, join_type="inner",
+                       num_partitions=8, on=("lk",),
+                       right_on=("ok",)) \
+        .groupby("ck").aggregate(Sum("rev", alias_name="rev"))
+
+    def topk_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ck" not in b.schema.names:
+            return pa.table({"ck": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
+        ck = b.column("ck").to_numpy(zero_copy_only=False)
+        rev = b.column("rev").to_numpy(zero_copy_only=False)
+        idx = _topk_mask(np.zeros(ck.size, np.int64), rev, ck, 20)
+        return b.take(pa.array(np.sort(idx)))
+    topk_partial.__name__ = "q10_top20_partial"
+
+    cand = collect_table(per_cust.map_batches(
+        topk_partial, batch_format="pyarrow"))
+    if "ck" not in cand.schema.names or cand.num_rows == 0:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_name": pa.array([], pa.string()),
+                         "n_name": pa.array([], pa.string()),
+                         "rev_units": pa.array([], pa.int64())})
+    ck = cand.column("ck").to_numpy(zero_copy_only=False)
+    rev = cand.column("rev").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ck, -rev))[:20]
+    ck, rev = ck[order], rev[order]
+
+    cust = collect_table(
+        _read(sf_dir, "customer")
+        .select_columns(["c_custkey", "c_name", "c_nationkey"]))
+    cks = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    corder = np.argsort(cks)
+    pos = corder[np.searchsorted(cks[corder], ck)]
+    if not np.all(cks[pos] == ck):
+        raise ValueError("custkey missing from customer dim")
+    names = cust.column("c_name").take(
+        pa.array(pos, pa.int64())).to_pylist()
+    cnk = cust.column("c_nationkey") \
+        .to_numpy(zero_copy_only=False)[pos]
+    nat = collect_table(_read(sf_dir, "nation")
+                        .select_columns(["n_nationkey", "n_name"]))
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False)
+    norder = np.argsort(nk)
+    npos = norder[np.searchsorted(nk[norder], cnk)]
+    nnames = nat.column("n_name").take(
+        pa.array(npos, pa.int64())).to_pylist()
+    return pa.table({
+        "c_custkey": pa.array(ck, pa.int64()),
+        "c_name": pa.array(names, pa.string()),
+        "n_name": pa.array(nnames, pa.string()),
+        "rev_units": pa.array(rev, pa.int64())})
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — top supplier(s): the max-over-aggregate
+    (VIEW + WHERE total = (SELECT max)) composite. Supplier revenue
+    over a quarter reduces map-side to (suppkey, rev) integer
+    partials into ONE supplier-bounded groupby; the aggregate is a
+    DIM-scale table, so the argmax + tie set finish driver-side
+    (broadcast-dim collect class). ALL suppliers achieving the max
+    are returned, orderd by suppkey, as the reference query does."""
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    lo, hi = _dayc("1996-01-01"), _dayc("1996-04-01")
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = _day(b.column("l_shipdate")
+                   .to_numpy(zero_copy_only=False))
+        kept = b.filter(pa.array((day >= lo) & (day < hi)))
+        rev = _ep_cents(kept) * (100 - _disc_pct(kept))
+        t = pa.table({"sk": kept.column("l_suppkey"),
+                      "rev": pa.array(rev, pa.int64())})
+        return t.group_by("sk").aggregate([("rev", "sum")]) \
+            .rename_columns(["sk", "rev"])
+    partial.__name__ = "q15_partial"
+
+    agg = collect_table(
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_suppkey", "l_shipdate",
+                         "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("sk").aggregate(Sum("rev", alias_name="rev")))
+    if "sk" not in agg.schema.names or agg.num_rows == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_units": pa.array([], pa.int64())})
+    sk = agg.column("sk").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    rev = agg.column("rev").to_numpy(zero_copy_only=False)
+    best = rev.max()
+    win = np.sort(sk[rev == best])
+
+    supp = collect_table(_read(sf_dir, "supplier")
+                         .select_columns(["s_suppkey", "s_name"]))
+    sks = supp.column("s_suppkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    sorder = np.argsort(sks)
+    pos = sorder[np.searchsorted(sks[sorder], win)]
+    if not np.all(sks[pos] == win):
+        raise ValueError("suppkey missing from supplier dim")
+    names = supp.column("s_name").take(
+        pa.array(pos, pa.int64())).to_pylist()
+    return pa.table({
+        "s_suppkey": pa.array(win, pa.int64()),
+        "s_name": pa.array(names, pa.string()),
+        "total_units": pa.array(
+            np.full(win.size, best, np.int64), pa.int64())})
+
+
+def q_brand_band_revenue(sf_dir: str):
+    """TPC-H Q19 shape — disjunctive predicate revenue: the
+    OR-of-ANDs (three brand × size-band × quantity-band legs) that
+    defeats naive predicate pushdown. The part attributes broadcast
+    as sorted parallel arrays (|part|-bounded); each leg is one
+    vectorized mask over (brand-code, size, quantity) and the legs
+    OR together map-side — the scan stays ONE zero-shuffle pass
+    emitting O(blocks) scalar partials. Revenue exact integer
+    cents·(100−pct)."""
+    import ray
+
+    from .io import collect_table
+
+    part = collect_table(
+        _read(sf_dir, "part")
+        .select_columns(["p_partkey", "p_brand", "p_size"]))
+    if "p_partkey" in part.schema.names and part.num_rows:
+        pk = part.column("p_partkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        brands = part.column("p_brand").to_pylist()
+        size = part.column("p_size") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        bcode = np.asarray(
+            [int(s.split("#")[1]) for s in brands], np.int64)
+        order = np.argsort(pk)
+        pk, bcode, size = pk[order], bcode[order], size[order]
+    else:
+        pk = bcode = size = np.empty(0, np.int64)
+    handle = ray.put((pk, bcode, size))
+
+    LEGS = ((13, 1, 15, 1, 11), (22, 1, 20, 10, 20),
+            (25, 1, 25, 20, 30))  # (brand, szlo, szhi, qlo, qhi)
+
+    def partial(b: pa.Table) -> pa.Table:
+        pks, bc, sz = ray.get(handle)
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = np.floor(b.column("l_quantity")
+                       .to_numpy(zero_copy_only=False) + 0.5) \
+            .astype(np.int64)
+        if pks.size == 0:
+            return pa.table({"u": pa.array([0], pa.int64()),
+                             "n": pa.array([0], pa.int64())})
+        pos = np.searchsorted(pks, lpk)
+        if pos.size and (pos.max() >= pks.size
+                         or not np.all(pks[pos] == lpk)):
+            raise ValueError("lineitem partkey missing from part dim")
+        lb, ls = bc[pos], sz[pos]
+        m = np.zeros(lpk.size, bool)
+        for brand, szlo, szhi, qlo, qhi in LEGS:
+            m |= ((lb == brand) & (ls >= szlo) & (ls <= szhi)
+                  & (qty >= qlo) & (qty <= qhi))
+        rev = _ep_cents(b) * (100 - _disc_pct(b))
+        return pa.table({
+            "u": pa.array([int(rev[m].sum())], pa.int64()),
+            "n": pa.array([int(m.sum())], pa.int64())})
+    partial.__name__ = "q19_partial"
+
+    t = collect_table(
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_partkey", "l_quantity",
+                         "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow"))
+    u = int(t.column("u").to_numpy(zero_copy_only=False).sum()) \
+        if "u" in t.schema.names else 0
+    n = int(t.column("n").to_numpy(zero_copy_only=False).sum()) \
+        if "n" in t.schema.names else 0
+    return pa.table({"revenue_units": pa.array([u], pa.int64()),
+                     "n_rows": pa.array([n], pa.int64())})
+
+
+def q_spend_hhi(sf_dir: str):
+    """HERFINDAHL–HIRSCHMAN index of customer spend — the
+    market-concentration scalar completing the concentration family
+    (gini, pareto_half): HHI = Σ xᵢ² / (Σ xᵢ)², reported as EXACT
+    integer parts-per-million (floor). Σ x² exceeds int64 (cents² at
+    scale), so each block of the customer-bounded totals emits its
+    Σ x² as a DECIMAL STRING (exact Python-int accumulation over a
+    DIM-bounded table; O(blocks) strings collect) and the driver
+    finishes in arbitrary precision — the oracle mirrors with
+    HUGEINT and // floor division. No sort anywhere."""
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def spend_partial(b: pa.Table) -> pa.Table:
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "k": b.column("o_custkey").cast(pa.int64()),
+            "x": pa.array(np.floor(p * 100.0 + 0.5)
+                          .astype(np.int64), pa.int64())})
+        return t.group_by("k").aggregate([("x", "sum")]) \
+            .rename_columns(["k", "x"])
+    spend_partial.__name__ = "hhi_spend_partial"
+
+    per_cust = _read(sf_dir, "orders") \
+        .select_columns(["o_custkey", "o_totalprice"]) \
+        .map_batches(spend_partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("x", alias_name="x"))
+
+    def sq_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "x" not in b.schema.names:
+            return pa.table({"sx": pa.array([], pa.int64()),
+                             "sx2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        # exact Python-int Σx² — the loop runs over a CUSTOMER-
+        # bounded aggregate, never the fact table
+        sx2 = sum(int(v) * int(v) for v in x)
+        return pa.table({
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sx2": pa.array([str(sx2)], pa.string()),
+            "n": pa.array([x.size], pa.int64())})
+    sq_partial.__name__ = "hhi_square_partial"
+
+    t = collect_table(per_cust.map_batches(
+        sq_partial, batch_format="pyarrow", batch_size=None))
+    if "sx" not in t.schema.names or t.num_rows == 0:
+        return pa.table({"hhi_ppm": pa.array([0], pa.int64()),
+                         "n_customers": pa.array([0], pa.int64())})
+    sx = int(t.column("sx").to_numpy(zero_copy_only=False).sum())
+    n = int(t.column("n").to_numpy(zero_copy_only=False).sum())
+    sx2 = sum(int(s) for s in t.column("sx2").to_pylist())
+    ppm = (1_000_000 * sx2) // (sx * sx) if sx else 0
+    return pa.table({"hhi_ppm": pa.array([ppm], pa.int64()),
+                     "n_customers": pa.array([n], pa.int64())})
+
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -5099,6 +5643,14 @@ QUERIES = {
     "spearman_qty_disc": q_spearman_qty_disc,
     "spend_gini": q_spend_gini,
     "pareto_half": q_pareto_half,
+    "forecast_revenue": q_forecast_revenue,
+    "promo_revenue": q_promo_revenue,
+    "small_qty_revenue": q_small_qty_revenue,
+    "priority_check": q_priority_check,
+    "returned_revenue": q_returned_revenue,
+    "top_supplier": q_top_supplier,
+    "brand_band_revenue": q_brand_band_revenue,
+    "spend_hhi": q_spend_hhi,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -7362,4 +7914,114 @@ ORACLE_SQL["rolling_day_value"] = """
                       RANGE BETWEEN INTERVAL '24 hours' PRECEDING
                       AND CURRENT ROW) AS BIGINT) AS roll
     FROM events
+"""
+
+
+ORACLE_SQL["forecast_revenue"] = """
+    SELECT coalesce(sum(round(l_extendedprice * 100)::BIGINT
+                        * round(l_discount * 100)::BIGINT), 0)::BIGINT
+             AS revenue_units,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1997-01-01'
+      AND round(l_discount * 100)::BIGINT BETWEEN 3 AND 6
+      AND round(l_quantity)::BIGINT < 24
+"""
+
+ORACLE_SQL["promo_revenue"] = """
+    SELECT coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                             ELSE 0 END), 0)::BIGINT AS promo_units,
+           coalesce(sum(rev), 0)::BIGINT AS total_units
+    FROM (SELECT l_partkey,
+                 round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT) AS rev
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1996-03-01'
+            AND l_shipdate <  DATE '1996-04-01') l
+    JOIN part ON p_partkey = l_partkey
+"""
+
+ORACLE_SQL["small_qty_revenue"] = """
+    WITH pq AS (
+      SELECT l_partkey AS pk,
+             sum(round(l_quantity)::BIGINT) AS sq,
+             count(*)::BIGINT AS n
+      FROM lineitem GROUP BY 1)
+    SELECT coalesce(sum(round(l_extendedprice * 100)::BIGINT),
+                    0)::BIGINT AS rev_cents,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem JOIN pq ON pk = l_partkey
+    WHERE 5 * n * round(l_quantity)::BIGINT < sq
+"""
+
+ORACLE_SQL["priority_check"] = """
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate
+                                     + INTERVAL 30 DAY)
+    GROUP BY 1
+"""
+
+ORACLE_SQL["returned_revenue"] = """
+    WITH rev AS (
+      SELECT o_custkey AS ck,
+             sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+               AS rev
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate <  DATE '1996-07-01'
+      GROUP BY 1)
+    SELECT c_custkey, c_name, n_name, rev AS rev_units
+    FROM rev
+    JOIN customer ON c_custkey = ck
+    JOIN nation   ON n_nationkey = c_nationkey
+    ORDER BY rev DESC, c_custkey
+    LIMIT 20
+"""
+
+ORACLE_SQL["top_supplier"] = """
+    WITH r AS (
+      SELECT l_suppkey AS sk,
+             sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+               AS rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate <  DATE '1996-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, rev AS total_units
+    FROM r JOIN supplier ON s_suppkey = sk
+    WHERE rev = (SELECT max(rev) FROM r)
+"""
+
+ORACLE_SQL["brand_band_revenue"] = """
+    SELECT coalesce(sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)),
+                    0)::BIGINT AS revenue_units,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND round(l_quantity)::BIGINT BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 20
+           AND round(l_quantity)::BIGINT BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 25
+           AND round(l_quantity)::BIGINT BETWEEN 20 AND 30)
+"""
+
+ORACLE_SQL["spend_hhi"] = """
+    WITH s AS (
+      SELECT o_custkey,
+             sum(round(o_totalprice * 100)::BIGINT)::HUGEINT AS x
+      FROM orders GROUP BY 1)
+    SELECT ((1000000::HUGEINT * (SELECT sum(x * x) FROM s))
+            // ((SELECT sum(x) FROM s)
+                * (SELECT sum(x) FROM s)))::BIGINT AS hhi_ppm,
+           (SELECT count(*) FROM s)::BIGINT AS n_customers
 """

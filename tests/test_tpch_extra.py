@@ -1,0 +1,170 @@
+"""Round-5 TPC-H widening (Q6/Q14/Q17/Q4/Q10/Q15/Q19 shapes + HHI):
+independent pandas references at sf0.001, plus must-bite guards so a
+predicate that silently stops matching fails the suite."""
+import numpy as np
+import pandas as pd
+import pytest  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+def _li():
+    return pd.read_parquet(f"{SF}/lineitem.parquet")
+
+
+def _cents(s):
+    return np.floor(s.to_numpy() * 100 + 0.5).astype(np.int64)
+
+
+def _qty(s):
+    return np.floor(s.to_numpy() + 0.5).astype(np.int64)
+
+
+def test_forecast_revenue_reference(ray_session):
+    from soupflow.queries import q_forecast_revenue
+    out = q_forecast_revenue(SF).to_pylist()[0]
+    li = _li()
+    day = li.l_shipdate.to_numpy().astype("datetime64[D]")
+    dp = _cents(li.l_discount) // 1  # already pct via *100
+    dp = np.floor(li.l_discount.to_numpy() * 100 + 0.5).astype(np.int64)
+    q = _qty(li.l_quantity)
+    m = ((day >= np.datetime64("1996-01-01"))
+         & (day < np.datetime64("1997-01-01"))
+         & (dp >= 3) & (dp <= 6) & (q < 24))
+    want = int((_cents(li.l_extendedprice)[m] * dp[m]).sum())
+    assert out == {"revenue_units": want, "n_rows": int(m.sum())}
+    assert 0 < m.sum() < len(li)  # predicate bites
+
+
+def test_promo_revenue_reference(ray_session):
+    from soupflow.queries import q_promo_revenue
+    out = q_promo_revenue(SF).to_pylist()[0]
+    li = _li()
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    day = li.l_shipdate.to_numpy().astype("datetime64[D]")
+    m = ((day >= np.datetime64("1996-03-01"))
+         & (day < np.datetime64("1996-04-01")))
+    sel = li[m]
+    dp = np.floor(sel.l_discount.to_numpy() * 100 + 0.5).astype(np.int64)
+    rev = _cents(sel.l_extendedprice) * (100 - dp)
+    promo = set(part[part.p_type == "PROMO"].p_partkey)
+    pm = sel.l_partkey.isin(promo).to_numpy()
+    assert out == {"promo_units": int(rev[pm].sum()),
+                   "total_units": int(rev.sum())}
+    assert 0 < pm.sum() < len(sel)
+
+
+def test_small_qty_revenue_reference(ray_session):
+    from soupflow.queries import q_small_qty_revenue
+    out = q_small_qty_revenue(SF).to_pylist()[0]
+    li = _li()
+    q = _qty(li.l_quantity)
+    g = pd.DataFrame({"pk": li.l_partkey, "q": q}) \
+        .groupby("pk")["q"].agg(["sum", "count"])
+    sq = g["sum"].reindex(li.l_partkey).to_numpy()
+    n = g["count"].reindex(li.l_partkey).to_numpy()
+    m = 5 * n * q < sq
+    assert out == {"rev_cents": int(_cents(li.l_extendedprice)[m].sum()),
+                   "n_rows": int(m.sum())}
+    assert 0 < m.sum() < len(li)
+
+
+def test_priority_check_reference(ray_session):
+    from soupflow.queries import q_priority_check
+    got = {r["o_orderpriority"]: r["order_count"]
+           for r in q_priority_check(SF).take_all()}
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    li = _li()
+    mx = li.groupby("l_orderkey")["l_shipdate"].max()
+    od = od[(od.o_orderdate >= "1996-01-01")
+            & (od.o_orderdate < "1997-01-01")].copy()
+    od["mx"] = mx.reindex(od.o_orderkey).to_numpy()
+    late = od[od.mx > od.o_orderdate + pd.Timedelta(days=30)]
+    want = late.groupby("o_orderpriority").size().to_dict()
+    assert got == want
+    assert 0 < len(late) < len(od)  # EXISTS leg bites both ways
+
+
+def test_returned_revenue_reference(ray_session):
+    from soupflow.queries import q_returned_revenue
+    out = q_returned_revenue(SF).to_pandas()
+    li = _li()
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    na = pd.read_parquet(f"{SF}/nation.parquet")
+    dp = np.floor(li.l_discount.to_numpy() * 100 + 0.5).astype(np.int64)
+    li = li.assign(rev=_cents(li.l_extendedprice) * (100 - dp))
+    li = li[li.l_returnflag == "R"]
+    od = od[(od.o_orderdate >= "1996-01-01")
+            & (od.o_orderdate < "1996-07-01")]
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    per = j.groupby("o_custkey")["rev"].sum().reset_index() \
+        .sort_values(["rev", "o_custkey"],
+                     ascending=[False, True]).head(20)
+    per = per.merge(cu, left_on="o_custkey", right_on="c_custkey") \
+        .merge(na, left_on="c_nationkey", right_on="n_nationkey")
+    want = per[["c_custkey", "c_name", "n_name", "rev"]] \
+        .rename(columns={"rev": "rev_units"})
+    assert out.to_dict("records") == want.to_dict("records")
+    assert len(out) == 20
+
+
+def test_top_supplier_reference(ray_session):
+    from soupflow.queries import q_top_supplier
+    out = q_top_supplier(SF).to_pandas()
+    li = _li()
+    su = pd.read_parquet(f"{SF}/supplier.parquet")
+    day = li.l_shipdate.to_numpy().astype("datetime64[D]")
+    m = ((day >= np.datetime64("1996-01-01"))
+         & (day < np.datetime64("1996-04-01")))
+    sel = li[m]
+    dp = np.floor(sel.l_discount.to_numpy() * 100 + 0.5).astype(np.int64)
+    per = pd.DataFrame({
+        "sk": sel.l_suppkey,
+        "rev": _cents(sel.l_extendedprice) * (100 - dp)}) \
+        .groupby("sk")["rev"].sum()
+    best = per.max()
+    win = sorted(per[per == best].index)
+    assert list(out.s_suppkey) == win
+    assert set(out.total_units) == {best}
+    names = su.set_index("s_suppkey").s_name
+    assert list(out.s_name) == [names[k] for k in win]
+
+
+def test_brand_band_revenue_reference(ray_session):
+    from soupflow.queries import q_brand_band_revenue
+    out = q_brand_band_revenue(SF).to_pylist()[0]
+    li = _li()
+    part = pd.read_parquet(f"{SF}/part.parquet").set_index("p_partkey")
+    brand = part.p_brand.reindex(li.l_partkey).to_numpy()
+    size = part.p_size.reindex(li.l_partkey).to_numpy()
+    q = _qty(li.l_quantity)
+    m = np.zeros(len(li), bool)
+    legs_hit = []
+    for b, slo, shi, qlo, qhi in ((13, 1, 15, 1, 11),
+                                  (22, 1, 20, 10, 20),
+                                  (25, 1, 25, 20, 30)):
+        leg = ((brand == f"Brand#{b}") & (size >= slo) & (size <= shi)
+               & (q >= qlo) & (q <= qhi))
+        legs_hit.append(int(leg.sum()))
+        m |= leg
+    dp = np.floor(li.l_discount.to_numpy() * 100 + 0.5).astype(np.int64)
+    rev = _cents(li.l_extendedprice) * (100 - dp)
+    assert out == {"revenue_units": int(rev[m].sum()),
+                   "n_rows": int(m.sum())}
+    assert all(h > 0 for h in legs_hit)  # every OR leg bites
+
+
+def test_spend_hhi_reference(ray_session):
+    from soupflow.queries import q_spend_hhi
+    out = q_spend_hhi(SF).to_pylist()[0]
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    x = pd.DataFrame({"k": od.o_custkey,
+                      "x": _cents(od.o_totalprice)}) \
+        .groupby("k")["x"].sum()
+    sx = int(x.sum())
+    sx2 = sum(int(v) * int(v) for v in x)
+    assert out == {"hhi_ppm": (1_000_000 * sx2) // (sx * sx),
+                   "n_customers": len(x)}
+    # sanity: HHI of n near-equal shares ~ 1e6/n
+    assert out["hhi_ppm"] >= 1_000_000 // len(x)
