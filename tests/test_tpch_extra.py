@@ -168,3 +168,70 @@ def test_spend_hhi_reference(ray_session):
                    "n_customers": len(x)}
     # sanity: HHI of n near-equal shares ~ 1e6/n
     assert out["hhi_ppm"] >= 1_000_000 // len(x)
+
+
+def test_late_suppliers_randomized_differential(ray_session,
+                                                tmp_path):
+    """Randomized multi-block differential for the one-pass Q21
+    kernel: random (order, supplier, shipdate) corpora written as
+    MULTI-FILE parquet directories (so the sorted stream spans many
+    blocks and the edge-run fixup genuinely fires) vs a scalar pandas
+    reference, across seeds."""
+    import os
+
+    from soupflow.queries import q_late_suppliers
+
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        n_orders, n_supp = 40, 6
+        d0 = pd.Timestamp("1995-01-01")
+        od = pd.DataFrame({
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            "o_orderdate": [d0 + pd.Timedelta(days=int(x))
+                            for x in rng.integers(0, 60, n_orders)]})
+        m = 250
+        li = pd.DataFrame({
+            "l_orderkey": rng.integers(0, n_orders, m)
+            .astype(np.int64),
+            "l_suppkey": rng.integers(0, n_supp, m).astype(np.int64),
+        })
+        li["l_shipdate"] = [
+            od.o_orderdate[k] + pd.Timedelta(days=int(x))
+            for k, x in zip(li.l_orderkey,
+                            rng.integers(0, 120, m))]
+        sup = pd.DataFrame({
+            "s_suppkey": np.arange(n_supp, dtype=np.int64),
+            "s_name": [f"S#{i}" for i in range(n_supp)]})
+
+        d = tmp_path / f"sf_rand{seed}"
+        d.mkdir()
+        (d / "lineitem.parquet").mkdir()
+        (d / "orders.parquet").mkdir()
+        for i in range(5):   # multi-file → multi-block sort input
+            li.iloc[i::5].to_parquet(
+                d / "lineitem.parquet" / f"p{i}.parquet")
+        for i in range(2):
+            od.iloc[i::2].to_parquet(
+                d / "orders.parquet" / f"p{i}.parquet")
+        sup.to_parquet(d / "supplier.parquet")
+
+        # scalar reference
+        per = li.groupby(["l_orderkey", "l_suppkey"])["l_shipdate"] \
+            .max().reset_index()
+        per = per.merge(od, left_on="l_orderkey",
+                        right_on="o_orderkey")
+        per["late"] = (per.l_shipdate - per.o_orderdate
+                       > pd.Timedelta(days=60))
+        g = per.groupby("l_orderkey").agg(
+            ns=("l_suppkey", "size"), nl=("late", "sum"))
+        winners = per[per.late].set_index("l_orderkey").l_suppkey
+        ok = g[(g.ns >= 2) & (g.nl == 1)].index
+        want = winners.loc[winners.index.isin(ok)] \
+            .value_counts().to_dict()
+        want = sorted(((f"S#{k}", int(v)) for k, v in want.items()),
+                      key=lambda t: (-t[1], t[0]))
+
+        out = [(r["s_name"], r["numwait"])
+               for r in q_late_suppliers(str(d)).to_pylist()]
+        assert out == want, (seed, out, want)
+        assert len(out) > 0  # corpus produces winners
