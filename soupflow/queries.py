@@ -5501,6 +5501,113 @@ def q_spend_hhi(sf_dir: str):
 
 
 
+_BFS_PART_OFFSET = 1_000_000
+_BFS_MAX_DEPTH = 4
+
+
+def q_bfs_reach(sf_dir: str):
+    """Iterative BREADTH-FIRST SEARCH over the supplier–part
+    bipartite graph (suppkey ↔ partkey edges from lineitem), from the
+    minimum supplier key, min-depth per node, capped at 4 hops — the
+    frontier-expansion iterative class (vs PageRank's fixed-point
+    over the full vertex set; vs components' label propagation), with
+    an EXACT recursive-CTE oracle. Scale shape: lineitem folds ONCE
+    per block to distinct (s, p) int64 pairs and materializes — every
+    BFS round is then a zero-shuffle map over the SAME narrow blocks
+    with the frontier broadcast as two sorted arrays; per-block
+    partials are neighbor SETS (node-bounded), so each round collects
+    O(blocks × |nodes|) worst-case but typically far less. The
+    visited/depth table is NODE-bounded (dims, not facts) and lives
+    on the driver — for web-scale vertex sets the partitioned
+    escape is a join against a distributed visited table (the
+    dedup.py keeper-map hatch class, documented). Parts offset by
+    10⁶ into the shared node id space (contract: partkey < 10⁶,
+    fails loudly)."""
+    import ray
+
+    from .io import collect_table
+
+    def fold(b: pa.Table) -> pa.Table:
+        s = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if p.size and (p.min() < 0 or p.max() >= _BFS_PART_OFFSET):
+            raise ValueError("bfs_reach node packing requires "
+                             "0 <= partkey < 10^6")
+        code = np.unique(s * np.int64(_BFS_PART_OFFSET) + p)
+        return pa.table({
+            "s": pa.array(code // _BFS_PART_OFFSET, pa.int64()),
+            "p": pa.array(code % _BFS_PART_OFFSET, pa.int64())})
+    fold.__name__ = "bfs_edge_fold"
+
+    pairs = _read(sf_dir, "lineitem") \
+        .select_columns(["l_suppkey", "l_partkey"]) \
+        .map_batches(fold, batch_format="pyarrow").materialize()
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "s" not in b.schema.names:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array(
+            [int(b.column("s").to_numpy(zero_copy_only=False)
+                 .min())], pa.int64())})
+    seed_partial.__name__ = "bfs_seed_partial"
+
+    st = collect_table(pairs.map_batches(
+        seed_partial, batch_format="pyarrow", batch_size=None))
+    if "m" not in st.schema.names or st.num_rows == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "depth": pa.array([], pa.int64())})
+    seed = int(st.column("m").to_numpy(zero_copy_only=False).min())
+
+    nodes = [seed]
+    depths = [0]
+    visited = {seed}
+    f_supp = np.array([seed], np.int64)
+    f_part = np.empty(0, np.int64)   # part keys (unoffset)
+    for d in range(1, _BFS_MAX_DEPTH + 1):
+        handle = ray.put((np.sort(f_supp), np.sort(f_part)))
+
+        def nbrs(b: pa.Table, handle=handle) -> pa.Table:
+            fs, fp = ray.get(handle)
+            if b.num_rows == 0 or "s" not in b.schema.names:
+                return pa.table({"n": pa.array([], pa.int64())})
+            s = b.column("s").to_numpy(zero_copy_only=False)
+            p = b.column("p").to_numpy(zero_copy_only=False)
+
+            def member(arr, sorted_set):
+                if sorted_set.size == 0:
+                    return np.zeros(arr.size, bool)
+                pos = np.minimum(np.searchsorted(sorted_set, arr),
+                                 sorted_set.size - 1)
+                return sorted_set[pos] == arr
+            out = np.concatenate([
+                p[member(s, fs)] + _BFS_PART_OFFSET,
+                s[member(p, fp)]])
+            return pa.table({"n": pa.array(np.unique(out),
+                                           pa.int64())})
+        nbrs.__name__ = f"bfs_neighbors_d{d}"
+
+        t = collect_table(pairs.map_batches(
+            nbrs, batch_format="pyarrow", batch_size=None))
+        cand = np.unique(
+            t.column("n").to_numpy(zero_copy_only=False)) \
+            if "n" in t.schema.names and t.num_rows \
+            else np.empty(0, np.int64)
+        fresh = np.array([c for c in cand.tolist()
+                          if c not in visited], np.int64)
+        if fresh.size == 0:
+            break
+        visited.update(fresh.tolist())
+        nodes.extend(fresh.tolist())
+        depths.extend([d] * fresh.size)
+        f_supp = fresh[fresh < _BFS_PART_OFFSET]
+        f_part = fresh[fresh >= _BFS_PART_OFFSET] - _BFS_PART_OFFSET
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "depth": pa.array(depths, pa.int64())})
+
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -5651,6 +5758,7 @@ QUERIES = {
     "top_supplier": q_top_supplier,
     "brand_band_revenue": q_brand_band_revenue,
     "spend_hhi": q_spend_hhi,
+    "bfs_reach": q_bfs_reach,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -8024,4 +8132,22 @@ ORACLE_SQL["spend_hhi"] = """
             // ((SELECT sum(x) FROM s)
                 * (SELECT sum(x) FROM s)))::BIGINT AS hhi_ppm,
            (SELECT count(*) FROM s)::BIGINT AS n_customers
+"""
+
+
+ORACLE_SQL["bfs_reach"] = """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    edges AS (
+      SELECT s::BIGINT AS x, (p + 1000000)::BIGINT AS y FROM e
+      UNION ALL
+      SELECT (p + 1000000)::BIGINT, s::BIGINT FROM e),
+    bfs(v, d) AS (
+      SELECT (SELECT min(s) FROM e)::BIGINT, 0
+      UNION
+      SELECT edges.y, bfs.d + 1 FROM bfs
+      JOIN edges ON edges.x = bfs.v
+      WHERE bfs.d < 4)
+    SELECT v AS node, min(d)::BIGINT AS depth
+    FROM bfs GROUP BY v
 """

@@ -235,3 +235,34 @@ def test_late_suppliers_randomized_differential(ray_session,
                for r in q_late_suppliers(str(d)).to_pylist()]
         assert out == want, (seed, out, want)
         assert len(out) > 0  # corpus produces winners
+
+
+def test_bfs_reach_reference(ray_session):
+    """Scalar BFS reference over the supplier–part bipartite graph:
+    min-depth per node from the min supplier, capped at 4 hops; the
+    depth distribution must be non-trivial (≥3 distinct depths) so
+    the iterative frontier genuinely expands more than once."""
+    from collections import deque
+
+    from soupflow.queries import q_bfs_reach
+    out = {r["node"]: r["depth"]
+           for r in q_bfs_reach(SF).to_pylist()}
+    li = _li()
+    adj = {}
+    for s, p in set(zip(li.l_suppkey, li.l_partkey)):
+        a, b = int(s), int(p) + 1_000_000
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seed = int(li.l_suppkey.min())
+    want = {seed: 0}
+    q = deque([(seed, 0)])
+    while q:
+        v, d = q.popleft()
+        if d >= 4:
+            continue
+        for w in adj.get(v, ()):
+            if w not in want:
+                want[w] = d + 1
+                q.append((w, d + 1))
+    assert out == want
+    assert len(set(out.values())) >= 3
