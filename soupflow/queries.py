@@ -5155,13 +5155,20 @@ def q_priority_check(sf_dir: str):
     the order date; the reference columns l_commitdate/l_receiptdate
     do not exist in this corpus, so lateness is shipdate-based),
     counted per priority. The correlated EXISTS decorrelates to a
-    per-order MAX: EXISTS(ship > o_day + 30) ⟺ max_ship > o_day + 30,
-    so lineitem pre-reduces per block to (ok, max day) partials, ONE
-    ok-bounded groupby finishes, ONE partitioned hash join attaches
-    (o_day, priority) — orders fold map-side to the date window
-    first — and the count collapses through O(blocks × 5) partials
-    into a tiny groupby."""
-    from ray.data.aggregate import Max, Sum
+    per-order MAX — EXISTS(ship > o_day + 30) ⟺ max_ship > o_day +
+    30 — computed with the late_suppliers ONE-PASS shape instead of
+    groupby + join + groupby: window orders fold to (ok, −1, o_day,
+    prio) SENTINEL rows, lineitem pre-reduces per block to
+    (ok, 0, max day) partials, the union sorts ONCE on (ok, flag)
+    (sentinels lead their runs), and a zero-shuffle segment kernel
+    counts late orders per priority for interior runs — runs WITHOUT
+    a sentinel are orders outside the date window, silently skipped
+    (unlike Q21 where a missing sentinel is an FK violation) — with
+    the ≤2 edge runs per block finishing driver-side through the
+    same kernel. Only O(blocks × 5) count rows ever move."""
+    import ray
+
+    from .io import collect_table
 
     lo, hi = _dayc("1996-01-01"), _dayc("1997-01-01")
 
@@ -5172,49 +5179,115 @@ def q_priority_check(sf_dir: str):
         kept = b.filter(pa.array(m))
         return pa.table({
             "ok": kept.column("o_orderkey"),
-            "o_day": pa.array(day[m], pa.int64()),
-            "prio": kept.column("o_orderpriority")})
+            "fl": pa.array(np.full(kept.num_rows, -1, np.int64)),
+            "d": pa.array(day[m], pa.int64()),
+            "pr": kept.column("o_orderpriority")})
     ord_fold.__name__ = "q4_order_fold"
-
-    orders_n = _read(sf_dir, "orders") \
-        .select_columns(["o_orderkey", "o_orderdate",
-                         "o_orderpriority"]) \
-        .map_batches(ord_fold, batch_format="pyarrow").repartition(8)
 
     def ship_partial(b: pa.Table) -> pa.Table:
         day = _day(b.column("l_shipdate")
                    .to_numpy(zero_copy_only=False))
-        t = pa.table({"lk": b.column("l_orderkey"),
+        t = pa.table({"ok": b.column("l_orderkey"),
                       "d": pa.array(day, pa.int64())})
-        return t.group_by("lk").aggregate([("d", "max")]) \
-            .rename_columns(["lk", "d"])
+        g = t.group_by("ok").aggregate([("d", "max")]) \
+            .rename_columns(["ok", "d"])
+        return pa.table({
+            "ok": g.column("ok"),
+            "fl": pa.array(np.zeros(g.num_rows, np.int64)),
+            "d": g.column("d"),
+            "pr": pa.array([""] * g.num_rows, pa.string())})
     ship_partial.__name__ = "q4_ship_partial"
 
-    per_ok = _read(sf_dir, "lineitem") \
+    merged = _read(sf_dir, "lineitem") \
         .select_columns(["l_orderkey", "l_shipdate"]) \
         .map_batches(ship_partial, batch_format="pyarrow") \
-        .groupby("lk").aggregate(Max("d", alias_name="d"))
+        .union(_read(sf_dir, "orders")
+               .select_columns(["o_orderkey", "o_orderdate",
+                                "o_orderpriority"])
+               .map_batches(ord_fold, batch_format="pyarrow")) \
+        .sort(["ok", "fl"]).materialize()
 
-    joined = orders_n.join(per_ok, join_type="inner",
-                           num_partitions=8, on=("ok",),
-                           right_on=("lk",))
+    def _run_counts(ok, fl, d, pr):
+        """Per-priority late-order counts over a (ok, fl)-sorted
+        slice of COMPLETE runs. Sentinel-less runs (orders outside
+        the window) contribute nothing."""
+        out: dict[str, int] = {}
+        if ok.size == 0:
+            return out
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        rstart = np.flatnonzero(new)
+        rid = np.cumsum(new) - 1
+        has_sent = fl[rstart] == -1
+        # max ship day per run over NON-sentinel rows
+        nsent = fl != -1
+        dmax = np.full(rstart.size, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(dmax, rid[nsent], d[nsent])
+        late = has_sent & (dmax > d[rstart] + 30)
+        ps, cs = np.unique(pr[rstart[late]], return_counts=True)
+        for p, c in zip(ps.tolist(), cs.tolist()):
+            out[p] = out.get(p, 0) + c
+        return out
+    _q4_run_counts = _run_counts
 
-    def count_partial(b: pa.Table) -> pa.Table:
-        late = (b.column("d").to_numpy(zero_copy_only=False)
-                > b.column("o_day").to_numpy(zero_copy_only=False)
-                + 30)
-        kept = b.filter(pa.array(late))
-        t = pa.table({"o_orderpriority": kept.column("prio"),
-                      "n": pa.array(np.ones(kept.num_rows,
-                                            np.int64))})
-        return t.group_by("o_orderpriority").aggregate(
-            [("n", "sum")]).rename_columns(
-            ["o_orderpriority", "order_count"])
-    count_partial.__name__ = "q4_count_partial"
+    def interior_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ok" not in b.schema.names:
+            return pa.table({
+                "o_orderpriority": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())})
+        ok = b.column("ok").to_numpy(zero_copy_only=False)
+        fl = b.column("fl").to_numpy(zero_copy_only=False)
+        d = b.column("d").to_numpy(zero_copy_only=False)
+        pr = np.asarray(b.column("pr").to_pylist(), dtype=object)
+        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
+        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
+                   lo_i)
+        cnt = _q4_run_counts(ok[lo_i:hi_i], fl[lo_i:hi_i],
+                             d[lo_i:hi_i], pr[lo_i:hi_i])
+        return pa.table({
+            "o_orderpriority": pa.array(list(cnt), pa.string()),
+            "n": pa.array(list(cnt.values()), pa.int64())})
+    interior_counts.__name__ = "q4_interior_counts"
 
-    return joined.map_batches(count_partial, batch_format="pyarrow") \
-        .groupby("o_orderpriority") \
-        .aggregate(Sum("order_count", alias_name="order_count"))
+    def edge_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ok" not in b.schema.names:
+            return pa.table({"ok": pa.array([], pa.int64()),
+                             "fl": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64()),
+                             "pr": pa.array([], pa.string())})
+        ok = b.column("ok").to_numpy(zero_copy_only=False)
+        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
+        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
+                   lo_i)
+        keep = np.zeros(ok.size, dtype=bool)
+        keep[:lo_i] = True
+        keep[hi_i:] = True
+        return b.select(["ok", "fl", "d", "pr"]) \
+            .filter(pa.array(keep))
+    edge_rows.__name__ = "q4_edge_rows"
+
+    cand = collect_table(merged.map_batches(
+        interior_counts, batch_format="pyarrow", batch_size=None))
+    side = collect_table(merged.map_batches(
+        edge_rows, batch_format="pyarrow", batch_size=None))
+    counts: dict[str, int] = {}
+    if "o_orderpriority" in cand.schema.names:
+        for p, n in zip(cand.column("o_orderpriority").to_pylist(),
+                        cand.column("n").to_pylist()):
+            counts[p] = counts.get(p, 0) + n
+    if "ok" in side.schema.names and side.num_rows:
+        eo = side.column("ok").to_numpy(zero_copy_only=False)
+        ef = side.column("fl").to_numpy(zero_copy_only=False)
+        ed = side.column("d").to_numpy(zero_copy_only=False)
+        ep = np.asarray(side.column("pr").to_pylist(), dtype=object)
+        eorder = np.lexsort((ef, eo))
+        for p, n in _q4_run_counts(eo[eorder], ef[eorder],
+                                   ed[eorder], ep[eorder]).items():
+            counts[p] = counts.get(p, 0) + n
+    prios = sorted(counts)
+    return pa.table({
+        "o_orderpriority": pa.array(prios, pa.string()),
+        "order_count": pa.array([counts[p] for p in prios],
+                                pa.int64())})
 
 
 def q_returned_revenue(sf_dir: str):

@@ -72,7 +72,7 @@ def test_small_qty_revenue_reference(ray_session):
 def test_priority_check_reference(ray_session):
     from soupflow.queries import q_priority_check
     got = {r["o_orderpriority"]: r["order_count"]
-           for r in q_priority_check(SF).take_all()}
+           for r in q_priority_check(SF).to_pylist()}
     od = pd.read_parquet(f"{SF}/orders.parquet")
     li = _li()
     mx = li.groupby("l_orderkey")["l_shipdate"].max()
