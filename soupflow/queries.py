@@ -5681,6 +5681,72 @@ def q_bfs_reach(sf_dir: str):
 
 
 
+def q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather-class) sink + source round trip — the
+    CUSTOM-FORMAT connector pattern: Ray Data has no IPC
+    reader/writer, so the sink is a map_batches stage where each
+    task serializes ITS OWN block to one `.arrow` file and emits a
+    one-row (path, rows) manifest — the write is distributed, no
+    driver bytes — and the source is `read_binary_files` + a
+    per-file zero-copy `pa.ipc.open_file` decode (the loop is per
+    FILE, bounded by block count, never per row). Values fold to
+    integer cents BEFORE serialization; ONE bounded groupby finishes.
+    Oracle = the same aggregate on the parquet input."""
+    import os
+    import shutil
+    import uuid
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    out = os.path.join("/tmp/soupflow_ipc",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": b.column("event_type").cast(pa.string()),
+            "value_cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64))})
+        path = os.path.join(out, f"{uuid.uuid4().hex}.arrow")
+        with pa.OSFile(path, "wb") as f:
+            with pa.ipc.new_file(f, t.schema) as w:
+                w.write_table(t)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+    write_block.__name__ = "ipc_write_block"
+
+    manifest = _read(sf_dir, "events") \
+        .select_columns(["event_type", "value"]) \
+        .map_batches(write_block, batch_format="pyarrow",
+                     batch_size=None).materialize()
+    n_written = int(sum(r["rows"] for r in manifest.take_all()))
+
+    def decode(b: pa.Table) -> pa.Table:
+        tabs = [pa.ipc.open_file(pa.BufferReader(x)).read_all()
+                for x in b.column("bytes").to_pylist()]
+        if not tabs:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "value_cents": pa.array([], pa.int64())})
+        return pa.concat_tables(tabs)
+    decode.__name__ = "ipc_decode_file"
+
+    agg = ray.data.read_binary_files(out) \
+        .map_batches(decode, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("value_cents", alias_name="sum_cents"),
+            Count(alias_name="n")).materialize()
+    n_read = int(sum(r["n"] for r in agg.take_all()))
+    if n_read != n_written:
+        raise ValueError(f"IPC round trip lost rows: wrote "
+                         f"{n_written}, read {n_read}")
+    return agg
+
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "title_links": q_title_links,
@@ -5832,6 +5898,7 @@ QUERIES = {
     "brand_band_revenue": q_brand_band_revenue,
     "spend_hhi": q_spend_hhi,
     "bfs_reach": q_bfs_reach,
+    "ipc_roundtrip": q_ipc_roundtrip,
     "lineitem_unpivot": q_lineitem_unpivot,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -8223,4 +8290,12 @@ ORACLE_SQL["bfs_reach"] = """
       WHERE bfs.d < 4)
     SELECT v AS node, min(d)::BIGINT AS depth
     FROM bfs GROUP BY v
+"""
+
+
+ORACLE_SQL["ipc_roundtrip"] = """
+    SELECT event_type,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1
 """

