@@ -194,3 +194,65 @@ def bpe_train(ds, text_col: str = "text", num_merges: int = 8):
         "rhs": pa.array(rhss, pa.string()),
         "n_pair": pa.array(cnts, pa.int64())})
     return merges, word_ds
+
+
+def bpe_encode_token_counts(ds, merges: pa.Table,
+                            text_col: str = "text",
+                            doc_id_col: str = "doc_id"):
+    """Apply a trained merge list to the corpus — the tokenizer
+    APPLICATION pass every training pipeline runs after (and far more
+    often than) training — and emit (doc_id, n_words, n_tokens) per
+    document.
+
+    Scale shape: ZERO shuffle. The merge list (k rows) broadcasts via
+    ray.put; each block lowercases + whitespace-splits its own docs,
+    encodes each DISTINCT word in the block exactly once (np.unique
+    + the same vectorized sentinel replace_substring kernel training
+    uses, applied in rank order — distinct-word-bounded work, never
+    per-token), and maps token counts back to docs with one segment
+    sum. Token count per word falls out of the representation itself:
+    a segmentation holds n_sym + 1 double-sentinel boundaries, so
+    n_tokens = count_substring(s, BOUND) - 1 with no split or parse.
+    The identical representation drives the SQL oracle's CTE chain,
+    so per-document counts are bit-comparable across engines."""
+    import ray
+
+    from .textstats import _segment_sum, _text_array, _ws_tokens
+
+    rules = list(zip(merges.column("lhs").to_pylist(),
+                     merges.column("rhs").to_pylist()))
+    handle = ray.put(rules)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        rules_ = ray.get(handle)
+        arr = pc.utf8_lower(_text_array(batch, text_col))
+        offs, flat = _ws_tokens(arr)
+        toks = flat.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        seg = pc.replace_substring_regex(
+            pa.array(uniq, pa.string()), pattern="(.)",
+            replacement=BOUND + r"\1")
+        seg = pc.binary_join_element_wise(
+            seg, pa.array([BOUND] * len(uniq), pa.string()),
+            pa.scalar(""))
+        for lhs, rhs in rules_:
+            seg = pc.replace_substring(
+                seg, pattern=SEP + lhs + BOUND + rhs + SEP,
+                replacement=SEP + lhs + rhs + SEP)
+        # n_sym = boundaries - 1; the "" token (split edge artifact)
+        # segments to a single BOUND -> clamps to 0, matching the
+        # oracle's x <> '' filter without a second pass.
+        ntok_u = np.maximum(
+            pc.count_substring(seg, pattern=BOUND)
+            .to_numpy(zero_copy_only=False).astype(np.int64) - 1, 0)
+        per_tok = ntok_u[inv]
+        n_tokens = _segment_sum(per_tok.astype(np.int64), offs)
+        n_words = _segment_sum((toks != "").astype(np.int64), offs)
+        return pa.table({
+            doc_id_col: batch.column(doc_id_col),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64())})
+    encode.__name__ = "bpe_encode_counts"
+
+    return ds.select_columns([doc_id_col, text_col]) \
+        .map_batches(encode, batch_format="pyarrow")

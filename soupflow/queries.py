@@ -4341,6 +4341,25 @@ def q_bpe_merges(sf_dir: str):
     return merges
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Tokenizer APPLICATION at corpus scale (data/bpe.py
+    bpe_encode_token_counts): train the 8-round BPE merge list, then
+    tokenize every document with it and report per-document
+    (n_words, n_tokens) — the pass that precedes every token-budget
+    decision in a training-data pipeline, run far more often than
+    training itself. Encoding is ZERO-shuffle: the k-rule merge list
+    broadcasts, each block encodes its DISTINCT words once through
+    the same vectorized sentinel replace kernel training uses, and
+    token counts per word are boundary counts of the representation
+    (no split, no per-token work). The oracle extends the bpe_merges
+    CTE chain one step to the final segmentation and joins it back
+    to the per-doc word multiset, so counts are bit-compared."""
+    from .data.bpe import bpe_encode_token_counts, bpe_train
+    docs = _read(sf_dir, "documents")
+    merges, _ = bpe_train(docs, num_merges=_BPE_MERGES)
+    return bpe_encode_token_counts(docs, merges)
+
+
 def _bpe_oracle_sql(k: int = _BPE_MERGES) -> str:
     """The same k BPE rounds as a generated CTE chain: identical
     sentinel segmentation (chr(31) between symbols), identical pair
@@ -4381,6 +4400,58 @@ def _bpe_oracle_sql(k: int = _BPE_MERGES) -> str:
     sel = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS rank, a AS lhs, b AS rhs,"
         f" c AS n_pair FROM b{r}" for r in range(k))
+    return f"WITH {', '.join(ctes)} {sel}"
+
+
+def _bpe_encode_oracle_sql(k: int = _BPE_MERGES) -> str:
+    """The bpe_merges CTE chain extended ONE step to the final
+    segmentation seg{k}, joined back to the per-document word
+    multiset: token count per word = symbol count of its final
+    representation, per-doc totals by LEFT JOIN so wordless docs
+    keep a (0, 0) row — identical semantics to the engine's segment
+    sums over empty token lists."""
+    pair_cte = (
+        "p{r} AS (SELECT string_split(pr, chr(30))[1] a,"
+        " string_split(pr, chr(30))[2] b,"
+        " CAST(sum(n) AS BIGINT) c FROM"
+        " (SELECT unnest(list_transform(range(1, len(ls)),"
+        "   i -> ls[i] || chr(30) || ls[i+1])) pr, n FROM"
+        "  (SELECT n, string_split(trim(s, chr(31)),"
+        "   chr(31) || chr(31)) ls FROM seg{r})) GROUP BY 1, 2)")
+    best_cte = ("b{r} AS (SELECT a, b, c FROM p{r}"
+                " ORDER BY c DESC, a, b LIMIT 1)")
+    next_cte = (
+        "seg{r1} AS (SELECT w, n, replace(s,"
+        " chr(31) || a || chr(31) || chr(31) || b || chr(31),"
+        " chr(31) || a || b || chr(31)) s FROM seg{r}, b{r})")
+    ctes = [
+        "toks AS (SELECT unnest(list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'),"
+        " x -> x <> '')) AS w FROM documents)",
+        "wf AS (SELECT w, CAST(count(*) AS BIGINT) n"
+        " FROM toks GROUP BY w)",
+        "seg0 AS (SELECT w, n, chr(31) || chr(31) ||"
+        " array_to_string(regexp_split_to_array(w, ''),"
+        " chr(31) || chr(31)) || chr(31) || chr(31) s FROM wf)"]
+    for r in range(k):
+        ctes.append(pair_cte.format(r=r))
+        ctes.append(best_cte.format(r=r))
+        ctes.append(next_cte.format(r=r, r1=r + 1))
+    ctes.append(
+        f"wtok AS (SELECT w, CAST(len(string_split(trim(s, chr(31)),"
+        f" chr(31) || chr(31))) AS BIGINT) t FROM seg{k})")
+    ctes.append(
+        "dtoks AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'),"
+        " x -> x <> '')) AS w FROM documents)")
+    sel = (
+        "SELECT d.doc_id,"
+        " CAST(coalesce(count(wt.t), 0) AS BIGINT) AS n_words,"
+        " CAST(coalesce(sum(wt.t), 0) AS BIGINT) AS n_tokens"
+        " FROM documents d"
+        " LEFT JOIN dtoks dt ON dt.doc_id = d.doc_id"
+        " LEFT JOIN wtok wt ON wt.w = dt.w"
+        " GROUP BY d.doc_id")
     return f"WITH {', '.join(ctes)} {sel}"
 
 
@@ -5070,6 +5141,174 @@ def q_promo_revenue(sf_dir: str):
         if "tn" in t.schema.names else 0
     return pa.table({"promo_units": pa.array([pn], pa.int64()),
                      "total_units": pa.array([tn], pa.int64())})
+
+
+_Q8_TARGET_NATION = 3   # numerator supplier nation (suppliers at both SFs)
+_Q8_CUST_REGION = 1     # AMERICA — the market being measured
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape — national market share: the fraction of one
+    region's revenue for one part type that suppliers of one nation
+    captured, per order year, as an EXACT integer (num, den) pair —
+    the ratio never floats (the promo_revenue rule; consumers
+    divide). The 8-way textbook join collapses to ONE partitioned
+    fact-fact join plus dim broadcasts: part folds to a sorted
+    type-match partkey array, supplier to sorted suppkey + target-
+    nation flag, nation×region to the region's nation set, customer
+    to a sorted region-member custkey array (all dim-bounded; beyond
+    driver memory each fold becomes one more partitioned narrow join
+    — the revenue_by_nation hatch). Lineitem pre-aggregates per
+    block to (orderkey, tgt, rev_cents) integer partials BEFORE the
+    join, orders folds to window+region (orderkey, yr) rows, and the
+    final year groupby runs on the window-bounded joined result.
+    Unlike Q7 the denominator spans ALL supplier nations, so a
+    lineitem suppkey missing from the supplier dim would silently
+    drop revenue — that FK violation raises instead."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    tgt, reg = _Q8_TARGET_NATION, _Q8_CUST_REGION
+
+    nat = collect_table(_read(sf_dir, "nation")
+                        .select_columns(["n_nationkey", "n_regionkey"]))
+    if "n_nationkey" in nat.schema.names and nat.num_rows:
+        nk = nat.column("n_nationkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = nat.column("n_regionkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        reg_nations = nk[rk == reg]
+    else:
+        reg_nations = np.empty(0, np.int64)
+
+    part = collect_table(_read(sf_dir, "part")
+                         .select_columns(["p_partkey", "p_type"]))
+    if "p_partkey" in part.schema.names and part.num_rows:
+        pk = part.column("p_partkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.asarray([t == "ECONOMY"
+                        for t in part.column("p_type").to_pylist()])
+        econ = np.sort(pk[m])
+    else:
+        econ = np.empty(0, np.int64)
+
+    supp = collect_table(_read(sf_dir, "supplier")
+                         .select_columns(["s_suppkey", "s_nationkey"]))
+    if "s_suppkey" in supp.schema.names and supp.num_rows:
+        sk = supp.column("s_suppkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        snk = supp.column("s_nationkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(sk)
+        s_keys, s_tgt = sk[o], snk[o] == tgt
+    else:
+        s_keys = np.empty(0, np.int64)
+        s_tgt = np.empty(0, bool)
+
+    cust = collect_table(_read(sf_dir, "customer")
+                         .select_columns(["c_custkey", "c_nationkey"]))
+    if "c_custkey" in cust.schema.names and cust.num_rows:
+        ck = cust.column("c_custkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cnk = cust.column("c_nationkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        c_keys = np.sort(ck[np.isin(cnk, reg_nations)])
+    else:
+        c_keys = np.empty(0, np.int64)
+
+    handle = ray.put((econ, s_keys, s_tgt, c_keys))
+    lo, hi = _dayc("1996-01-01"), _dayc("1998-01-01")
+
+    def ord_fold(b: pa.Table) -> pa.Table:
+        _, _, _, cks = ray.get(handle)
+        day = _day(b.column("o_orderdate")
+                   .to_numpy(zero_copy_only=False))
+        ock = b.column("o_custkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (day >= lo) & (day < hi)
+        if cks.size:
+            pos = np.minimum(np.searchsorted(cks, ock), cks.size - 1)
+            m &= cks[pos] == ock
+        else:
+            m[:] = False
+        kept = b.filter(pa.array(m))
+        yr = kept.column("o_orderdate") \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": kept.column("o_orderkey"),
+                         "yr": pa.array(yr, pa.int64())})
+    ord_fold.__name__ = "q8_order_fold"
+
+    def li_fold(bt: pa.Table) -> pa.Table:
+        econ_, sks, stgt, _ = ray.get(handle)
+        lpk = bt.column("l_partkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        if econ_.size:
+            pos = np.minimum(np.searchsorted(econ_, lpk),
+                             econ_.size - 1)
+            m = econ_[pos] == lpk
+        else:
+            m = np.zeros(lpk.size, bool)
+        kept = bt.filter(pa.array(m))
+        lsk = kept.column("l_suppkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        if sks.size:
+            pos = np.minimum(np.searchsorted(sks, lsk), sks.size - 1)
+            ok = sks[pos] == lsk
+            tflag = stgt[pos] & ok
+        else:
+            ok = np.zeros(lsk.size, bool)
+            tflag = ok
+        if not bool(ok.all()):
+            raise ValueError(
+                "market_share: l_suppkey missing from supplier dim "
+                "— denominator would silently lose revenue")
+        rev = _ep_cents(kept) * (100 - _disc_pct(kept))
+        t = pa.table({"l_orderkey": kept.column("l_orderkey"),
+                      "tgt": pa.array(tflag.astype(np.int64),
+                                      pa.int64()),
+                      "rev": pa.array(rev, pa.int64())})
+        return t.group_by(["l_orderkey", "tgt"]) \
+            .aggregate([("rev", "sum")]) \
+            .rename_columns(["l_orderkey", "tgt", "rev"])
+    li_fold.__name__ = "q8_lineitem_fold"
+
+    orders_n = _read(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_fold, batch_format="pyarrow").repartition(8)
+    li = _read(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_partkey", "l_suppkey",
+                         "l_extendedprice", "l_discount"]) \
+        .map_batches(li_fold, batch_format="pyarrow")
+    joined = li.join(orders_n, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def fin_partial(b: pa.Table) -> pa.Table:
+        yr = b.column("yr").to_numpy(zero_copy_only=False)
+        tg = b.column("tgt").to_numpy(zero_copy_only=False)
+        rv = b.column("rev").to_numpy(zero_copy_only=False)
+        ys, inv = np.unique(yr, return_inverse=True)
+        den = np.zeros(ys.size, np.int64)
+        np.add.at(den, inv, rv)
+        num = np.zeros(ys.size, np.int64)
+        np.add.at(num, inv, rv * tg)
+        return pa.table({"yr": pa.array(ys, pa.int64()),
+                         "num_cents": pa.array(num, pa.int64()),
+                         "den_cents": pa.array(den, pa.int64())})
+    fin_partial.__name__ = "q8_finish_partial"
+
+    agg = collect_table(
+        joined.map_batches(fin_partial, batch_format="pyarrow")
+        .groupby("yr")
+        .aggregate(Sum("num_cents", alias_name="num_cents"),
+                   Sum("den_cents", alias_name="den_cents")))
+    if "yr" not in agg.schema.names:
+        return pa.table({"yr": pa.array([], pa.int64()),
+                         "num_cents": pa.array([], pa.int64()),
+                         "den_cents": pa.array([], pa.int64())})
+    return agg.select(["yr", "num_cents", "den_cents"])
 
 
 def q_small_qty_revenue(sf_dir: str):
@@ -5867,6 +6106,7 @@ QUERIES = {
     "lineitem_skyline": q_lineitem_skyline,
     "shuffle_rank": q_shuffle_rank,
     "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
     "custdist": q_custdist,
     "user_paths": q_user_paths,
     "late_suppliers": q_late_suppliers,
@@ -5891,6 +6131,7 @@ QUERIES = {
     "pareto_half": q_pareto_half,
     "forecast_revenue": q_forecast_revenue,
     "promo_revenue": q_promo_revenue,
+    "market_share": q_market_share,
     "small_qty_revenue": q_small_qty_revenue,
     "priority_check": q_priority_check,
     "returned_revenue": q_returned_revenue,
@@ -7647,6 +7888,7 @@ ORACLE_SQL["shuffle_rank"] = """
 """
 
 ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
+ORACLE_SQL["bpe_token_counts"] = _bpe_encode_oracle_sql()
 
 ORACLE_SQL["user_paths"] = """
     SELECT user_id,
@@ -8188,6 +8430,30 @@ ORACLE_SQL["promo_revenue"] = """
           WHERE l_shipdate >= DATE '1996-03-01'
             AND l_shipdate <  DATE '1996-04-01') l
     JOIN part ON p_partkey = l_partkey
+"""
+
+ORACLE_SQL["market_share"] = """
+    WITH base AS (
+      SELECT year(o_orderdate)::BIGINT AS yr,
+             round(l_extendedprice * 100)::BIGINT
+               * (100 - round(l_discount * 100)::BIGINT) AS vol,
+             s_nationkey AS sn
+      FROM lineitem
+      JOIN part      ON p_partkey = l_partkey
+      JOIN supplier  ON s_suppkey = l_suppkey
+      JOIN orders    ON o_orderkey = l_orderkey
+      JOIN customer  ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      WHERE n1.n_regionkey = 1
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT yr,
+           sum(CASE WHEN sn = 3 THEN vol ELSE 0 END)::BIGINT
+             AS num_cents,
+           sum(vol)::BIGINT AS den_cents
+    FROM base GROUP BY yr
 """
 
 ORACLE_SQL["small_qty_revenue"] = """

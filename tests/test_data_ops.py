@@ -1142,3 +1142,40 @@ def test_bpe_train_exhausted_vocabulary_raises(ray_session):
     tbl = pa.table({"text": pa.array(["ab ab ab cd"])})
     with pytest.raises(ValueError):
         bpe_train(_ray_ds(tbl, 1), num_merges=5)
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_bpe_encode_counts_match_scalar_reference(ray_session,
+                                                  blocks):
+    """Tokenizer application: per-doc token counts equal the scalar
+    Sennrich reference's final segmentations summed over each doc's
+    word multiset; a wordless doc keeps a (0, 0) row; merges must
+    genuinely compress (n_tokens < n_chars for merged-word docs)."""
+    from soupflow.data.bpe import bpe_encode_token_counts, bpe_train
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wider wide wide widest",
+        "aaa aaaa aaa",
+        "",                       # wordless doc -> (0, 0)
+        "   ",                    # whitespace-only -> (0, 0)
+    ] * 2
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(texts))]),
+        "text": pa.array(texts)})
+    k = 7
+    _, ref_segs = _bpe_ref([t for t in texts if t.strip()], k)
+    merges, _ = bpe_train(_ray_ds(tbl, blocks), num_merges=k)
+    out = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in bpe_encode_token_counts(
+               _ray_ds(tbl, blocks), merges).take_all()}
+    assert len(out) == len(texts)
+    compressed = 0
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        want = (len(words), sum(len(ref_segs[w]) for w in words))
+        assert out[f"d{i}"] == want, (i, t, out[f"d{i}"], want)
+        if words and want[1] < sum(len(w) for w in words):
+            compressed += 1
+    assert compressed > 0          # the merge list actually bites
+    assert out["d4"] == (0, 0) and out["d5"] == (0, 0)

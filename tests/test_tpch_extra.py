@@ -54,6 +54,38 @@ def test_promo_revenue_reference(ray_session):
     assert 0 < pm.sum() < len(sel)
 
 
+def test_market_share_reference(ray_session):
+    from soupflow.queries import q_market_share
+    out = {r["yr"]: (r["num_cents"], r["den_cents"])
+           for r in q_market_share(SF).to_pylist()}
+    li = _li()
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    su = pd.read_parquet(f"{SF}/supplier.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    na = pd.read_parquet(f"{SF}/nation.parquet")
+    dp = np.floor(li.l_discount.to_numpy() * 100 + 0.5).astype(np.int64)
+    li = li.assign(rev=_cents(li.l_extendedprice) * (100 - dp))
+    li = li[li.l_partkey.isin(
+        set(part[part.p_type == "ECONOMY"].p_partkey))]
+    reg_nat = set(na[na.n_regionkey == 1].n_nationkey)
+    od = od[(od.o_orderdate >= "1996-01-01")
+            & (od.o_orderdate < "1998-01-01")
+            & od.o_custkey.isin(
+                set(cu[cu.c_nationkey.isin(reg_nat)].c_custkey))]
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    j["yr"] = j.o_orderdate.dt.year
+    sn = su.set_index("s_suppkey").s_nationkey
+    j["tgt"] = sn.reindex(j.l_suppkey).to_numpy() == 3
+    g = j.groupby("yr")
+    want = {int(y): (int(sub.rev[sub.tgt].sum()), int(sub.rev.sum()))
+            for y, sub in g}
+    assert out == want
+    assert len(out) == 2                       # both window years
+    for num, den in out.values():              # share strictly inside
+        assert 0 < num < den                   # (0, 1) — all legs bite
+
+
 def test_small_qty_revenue_reference(ray_session):
     from soupflow.queries import q_small_qty_revenue
     out = q_small_qty_revenue(SF).to_pylist()[0]
