@@ -63,7 +63,7 @@ TIMED_QUERIES = [
     "spearman_qty_disc", "spend_gini", "top_terms_per_lang",
     "pareto_half",
     "priority_check", "returned_revenue", "spend_hhi",
-    "bfs_reach",
+    "bfs_reach", "market_share", "bpe_token_counts",
     # priority_trend shares dense_daily's lattice scan;
     # sales_opportunity / median_value_by_type / compact & csv
     # roundtrips share timed machinery — oracle-gated.

@@ -5147,7 +5147,7 @@ _Q8_TARGET_NATION = 3   # numerator supplier nation (suppliers at both SFs)
 _Q8_CUST_REGION = 1     # AMERICA — the market being measured
 
 
-def q_market_share(sf_dir: str):
+def q_market_share(sf_dir: str, num_partitions: int = 8):
     """TPC-H Q8 shape — national market share: the fraction of one
     region's revenue for one part type that suppliers of one nation
     captured, per order year, as an EXACT integer (num, den) pair —
@@ -5277,12 +5277,14 @@ def q_market_share(sf_dir: str):
 
     orders_n = _read(sf_dir, "orders") \
         .select_columns(["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(ord_fold, batch_format="pyarrow").repartition(8)
+        .map_batches(ord_fold, batch_format="pyarrow") \
+        .repartition(num_partitions)
     li = _read(sf_dir, "lineitem") \
         .select_columns(["l_orderkey", "l_partkey", "l_suppkey",
                          "l_extendedprice", "l_discount"]) \
         .map_batches(li_fold, batch_format="pyarrow")
-    joined = li.join(orders_n, join_type="inner", num_partitions=8,
+    joined = li.join(orders_n, join_type="inner",
+                     num_partitions=num_partitions,
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def fin_partial(b: pa.Table) -> pa.Table:
