@@ -5218,6 +5218,19 @@ def q_market_share(sf_dir: str, num_partitions: int = 8):
     else:
         c_keys = np.empty(0, np.int64)
 
+    empty = pa.table({"yr": pa.array([], pa.int64()),
+                      "num_cents": pa.array([], pa.int64()),
+                      "den_cents": pa.array([], pa.int64())})
+    # Ray 2.49 hash joins crash on a FULLY-empty side (map-filtered-
+    # empty blocks are fine) — short-circuit the no-revenue-possible
+    # regimes before the fact scan: an empty type-match or region
+    # customer set, or zero-row fact tables (count() here is parquet-
+    # metadata-only, no scan).
+    if (econ.size == 0 or c_keys.size == 0
+            or _read(sf_dir, "lineitem").count() == 0
+            or _read(sf_dir, "orders").count() == 0):
+        return empty
+
     handle = ray.put((econ, s_keys, s_tgt, c_keys))
     lo, hi = _dayc("1996-01-01"), _dayc("1998-01-01")
 
@@ -5307,9 +5320,7 @@ def q_market_share(sf_dir: str, num_partitions: int = 8):
         .aggregate(Sum("num_cents", alias_name="num_cents"),
                    Sum("den_cents", alias_name="den_cents")))
     if "yr" not in agg.schema.names:
-        return pa.table({"yr": pa.array([], pa.int64()),
-                         "num_cents": pa.array([], pa.int64()),
-                         "den_cents": pa.array([], pa.int64())})
+        return empty
     return agg.select(["yr", "num_cents", "den_cents"])
 
 
@@ -5546,6 +5557,15 @@ def q_returned_revenue(sf_dir: str):
 
     from .data.rank import _topk_mask
     from .io import collect_table
+
+    # Ray 2.49 hash joins crash on a FULLY-empty side — short-circuit
+    # zero-row fact tables (metadata-only counts, no scan).
+    if (_read(sf_dir, "lineitem").count() == 0
+            or _read(sf_dir, "orders").count() == 0):
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_name": pa.array([], pa.string()),
+                         "n_name": pa.array([], pa.string()),
+                         "rev_units": pa.array([], pa.int64())})
 
     lo, hi = _dayc("1996-01-01"), _dayc("1996-07-01")
 
