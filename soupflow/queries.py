@@ -8587,3 +8587,117 @@ ORACLE_SQL["ipc_roundtrip"] = """
            count(*)::BIGINT AS n
     FROM events GROUP BY 1
 """
+
+
+# -- Catalog-wide empty-input guard ------------------------------------------
+# Ray 2.49 has two crash classes when a query's inputs are FULLY empty
+# (the filter-eliminated-everything regime a production pipeline hits):
+# hash joins fail with ArrowInvalid when a side holds zero rows across
+# all blocks, and collecting an all-empty groupby/sort yields a
+# SCHEMA-LESS table whose column access KeyErrors. Queries with
+# in-function guards handle this themselves; for the rest, the
+# registration-level guard below short-circuits to the query's
+# typed-empty result when EVERY corpus table its oracle references is
+# zero-row. Counts come from parquet FOOTERS (sub-ms, no Ray work);
+# partial emptiness (only some tables empty) is the map-filtered-
+# blocks regime, which the pipelines already survive. The schemas were
+# captured from each query's real sf0.001 output, so the empty result
+# is column- and type-identical to the non-empty one.
+
+_EMPTY_GUARD_TYPES = {"int64": pa.int64(), "double": pa.float64(),
+                      "string": pa.string()}
+
+_CORPUS_TABLES = ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings")
+
+EMPTY_RESULT_SCHEMAS = {
+    "ann_ivf": [("query_id", "int64"), ("neighbor_id", "int64"), ("rank", "int64")],
+    "ann_topk": [("query_id", "int64"), ("neighbor_id", "int64"), ("rank", "int64")],
+    "big_orders": [("c_name", "string"), ("o_custkey", "int64"), ("o_orderkey", "int64"), ("price_cents", "int64"), ("total_qty", "int64")],
+    "bm25": [("doc_id", "int64"), ("score", "double")],
+    "bpe_merges": [("rank", "int64"), ("lhs", "string"), ("rhs", "string"), ("n_pair", "int64")],
+    "bpe_token_counts": [("doc_id", "int64"), ("n_words", "int64"), ("n_tokens", "int64")],
+    "compact_roundtrip": [("event_type", "string"), ("sum_cents", "int64"), ("n", "int64")],
+    "components_partitioned": [("doc_id", "int64"), ("component", "int64")],
+    "corr_by_flag": [("l_returnflag", "string"), ("n", "int64"), ("corr", "double")],
+    "csv_roundtrip": [("priority", "string"), ("sum_cents", "int64"), ("n", "int64")],
+    "embed_components": [("vec_id", "int64"), ("component", "int64")],
+    "embed_near_dups_lsh": [("id_a", "int64"), ("id_b", "int64")],
+    "embed_quantize": [("vec_id", "int64"), ("dim", "int64"), ("code", "int64")],
+    "favorite_event": [("user_id", "int64"), ("fav", "string"), ("n", "int64")],
+    "heavy_hitters": [("term", "string"), ("true_cnt", "int64"), ("cms_est", "int64")],
+    "ipc_roundtrip": [("event_type", "string"), ("sum_cents", "int64"), ("n", "int64")],
+    "iqr_outliers": [("doc_id", "int64"), ("lang", "string"), ("n_chars", "int64")],
+    "join_broadcast": [("segment", "string"), ("n", "int64")],
+    "jsonl_roundtrip": [("event_type", "string"), ("sum_cents", "int64"), ("n", "int64")],
+    "kmeans": [("cluster", "int64"), ("n", "int64")],
+    "len_quantiles": [("q_pct", "int64"), ("value", "int64")],
+    "length_band": [("doc_id", "int64"), ("n_chars", "int64")],
+    "lineitem_skyline": [("qty", "int64"), ("cents", "int64"), ("n", "int64")],
+    "mg_heavy_hitters": [("term", "string"), ("n_occurrences", "int64")],
+    "minhash_dups_partitioned": [("doc_id", "int64"), ("dup_of", "int64")],
+    "nation_customer_stats": [("n_name", "string"), ("n_customers", "int64"), ("bal_cents", "int64")],
+    "order_quartile": [("o_orderkey", "int64"), ("o_custkey", "int64"), ("tile", "int64")],
+    "orders_with_returns": [("o_orderpriority", "string"), ("n_orders", "int64")],
+    "pagerank": [("doc_id", "int64"), ("rank_i", "int64")],
+    "pareto_half": [("k_customers", "int64"), ("topk_cents", "int64"), ("total_cents", "int64")],
+    "partitioned_write": [("lang", "string"), ("n", "int64")],
+    "priority_by_status": [("l_linestatus", "string"), ("high_lines", "int64"), ("low_lines", "int64")],
+    "priority_status_chi2": [("chi2", "double"), ("dof", "int64"), ("n", "int64")],
+    "priority_trend": [("priority", "string"), ("slope_num", "int64"), ("slope_den", "int64")],
+    "retention_cohorts": [("cohort_day", "string"), ("k", "int64"), ("n_users", "int64")],
+    "revenue_by_nation": [("n_name", "string"), ("revenue_i", "int64")],
+    "revenue_cube": [("prio", "string"), ("yr", "int64"), ("rev_cents", "int64"), ("n_orders", "int64")],
+    "revenue_rollup": [("prio", "string"), ("yr", "int64"), ("rev_cents", "int64"), ("n_orders", "int64")],
+    "rolling_day_value": [("event_id", "int64"), ("roll", "int64")],
+    "sales_opportunity": [("c_nationkey", "int64"), ("cnt", "int64"), ("bal_cents", "int64")],
+    "shipping_priority": [("l_orderkey", "int64"), ("rev_i", "int64"), ("o_day", "string")],
+    "shuffle_rank": [("doc_id", "int64"), ("pos", "int64")],
+    "simhash_dups_partitioned": [("doc_id", "int64"), ("dup_of", "int64")],
+    "snapshot_dedup_partitioned": [("doc_id", "int64"), ("text", "string"), ("fp", "string")],
+    "spearman_qty_disc": [("l_returnflag", "string"), ("n", "int64"), ("rho", "double")],
+    "spend_gini": [("gini_num", "int64"), ("gini_den", "int64"), ("n_customers", "int64")],
+    "tfidf_topk": [("doc_id", "int64"), ("term", "string"), ("tfidf", "double")],
+    "top_terms_per_lang": [("lang", "string"), ("term", "string"), ("n", "int64")],
+    "volume_shipping": [("supp_nation", "string"), ("cust_nation", "string"), ("yr", "int64"), ("rev_cents", "int64")],
+    "zscore_by_lang": [("doc_id", "int64"), ("lang", "string"), ("z", "double")],
+}
+
+
+def _table_rows_meta(sf_dir: str, table: str) -> int:
+    """Row count from parquet footers — no Ray task, no column scan.
+    Falls back to a Dataset metadata count for non-parquet corpora."""
+    import os
+
+    import pyarrow.parquet as pq
+    p = f"{sf_dir}/{table}.parquet"
+    try:
+        if os.path.isdir(p):
+            return sum(
+                pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+                for f in os.listdir(p) if f.endswith(".parquet"))
+        return pq.ParquetFile(p).metadata.num_rows
+    except Exception:
+        return _read(sf_dir, table).count()
+
+
+def _empty_guarded(name: str, fn):
+    import functools
+    import re as _re
+    cols = EMPTY_RESULT_SCHEMAS[name]
+    sql = ORACLE_SQL.get(name, "")
+    tables = tuple(t for t in _CORPUS_TABLES
+                   if _re.search(rf"\b{t}\b", sql)) or ("documents",)
+
+    @functools.wraps(fn)
+    def wrapped(sf_dir: str, **kwargs):
+        if all(_table_rows_meta(sf_dir, t) == 0 for t in tables):
+            return pa.table({c: pa.array([], _EMPTY_GUARD_TYPES[t])
+                             for c, t in cols})
+        return fn(sf_dir, **kwargs)
+    return wrapped
+
+
+for _name in EMPTY_RESULT_SCHEMAS:
+    QUERIES[_name] = _empty_guarded(_name, QUERIES[_name])

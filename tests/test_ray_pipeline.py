@@ -2869,3 +2869,55 @@ def test_partitioned_hatches_empty_sf_dirs(ray_session, tmp_path):
     assert fv.count() == 0
     bo = q_big_orders(sf, join="partitioned", num_partitions=2)
     assert bo.count() == 0
+
+
+def test_catalog_wide_empty_guard(ray_session, tmp_path):
+    """The registration-level empty-input guard: on a fully-empty sf
+    dir (real schemas, zero rows — the filter-eliminated-everything
+    regime) every guarded query returns its typed-empty result via
+    parquet-footer counts alone, instead of tripping Ray 2.49's
+    empty-side hash-join failure or a schema-less-collect KeyError.
+    The result's columns and types must equal the captured real-output
+    schema, so downstream consumers see an identical contract."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from soupflow.queries import (_EMPTY_GUARD_TYPES,
+                                  EMPTY_RESULT_SCHEMAS, QUERIES)
+
+    d = tmp_path / "sf_all_empty"
+    d.mkdir()
+    for p in glob.glob(f"{SF}/*.parquet"):
+        schema = pq.read_schema(p)
+        pq.write_table(schema.empty_table(),
+                       str(d / os.path.basename(p)))
+
+    assert len(EMPTY_RESULT_SCHEMAS) == 50
+    for name, cols in EMPTY_RESULT_SCHEMAS.items():
+        out = QUERIES[name](str(d))
+        assert isinstance(out, pa.Table), name
+        assert out.num_rows == 0, name
+        assert out.schema.names == [c for c, _ in cols], name
+        for (c, t) in cols:
+            assert out.schema.field(c).type == _EMPTY_GUARD_TYPES[t], \
+                (name, c)
+
+
+def test_table_rows_meta_footer_counts(tmp_path):
+    """_table_rows_meta reads row counts from parquet footers for both
+    single-file and directory-of-files layouts — no Ray session."""
+    import pandas as pd
+
+    from soupflow.queries import _table_rows_meta
+
+    pd.DataFrame({"x": [1, 2, 3]}).to_parquet(tmp_path / "t.parquet")
+    assert _table_rows_meta(str(tmp_path), "t") == 3
+
+    d = tmp_path / "u.parquet"
+    d.mkdir()
+    pd.DataFrame({"x": [1]}).to_parquet(d / "a.parquet")
+    pd.DataFrame({"x": [2, 3]}).to_parquet(d / "b.parquet")
+    assert _table_rows_meta(str(tmp_path), "u") == 3
