@@ -1843,44 +1843,125 @@ def q_corr_by_flag(sf_dir: str):
 
 
 def q_orders_with_returns(sf_dir: str):
-    """EXISTS semi-join (TPC-H Q4 shape): count orders by priority
-    having at least one returned lineitem. The key set is a large
-    fraction of the fact table — too big to broadcast (contrast
-    customers_no_orders) — so this is the partitioned path: map-side
-    per-block distinct of the filtered fact keys, ONE groupby dedups
-    them globally, ONE partitioned hash join semi-joins orders, and
-    the final count pre-aggregates per block before a tiny
-    groupby(priority) sum."""
-    from ray.data.aggregate import Count, Sum
+    """EXISTS semi-join: count orders by priority having at least one
+    returned lineitem. The key set is a large fraction of the fact
+    table — too big to broadcast (contrast customers_no_orders) — and
+    previously ran as groupby + partitioned join + groupby (three
+    wide ops at Ray sort fixed cost). Round 5: the ONE-PASS sentinel
+    shape (the late_suppliers / priority_check kernel family): every
+    order folds to a (ok, −1, prio) SENTINEL row, lineitem pre-dedups
+    per block to distinct R-keys (ok, 0), the union sorts ONCE on
+    (ok, fl) so sentinels lead their runs, and a zero-shuffle segment
+    kernel counts runs with a non-empty tail per priority — a
+    COMPLETE run without a sentinel is an R-lineitem whose order is
+    missing, an FK violation that raises (no window filter here, so
+    unlike Q4 every order emits a sentinel). The ≤2 edge runs per
+    block finish driver-side through the same kernel; only
+    O(blocks × 5) count rows ever move."""
+    from .io import collect_table
 
-    def rkeys(b: pa.Table) -> pa.Table:
+    def ord_fold(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ok": b.column("o_orderkey"),
+            "fl": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "pr": b.column("o_orderpriority")})
+    ord_fold.__name__ = "owr_order_fold"
+
+    def li_fold(b: pa.Table) -> pa.Table:
         mask = pc.equal(b.column("l_returnflag"), "R")
-        k = b.filter(mask).column("l_orderkey") \
-            .to_numpy(zero_copy_only=False)
-        return pa.table({"o_orderkey": pa.array(np.unique(k),
-                                                pa.int64())})
-    rkeys.__name__ = "returned_order_keys"
+        k = np.unique(b.filter(mask).column("l_orderkey")
+                      .to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({
+            "ok": pa.array(k, pa.int64()),
+            "fl": pa.array(np.zeros(k.size, np.int64)),
+            "pr": pa.array([""] * k.size, pa.string())})
+    li_fold.__name__ = "owr_rkey_fold"
 
-    keys = _read(sf_dir, "lineitem") \
+    merged = _read(sf_dir, "lineitem") \
         .select_columns(["l_orderkey", "l_returnflag"]) \
-        .map_batches(rkeys, batch_format="pyarrow") \
-        .groupby("o_orderkey").aggregate(Count(alias_name="cnt")) \
-        .select_columns(["o_orderkey"]).repartition(8)
+        .map_batches(li_fold, batch_format="pyarrow") \
+        .union(_read(sf_dir, "orders")
+               .select_columns(["o_orderkey", "o_orderpriority"])
+               .map_batches(ord_fold, batch_format="pyarrow")) \
+        .sort(["ok", "fl"]).materialize()
 
-    joined = _read(sf_dir, "orders") \
-        .select_columns(["o_orderkey", "o_orderpriority"]) \
-        .join(keys, join_type="inner", num_partitions=8,
-              on=("o_orderkey",))
+    def _run_counts(ok, fl, pr):
+        """Per-priority counts of runs with ≥1 non-sentinel row over
+        a (ok, fl)-sorted slice of COMPLETE runs."""
+        out: dict[str, int] = {}
+        if ok.size == 0:
+            return out
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        rstart = np.flatnonzero(new)
+        rid = np.cumsum(new) - 1
+        has_sent = fl[rstart] == -1
+        if not bool(has_sent.all()):
+            raise ValueError(
+                "orders_with_returns: returned lineitem orderkey "
+                "missing from orders — FK violation")
+        tail = np.bincount(rid[fl != -1],
+                           minlength=rstart.size) > 0
+        ps, cs = np.unique(pr[rstart[tail]], return_counts=True)
+        for p, c in zip(ps.tolist(), cs.tolist()):
+            out[p] = out.get(p, 0) + c
+        return out
+    _owr_run_counts = _run_counts
 
-    def count_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by("o_orderpriority").aggregate(
-            [("o_orderkey", "count")])
-        return g.rename_columns(["o_orderpriority", "n_orders"])
-    count_partial.__name__ = "priority_count_partial"
+    def interior_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ok" not in b.schema.names:
+            return pa.table({
+                "o_orderpriority": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())})
+        ok = b.column("ok").to_numpy(zero_copy_only=False)
+        fl = b.column("fl").to_numpy(zero_copy_only=False)
+        pr = np.asarray(b.column("pr").to_pylist(), dtype=object)
+        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
+        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
+                   lo_i)
+        cnt = _owr_run_counts(ok[lo_i:hi_i], fl[lo_i:hi_i],
+                              pr[lo_i:hi_i])
+        return pa.table({
+            "o_orderpriority": pa.array(list(cnt), pa.string()),
+            "n": pa.array(list(cnt.values()), pa.int64())})
+    interior_counts.__name__ = "owr_interior_counts"
 
-    return joined.map_batches(count_partial, batch_format="pyarrow") \
-        .groupby("o_orderpriority").aggregate(
-            Sum("n_orders", alias_name="n_orders"))
+    def edge_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ok" not in b.schema.names:
+            return pa.table({"ok": pa.array([], pa.int64()),
+                             "fl": pa.array([], pa.int64()),
+                             "pr": pa.array([], pa.string())})
+        ok = b.column("ok").to_numpy(zero_copy_only=False)
+        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
+        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
+                   lo_i)
+        keep = np.zeros(ok.size, dtype=bool)
+        keep[:lo_i] = True
+        keep[hi_i:] = True
+        return b.select(["ok", "fl", "pr"]).filter(pa.array(keep))
+    edge_rows.__name__ = "owr_edge_rows"
+
+    cand = collect_table(merged.map_batches(
+        interior_counts, batch_format="pyarrow", batch_size=None))
+    side = collect_table(merged.map_batches(
+        edge_rows, batch_format="pyarrow", batch_size=None))
+    counts: dict[str, int] = {}
+    if "o_orderpriority" in cand.schema.names:
+        for p, n in zip(cand.column("o_orderpriority").to_pylist(),
+                        cand.column("n").to_pylist()):
+            counts[p] = counts.get(p, 0) + n
+    if "ok" in side.schema.names and side.num_rows:
+        eo = side.column("ok").to_numpy(zero_copy_only=False)
+        ef = side.column("fl").to_numpy(zero_copy_only=False)
+        ep = np.asarray(side.column("pr").to_pylist(), dtype=object)
+        eorder = np.lexsort((ef, eo))
+        for p, n in _owr_run_counts(eo[eorder], ef[eorder],
+                                    ep[eorder]).items():
+            counts[p] = counts.get(p, 0) + n
+    prios = sorted(counts)
+    return pa.table({
+        "o_orderpriority": pa.array(prios, pa.string()),
+        "n_orders": pa.array([counts[p] for p in prios],
+                             pa.int64())})
 
 
 def q_priority_by_status(sf_dir: str):

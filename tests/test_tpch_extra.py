@@ -320,3 +320,71 @@ def test_ipc_roundtrip_reference(ray_session):
     import pyarrow as pa_
     t = pa_.ipc.open_file(files[0]).read_all()
     assert t.schema.names == ["event_type", "value_cents"]
+
+
+def test_orders_with_returns_randomized_differential(ray_session,
+                                                     tmp_path):
+    """Randomized multi-block differential for the one-pass
+    orders_with_returns kernel: random (order, returnflag) corpora
+    written as MULTI-FILE parquet directories so the sorted sentinel
+    stream spans many blocks and the edge-run fixup genuinely fires;
+    engine counts must equal a scalar pandas EXISTS reference across
+    seeds, and at least one run must straddle a block boundary's
+    worth of rows (orders with many lineitems)."""
+    from soupflow.queries import q_orders_with_returns
+
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW"]
+    for seed in range(3):
+        rng = np.random.default_rng(100 + seed)
+        n_orders, m = 50, 400
+        od = pd.DataFrame({
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            "o_orderpriority": rng.choice(prios, n_orders)})
+        li = pd.DataFrame({
+            "l_orderkey": rng.integers(0, n_orders, m)
+            .astype(np.int64),
+            "l_returnflag": rng.choice(["R", "N", "A"], m,
+                                       p=[0.25, 0.5, 0.25])})
+
+        d = tmp_path / f"sf_owr{seed}"
+        d.mkdir()
+        (d / "lineitem.parquet").mkdir()
+        (d / "orders.parquet").mkdir()
+        for i in range(6):    # multi-file → multi-block sort input
+            li.iloc[i::6].to_parquet(
+                d / "lineitem.parquet" / f"p{i}.parquet")
+        for i in range(3):
+            od.iloc[i::3].to_parquet(
+                d / "orders.parquet" / f"p{i}.parquet")
+
+        rkeys = set(li[li.l_returnflag == "R"].l_orderkey)
+        ref = od[od.o_orderkey.isin(rkeys)] \
+            .groupby("o_orderpriority").size().to_dict()
+        assert ref and len(ref) >= 3          # differential bites
+
+        out = q_orders_with_returns(str(d))
+        got = dict(zip(out.column("o_orderpriority").to_pylist(),
+                       out.column("n_orders").to_pylist()))
+        assert got == ref, (seed, got, ref)
+
+
+def test_orders_with_returns_fk_violation_raises(ray_session,
+                                                 tmp_path):
+    """A returned lineitem whose orderkey is missing from orders is
+    an FK violation the one-pass kernel must raise on (its run has no
+    sentinel), not silently drop."""
+    import pytest
+
+    from soupflow.queries import q_orders_with_returns
+
+    d = tmp_path / "sf_fk"
+    d.mkdir()
+    pd.DataFrame({"o_orderkey": np.array([1], np.int64),
+                  "o_orderpriority": ["1-URGENT"]}) \
+        .to_parquet(d / "orders.parquet")
+    pd.DataFrame({"l_orderkey": np.array([1, 99], np.int64),
+                  "l_returnflag": ["R", "R"]}) \
+        .to_parquet(d / "lineitem.parquet")
+    with pytest.raises(Exception, match="FK violation"):
+        q_orders_with_returns(str(d))
