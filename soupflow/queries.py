@@ -3742,22 +3742,23 @@ _Q3_CUTOFF = np.datetime64("1998-06-01")
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape — top-k over a WIDE aggregate: unshipped revenue
     per order for one market segment's orders placed before a cutoff,
-    top 10 by revenue. Three scale regimes compose: the SEGMENT custkey
-    set is a bounded fraction of the customer dim, so it broadcasts
-    (sorted-array membership; the partitioned semi-join hatch of
-    orders_with_returns applies when a segment outgrows the driver);
-    orders fold to narrow (orderkey, day-string) rows map-side; the
-    lineitem side — the WIDE part — pre-aggregates per block by
-    orderkey (revenue folded to the exact integer cents·(100−disc)
-    unit BEFORE the shuffle), ONE groupby finishes, and ONE
-    partitioned hash join attaches the order day. The top-10 cut never
-    sorts the wide aggregate globally: each block emits its own top 10
-    (lexsort partial — top-k of a union is the top-k of per-block
-    top-ks), the O(blocks)·10 candidate table collects driver-side and
-    the final sort runs on ≤ 10·num_blocks rows. Ties break by
-    orderkey in both engines, so the cut is deterministic."""
+    top 10 by revenue. The SEGMENT custkey set is a bounded fraction
+    of the customer dim, so it broadcasts (sorted-array membership;
+    the partitioned semi-join hatch applies when a segment outgrows
+    the driver). Round 5: the former groupby + partitioned hash join
+    collapse into the ONE-PASS sentinel shape — window+segment orders
+    fold to (ok, −1, 0, o_day) sentinel rows (rev 0, so per-run
+    revenue is a plain reduceat over ALL rows), lineitem pre-reduces
+    per block to (ok, 0, rev, "") integer partials, the union sorts
+    ONCE on (ok, fl), and a zero-shuffle segment kernel sums complete
+    runs and emits each block's top 10 (top-k of a union is the top-k
+    of per-block top-ks — O(blocks·10) candidates collect); ≤2 edge
+    runs per block finish driver-side through the same kernel.
+    Sentinel-less runs are orders outside the segment/window and skip
+    silently; sentinel-only runs have no unshipped lineitems and drop,
+    matching the inner join. Ties break by orderkey in both engines,
+    so the cut is deterministic."""
     import ray
-    from ray.data.aggregate import Sum
 
     from .io import collect_table
 
@@ -3787,14 +3788,12 @@ def q_shipping_priority(sf_dir: str):
             mask &= False
         kept = b.filter(pa.array(mask))
         return pa.table({
-            "o_orderkey": kept.column("o_orderkey"),
+            "ok": kept.column("o_orderkey"),
+            "fl": pa.array(np.full(kept.num_rows, -1, np.int64)),
+            "rev_i": pa.array(np.zeros(kept.num_rows, np.int64)),
             "o_day": pc.strftime(kept.column("o_orderdate"),
                                  format="%Y-%m-%d")})
     ord_fold.__name__ = "q3_order_fold"
-
-    orders_n = _read(sf_dir, "orders") \
-        .select_columns(["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(ord_fold, batch_format="pyarrow").repartition(8)
 
     def rev_partial(b: pa.Table) -> pa.Table:
         sd = b.column("l_shipdate").to_numpy(zero_copy_only=False)
@@ -3804,41 +3803,129 @@ def q_shipping_priority(sf_dir: str):
         d = kept.column("l_discount").to_numpy(zero_copy_only=False)
         rev = (np.floor(p * 100.0 + 0.5).astype(np.int64)
                * (100 - np.floor(d * 100.0 + 0.5).astype(np.int64)))
-        t = pa.table({"l_orderkey": kept.column("l_orderkey"),
+        t = pa.table({"ok": kept.column("l_orderkey"),
                       "rev_i": pa.array(rev, pa.int64())})
-        return t.group_by("l_orderkey").aggregate([("rev_i", "sum")]) \
-            .rename_columns(["l_orderkey", "rev_i"])
+        g = t.group_by("ok").aggregate([("rev_i", "sum")]) \
+            .rename_columns(["ok", "rev_i"])
+        return pa.table({
+            "ok": g.column("ok"),
+            "fl": pa.array(np.zeros(g.num_rows, np.int64)),
+            "rev_i": g.column("rev_i"),
+            "o_day": pa.array([""] * g.num_rows, pa.string())})
     rev_partial.__name__ = "q3_rev_partial"
 
-    li = _read(sf_dir, "lineitem") \
+    # ONE-PASS sentinel shape (round 5): the former groupby + hash
+    # join collapse into ONE sort on (ok, fl) — window+segment orders
+    # lead their runs as (ok, −1, 0, o_day) sentinels (their rev_i=0
+    # lets per-run revenue be a plain reduceat over ALL rows),
+    # lineitem pre-reduces per block to (ok, 0, rev, "") partials, a
+    # zero-shuffle segment kernel sums complete runs and emits each
+    # block's top 10 (top-k of a union = top-k of per-block top-ks),
+    # and ≤2 edge runs per block finish driver-side through the same
+    # kernel. Sentinel-less runs are orders outside the segment or
+    # window and skip silently (Q4 rule, not Q21's FK raise);
+    # sentinel-only runs are orders with no unshipped lineitems and
+    # drop, matching the inner join.
+    merged = _read(sf_dir, "lineitem") \
         .select_columns(["l_orderkey", "l_extendedprice",
                          "l_discount", "l_shipdate"]) \
         .map_batches(rev_partial, batch_format="pyarrow") \
-        .groupby("l_orderkey") \
-        .aggregate(Sum("rev_i", alias_name="rev_i"))
+        .union(_read(sf_dir, "orders")
+               .select_columns(["o_orderkey", "o_custkey",
+                                "o_orderdate"])
+               .map_batches(ord_fold, batch_format="pyarrow")) \
+        .sort(["ok", "fl"]).materialize()
 
-    joined = li.join(orders_n, join_type="inner", num_partitions=8,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    def _run_top(ok, fl, rv, od):
+        """Top-10 (key, rev, day) over a (ok, fl)-sorted slice of
+        COMPLETE runs; runs without a sentinel or without lineitem
+        rows contribute nothing."""
+        if ok.size == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, object))
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        rstart = np.flatnonzero(new)
+        has_sent = fl[rstart] == -1
+        rev = np.add.reduceat(rv, rstart)        # sentinels add 0
+        nrows = np.diff(np.r_[rstart, ok.size])
+        keep = has_sent & (nrows - has_sent.astype(np.int64) > 0)
+        kk, rr = ok[rstart[keep]], rev[keep]
+        dd = od[rstart[keep]]
+        order = np.lexsort((kk, -rr))[:10]
+        return kk[order], rr[order], dd[order]
+    _q3_run_top = _run_top
 
-    def topk_partial(b: pa.Table) -> pa.Table:
-        k = b.column("l_orderkey").to_numpy(zero_copy_only=False)
-        r = b.column("rev_i").to_numpy(zero_copy_only=False)
-        order = np.lexsort((k, -r))[:10]
-        return pa.table({
-            "l_orderkey": pa.array(k[order], pa.int64()),
-            "rev_i": pa.array(r[order], pa.int64()),
-            "o_day": b.column("o_day").take(pa.array(order))})
-    topk_partial.__name__ = "q3_topk_partial"
+    def interior_top(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ok" not in b.schema.names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev_i": pa.array([], pa.int64()),
+                             "o_day": pa.array([], pa.string())})
+        ok = b.column("ok").to_numpy(zero_copy_only=False)
+        fl = b.column("fl").to_numpy(zero_copy_only=False)
+        rv = b.column("rev_i").to_numpy(zero_copy_only=False)
+        od = np.asarray(b.column("o_day").to_pylist(), dtype=object)
+        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
+        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
+                   lo_i)
+        kk, rr, dd = _q3_run_top(ok[lo_i:hi_i], fl[lo_i:hi_i],
+                                 rv[lo_i:hi_i], od[lo_i:hi_i])
+        return pa.table({"l_orderkey": pa.array(kk, pa.int64()),
+                         "rev_i": pa.array(rr, pa.int64()),
+                         "o_day": pa.array(dd.tolist(), pa.string())})
+    interior_top.__name__ = "q3_interior_top10"
 
-    cand = collect_table(
-        joined.map_batches(topk_partial, batch_format="pyarrow"))
-    k = cand.column("l_orderkey").to_numpy(zero_copy_only=False)
-    r = cand.column("rev_i").to_numpy(zero_copy_only=False)
+    def edge_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ok" not in b.schema.names:
+            return pa.table({"ok": pa.array([], pa.int64()),
+                             "fl": pa.array([], pa.int64()),
+                             "rev_i": pa.array([], pa.int64()),
+                             "o_day": pa.array([], pa.string())})
+        ok = b.column("ok").to_numpy(zero_copy_only=False)
+        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
+        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
+                   lo_i)
+        keep = np.zeros(ok.size, dtype=bool)
+        keep[:lo_i] = True
+        keep[hi_i:] = True
+        return b.select(["ok", "fl", "rev_i", "o_day"]) \
+            .filter(pa.array(keep))
+    edge_rows.__name__ = "q3_edge_rows"
+
+    cand = collect_table(merged.map_batches(
+        interior_top, batch_format="pyarrow", batch_size=None))
+    side = collect_table(merged.map_batches(
+        edge_rows, batch_format="pyarrow", batch_size=None))
+    ks, rs, ds = [], [], []
+    if "l_orderkey" in cand.schema.names and cand.num_rows:
+        ks.append(cand.column("l_orderkey")
+                  .to_numpy(zero_copy_only=False))
+        rs.append(cand.column("rev_i").to_numpy(zero_copy_only=False))
+        ds.append(np.asarray(cand.column("o_day").to_pylist(),
+                             dtype=object))
+    if "ok" in side.schema.names and side.num_rows:
+        eo = side.column("ok").to_numpy(zero_copy_only=False)
+        ef = side.column("fl").to_numpy(zero_copy_only=False)
+        er = side.column("rev_i").to_numpy(zero_copy_only=False)
+        ed = np.asarray(side.column("o_day").to_pylist(),
+                        dtype=object)
+        eorder = np.lexsort((ef, eo))
+        kk, rr, dd = _q3_run_top(eo[eorder], ef[eorder],
+                                 er[eorder], ed[eorder])
+        ks.append(kk)
+        rs.append(rr)
+        ds.append(dd)
+    if not ks:
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "rev_i": pa.array([], pa.int64()),
+                         "o_day": pa.array([], pa.string())})
+    k = np.concatenate(ks)
+    r = np.concatenate(rs)
+    d = np.concatenate(ds)
     order = np.lexsort((k, -r))[:10]
     return pa.table({
         "l_orderkey": pa.array(k[order], pa.int64()),
         "rev_i": pa.array(r[order], pa.int64()),
-        "o_day": cand.column("o_day").take(pa.array(order))})
+        "o_day": pa.array(d[order].tolist(), pa.string())})
 
 
 def q_lineitem_unpivot(sf_dir: str):

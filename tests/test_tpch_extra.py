@@ -388,3 +388,79 @@ def test_orders_with_returns_fk_violation_raises(ray_session,
         .to_parquet(d / "lineitem.parquet")
     with pytest.raises(Exception, match="FK violation"):
         q_orders_with_returns(str(d))
+
+
+def test_shipping_priority_randomized_differential(ray_session,
+                                                   tmp_path):
+    """Randomized multi-block differential for the one-pass Q3
+    kernel: random (customer, order, lineitem) corpora as MULTI-FILE
+    parquet dirs (boundary-spanning runs force the edge fixup) vs a
+    scalar pandas reference — covering sentinel-only runs (orders
+    with no unshipped lineitems), sentinel-less runs (orders outside
+    segment/window), and revenue ties."""
+    from soupflow.queries import q_shipping_priority
+
+    cutoff = pd.Timestamp("1998-06-01")
+    for seed in range(3):
+        rng = np.random.default_rng(200 + seed)
+        n_cust, n_orders, m = 12, 60, 120
+        cu = pd.DataFrame({
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_mktsegment": rng.choice(
+                ["BUILDING", "MACHINERY"], n_cust)})
+        od = pd.DataFrame({
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_cust, n_orders)
+            .astype(np.int64),
+            "o_orderdate": [
+                cutoff + pd.Timedelta(days=int(x))
+                for x in rng.integers(-40, 40, n_orders)]})
+        li = pd.DataFrame({
+            "l_orderkey": rng.integers(0, n_orders, m)
+            .astype(np.int64),
+            "l_extendedprice": np.round(
+                rng.uniform(1, 500, m), 2),
+            "l_discount": np.round(
+                rng.choice([0.0, 0.05, 0.1], m), 2),
+            "l_shipdate": [
+                cutoff + pd.Timedelta(days=int(x))
+                for x in rng.integers(-40, 40, m)]})
+
+        d = tmp_path / f"sf_q3_{seed}"
+        d.mkdir()
+        (d / "lineitem.parquet").mkdir()
+        (d / "orders.parquet").mkdir()
+        for i in range(6):
+            li.iloc[i::6].to_parquet(
+                d / "lineitem.parquet" / f"p{i}.parquet")
+        for i in range(3):
+            od.iloc[i::3].to_parquet(
+                d / "orders.parquet" / f"p{i}.parquet")
+        cu.to_parquet(d / "customer.parquet")
+
+        seg = set(cu[cu.c_mktsegment == "BUILDING"].c_custkey)
+        ow = od[(od.o_orderdate < cutoff)
+                & od.o_custkey.isin(seg)]
+        lw = li[li.l_shipdate > cutoff].copy()
+        lw["rev_i"] = (np.floor(lw.l_extendedprice * 100 + 0.5)
+                       .astype(np.int64)
+                       * (100 - np.floor(lw.l_discount * 100 + 0.5)
+                          .astype(np.int64)))
+        j = lw.merge(ow, left_on="l_orderkey",
+                     right_on="o_orderkey")
+        agg = j.groupby("l_orderkey").agg(
+            rev_i=("rev_i", "sum"),
+            o_day=("o_orderdate", "first")).reset_index()
+        agg["o_day"] = agg.o_day.dt.strftime("%Y-%m-%d")
+        ref = agg.sort_values(
+            ["rev_i", "l_orderkey"],
+            ascending=[False, True]).head(10)
+        assert len(ref) >= 5          # differential bites
+        # sentinel-only + sentinel-less regimes genuinely occur
+        assert len(ow) > len(agg)
+        assert len(od) > len(ow)
+
+        out = q_shipping_priority(str(d)).to_pandas()
+        assert list(out.l_orderkey) == list(ref.l_orderkey)
+        assert list(out.rev_i) == list(ref.rev_i)
+        assert list(out.o_day) == list(ref.o_day)
