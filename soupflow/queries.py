@@ -3615,21 +3615,25 @@ _BIG_ORDER_QTY = 150
 def q_big_orders(sf_dir: str, join: str = "broadcast",
                  num_partitions: int = 32):
     """TPC-H Q18 shape — large-volume orders: the HAVING-subquery
-    semi-join composite. Stage 1 is the one genuinely WIDE groupby in
-    the catalog (keys = fact orderkeys, not a bounded dimension):
-    per-block Arrow sum partials shrink it by the lineitems-per-order
-    factor before the shuffle, and only (orderkey, qty) int64 pairs
-    move — never lineitem rows. The HAVING filter then bounds the
-    winner set, which broadcasts for a zero-shuffle membership pass
-    over orders; customer names attach via the standard broadcast dim
-    lookup. Quantities are integral by TPC-H construction — folded to
-    int64 map-side so every partial is exact and the hash float-free.
+    semi-join composite. Round 5 (default path): the ONE-PASS sentinel
+    shape — the wide (orderkey) groupby + winner broadcast + second
+    orders scan collapse into ONE sort: orders fold to
+    (ok, −1, 0, custkey, price) sentinel rows, lineitem pre-reduces
+    per block to (ok, 0, qty) int64 partials (shrunk by the
+    lineitems-per-order factor before any movement — lineitem rows
+    never move), and a zero-shuffle segment kernel sums complete runs
+    and applies the HAVING cut in-block, so only HAVING-bounded winner
+    rows plus ≤2 edge runs per block reach the driver, where customer
+    names attach from the broadcast-class dim. A complete run without
+    a sentinel is a lineitem orderkey missing from orders and raises.
+    Quantities are integral by TPC-H construction — folded to int64
+    map-side so every partial is exact and the hash float-free.
 
     ``join="partitioned"``: the IMPLEMENTED escape when the
     post-HAVING winner set or the customer dim outgrows the driver —
-    winners attach via ONE orderkey-partitioned hash join, names via
-    ONE custkey-partitioned hash join; output identical to broadcast
-    (parity pytest)."""
+    the wide groupby + HAVING run in-engine, winners attach via ONE
+    orderkey-partitioned hash join, names via ONE custkey-partitioned
+    hash join; output identical to the default (parity pytest)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -3687,52 +3691,151 @@ def q_big_orders(sf_dir: str, join: str = "broadcast",
                   on=("o_custkey",), right_on=("c_custkey",)) \
             .map_batches(shape, batch_format="pyarrow")
 
-    tq = collect_table(tq_agg)
-    wk = tq.column("k").to_numpy(zero_copy_only=False)
-    wq = tq.column("q").to_numpy(zero_copy_only=False)
-    order = np.argsort(wk, kind="stable")
-    handle = ray.put((wk[order], wq[order]))
-
+    # Broadcast/default path, round 5: the ONE-PASS sentinel shape —
+    # the former wide (ok) groupby + winner broadcast + SECOND orders
+    # scan collapse into ONE sort. Orders fold to (ok, −1, 0, ck, pc)
+    # sentinel rows (qty 0 keeps per-run totals a plain reduceat);
+    # lineitem pre-reduces per block to (ok, 0, qty, 0, 0) integer
+    # partials; a zero-shuffle segment kernel sums complete runs,
+    # applies the HAVING cut in-block (winners per block are
+    # HAVING-bounded), and the ≤2 edge runs per block finish
+    # driver-side through the same kernel. A complete run without a
+    # sentinel is a lineitem orderkey missing from orders — raises.
+    # Customer names attach driver-side to the winner set from the
+    # broadcast-class dim (the partitioned branch above is the hatch
+    # when winners or the dim outgrow the driver).
     cust = collect_table(_read(sf_dir, "customer")
                          .select_columns(["c_custkey", "c_name"]))
     ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
     cn = cust.column("c_name").to_pylist()
     corder = np.argsort(ck, kind="stable")
-    chandle = ray.put((ck[corder],
-                       np.asarray(cn, dtype=object)[corder]))
+    cks = ck[corder]
+    cns = np.asarray(cn, dtype=object)[corder]
 
-    def attach(b: pa.Table) -> pa.Table:
-        ws, qs = ray.get(handle)
-        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
-        if ws.size:
-            pos = np.minimum(np.searchsorted(ws, ok), ws.size - 1)
-            keep = ws[pos] == ok
-        else:
-            keep = np.zeros(ok.size, dtype=bool)
-        kept = b.filter(pa.array(keep))
-        okk = kept.column("o_orderkey").to_numpy(zero_copy_only=False)
-        qty = qs[np.searchsorted(ws, okk)] if okk.size \
-            else np.empty(0, np.int64)
-        cks, cns = ray.get(chandle)
-        cc = kept.column("o_custkey").to_numpy(zero_copy_only=False)
-        cpos = np.searchsorted(cks, cc)
-        if cc.size and (cpos.max() >= cks.size
-                        or not np.array_equal(cks[cpos], cc)):
-            raise ValueError("order custkey missing from customer dim")
-        tp = kept.column("o_totalprice").to_numpy(zero_copy_only=False)
+    def ord_fold(b: pa.Table) -> pa.Table:
+        tp = b.column("o_totalprice").to_numpy(zero_copy_only=False)
         return pa.table({
-            "c_name": pa.array(cns[cpos].tolist() if cc.size else [],
-                               pa.string()),
-            "o_custkey": kept.column("o_custkey"),
-            "o_orderkey": kept.column("o_orderkey"),
-            "price_cents": pa.array(
-                np.floor(tp * 100.0 + 0.5).astype(np.int64)),
-            "total_qty": pa.array(qty, pa.int64())})
-    attach.__name__ = "big_order_attach"
+            "ok": b.column("o_orderkey"),
+            "fl": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "q": pa.array(np.zeros(b.num_rows, np.int64)),
+            "ck": b.column("o_custkey"),
+            "pc": pa.array(np.floor(tp * 100.0 + 0.5)
+                           .astype(np.int64))})
+    ord_fold.__name__ = "q18_order_fold"
 
-    return _read(sf_dir, "orders") \
-        .select_columns(["o_orderkey", "o_custkey", "o_totalprice"]) \
-        .map_batches(attach, batch_format="pyarrow")
+    def li_fold(b: pa.Table) -> pa.Table:
+        g = qty_partial(b)
+        n = g.num_rows
+        return pa.table({
+            "ok": g.column("k"),
+            "fl": pa.array(np.zeros(n, np.int64)),
+            "q": g.column("q"),
+            "ck": pa.array(np.zeros(n, np.int64)),
+            "pc": pa.array(np.zeros(n, np.int64))})
+    li_fold.__name__ = "q18_li_fold"
+
+    merged = _read(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_quantity"]) \
+        .map_batches(li_fold, batch_format="pyarrow") \
+        .union(_read(sf_dir, "orders")
+               .select_columns(["o_orderkey", "o_custkey",
+                                "o_totalprice"])
+               .map_batches(ord_fold, batch_format="pyarrow")) \
+        .sort(["ok", "fl"]).materialize()
+
+    def _run_winners(ok, fl, q, ckv, pcv):
+        """(key, custkey, price, total) rows of runs whose qty total
+        clears the HAVING cut, over a (ok, fl)-sorted slice of
+        COMPLETE runs; a run without a sentinel raises."""
+        e = (np.empty(0, np.int64),) * 4
+        if ok.size == 0:
+            return e
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        rstart = np.flatnonzero(new)
+        if not bool((fl[rstart] == -1).all()):
+            raise ValueError(
+                "big_orders: lineitem orderkey missing from orders "
+                "— FK violation")
+        total = np.add.reduceat(q, rstart)       # sentinels add 0
+        keep = total > _BIG_ORDER_QTY
+        s = rstart[keep]
+        return ok[s], ckv[s], pcv[s], total[keep]
+    _q18_run_winners = _run_winners
+
+    def interior_winners(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ok" not in b.schema.names:
+            return pa.table({"ok": pa.array([], pa.int64()),
+                             "ck": pa.array([], pa.int64()),
+                             "pc": pa.array([], pa.int64()),
+                             "tq": pa.array([], pa.int64())})
+        ok = b.column("ok").to_numpy(zero_copy_only=False)
+        fl = b.column("fl").to_numpy(zero_copy_only=False)
+        q = b.column("q").to_numpy(zero_copy_only=False)
+        ckv = b.column("ck").to_numpy(zero_copy_only=False)
+        pcv = b.column("pc").to_numpy(zero_copy_only=False)
+        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
+        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
+                   lo_i)
+        kk, cc, pp, tt = _q18_run_winners(
+            ok[lo_i:hi_i], fl[lo_i:hi_i], q[lo_i:hi_i],
+            ckv[lo_i:hi_i], pcv[lo_i:hi_i])
+        return pa.table({"ok": pa.array(kk, pa.int64()),
+                         "ck": pa.array(cc, pa.int64()),
+                         "pc": pa.array(pp, pa.int64()),
+                         "tq": pa.array(tt, pa.int64())})
+    interior_winners.__name__ = "q18_interior_winners"
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ok" not in b.schema.names:
+            return pa.table({"ok": pa.array([], pa.int64()),
+                             "fl": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64()),
+                             "ck": pa.array([], pa.int64()),
+                             "pc": pa.array([], pa.int64())})
+        ok = b.column("ok").to_numpy(zero_copy_only=False)
+        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
+        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
+                   lo_i)
+        keep = np.zeros(ok.size, dtype=bool)
+        keep[:lo_i] = True
+        keep[hi_i:] = True
+        return b.select(["ok", "fl", "q", "ck", "pc"]) \
+            .filter(pa.array(keep))
+    edge_rows.__name__ = "q18_edge_rows"
+
+    cand = collect_table(merged.map_batches(
+        interior_winners, batch_format="pyarrow", batch_size=None))
+    side = collect_table(merged.map_batches(
+        edge_rows, batch_format="pyarrow", batch_size=None))
+    wins = [np.empty(0, np.int64)] * 4
+    if "ok" in cand.schema.names and cand.num_rows:
+        wins = [cand.column(c).to_numpy(zero_copy_only=False)
+                for c in ("ok", "ck", "pc", "tq")]
+    if "ok" in side.schema.names and side.num_rows:
+        eo = side.column("ok").to_numpy(zero_copy_only=False)
+        ef = side.column("fl").to_numpy(zero_copy_only=False)
+        eorder = np.lexsort((ef, eo))
+        ekk, ecc, epp, ett = _q18_run_winners(
+            eo[eorder],
+            ef[eorder],
+            side.column("q").to_numpy(zero_copy_only=False)[eorder],
+            side.column("ck").to_numpy(zero_copy_only=False)[eorder],
+            side.column("pc").to_numpy(zero_copy_only=False)[eorder])
+        wins = [np.concatenate([a, b]) for a, b in
+                zip(wins, (ekk, ecc, epp, ett))]
+    wok, wck, wpc, wtq = wins
+    cpos = np.searchsorted(cks, wck) if wck.size \
+        else np.empty(0, np.int64)
+    if wck.size and (cpos.max() >= cks.size
+                     or not np.array_equal(cks[cpos], wck)):
+        raise ValueError("order custkey missing from customer dim")
+    return pa.table({
+        "c_name": pa.array(cns[cpos].tolist() if wck.size else [],
+                           pa.string()),
+        "o_custkey": pa.array(wck, pa.int64()),
+        "o_orderkey": pa.array(wok, pa.int64()),
+        "price_cents": pa.array(wpc, pa.int64()),
+        "total_qty": pa.array(wtq, pa.int64())})
 
 
 _Q3_SEGMENT = "BUILDING"

@@ -464,3 +464,27 @@ def test_shipping_priority_randomized_differential(ray_session,
         assert list(out.l_orderkey) == list(ref.l_orderkey)
         assert list(out.rev_i) == list(ref.rev_i)
         assert list(out.o_day) == list(ref.o_day)
+
+
+def test_big_orders_fk_violation_raises(ray_session, tmp_path):
+    """A lineitem orderkey missing from orders must raise in the
+    one-pass Q18 kernel (its run has no sentinel), not silently drop
+    the phantom order's quantity."""
+    import pytest
+
+    from soupflow.queries import q_big_orders
+
+    d = tmp_path / "sf_q18fk"
+    d.mkdir()
+    pd.DataFrame({"o_orderkey": np.array([1], np.int64),
+                  "o_custkey": np.array([7], np.int64),
+                  "o_totalprice": [10.0]}) \
+        .to_parquet(d / "orders.parquet")
+    pd.DataFrame({"l_orderkey": np.array([1, 99], np.int64),
+                  "l_quantity": [500.0, 500.0]}) \
+        .to_parquet(d / "lineitem.parquet")
+    pd.DataFrame({"c_custkey": np.array([7], np.int64),
+                  "c_name": ["C#7"]}) \
+        .to_parquet(d / "customer.parquet")
+    with pytest.raises(Exception, match="FK violation"):
+        q_big_orders(str(d))
