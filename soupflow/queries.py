@@ -1856,9 +1856,10 @@ def q_orders_with_returns(sf_dir: str):
     COMPLETE run without a sentinel is an R-lineitem whose order is
     missing, an FK violation that raises (no window filter here, so
     unlike Q4 every order emits a sentinel). The ≤2 edge runs per
-    block finish driver-side through the same kernel; only
-    O(blocks × 5) count rows ever move."""
-    from .io import collect_table
+    block finish driver-side through the same kernel
+    (data/segments.py finish_sorted_runs owns the interior/edge
+    plumbing); only O(blocks × 5) count rows ever move."""
+    from .data.segments import finish_sorted_runs
 
     def ord_fold(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -1885,12 +1886,15 @@ def q_orders_with_returns(sf_dir: str):
                .map_batches(ord_fold, batch_format="pyarrow")) \
         .sort(["ok", "fl"]).materialize()
 
-    def _run_counts(ok, fl, pr):
+    _empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                       "n": pa.array([], pa.int64())})
+
+    def kernel(cols) -> pa.Table:
         """Per-priority counts of runs with ≥1 non-sentinel row over
         a (ok, fl)-sorted slice of COMPLETE runs."""
-        out: dict[str, int] = {}
+        ok, fl, pr = cols["ok"], cols["fl"], cols["pr"]
         if ok.size == 0:
-            return out
+            return _empty
         new = np.r_[True, ok[1:] != ok[:-1]]
         rstart = np.flatnonzero(new)
         rid = np.cumsum(new) - 1
@@ -1902,61 +1906,18 @@ def q_orders_with_returns(sf_dir: str):
         tail = np.bincount(rid[fl != -1],
                            minlength=rstart.size) > 0
         ps, cs = np.unique(pr[rstart[tail]], return_counts=True)
-        for p, c in zip(ps.tolist(), cs.tolist()):
-            out[p] = out.get(p, 0) + c
-        return out
-    _owr_run_counts = _run_counts
-
-    def interior_counts(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "ok" not in b.schema.names:
-            return pa.table({
-                "o_orderpriority": pa.array([], pa.string()),
-                "n": pa.array([], pa.int64())})
-        ok = b.column("ok").to_numpy(zero_copy_only=False)
-        fl = b.column("fl").to_numpy(zero_copy_only=False)
-        pr = np.asarray(b.column("pr").to_pylist(), dtype=object)
-        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
-        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
-                   lo_i)
-        cnt = _owr_run_counts(ok[lo_i:hi_i], fl[lo_i:hi_i],
-                              pr[lo_i:hi_i])
         return pa.table({
-            "o_orderpriority": pa.array(list(cnt), pa.string()),
-            "n": pa.array(list(cnt.values()), pa.int64())})
-    interior_counts.__name__ = "owr_interior_counts"
+            "o_orderpriority": pa.array(ps.tolist(), pa.string()),
+            "n": pa.array(cs, pa.int64())})
 
-    def edge_rows(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "ok" not in b.schema.names:
-            return pa.table({"ok": pa.array([], pa.int64()),
-                             "fl": pa.array([], pa.int64()),
-                             "pr": pa.array([], pa.string())})
-        ok = b.column("ok").to_numpy(zero_copy_only=False)
-        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
-        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
-                   lo_i)
-        keep = np.zeros(ok.size, dtype=bool)
-        keep[:lo_i] = True
-        keep[hi_i:] = True
-        return b.select(["ok", "fl", "pr"]).filter(pa.array(keep))
-    edge_rows.__name__ = "owr_edge_rows"
-
-    cand = collect_table(merged.map_batches(
-        interior_counts, batch_format="pyarrow", batch_size=None))
-    side = collect_table(merged.map_batches(
-        edge_rows, batch_format="pyarrow", batch_size=None))
+    partial = finish_sorted_runs(
+        merged, key_col="ok", order_cols=["fl"],
+        int_cols=["ok", "fl"], str_cols=["pr"],
+        kernel=kernel, empty_partial=_empty)
     counts: dict[str, int] = {}
-    if "o_orderpriority" in cand.schema.names:
-        for p, n in zip(cand.column("o_orderpriority").to_pylist(),
-                        cand.column("n").to_pylist()):
-            counts[p] = counts.get(p, 0) + n
-    if "ok" in side.schema.names and side.num_rows:
-        eo = side.column("ok").to_numpy(zero_copy_only=False)
-        ef = side.column("fl").to_numpy(zero_copy_only=False)
-        ep = np.asarray(side.column("pr").to_pylist(), dtype=object)
-        eorder = np.lexsort((ef, eo))
-        for p, n in _owr_run_counts(eo[eorder], ef[eorder],
-                                    ep[eorder]).items():
-            counts[p] = counts.get(p, 0) + n
+    for p, n in zip(partial.column("o_orderpriority").to_pylist(),
+                    partial.column("n").to_pylist()):
+        counts[p] = counts.get(p, 0) + n
     prios = sorted(counts)
     return pa.table({
         "o_orderpriority": pa.array(prios, pa.string()),
@@ -3637,6 +3598,7 @@ def q_big_orders(sf_dir: str, join: str = "broadcast",
     import ray
     from ray.data.aggregate import Sum
 
+    from .data.segments import finish_sorted_runs
     from .io import collect_table
 
     def qty_partial(b: pa.Table) -> pa.Table:
@@ -3743,13 +3705,19 @@ def q_big_orders(sf_dir: str, join: str = "broadcast",
                .map_batches(ord_fold, batch_format="pyarrow")) \
         .sort(["ok", "fl"]).materialize()
 
-    def _run_winners(ok, fl, q, ckv, pcv):
+    _empty = pa.table({"ok": pa.array([], pa.int64()),
+                       "ck": pa.array([], pa.int64()),
+                       "pc": pa.array([], pa.int64()),
+                       "tq": pa.array([], pa.int64())})
+
+    def kernel(cols) -> pa.Table:
         """(key, custkey, price, total) rows of runs whose qty total
         clears the HAVING cut, over a (ok, fl)-sorted slice of
         COMPLETE runs; a run without a sentinel raises."""
-        e = (np.empty(0, np.int64),) * 4
+        ok, fl = cols["ok"], cols["fl"]
+        q, ckv, pcv = cols["q"], cols["ck"], cols["pc"]
         if ok.size == 0:
-            return e
+            return _empty
         new = np.r_[True, ok[1:] != ok[:-1]]
         rstart = np.flatnonzero(new)
         if not bool((fl[rstart] == -1).all()):
@@ -3759,71 +3727,19 @@ def q_big_orders(sf_dir: str, join: str = "broadcast",
         total = np.add.reduceat(q, rstart)       # sentinels add 0
         keep = total > _BIG_ORDER_QTY
         s = rstart[keep]
-        return ok[s], ckv[s], pcv[s], total[keep]
-    _q18_run_winners = _run_winners
+        return pa.table({"ok": pa.array(ok[s], pa.int64()),
+                         "ck": pa.array(ckv[s], pa.int64()),
+                         "pc": pa.array(pcv[s], pa.int64()),
+                         "tq": pa.array(total[keep], pa.int64())})
 
-    def interior_winners(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "ok" not in b.schema.names:
-            return pa.table({"ok": pa.array([], pa.int64()),
-                             "ck": pa.array([], pa.int64()),
-                             "pc": pa.array([], pa.int64()),
-                             "tq": pa.array([], pa.int64())})
-        ok = b.column("ok").to_numpy(zero_copy_only=False)
-        fl = b.column("fl").to_numpy(zero_copy_only=False)
-        q = b.column("q").to_numpy(zero_copy_only=False)
-        ckv = b.column("ck").to_numpy(zero_copy_only=False)
-        pcv = b.column("pc").to_numpy(zero_copy_only=False)
-        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
-        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
-                   lo_i)
-        kk, cc, pp, tt = _q18_run_winners(
-            ok[lo_i:hi_i], fl[lo_i:hi_i], q[lo_i:hi_i],
-            ckv[lo_i:hi_i], pcv[lo_i:hi_i])
-        return pa.table({"ok": pa.array(kk, pa.int64()),
-                         "ck": pa.array(cc, pa.int64()),
-                         "pc": pa.array(pp, pa.int64()),
-                         "tq": pa.array(tt, pa.int64())})
-    interior_winners.__name__ = "q18_interior_winners"
-
-    def edge_rows(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "ok" not in b.schema.names:
-            return pa.table({"ok": pa.array([], pa.int64()),
-                             "fl": pa.array([], pa.int64()),
-                             "q": pa.array([], pa.int64()),
-                             "ck": pa.array([], pa.int64()),
-                             "pc": pa.array([], pa.int64())})
-        ok = b.column("ok").to_numpy(zero_copy_only=False)
-        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
-        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
-                   lo_i)
-        keep = np.zeros(ok.size, dtype=bool)
-        keep[:lo_i] = True
-        keep[hi_i:] = True
-        return b.select(["ok", "fl", "q", "ck", "pc"]) \
-            .filter(pa.array(keep))
-    edge_rows.__name__ = "q18_edge_rows"
-
-    cand = collect_table(merged.map_batches(
-        interior_winners, batch_format="pyarrow", batch_size=None))
-    side = collect_table(merged.map_batches(
-        edge_rows, batch_format="pyarrow", batch_size=None))
-    wins = [np.empty(0, np.int64)] * 4
-    if "ok" in cand.schema.names and cand.num_rows:
-        wins = [cand.column(c).to_numpy(zero_copy_only=False)
-                for c in ("ok", "ck", "pc", "tq")]
-    if "ok" in side.schema.names and side.num_rows:
-        eo = side.column("ok").to_numpy(zero_copy_only=False)
-        ef = side.column("fl").to_numpy(zero_copy_only=False)
-        eorder = np.lexsort((ef, eo))
-        ekk, ecc, epp, ett = _q18_run_winners(
-            eo[eorder],
-            ef[eorder],
-            side.column("q").to_numpy(zero_copy_only=False)[eorder],
-            side.column("ck").to_numpy(zero_copy_only=False)[eorder],
-            side.column("pc").to_numpy(zero_copy_only=False)[eorder])
-        wins = [np.concatenate([a, b]) for a, b in
-                zip(wins, (ekk, ecc, epp, ett))]
-    wok, wck, wpc, wtq = wins
+    partial = finish_sorted_runs(
+        merged, key_col="ok", order_cols=["fl"],
+        int_cols=["ok", "fl", "q", "ck", "pc"],
+        kernel=kernel, empty_partial=_empty)
+    wok = partial.column("ok").to_numpy(zero_copy_only=False)
+    wck = partial.column("ck").to_numpy(zero_copy_only=False)
+    wpc = partial.column("pc").to_numpy(zero_copy_only=False)
+    wtq = partial.column("tq").to_numpy(zero_copy_only=False)
     cpos = np.searchsorted(cks, wck) if wck.size \
         else np.empty(0, np.int64)
     if wck.size and (cpos.max() >= cks.size
@@ -3860,9 +3776,11 @@ def q_shipping_priority(sf_dir: str):
     Sentinel-less runs are orders outside the segment/window and skip
     silently; sentinel-only runs have no unshipped lineitems and drop,
     matching the inner join. Ties break by orderkey in both engines,
-    so the cut is deterministic."""
+    so the cut is deterministic. data/segments.py finish_sorted_runs
+    owns the interior/edge plumbing."""
     import ray
 
+    from .data.segments import finish_sorted_runs
     from .io import collect_table
 
     cust = collect_table(
@@ -3939,13 +3857,18 @@ def q_shipping_priority(sf_dir: str):
                .map_batches(ord_fold, batch_format="pyarrow")) \
         .sort(["ok", "fl"]).materialize()
 
-    def _run_top(ok, fl, rv, od):
+    _empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                       "rev_i": pa.array([], pa.int64()),
+                       "o_day": pa.array([], pa.string())})
+
+    def kernel(cols) -> pa.Table:
         """Top-10 (key, rev, day) over a (ok, fl)-sorted slice of
         COMPLETE runs; runs without a sentinel or without lineitem
         rows contribute nothing."""
+        ok, fl = cols["ok"], cols["fl"]
+        rv, od = cols["rev_i"], cols["o_day"]
         if ok.size == 0:
-            return (np.empty(0, np.int64), np.empty(0, np.int64),
-                    np.empty(0, object))
+            return _empty
         new = np.r_[True, ok[1:] != ok[:-1]]
         rstart = np.flatnonzero(new)
         has_sent = fl[rstart] == -1
@@ -3955,75 +3878,18 @@ def q_shipping_priority(sf_dir: str):
         kk, rr = ok[rstart[keep]], rev[keep]
         dd = od[rstart[keep]]
         order = np.lexsort((kk, -rr))[:10]
-        return kk[order], rr[order], dd[order]
-    _q3_run_top = _run_top
+        return pa.table({
+            "l_orderkey": pa.array(kk[order], pa.int64()),
+            "rev_i": pa.array(rr[order], pa.int64()),
+            "o_day": pa.array(dd[order].tolist(), pa.string())})
 
-    def interior_top(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "ok" not in b.schema.names:
-            return pa.table({"l_orderkey": pa.array([], pa.int64()),
-                             "rev_i": pa.array([], pa.int64()),
-                             "o_day": pa.array([], pa.string())})
-        ok = b.column("ok").to_numpy(zero_copy_only=False)
-        fl = b.column("fl").to_numpy(zero_copy_only=False)
-        rv = b.column("rev_i").to_numpy(zero_copy_only=False)
-        od = np.asarray(b.column("o_day").to_pylist(), dtype=object)
-        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
-        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
-                   lo_i)
-        kk, rr, dd = _q3_run_top(ok[lo_i:hi_i], fl[lo_i:hi_i],
-                                 rv[lo_i:hi_i], od[lo_i:hi_i])
-        return pa.table({"l_orderkey": pa.array(kk, pa.int64()),
-                         "rev_i": pa.array(rr, pa.int64()),
-                         "o_day": pa.array(dd.tolist(), pa.string())})
-    interior_top.__name__ = "q3_interior_top10"
-
-    def edge_rows(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "ok" not in b.schema.names:
-            return pa.table({"ok": pa.array([], pa.int64()),
-                             "fl": pa.array([], pa.int64()),
-                             "rev_i": pa.array([], pa.int64()),
-                             "o_day": pa.array([], pa.string())})
-        ok = b.column("ok").to_numpy(zero_copy_only=False)
-        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
-        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
-                   lo_i)
-        keep = np.zeros(ok.size, dtype=bool)
-        keep[:lo_i] = True
-        keep[hi_i:] = True
-        return b.select(["ok", "fl", "rev_i", "o_day"]) \
-            .filter(pa.array(keep))
-    edge_rows.__name__ = "q3_edge_rows"
-
-    cand = collect_table(merged.map_batches(
-        interior_top, batch_format="pyarrow", batch_size=None))
-    side = collect_table(merged.map_batches(
-        edge_rows, batch_format="pyarrow", batch_size=None))
-    ks, rs, ds = [], [], []
-    if "l_orderkey" in cand.schema.names and cand.num_rows:
-        ks.append(cand.column("l_orderkey")
-                  .to_numpy(zero_copy_only=False))
-        rs.append(cand.column("rev_i").to_numpy(zero_copy_only=False))
-        ds.append(np.asarray(cand.column("o_day").to_pylist(),
-                             dtype=object))
-    if "ok" in side.schema.names and side.num_rows:
-        eo = side.column("ok").to_numpy(zero_copy_only=False)
-        ef = side.column("fl").to_numpy(zero_copy_only=False)
-        er = side.column("rev_i").to_numpy(zero_copy_only=False)
-        ed = np.asarray(side.column("o_day").to_pylist(),
-                        dtype=object)
-        eorder = np.lexsort((ef, eo))
-        kk, rr, dd = _q3_run_top(eo[eorder], ef[eorder],
-                                 er[eorder], ed[eorder])
-        ks.append(kk)
-        rs.append(rr)
-        ds.append(dd)
-    if not ks:
-        return pa.table({"l_orderkey": pa.array([], pa.int64()),
-                         "rev_i": pa.array([], pa.int64()),
-                         "o_day": pa.array([], pa.string())})
-    k = np.concatenate(ks)
-    r = np.concatenate(rs)
-    d = np.concatenate(ds)
+    partial = finish_sorted_runs(
+        merged, key_col="ok", order_cols=["fl"],
+        int_cols=["ok", "fl", "rev_i"], str_cols=["o_day"],
+        kernel=kernel, empty_partial=_empty)
+    k = partial.column("l_orderkey").to_numpy(zero_copy_only=False)
+    r = partial.column("rev_i").to_numpy(zero_copy_only=False)
+    d = np.asarray(partial.column("o_day").to_pylist(), dtype=object)
     order = np.lexsort((k, -r))[:10]
     return pa.table({
         "l_orderkey": pa.array(k[order], pa.int64()),
@@ -4769,7 +4635,10 @@ def q_late_suppliers(sf_dir: str):
     collect driver-side where the same kernel finishes the
     boundary-spanning orders. Supplier counts then finish against
     the broadcast supplier dim as before. Late = day(l_shipdate) −
-    day(o_orderdate) > 60, day-truncated in both engines."""
+    day(o_orderdate) > 60, day-truncated in both engines.
+    data/segments.py finish_sorted_runs owns the interior/edge
+    plumbing."""
+    from .data.segments import finish_sorted_runs
     from .io import collect_table
 
     _SK_SENT = -1  # sorts before every real suppkey (contract ≥ 0)
@@ -4807,14 +4676,18 @@ def q_late_suppliers(sf_dir: str):
                .map_batches(ord_fold, batch_format="pyarrow")) \
         .sort(["ok", "sk"]).materialize()
 
-    def _run_triples(ok: np.ndarray, sk: np.ndarray, d: np.ndarray):
-        """Per-order winner suppkeys over a (ok, sk)-sorted slice
+    _empty = pa.table({"sk": pa.array([], pa.int64()),
+                       "n": pa.array([], pa.int64())})
+
+    def kernel(cols) -> pa.Table:
+        """Per-supplier winner counts over a (ok, sk)-sorted slice
         whose ok-runs are COMPLETE. Dedups equal (ok, sk) by max d,
         requires each run to open with its sentinel (FK: every
         lineitem order exists in orders), applies the triple filter
-        (ns ≥ 2, nl == 1) and returns the winning sk array."""
+        (ns ≥ 2, nl == 1) and counts wins per suppkey."""
+        ok, sk, d = cols["ok"], cols["sk"], cols["d"]
         if ok.size == 0:
-            return np.empty(0, np.int64)
+            return _empty
         # segment max over equal (ok, sk): partials from different
         # blocks meet here
         new = np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])]
@@ -4836,58 +4709,17 @@ def q_late_suppliers(sf_dir: str):
         ns = np.bincount(rid, weights=real)
         nl = np.bincount(rid, weights=late)
         win_run = (ns >= 2) & (nl == 1)
-        return sks[late & win_run[rid]]
-
-    def interior_counts(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "ok" not in b.schema.names:
-            return pa.table({"sk": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        ok = b.column("ok").to_numpy(zero_copy_only=False)
-        sk = b.column("sk").to_numpy(zero_copy_only=False)
-        d = b.column("d").to_numpy(zero_copy_only=False)
-        lo = int(np.searchsorted(ok, ok[0], side="right"))
-        hi = int(np.searchsorted(ok, ok[-1], side="left"))
-        hi = max(hi, lo)
-        win = _run_triples(ok[lo:hi], sk[lo:hi], d[lo:hi])
-        ks, cnts = np.unique(win, return_counts=True)
-        return pa.table({"sk": pa.array(ks, pa.int64()),
+        wk, cnts = np.unique(sks[late & win_run[rid]],
+                             return_counts=True)
+        return pa.table({"sk": pa.array(wk, pa.int64()),
                          "n": pa.array(cnts, pa.int64())})
-    interior_counts.__name__ = "q21_interior_counts"
 
-    def edge_rows(b: pa.Table) -> pa.Table:
-        cols = ["ok", "sk", "d"]
-        if b.num_rows == 0 or "ok" not in b.schema.names:
-            return pa.table({c: pa.array([], pa.int64())
-                             for c in cols})
-        ok = b.column("ok").to_numpy(zero_copy_only=False)
-        lo = int(np.searchsorted(ok, ok[0], side="right"))
-        hi = int(np.searchsorted(ok, ok[-1], side="left"))
-        hi = max(hi, lo)
-        keep = np.zeros(ok.size, dtype=bool)
-        keep[:lo] = True
-        keep[hi:] = True
-        return b.select(cols).filter(pa.array(keep))
-    edge_rows.__name__ = "q21_edge_rows"
-
-    cand = collect_table(merged.map_batches(
-        interior_counts, batch_format="pyarrow", batch_size=None))
-    side = collect_table(merged.map_batches(
-        edge_rows, batch_format="pyarrow", batch_size=None))
-    # all-empty map outputs collect to a SCHEMA-LESS table (Ray 2.49)
-    if "ok" in side.schema.names:
-        eo = side.column("ok").to_numpy(zero_copy_only=False)
-        es = side.column("sk").to_numpy(zero_copy_only=False)
-        ed = side.column("d").to_numpy(zero_copy_only=False)
-        eorder = np.lexsort((es, eo))
-        ewin = _run_triples(eo[eorder], es[eorder], ed[eorder])
-    else:
-        ewin = np.empty(0, np.int64)
-    csk = cand.column("sk").to_numpy(zero_copy_only=False) \
-        if "sk" in cand.schema.names else np.empty(0, np.int64)
-    cn = cand.column("n").to_numpy(zero_copy_only=False) \
-        if "n" in cand.schema.names else np.empty(0, np.int64)
-    sk = np.concatenate([csk, ewin])
-    n = np.concatenate([cn, np.ones(ewin.size, np.int64)])
+    partial = finish_sorted_runs(
+        merged, key_col="ok", order_cols=["sk"],
+        int_cols=["ok", "sk", "d"], kernel=kernel,
+        empty_partial=_empty)
+    sk = partial.column("sk").to_numpy(zero_copy_only=False)
+    n = partial.column("n").to_numpy(zero_copy_only=False)
     ks = np.unique(sk)
     numwait = np.zeros(ks.size, np.int64)
     np.add.at(numwait, np.searchsorted(ks, sk), n)
@@ -5688,10 +5520,10 @@ def q_priority_check(sf_dir: str):
     a sentinel are orders outside the date window, silently skipped
     (unlike Q21 where a missing sentinel is an FK violation) — with
     the ≤2 edge runs per block finishing driver-side through the
-    same kernel. Only O(blocks × 5) count rows ever move."""
-    import ray
-
-    from .io import collect_table
+    same kernel (data/segments.py finish_sorted_runs owns the
+    interior/edge plumbing). Only O(blocks × 5) count rows ever
+    move."""
+    from .data.segments import finish_sorted_runs
 
     lo, hi = _dayc("1996-01-01"), _dayc("1997-01-01")
 
@@ -5730,13 +5562,17 @@ def q_priority_check(sf_dir: str):
                .map_batches(ord_fold, batch_format="pyarrow")) \
         .sort(["ok", "fl"]).materialize()
 
-    def _run_counts(ok, fl, d, pr):
+    _empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                       "n": pa.array([], pa.int64())})
+
+    def kernel(cols) -> pa.Table:
         """Per-priority late-order counts over a (ok, fl)-sorted
         slice of COMPLETE runs. Sentinel-less runs (orders outside
         the window) contribute nothing."""
-        out: dict[str, int] = {}
+        ok, fl = cols["ok"], cols["fl"]
+        d, pr = cols["d"], cols["pr"]
         if ok.size == 0:
-            return out
+            return _empty
         new = np.r_[True, ok[1:] != ok[:-1]]
         rstart = np.flatnonzero(new)
         rid = np.cumsum(new) - 1
@@ -5747,65 +5583,18 @@ def q_priority_check(sf_dir: str):
         np.maximum.at(dmax, rid[nsent], d[nsent])
         late = has_sent & (dmax > d[rstart] + 30)
         ps, cs = np.unique(pr[rstart[late]], return_counts=True)
-        for p, c in zip(ps.tolist(), cs.tolist()):
-            out[p] = out.get(p, 0) + c
-        return out
-    _q4_run_counts = _run_counts
-
-    def interior_counts(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "ok" not in b.schema.names:
-            return pa.table({
-                "o_orderpriority": pa.array([], pa.string()),
-                "n": pa.array([], pa.int64())})
-        ok = b.column("ok").to_numpy(zero_copy_only=False)
-        fl = b.column("fl").to_numpy(zero_copy_only=False)
-        d = b.column("d").to_numpy(zero_copy_only=False)
-        pr = np.asarray(b.column("pr").to_pylist(), dtype=object)
-        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
-        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
-                   lo_i)
-        cnt = _q4_run_counts(ok[lo_i:hi_i], fl[lo_i:hi_i],
-                             d[lo_i:hi_i], pr[lo_i:hi_i])
         return pa.table({
-            "o_orderpriority": pa.array(list(cnt), pa.string()),
-            "n": pa.array(list(cnt.values()), pa.int64())})
-    interior_counts.__name__ = "q4_interior_counts"
+            "o_orderpriority": pa.array(ps.tolist(), pa.string()),
+            "n": pa.array(cs, pa.int64())})
 
-    def edge_rows(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "ok" not in b.schema.names:
-            return pa.table({"ok": pa.array([], pa.int64()),
-                             "fl": pa.array([], pa.int64()),
-                             "d": pa.array([], pa.int64()),
-                             "pr": pa.array([], pa.string())})
-        ok = b.column("ok").to_numpy(zero_copy_only=False)
-        lo_i = int(np.searchsorted(ok, ok[0], side="right"))
-        hi_i = max(int(np.searchsorted(ok, ok[-1], side="left")),
-                   lo_i)
-        keep = np.zeros(ok.size, dtype=bool)
-        keep[:lo_i] = True
-        keep[hi_i:] = True
-        return b.select(["ok", "fl", "d", "pr"]) \
-            .filter(pa.array(keep))
-    edge_rows.__name__ = "q4_edge_rows"
-
-    cand = collect_table(merged.map_batches(
-        interior_counts, batch_format="pyarrow", batch_size=None))
-    side = collect_table(merged.map_batches(
-        edge_rows, batch_format="pyarrow", batch_size=None))
+    partial = finish_sorted_runs(
+        merged, key_col="ok", order_cols=["fl"],
+        int_cols=["ok", "fl", "d"], str_cols=["pr"],
+        kernel=kernel, empty_partial=_empty)
     counts: dict[str, int] = {}
-    if "o_orderpriority" in cand.schema.names:
-        for p, n in zip(cand.column("o_orderpriority").to_pylist(),
-                        cand.column("n").to_pylist()):
-            counts[p] = counts.get(p, 0) + n
-    if "ok" in side.schema.names and side.num_rows:
-        eo = side.column("ok").to_numpy(zero_copy_only=False)
-        ef = side.column("fl").to_numpy(zero_copy_only=False)
-        ed = side.column("d").to_numpy(zero_copy_only=False)
-        ep = np.asarray(side.column("pr").to_pylist(), dtype=object)
-        eorder = np.lexsort((ef, eo))
-        for p, n in _q4_run_counts(eo[eorder], ef[eorder],
-                                   ed[eorder], ep[eorder]).items():
-            counts[p] = counts.get(p, 0) + n
+    for p, n in zip(partial.column("o_orderpriority").to_pylist(),
+                    partial.column("n").to_pylist()):
+        counts[p] = counts.get(p, 0) + n
     prios = sorted(counts)
     return pa.table({
         "o_orderpriority": pa.array(prios, pa.string()),

@@ -1179,3 +1179,66 @@ def test_bpe_encode_counts_match_scalar_reference(ray_session,
             compressed += 1
     assert compressed > 0          # the merge list actually bites
     assert out["d4"] == (0, 0) and out["d5"] == (0, 0)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_finish_sorted_runs_block_split_invariance(ray_session, seed):
+    """Property: finish_sorted_runs gives the same per-key reduction
+    regardless of WHERE block boundaries fall — including splits in
+    the middle of a run, runs spanning 3+ blocks, single-key blocks,
+    and a single-block layout. Kernel = per-run (sum, count); the
+    reference reduces the whole sorted array at once."""
+    import ray
+
+    from soupflow.data.segments import finish_sorted_runs
+
+    rng = np.random.default_rng(seed)
+    n_keys = 30
+    lens = rng.integers(1, 12, n_keys)
+    k = np.repeat(np.arange(n_keys, dtype=np.int64) * 3, lens)
+    fl = np.concatenate([
+        np.r_[np.full(1, -1, np.int64),
+              np.zeros(ln - 1, np.int64)] for ln in lens])
+    v = rng.integers(-50, 50, k.size).astype(np.int64)
+    tbl = pa.table({"ok": pa.array(k), "fl": pa.array(fl),
+                    "v": pa.array(v)})
+
+    def kernel(cols):
+        ok, vv = cols["ok"], cols["v"]
+        if ok.size == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        rs = np.flatnonzero(new)
+        s = np.add.reduceat(vv, rs)
+        n = np.diff(np.r_[rs, ok.size])
+        return pa.table({"k": pa.array(ok[rs], pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    ref = kernel({"ok": k, "fl": fl, "v": v})
+    want = {r["k"]: (r["s"], r["n"]) for r in ref.to_pylist()}
+    empty = kernel({"ok": np.empty(0, np.int64),
+                    "fl": np.empty(0, np.int64),
+                    "v": np.empty(0, np.int64)})
+
+    layouts = [[tbl]]                       # single block
+    for trial in range(4):                  # adversarial random splits
+        cuts = np.sort(rng.choice(np.arange(1, k.size), size=6,
+                                  replace=False))
+        pieces, prev = [], 0
+        for c in [*cuts.tolist(), k.size]:
+            pieces.append(tbl.slice(prev, c - prev))
+            prev = c
+        layouts.append(pieces)
+
+    for pieces in layouts:
+        ds = ray.data.from_arrow(pieces).materialize()
+        out = finish_sorted_runs(
+            ds, key_col="ok", order_cols=["fl"],
+            int_cols=["ok", "fl", "v"], kernel=kernel,
+            empty_partial=empty)
+        got = {r["k"]: (r["s"], r["n"]) for r in out.to_pylist()}
+        assert got == want, (len(pieces),)
+        assert out.num_rows == len(want)    # every key exactly once
