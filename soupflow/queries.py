@@ -2918,21 +2918,40 @@ def q_event_pivot(sf_dir: str):
               for t in _PIVOT_TYPES])
 
 
-def q_revenue_by_nation(sf_dir: str, num_partitions: int = 8):
+def q_revenue_by_nation(sf_dir: str, join: str = "broadcast",
+                        num_partitions: int = 8):
     """TPC-H-Q5-style multi-join composition: revenue per nation over
-    lineitem ⋈ orders ⋈ customer ⋈ nation. The scale shape per join
-    tier: the FACT stream is combined in-batch by its join key before
-    every shuffle (lineitem → per-orderkey partials, join output →
-    per-custkey partials), the two big-side joins are partitioned Ray
-    hash joins on narrow projections, and the 25-row nation dim is a
-    broadcast map. Revenue uses exact integer-cents arithmetic
-    (floor(x*100+0.5)) so sums are order-independent and the SQL
-    oracle hash-matches bit-for-bit. ``num_partitions`` sizes the
-    hash-shuffle actor pools — each join's cold-start scales with
-    it (~2s saved at toy scale going 16->8; raise with data)."""
+    lineitem ⋈ orders ⋈ customer ⋈ nation. Revenue uses exact
+    integer-cents arithmetic (floor(x*100+0.5)) so sums are
+    order-independent and the SQL oracle hash-matches bit-for-bit.
+
+    Default path (round 5): the ONE-PASS sentinel shape (sixth in
+    the family; data/segments.py finish_sorted_runs owns the
+    interior/edge plumbing) — the former fact-fact hash join +
+    custkey groupby + customer hash join collapse into ONE sort:
+    orders fold to (ok, −1, custkey) sentinel rows, lineitem
+    pre-reduces per block to (ok, 0, rev_cents) int64 partials
+    (the sentinel's v slot holds the custkey, the fact rows' v slot
+    holds revenue — per-run revenue is reduceat minus the sentinel),
+    and the zero-shuffle segment kernel maps each run's custkey to
+    its nation through the broadcast (custkey → nationkey) dim and
+    emits ≤25-row (nationkey, rev) partials per block. A complete
+    run without a sentinel is a lineitem orderkey missing from
+    orders and raises (family convention); a custkey missing from
+    customer drops its run (inner-join semantics, mirroring the
+    oracle). Nation names attach driver-side from the 25-row dim.
+
+    ``join="partitioned"``: the IMPLEMENTED escape when the customer
+    dim outgrows the driver — fact stream combined in-batch by its
+    join key before every shuffle (lineitem → per-orderkey partials,
+    join output → per-custkey partials), two partitioned Ray hash
+    joins on narrow projections, nation as a broadcast map; output
+    identical to the default (parity pytest). ``num_partitions``
+    sizes its hash-shuffle actor pools."""
     import ray
     from ray.data.aggregate import Sum
 
+    from .data.segments import finish_sorted_runs
     from .io import collect_table
 
     def li_narrow(b: pa.Table) -> pa.Table:
@@ -2947,70 +2966,174 @@ def q_revenue_by_nation(sf_dir: str, num_partitions: int = 8):
         return g.rename_columns(["l_orderkey", "rev"])
     li_narrow.__name__ = "lineitem_rev_partial"
 
-    # no pre-join repartition: the hash join re-shuffles anyway, and a
-    # repartition materializes an extra copy of the whole fact stream
-    # (measured +1.5s at sf0.1). Only aggregate OUTPUTS get coalesced
-    # below — those can carry empty blocks, which Ray 2.49's join
-    # rejects (see exact_dedup partitioned-mode note).
-    fact = _read(sf_dir, "lineitem") \
-        .select_columns(["l_orderkey", "l_extendedprice",
-                         "l_discount"]) \
-        .map_batches(li_narrow, batch_format="pyarrow")
-    # select_columns (not a lambda select) so projection pushes down
-    # into the parquet read — only 2 of 9 orders columns leave storage
-    orders = _read(sf_dir, "orders") \
-        .select_columns(["o_orderkey", "o_custkey"])
-    j1 = fact.join(orders, join_type="inner",
-                   num_partitions=num_partitions,
-                   on=("l_orderkey",), right_on=("o_orderkey",))
-
-    def cust_partial(b: pa.Table) -> pa.Table:
-        t = pa.table({"o_custkey": b.column("o_custkey"),
-                      "rev": b.column("rev")})
-        g = t.group_by("o_custkey").aggregate([("rev", "sum")])
-        return g.rename_columns(["o_custkey", "rev"])
-    cust_partial.__name__ = "cust_rev_partial"
-
-    by_cust = j1.map_batches(cust_partial, batch_format="pyarrow") \
-        .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev")) \
-        .repartition(8)
-    cust = _read(sf_dir, "customer") \
-        .select_columns(["c_custkey", "c_nationkey"])
-    j2 = by_cust.join(cust, join_type="inner",
-                      num_partitions=max(num_partitions // 2, 2),
-                      on=("o_custkey",), right_on=("c_custkey",))
-
     nat = collect_table(_read(sf_dir, "nation")
                         .select_columns(["n_nationkey", "n_name"]))
     nkeys = nat.column("n_nationkey").to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     nnames = np.asarray(nat.column("n_name").to_pylist())
     norder = np.argsort(nkeys)
-    nref = ray.put((nkeys[norder], nnames[norder]))
+    nk_sorted, nm_sorted = nkeys[norder], nnames[norder]
 
-    def to_nation(b: pa.Table) -> pa.Table:
-        nk_sorted, nm_sorted = ray.get(nref)
-        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
-        # bounds+equality-guarded gather: a nationkey outside the dim
-        # table drops the row (inner-join semantics) instead of
-        # IndexError-ing or silently attaching the wrong nation
-        if nk_sorted.size:
-            pos = np.minimum(np.searchsorted(nk_sorted, nk),
-                             nk_sorted.size - 1)
-            ok = nk_sorted[pos] == nk
+    if join == "partitioned":
+        # no pre-join repartition: the hash join re-shuffles anyway,
+        # and a repartition materializes an extra copy of the whole
+        # fact stream (measured +1.5s at sf0.1). Only aggregate
+        # OUTPUTS get coalesced below — those can carry empty blocks,
+        # which Ray 2.49's join rejects (see exact_dedup
+        # partitioned-mode note).
+        fact = _read(sf_dir, "lineitem") \
+            .select_columns(["l_orderkey", "l_extendedprice",
+                             "l_discount"]) \
+            .map_batches(li_narrow, batch_format="pyarrow")
+        # select_columns (not a lambda select) so projection pushes
+        # down into the parquet read — only 2 of 9 orders columns
+        # leave storage
+        orders = _read(sf_dir, "orders") \
+            .select_columns(["o_orderkey", "o_custkey"])
+        j1 = fact.join(orders, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def cust_partial(b: pa.Table) -> pa.Table:
+            t = pa.table({"o_custkey": b.column("o_custkey"),
+                          "rev": b.column("rev")})
+            g = t.group_by("o_custkey").aggregate([("rev", "sum")])
+            return g.rename_columns(["o_custkey", "rev"])
+        cust_partial.__name__ = "cust_rev_partial"
+
+        by_cust = j1.map_batches(cust_partial,
+                                 batch_format="pyarrow") \
+            .groupby("o_custkey") \
+            .aggregate(Sum("rev", alias_name="rev")) \
+            .repartition(8)
+        cust = _read(sf_dir, "customer") \
+            .select_columns(["c_custkey", "c_nationkey"])
+        j2 = by_cust.join(cust, join_type="inner",
+                          num_partitions=max(num_partitions // 2, 2),
+                          on=("o_custkey",), right_on=("c_custkey",))
+
+        nref = ray.put((nk_sorted, nm_sorted))
+
+        def to_nation(b: pa.Table) -> pa.Table:
+            nks, nms = ray.get(nref)
+            nk = b.column("c_nationkey") \
+                .to_numpy(zero_copy_only=False)
+            # bounds+equality-guarded gather: a nationkey outside the
+            # dim table drops the row (inner-join semantics) instead
+            # of IndexError-ing or silently attaching the wrong
+            # nation
+            if nks.size:
+                pos = np.minimum(np.searchsorted(nks, nk),
+                                 nks.size - 1)
+                ok = nks[pos] == nk
+            else:
+                pos = np.zeros(nk.size, dtype=np.int64)
+                ok = np.zeros(nk.size, dtype=bool)
+            t = pa.table({
+                "n_name": pa.array(nms[pos[ok]], pa.string()),
+                "rev": b.column("rev").filter(pa.array(ok))})
+            g = t.group_by("n_name").aggregate([("rev", "sum")])
+            return g.rename_columns(["n_name", "revenue_i"])
+        to_nation.__name__ = "nation_rev_partial"
+
+        return j2.map_batches(to_nation, batch_format="pyarrow") \
+            .groupby("n_name").aggregate(Sum("revenue_i",
+                                             alias_name="revenue_i"))
+
+    # Broadcast/default path, round 5: the ONE-PASS sentinel shape.
+    cust = collect_table(_read(sf_dir, "customer")
+                         .select_columns(["c_custkey",
+                                          "c_nationkey"]))
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    cn = cust.column("c_nationkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    corder = np.argsort(ck, kind="stable")
+    cref = ray.put((ck[corder], cn[corder]))
+
+    def ord_fold(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ok": b.column("o_orderkey"),
+            "fl": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "v": b.column("o_custkey").cast(pa.int64())})
+    ord_fold.__name__ = "q5_order_fold"
+
+    def li_fold(b: pa.Table) -> pa.Table:
+        g = li_narrow(b)
+        return pa.table({
+            "ok": g.column("l_orderkey"),
+            "fl": pa.array(np.zeros(g.num_rows, np.int64)),
+            "v": g.column("rev")})
+    li_fold.__name__ = "q5_li_fold"
+
+    merged = _read(sf_dir, "lineitem") \
+        .select_columns(["l_orderkey", "l_extendedprice",
+                         "l_discount"]) \
+        .map_batches(li_fold, batch_format="pyarrow") \
+        .union(_read(sf_dir, "orders")
+               .select_columns(["o_orderkey", "o_custkey"])
+               .map_batches(ord_fold, batch_format="pyarrow")) \
+        .sort(["ok", "fl"]).materialize()
+
+    _empty = pa.table({"nk": pa.array([], pa.int64()),
+                       "rev": pa.array([], pa.int64())})
+
+    def kernel(cols) -> pa.Table:
+        """Per-nation revenue partial over a (ok, fl)-sorted slice
+        of COMPLETE runs. Each run's sentinel carries the custkey in
+        its v slot; fact rows carry revenue cents, so run revenue is
+        reduceat minus the sentinel. A run without a sentinel is an
+        FK violation and raises; a custkey missing from the customer
+        dim drops its run (inner-join semantics)."""
+        ok, fl, v = cols["ok"], cols["fl"], cols["v"]
+        if ok.size == 0:
+            return _empty
+        cks, cns = ray.get(cref)
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        rstart = np.flatnonzero(new)
+        if not bool((fl[rstart] == -1).all()):
+            raise ValueError(
+                "revenue_by_nation: lineitem orderkey missing from "
+                "orders — FK violation")
+        ckr = v[rstart]
+        rev = np.add.reduceat(v, rstart) - ckr
+        if cks.size:
+            pos = np.minimum(np.searchsorted(cks, ckr),
+                             cks.size - 1)
+            found = cks[pos] == ckr
         else:
-            pos = np.zeros(nk.size, dtype=np.int64)
-            ok = np.zeros(nk.size, dtype=bool)
-        t = pa.table({
-            "n_name": pa.array(nm_sorted[pos[ok]], pa.string()),
-            "rev": b.column("rev").filter(pa.array(ok))})
-        g = t.group_by("n_name").aggregate([("rev", "sum")])
-        return g.rename_columns(["n_name", "revenue_i"])
-    to_nation.__name__ = "nation_rev_partial"
+            found = np.zeros(ckr.size, dtype=bool)
+            pos = np.zeros(ckr.size, dtype=np.int64)
+        nk = cns[pos[found]]
+        uk, inv = np.unique(nk, return_inverse=True)
+        sums = np.zeros(uk.size, np.int64)
+        np.add.at(sums, inv, rev[found])
+        return pa.table({"nk": pa.array(uk, pa.int64()),
+                         "rev": pa.array(sums, pa.int64())})
 
-    return j2.map_batches(to_nation, batch_format="pyarrow") \
-        .groupby("n_name").aggregate(Sum("revenue_i",
-                                         alias_name="revenue_i"))
+    partial = finish_sorted_runs(
+        merged, key_col="ok", order_cols=["fl"],
+        int_cols=["ok", "fl", "v"], kernel=kernel,
+        empty_partial=_empty)
+    nk = partial.column("nk").to_numpy(zero_copy_only=False)
+    rv = partial.column("rev").to_numpy(zero_copy_only=False)
+    uk, inv = np.unique(nk, return_inverse=True)
+    sums = np.zeros(uk.size, np.int64)
+    np.add.at(sums, inv, rv)
+    # attach names from the 25-row dim; unknown nationkeys drop
+    # (inner-join semantics, mirroring the partitioned path's guard)
+    if nk_sorted.size and uk.size:
+        pos = np.minimum(np.searchsorted(nk_sorted, uk),
+                         nk_sorted.size - 1)
+        found = nk_sorted[pos] == uk
+    else:
+        pos = np.zeros(uk.size, dtype=np.int64)
+        found = np.zeros(uk.size, dtype=bool)
+    names = nm_sorted[pos[found]]
+    order = np.argsort(names, kind="stable")
+    return pa.table({
+        "n_name": pa.array(names[order].tolist(), pa.string()),
+        "revenue_i": pa.array(sums[found][order], pa.int64())})
 
 
 def q_para_dedup(sf_dir: str):

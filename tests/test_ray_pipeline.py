@@ -2691,6 +2691,17 @@ def test_big_orders_partitioned_matches_broadcast(ray_session):
     assert bc == pt and len(bc) > 0
 
 
+def test_revenue_by_nation_partitioned_matches_broadcast(ray_session):
+    """join="partitioned" (two partitioned hash joins + wide custkey
+    groupby instead of the one-pass sentinel sort with the broadcast
+    customer dim) must be row-identical at sf0.01."""
+    from soupflow.queries import q_revenue_by_nation
+    bc = _rows_sorted(q_revenue_by_nation(SF01))
+    pt = _rows_sorted(q_revenue_by_nation(SF01, join="partitioned",
+                                          num_partitions=8))
+    assert bc == pt and len(bc) > 0
+
+
 def test_time_weighted_avg_all_tied_timestamps_key(ray_session):
     """ADVICE regression: a key whose events ALL share one timestamp
     (legal — ids differ) must surface as a (key, 0, 0) row exactly

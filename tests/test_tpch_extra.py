@@ -488,3 +488,41 @@ def test_big_orders_fk_violation_raises(ray_session, tmp_path):
         .to_parquet(d / "customer.parquet")
     with pytest.raises(Exception, match="FK violation"):
         q_big_orders(str(d))
+
+
+def test_revenue_by_nation_fk_violation_raises(ray_session, tmp_path):
+    """A lineitem orderkey missing from orders must raise in the
+    one-pass Q5 kernel (its run has no sentinel), not silently drop
+    the phantom order's revenue; a custkey missing from customer
+    DROPS its run (inner-join semantics) instead."""
+    import pytest
+
+    from soupflow.queries import q_revenue_by_nation
+
+    d = tmp_path / "sf_q5fk"
+    d.mkdir()
+    pd.DataFrame({"o_orderkey": np.array([1, 2], np.int64),
+                  "o_custkey": np.array([7, 999], np.int64)}) \
+        .to_parquet(d / "orders.parquet")
+    pd.DataFrame({"l_orderkey": np.array([1, 2], np.int64),
+                  "l_extendedprice": [10.0, 20.0],
+                  "l_discount": [0.0, 0.0]}) \
+        .to_parquet(d / "lineitem.parquet")
+    pd.DataFrame({"c_custkey": np.array([7], np.int64),
+                  "c_nationkey": np.array([3], np.int64)}) \
+        .to_parquet(d / "customer.parquet")
+    pd.DataFrame({"n_nationkey": np.array([3], np.int64),
+                  "n_name": ["GERMANY"]}) \
+        .to_parquet(d / "nation.parquet")
+
+    # custkey 999 missing from customer: its order's revenue drops
+    out = q_revenue_by_nation(str(d)).to_pylist()
+    assert out == [{"n_name": "GERMANY", "revenue_i": 100000}]
+
+    # now a lineitem pointing at a nonexistent order: FK raise
+    pd.DataFrame({"l_orderkey": np.array([1, 2, 99], np.int64),
+                  "l_extendedprice": [10.0, 20.0, 5.0],
+                  "l_discount": [0.0, 0.0, 0.0]}) \
+        .to_parquet(d / "lineitem.parquet")
+    with pytest.raises(Exception, match="FK violation"):
+        q_revenue_by_nation(str(d))
