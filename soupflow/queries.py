@@ -1926,53 +1926,106 @@ def q_orders_with_returns(sf_dir: str):
 
 
 def q_priority_by_status(sf_dir: str):
-    """Conditional aggregation over a fact-fact join (TPC-H Q12
-    shape): per line status, how many lineitems belong to
-    high-priority (1-URGENT / 2-HIGH) vs other orders. Both sides are
-    pruned to two columns at the scan — the priority string is folded
-    to one int BEFORE the shuffle so only (key, bit) rows move — then
-    ONE partitioned hash join and a map-side conditional-count partial
-    feeding a tiny groupby(status) sum."""
-    from ray.data.aggregate import Sum
+    """Conditional aggregation over a fact-fact equi-key pairing
+    (TPC-H Q12 shape): per line status, how many lineitems belong to
+    high-priority (1-URGENT / 2-HIGH) vs other orders. Round 5: the
+    former partitioned hash join — which moved every RAW lineitem
+    row through the exchange — collapses into the ONE-PASS sentinel
+    shape (seventh in the family; data/segments.py finish_sorted_runs
+    owns the interior/edge plumbing): orders fold to (ok, −1,
+    is_high, "") sentinel rows, lineitem pre-reduces per block to
+    (ok, 0, count, status) partials — at most one row per (orderkey,
+    status) per block leaves the scan — the union sorts ONCE on
+    (ok, fl), and the zero-shuffle segment kernel broadcasts each
+    run's sentinel bit over its fact rows and emits ≤|statuses|-row
+    (status, high, low) partials per block. A complete run without a
+    sentinel is a lineitem orderkey missing from orders and raises
+    (family FK convention; the oracle's inner join would drop it
+    silently). Fully distributed — no driver-side dim at all."""
+    from .data.segments import finish_sorted_runs
 
-    def fold(b: pa.Table) -> pa.Table:
+    def ord_fold(b: pa.Table) -> pa.Table:
         hi = pc.is_in(b.column("o_orderpriority"),
                       value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        n = b.num_rows
         return pa.table({
-            "o_orderkey": b.column("o_orderkey"),
-            "is_high": hi.cast(pa.int64())})
-    fold.__name__ = "fold_priority"
+            "ok": b.column("o_orderkey"),
+            "fl": pa.array(np.full(n, -1, np.int64)),
+            "n": hi.cast(pa.int64()),
+            "st": pa.array([""] * n, pa.string())})
+    ord_fold.__name__ = "q12_order_fold"
 
-    orders = _read(sf_dir, "orders") \
-        .select_columns(["o_orderkey", "o_orderpriority"]) \
-        .map_batches(fold, batch_format="pyarrow").repartition(8)
+    def li_fold(b: pa.Table) -> pa.Table:
+        t = pa.table({"ok": b.column("l_orderkey"),
+                      "st": b.column("l_linestatus")})
+        g = t.group_by(["ok", "st"]).aggregate([([], "count_all")]) \
+            .rename_columns(["ok", "st", "n"])
+        return pa.table({
+            "ok": g.column("ok"),
+            "fl": pa.array(np.zeros(g.num_rows, np.int64)),
+            "n": g.column("n").cast(pa.int64()),
+            "st": g.column("st")})
+    li_fold.__name__ = "q12_li_fold"
 
-    joined = _read(sf_dir, "lineitem") \
+    merged = _read(sf_dir, "lineitem") \
         .select_columns(["l_orderkey", "l_linestatus"]) \
-        .join(orders, join_type="inner", num_partitions=8,
-              on=("l_orderkey",), right_on=("o_orderkey",))
+        .map_batches(li_fold, batch_format="pyarrow") \
+        .union(_read(sf_dir, "orders")
+               .select_columns(["o_orderkey", "o_orderpriority"])
+               .map_batches(ord_fold, batch_format="pyarrow")) \
+        .sort(["ok", "fl"]).materialize()
 
-    def cond_partial(b: pa.Table) -> pa.Table:
-        hi = b.column("is_high").to_numpy(zero_copy_only=False)
-        st = b.column("l_linestatus")
-        if isinstance(st, pa.ChunkedArray):
-            st = st.combine_chunks()
-        uniq, inv = np.unique(
-            np.asarray(st.to_pylist(), dtype=object),
-            return_inverse=True)
-        h = np.bincount(inv, weights=hi,
-                        minlength=len(uniq)).astype(np.int64)
-        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    _empty = pa.table({"l_linestatus": pa.array([], pa.string()),
+                       "high_lines": pa.array([], pa.int64()),
+                       "low_lines": pa.array([], pa.int64())})
+
+    def kernel(cols) -> pa.Table:
+        """Per-status (high, low) lineitem counts over a (ok, fl)-
+        sorted slice of COMPLETE runs; the sentinel's n slot carries
+        the order's is_high bit, fact rows' n slots carry per-status
+        lineitem counts."""
+        ok, fl = cols["ok"], cols["fl"]
+        n, st = cols["n"], cols["st"]
+        if ok.size == 0:
+            return _empty
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        rstart = np.flatnonzero(new)
+        if not bool((fl[rstart] == -1).all()):
+            raise ValueError(
+                "priority_by_status: lineitem orderkey missing from "
+                "orders — FK violation")
+        rid = np.cumsum(new) - 1
+        hi_row = n[rstart][rid]          # sentinel bit per row
+        fact = fl != -1
+        uniq, inv = np.unique(st[fact], return_inverse=True)
+        h = np.zeros(uniq.size, np.int64)
+        lo = np.zeros(uniq.size, np.int64)
+        nf = n[fact]
+        hf = hi_row[fact] == 1
+        np.add.at(h, inv[hf], nf[hf])
+        np.add.at(lo, inv[~hf], nf[~hf])
         return pa.table({
             "l_linestatus": pa.array(uniq.tolist(), pa.string()),
             "high_lines": pa.array(h, pa.int64()),
-            "low_lines": pa.array(n - h, pa.int64())})
-    cond_partial.__name__ = "priority_cond_partial"
+            "low_lines": pa.array(lo, pa.int64())})
 
-    return joined.map_batches(cond_partial, batch_format="pyarrow") \
-        .groupby("l_linestatus").aggregate(
-            Sum("high_lines", alias_name="high_lines"),
-            Sum("low_lines", alias_name="low_lines"))
+    partial = finish_sorted_runs(
+        merged, key_col="ok", order_cols=["fl"],
+        int_cols=["ok", "fl", "n"], str_cols=["st"],
+        kernel=kernel, empty_partial=_empty)
+    sts = np.asarray(partial.column("l_linestatus").to_pylist(),
+                     dtype=object)
+    h = partial.column("high_lines").to_numpy(zero_copy_only=False)
+    lo = partial.column("low_lines").to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(sts, return_inverse=True)
+    hs = np.zeros(uniq.size, np.int64)
+    ls = np.zeros(uniq.size, np.int64)
+    np.add.at(hs, inv, h)
+    np.add.at(ls, inv, lo)
+    return pa.table({
+        "l_linestatus": pa.array(uniq.tolist(), pa.string()),
+        "high_lines": pa.array(hs, pa.int64()),
+        "low_lines": pa.array(ls, pa.int64())})
 
 
 def q_rank_by_lang(sf_dir: str):
@@ -4891,11 +4944,12 @@ def q_volume_shipping(sf_dir: str):
     memory the same fold becomes one more partitioned narrow join on
     custkey — the revenue_by_nation hatch), lineitem
     pre-aggregates per block to (orderkey, supp_nation, year,
-    rev_cents) integer partials BEFORE the join, and the cross-pair
-    filter + final groupby run on the 2×years-bounded result."""
+    rev_cents) integer partials BEFORE any movement, and the
+    cross-pair filter + per-block 2×2×years-bounded partials come
+    out of the one-pass sentinel sort (see inline comment)."""
     import ray
-    from ray.data.aggregate import Sum
 
+    from .data.segments import finish_sorted_runs
     from .io import collect_table
 
     a, b2 = _Q7_NATIONS
@@ -4941,14 +4995,14 @@ def q_volume_shipping(sf_dir: str):
         pos = np.searchsorted(
             ks, kept.column("o_custkey")
             .to_numpy(zero_copy_only=False))
+        n = kept.num_rows
         return pa.table({
-            "o_orderkey": kept.column("o_orderkey"),
-            "cust_nk": pa.array(nats[pos], pa.int64())})
+            "ok": kept.column("o_orderkey"),
+            "fl": pa.array(np.full(n, -1, np.int64)),
+            "nk": pa.array(nats[pos], pa.int64()),
+            "yr": pa.array(np.zeros(n, np.int64)),
+            "rev": pa.array(np.zeros(n, np.int64))})
     ord_fold.__name__ = "q7_order_fold"
-
-    orders_n = _read(sf_dir, "orders") \
-        .select_columns(["o_orderkey", "o_custkey"]) \
-        .map_batches(ord_fold, batch_format="pyarrow").repartition(8)
 
     def li_fold(bt: pa.Table) -> pa.Table:
         ks, nats = ray.get(s_handle)
@@ -4970,47 +5024,100 @@ def q_volume_shipping(sf_dir: str):
                * (100 - np.floor(d * 100.0 + 0.5).astype(np.int64)))
         sd = kept.column("l_shipdate").to_numpy(zero_copy_only=False)
         yr = sd.astype("datetime64[Y]").astype(np.int64) + 1970
-        t = pa.table({"l_orderkey": kept.column("l_orderkey"),
-                      "supp_nk": pa.array(nats[pos], pa.int64()),
+        t = pa.table({"ok": kept.column("l_orderkey"),
+                      "nk": pa.array(nats[pos], pa.int64()),
                       "yr": pa.array(yr, pa.int64()),
                       "rev": pa.array(rev, pa.int64())})
-        return t.group_by(["l_orderkey", "supp_nk", "yr"]) \
+        g = t.group_by(["ok", "nk", "yr"]) \
             .aggregate([("rev", "sum")]) \
-            .rename_columns(["l_orderkey", "supp_nk", "yr", "rev"])
+            .rename_columns(["ok", "nk", "yr", "rev"])
+        return pa.table({
+            "ok": g.column("ok"),
+            "fl": pa.array(np.zeros(g.num_rows, np.int64)),
+            "nk": g.column("nk"),
+            "yr": g.column("yr"),
+            "rev": g.column("rev")})
     li_fold.__name__ = "q7_lineitem_fold"
 
-    li = _read(sf_dir, "lineitem") \
+    # ONE-PASS sentinel shape (round 5, eighth in the family;
+    # data/segments.py finish_sorted_runs owns the interior/edge
+    # plumbing): the former partitioned fact-fact hash join collapses
+    # into ONE sort on (ok, fl) — pair-filtered orders lead their
+    # runs as (ok, −1, cust_nk) sentinels, pair-filtered lineitem
+    # pre-reduces per block to (ok, 0, supp_nk, yr, rev) partials,
+    # and the segment kernel broadcasts each run's customer nation
+    # over its fact rows, applies the cross-pair filter and emits
+    # ≤2×2×|years|-row partials per block. Sentinel-less runs are
+    # orders whose customer is outside the nation pair and skip
+    # silently (Q4 rule — the order filter makes a missing sentinel
+    # legitimate, not an FK violation).
+    merged = _read(sf_dir, "lineitem") \
         .select_columns(["l_orderkey", "l_suppkey",
                          "l_extendedprice", "l_discount",
                          "l_shipdate"]) \
-        .map_batches(li_fold, batch_format="pyarrow")
+        .map_batches(li_fold, batch_format="pyarrow") \
+        .union(_read(sf_dir, "orders")
+               .select_columns(["o_orderkey", "o_custkey"])
+               .map_batches(ord_fold, batch_format="pyarrow")) \
+        .sort(["ok", "fl"]).materialize()
 
-    joined = li.join(orders_n, join_type="inner", num_partitions=8,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    _empty = pa.table({"supp_nk": pa.array([], pa.int64()),
+                       "cust_nk": pa.array([], pa.int64()),
+                       "yr": pa.array([], pa.int64()),
+                       "rev": pa.array([], pa.int64())})
+    _PK_YR = 10_000           # nationkey < 1000, year < 10000: pack
+    _PK_NK = 10_000_000       # (snk, cnk, yr) into one int64 key
 
-    def finish_partial(bt: pa.Table) -> pa.Table:
-        snk_ = bt.column("supp_nk").to_numpy(zero_copy_only=False)
-        cnk_ = bt.column("cust_nk").to_numpy(zero_copy_only=False)
-        kept = bt.filter(pa.array(snk_ != cnk_))
-        return kept.select(["supp_nk", "cust_nk", "yr", "rev"]) \
-            .group_by(["supp_nk", "cust_nk", "yr"]) \
-            .aggregate([("rev", "sum")]) \
-            .rename_columns(["supp_nk", "cust_nk", "yr", "rev"])
-    finish_partial.__name__ = "q7_finish_partial"
+    def kernel(cols) -> pa.Table:
+        """(supp_nation, cust_nation, year) revenue partials over a
+        (ok, fl)-sorted slice of COMPLETE runs; the sentinel's nk
+        slot carries the customer nation, fact rows' nk slots carry
+        the supplier nation. Sentinel-less runs skip silently."""
+        ok, fl = cols["ok"], cols["fl"]
+        nk, yr, rev = cols["nk"], cols["yr"], cols["rev"]
+        if ok.size == 0:
+            return _empty
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        rstart = np.flatnonzero(new)
+        rid = np.cumsum(new) - 1
+        has_sent = fl[rstart] == -1
+        cn_row = nk[rstart][rid]          # cust nation per row (when
+        fact = (fl != -1) & has_sent[rid]  # the run has a sentinel)
+        fact &= nk != cn_row              # cross-pair filter
+        if not bool(fact.any()):
+            return _empty
+        pack = (nk[fact] * _PK_NK + cn_row[fact] * _PK_YR
+                + yr[fact])
+        uniq, inv = np.unique(pack, return_inverse=True)
+        sums = np.zeros(uniq.size, np.int64)
+        np.add.at(sums, inv, rev[fact])
+        return pa.table({
+            "supp_nk": pa.array(uniq // _PK_NK, pa.int64()),
+            "cust_nk": pa.array((uniq // _PK_YR) % (_PK_NK // _PK_YR),
+                                pa.int64()),
+            "yr": pa.array(uniq % _PK_YR, pa.int64()),
+            "rev": pa.array(sums, pa.int64())})
 
-    agg = collect_table(joined.map_batches(
-        finish_partial, batch_format="pyarrow")
-        .groupby(["supp_nk", "cust_nk", "yr"])
-        .aggregate(Sum("rev", alias_name="rev")))
-    sn = [names[int(x)] for x in
-          agg.column("supp_nk").to_pylist()]
+    partial = finish_sorted_runs(
+        merged, key_col="ok", order_cols=["fl"],
+        int_cols=["ok", "fl", "nk", "yr", "rev"], kernel=kernel,
+        empty_partial=_empty)
+    snk_ = partial.column("supp_nk").to_numpy(zero_copy_only=False)
+    cnk_ = partial.column("cust_nk").to_numpy(zero_copy_only=False)
+    yr_ = partial.column("yr").to_numpy(zero_copy_only=False)
+    rv_ = partial.column("rev").to_numpy(zero_copy_only=False)
+    pack = snk_ * _PK_NK + cnk_ * _PK_YR + yr_
+    uniq, inv = np.unique(pack, return_inverse=True)
+    sums = np.zeros(uniq.size, np.int64)
+    np.add.at(sums, inv, rv_)
+    sn = [names[int(x)] for x in (uniq // _PK_NK).tolist()]
     cn = [names[int(x)] for x in
-          agg.column("cust_nk").to_pylist()]
+          ((uniq // _PK_YR) % (_PK_NK // _PK_YR)).tolist()]
     return pa.table({
         "supp_nation": pa.array(sn, pa.string()),
         "cust_nation": pa.array(cn, pa.string()),
-        "yr": agg.column("yr"),
-        "rev_cents": agg.column("rev")})
+        "yr": pa.array(uniq % _PK_YR, pa.int64()),
+        "rev_cents": pa.array(sums, pa.int64())})
 
 
 def q_sales_opportunity(sf_dir: str):
@@ -5378,22 +5485,24 @@ def q_market_share(sf_dir: str, num_partitions: int = 8):
     region's revenue for one part type that suppliers of one nation
     captured, per order year, as an EXACT integer (num, den) pair —
     the ratio never floats (the promo_revenue rule; consumers
-    divide). The 8-way textbook join collapses to ONE partitioned
-    fact-fact join plus dim broadcasts: part folds to a sorted
+    divide). The 8-way textbook join collapses to ONE sentinel sort
+    plus dim broadcasts: part folds to a sorted
     type-match partkey array, supplier to sorted suppkey + target-
     nation flag, nation×region to the region's nation set, customer
     to a sorted region-member custkey array (all dim-bounded; beyond
     driver memory each fold becomes one more partitioned narrow join
     — the revenue_by_nation hatch). Lineitem pre-aggregates per
     block to (orderkey, tgt, rev_cents) integer partials BEFORE the
-    join, orders folds to window+region (orderkey, yr) rows, and the
-    final year groupby runs on the window-bounded joined result.
-    Unlike Q7 the denominator spans ALL supplier nations, so a
-    lineitem suppkey missing from the supplier dim would silently
-    drop revenue — that FK violation raises instead."""
+    sentinel sort, orders fold to window+region (orderkey, yr)
+    sentinel rows, and the year totals come out of the zero-shuffle
+    segment kernel (see inline comment — ninth rewrite in the
+    one-pass family). Unlike Q7 the denominator spans ALL supplier
+    nations, so a lineitem suppkey missing from the supplier dim
+    would silently drop revenue — that FK violation raises
+    instead."""
     import ray
-    from ray.data.aggregate import Sum
 
+    from .data.segments import finish_sorted_runs
     from .io import collect_table
 
     tgt, reg = _Q8_TARGET_NATION, _Q8_CUST_REGION
@@ -5476,8 +5585,11 @@ def q_market_share(sf_dir: str, num_partitions: int = 8):
         yr = kept.column("o_orderdate") \
             .to_numpy(zero_copy_only=False) \
             .astype("datetime64[Y]").astype(np.int64) + 1970
-        return pa.table({"o_orderkey": kept.column("o_orderkey"),
-                         "yr": pa.array(yr, pa.int64())})
+        n = kept.num_rows
+        return pa.table({"ok": kept.column("o_orderkey"),
+                         "fl": pa.array(np.full(n, -1, np.int64)),
+                         "tg": pa.array(yr, pa.int64()),
+                         "rev": pa.array(np.zeros(n, np.int64))})
     ord_fold.__name__ = "q8_order_fold"
 
     def li_fold(bt: pa.Table) -> pa.Table:
@@ -5505,49 +5617,83 @@ def q_market_share(sf_dir: str, num_partitions: int = 8):
                 "market_share: l_suppkey missing from supplier dim "
                 "— denominator would silently lose revenue")
         rev = _ep_cents(kept) * (100 - _disc_pct(kept))
-        t = pa.table({"l_orderkey": kept.column("l_orderkey"),
-                      "tgt": pa.array(tflag.astype(np.int64),
-                                      pa.int64()),
+        t = pa.table({"ok": kept.column("l_orderkey"),
+                      "tg": pa.array(tflag.astype(np.int64),
+                                     pa.int64()),
                       "rev": pa.array(rev, pa.int64())})
-        return t.group_by(["l_orderkey", "tgt"]) \
+        g = t.group_by(["ok", "tg"]) \
             .aggregate([("rev", "sum")]) \
-            .rename_columns(["l_orderkey", "tgt", "rev"])
+            .rename_columns(["ok", "tg", "rev"])
+        return pa.table({
+            "ok": g.column("ok"),
+            "fl": pa.array(np.zeros(g.num_rows, np.int64)),
+            "tg": g.column("tg"),
+            "rev": g.column("rev")})
     li_fold.__name__ = "q8_lineitem_fold"
 
-    orders_n = _read(sf_dir, "orders") \
-        .select_columns(["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(ord_fold, batch_format="pyarrow") \
-        .repartition(num_partitions)
-    li = _read(sf_dir, "lineitem") \
+    # ONE-PASS sentinel shape (round 5; data/segments.py
+    # finish_sorted_runs owns the interior/edge plumbing): the former
+    # partitioned fact-fact hash join collapses into ONE sort on
+    # (ok, fl) — window+region orders lead their runs as (ok, −1,
+    # year) sentinels (the tg slot carries the year; rev 0), part-
+    # filtered lineitem pre-reduces per block to (ok, 0, tgt, rev)
+    # partials, and the segment kernel broadcasts each run's year
+    # over its fact rows and emits ≤|window-years|-row (yr, num, den)
+    # partials per block. Sentinel-less runs are orders outside the
+    # window/region and skip silently (Q4 rule). ``num_partitions``
+    # is kept for signature stability (bench/pytest callers).
+    merged = _read(sf_dir, "lineitem") \
         .select_columns(["l_orderkey", "l_partkey", "l_suppkey",
                          "l_extendedprice", "l_discount"]) \
-        .map_batches(li_fold, batch_format="pyarrow")
-    joined = li.join(orders_n, join_type="inner",
-                     num_partitions=num_partitions,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+        .map_batches(li_fold, batch_format="pyarrow") \
+        .union(_read(sf_dir, "orders")
+               .select_columns(["o_orderkey", "o_custkey",
+                                "o_orderdate"])
+               .map_batches(ord_fold, batch_format="pyarrow")) \
+        .sort(["ok", "fl"]).materialize()
 
-    def fin_partial(b: pa.Table) -> pa.Table:
-        yr = b.column("yr").to_numpy(zero_copy_only=False)
-        tg = b.column("tgt").to_numpy(zero_copy_only=False)
-        rv = b.column("rev").to_numpy(zero_copy_only=False)
-        ys, inv = np.unique(yr, return_inverse=True)
+    def kernel(cols) -> pa.Table:
+        """(year, num, den) revenue partials over a (ok, fl)-sorted
+        slice of COMPLETE runs; the sentinel's tg slot carries the
+        order year, fact rows' tg slots carry the target-nation
+        supplier flag. Sentinel-less runs skip silently."""
+        ok, fl = cols["ok"], cols["fl"]
+        tg, rev = cols["tg"], cols["rev"]
+        if ok.size == 0:
+            return empty
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        rstart = np.flatnonzero(new)
+        rid = np.cumsum(new) - 1
+        has_sent = fl[rstart] == -1
+        yr_row = tg[rstart][rid]
+        fact = (fl != -1) & has_sent[rid]
+        if not bool(fact.any()):
+            return empty
+        ys, inv = np.unique(yr_row[fact], return_inverse=True)
         den = np.zeros(ys.size, np.int64)
-        np.add.at(den, inv, rv)
         num = np.zeros(ys.size, np.int64)
-        np.add.at(num, inv, rv * tg)
+        rv = rev[fact]
+        np.add.at(den, inv, rv)
+        np.add.at(num, inv, rv * tg[fact])
         return pa.table({"yr": pa.array(ys, pa.int64()),
                          "num_cents": pa.array(num, pa.int64()),
                          "den_cents": pa.array(den, pa.int64())})
-    fin_partial.__name__ = "q8_finish_partial"
 
-    agg = collect_table(
-        joined.map_batches(fin_partial, batch_format="pyarrow")
-        .groupby("yr")
-        .aggregate(Sum("num_cents", alias_name="num_cents"),
-                   Sum("den_cents", alias_name="den_cents")))
-    if "yr" not in agg.schema.names:
-        return empty
-    return agg.select(["yr", "num_cents", "den_cents"])
+    partial = finish_sorted_runs(
+        merged, key_col="ok", order_cols=["fl"],
+        int_cols=["ok", "fl", "tg", "rev"], kernel=kernel,
+        empty_partial=empty)
+    yr_ = partial.column("yr").to_numpy(zero_copy_only=False)
+    nm = partial.column("num_cents").to_numpy(zero_copy_only=False)
+    dn = partial.column("den_cents").to_numpy(zero_copy_only=False)
+    ys, inv = np.unique(yr_, return_inverse=True)
+    num = np.zeros(ys.size, np.int64)
+    den = np.zeros(ys.size, np.int64)
+    np.add.at(num, inv, nm)
+    np.add.at(den, inv, dn)
+    return pa.table({"yr": pa.array(ys, pa.int64()),
+                     "num_cents": pa.array(num, pa.int64()),
+                     "den_cents": pa.array(den, pa.int64())})
 
 
 def q_small_qty_revenue(sf_dir: str):

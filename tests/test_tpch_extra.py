@@ -526,3 +526,33 @@ def test_revenue_by_nation_fk_violation_raises(ray_session, tmp_path):
         .to_parquet(d / "lineitem.parquet")
     with pytest.raises(Exception, match="FK violation"):
         q_revenue_by_nation(str(d))
+
+
+def test_priority_by_status_fk_violation_raises(ray_session,
+                                                tmp_path):
+    """A lineitem orderkey missing from orders must raise in the
+    one-pass Q12 kernel (its run has no sentinel; there is no order
+    filter, so every order emits one) — the old hash join dropped
+    such phantom lineitems silently."""
+    import pytest
+
+    from soupflow.queries import q_priority_by_status
+
+    d = tmp_path / "sf_q12fk"
+    d.mkdir()
+    pd.DataFrame({"o_orderkey": np.array([1], np.int64),
+                  "o_orderpriority": ["1-URGENT"]}) \
+        .to_parquet(d / "orders.parquet")
+    pd.DataFrame({"l_orderkey": np.array([1, 99], np.int64),
+                  "l_linestatus": ["O", "F"]}) \
+        .to_parquet(d / "lineitem.parquet")
+    with pytest.raises(Exception, match="FK violation"):
+        q_priority_by_status(str(d))
+
+    # clean FK: one high order, two statuses
+    pd.DataFrame({"l_orderkey": np.array([1, 1, 1], np.int64),
+                  "l_linestatus": ["O", "F", "O"]}) \
+        .to_parquet(d / "lineitem.parquet")
+    out = {r["l_linestatus"]: (r["high_lines"], r["low_lines"])
+           for r in q_priority_by_status(str(d)).to_pylist()}
+    assert out == {"O": (2, 0), "F": (1, 0)}
