@@ -1884,7 +1884,7 @@ def q_orders_with_returns(sf_dir: str):
         .union(_read(sf_dir, "orders")
                .select_columns(["o_orderkey", "o_orderpriority"])
                .map_batches(ord_fold, batch_format="pyarrow")) \
-        .sort(["ok", "fl"]).materialize()
+        .sort(["ok", "fl"])
 
     _empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
                        "n": pa.array([], pa.int64())})
@@ -1973,7 +1973,7 @@ def q_priority_by_status(sf_dir: str):
         .union(_read(sf_dir, "orders")
                .select_columns(["o_orderkey", "o_orderpriority"])
                .map_batches(ord_fold, batch_format="pyarrow")) \
-        .sort(["ok", "fl"]).materialize()
+        .sort(["ok", "fl"])
 
     _empty = pa.table({"l_linestatus": pa.array([], pa.string()),
                        "high_lines": pa.array([], pa.int64()),
@@ -3126,7 +3126,7 @@ def q_revenue_by_nation(sf_dir: str, join: str = "broadcast",
         .union(_read(sf_dir, "orders")
                .select_columns(["o_orderkey", "o_custkey"])
                .map_batches(ord_fold, batch_format="pyarrow")) \
-        .sort(["ok", "fl"]).materialize()
+        .sort(["ok", "fl"])
 
     _empty = pa.table({"nk": pa.array([], pa.int64()),
                        "rev": pa.array([], pa.int64())})
@@ -3879,7 +3879,7 @@ def q_big_orders(sf_dir: str, join: str = "broadcast",
                .select_columns(["o_orderkey", "o_custkey",
                                 "o_totalprice"])
                .map_batches(ord_fold, batch_format="pyarrow")) \
-        .sort(["ok", "fl"]).materialize()
+        .sort(["ok", "fl"])
 
     _empty = pa.table({"ok": pa.array([], pa.int64()),
                        "ck": pa.array([], pa.int64()),
@@ -4031,7 +4031,7 @@ def q_shipping_priority(sf_dir: str):
                .select_columns(["o_orderkey", "o_custkey",
                                 "o_orderdate"])
                .map_batches(ord_fold, batch_format="pyarrow")) \
-        .sort(["ok", "fl"]).materialize()
+        .sort(["ok", "fl"])
 
     _empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
                        "rev_i": pa.array([], pa.int64()),
@@ -4850,7 +4850,7 @@ def q_late_suppliers(sf_dir: str):
         .union(_read(sf_dir, "orders")
                .select_columns(["o_orderkey", "o_orderdate"])
                .map_batches(ord_fold, batch_format="pyarrow")) \
-        .sort(["ok", "sk"]).materialize()
+        .sort(["ok", "sk"])
 
     _empty = pa.table({"sk": pa.array([], pa.int64()),
                        "n": pa.array([], pa.int64())})
@@ -5059,7 +5059,7 @@ def q_volume_shipping(sf_dir: str):
         .union(_read(sf_dir, "orders")
                .select_columns(["o_orderkey", "o_custkey"])
                .map_batches(ord_fold, batch_format="pyarrow")) \
-        .sort(["ok", "fl"]).materialize()
+        .sort(["ok", "fl"])
 
     _empty = pa.table({"supp_nk": pa.array([], pa.int64()),
                        "cust_nk": pa.array([], pa.int64()),
@@ -5556,11 +5556,10 @@ def q_market_share(sf_dir: str, num_partitions: int = 8):
     empty = pa.table({"yr": pa.array([], pa.int64()),
                       "num_cents": pa.array([], pa.int64()),
                       "den_cents": pa.array([], pa.int64())})
-    # Ray 2.49 hash joins crash on a FULLY-empty side (map-filtered-
-    # empty blocks are fine) — short-circuit the no-revenue-possible
-    # regimes before the fact scan: an empty type-match or region
-    # customer set, or zero-row fact tables (count() here is parquet-
-    # metadata-only, no scan).
+    # Short-circuit the no-revenue-possible regimes before the fact
+    # scan: an empty type-match or region customer set, or zero-row
+    # fact tables (count() here is parquet-metadata-only, no scan) —
+    # nothing could survive the folds, so skip the sort entirely.
     if (econ.size == 0 or c_keys.size == 0
             or _read(sf_dir, "lineitem").count() == 0
             or _read(sf_dir, "orders").count() == 0):
@@ -5650,7 +5649,7 @@ def q_market_share(sf_dir: str, num_partitions: int = 8):
                .select_columns(["o_orderkey", "o_custkey",
                                 "o_orderdate"])
                .map_batches(ord_fold, batch_format="pyarrow")) \
-        .sort(["ok", "fl"]).materialize()
+        .sort(["ok", "fl"])
 
     def kernel(cols) -> pa.Table:
         """(year, num, den) revenue partials over a (ok, fl)-sorted
@@ -5829,7 +5828,7 @@ def q_priority_check(sf_dir: str):
                .select_columns(["o_orderkey", "o_orderdate",
                                 "o_orderpriority"])
                .map_batches(ord_fold, batch_format="pyarrow")) \
-        .sort(["ok", "fl"]).materialize()
+        .sort(["ok", "fl"])
 
     _empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
                        "n": pa.array([], pa.int64())})
