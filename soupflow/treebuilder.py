@@ -57,17 +57,29 @@ _FOSTER_TABLE_NAMES = frozenset(("table", "tbody", "tfoot", "thead", "tr"))
 class ElementStack(list):
     """Open-elements stack with O(1) identity membership — keeps
     reconstruct_formatting_elements / on_stack linear on deep DOMs
-    (pathological nesting was quadratic with a plain list scan)."""
+    (pathological nesting was quadratic with a plain list scan).
 
-    __slots__ = ("_ids",)
+    Also maintains a normal-name → count map (``_names``) so scope
+    queries can answer "target not on the stack at all" in O(1)
+    instead of walking the whole stack — the dominant case for
+    ``in_button_scope("p")`` on deeply nested non-p markup, which
+    profiling showed at ~19% of total parse time. Counts key on
+    ``el.tag.normal_name`` at push time; tags are immutable during
+    parsing (the ``tagName`` mutation API is post-parse only), so
+    the pop-time name always matches."""
+
+    __slots__ = ("_ids", "_names")
 
     def __init__(self) -> None:
         super().__init__()
         self._ids: dict[int, int] = {}
+        self._names: dict[str, int] = {}
 
     def _inc(self, el) -> None:
         i = id(el)
         self._ids[i] = self._ids.get(i, 0) + 1
+        nm = el.tag.normal_name
+        self._names[nm] = self._names.get(nm, 0) + 1
 
     def _dec(self, el) -> None:
         i = id(el)
@@ -76,6 +88,12 @@ class ElementStack(list):
             self._ids.pop(i, None)
         else:
             self._ids[i] = n
+        nm = el.tag.normal_name
+        c = self._names.get(nm, 0) - 1
+        if c <= 0:
+            self._names.pop(nm, None)
+        else:
+            self._names[nm] = c
 
     def append(self, el) -> None:
         super().append(el)
@@ -542,8 +560,17 @@ class HtmlTreeBuilder:
     # -- scope queries ----------------------------------------------------
     def _in_specific_scope(self, target_names, base_types,
                            extra_types=None) -> bool:
-        for i in range(len(self.stack) - 1, -1, -1):
-            name = self.stack[i].tag.normal_name
+        # O(1) fast path: if no target name is on the stack at all,
+        # the walk can only return False — skip the O(depth) scan
+        # (the common case for deep non-target nesting).
+        counts = self.stack._names
+        for t in target_names:
+            if counts.get(t, 0):
+                break
+        else:
+            return False
+        for el in reversed(self.stack):
+            name = el.tag.normal_name
             if name in target_names:
                 return True
             if name in base_types:
