@@ -177,19 +177,22 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     # import time). A single-file warmup only starts 1-2 workers and
     # the timed run then pays ~30 staggered worker starts; warming the
     # full slot count measured 11.4k -> 17k docs/s at x4/32cpu.
-    warm_nb = max(num_cpus, n_docs // 5000)
+    warm_nb = max(num_cpus, n_docs // 2500)
     ray.data.read_parquet(files, override_num_blocks=warm_nb) \
         .map_batches(extract_batch, batch_format="pyarrow") \
         .map_batches(lambda b: __import__("pyarrow").table(
             {"n": [b.num_rows]}), batch_format="pyarrow").sum("n")
     # Task sizing: Ray's default read splitting targets ~200 blocks,
     # which at this corpus size yields sub-100ms tasks whose fixed
-    # dispatch cost dominates. ~5k docs (~1-2 s of parse) per task,
-    # floored at one task per slot, measured 11.7k -> 18.2k docs/s at
-    # x4/32cpu, 23.2k -> 26.3k at x64/32cpu, 8.5k -> 13.7k at x64/8cpu
-    # (A/B in one session). At real scale the default block targeting
-    # is already in this regime and the override is a no-op concern.
-    nb = max(num_cpus, n_docs // 5000)
+    # dispatch cost dominates. ~2.5k docs (~0.5-1 s of parse) per
+    # task, floored at one task per slot, keeps tasks well above the
+    # dispatch floor while giving 4+ waves per slot so last-wave
+    # stragglers don't idle the pool (vs 5k docs/task = 2 waves at
+    # 32cpu/320k docs: medians 8.43 s vs 8.92 s at 32cpu, a wash at
+    # 8cpu, same-session A/B). At real scale the default block
+    # targeting is already in this regime and the override is a
+    # no-op concern.
+    nb = max(num_cpus, n_docs // 2500)
     t0 = time.monotonic()
     ds = ray.data.read_parquet(files, override_num_blocks=nb)
     # whole-block batches: an explicit batch_size bundles small blocks
