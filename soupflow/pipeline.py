@@ -81,6 +81,22 @@ def completed_partitions(output_dir: str,
     return done
 
 
+def default_read_blocks(rows: int, nbytes: int, cpus: int,
+                        docs_per_task: int = 2500,
+                        target_block_bytes: int = 128 << 20) -> int:
+    """Read-split count for the extraction pipeline: ~``docs_per_task``
+    documents per task (enough parse work that Ray's fixed per-task
+    dispatch cost is noise), floored at one task per CPU slot so the
+    pool fills, and at one block per ``target_block_bytes`` so
+    huge-document corpora keep heap-bounded blocks. Ray's default
+    splitting targets ~200 blocks, which on a small corpus yields
+    sub-100 ms tasks whose dispatch cost dominates (measured
+    11.7k → 18.2k docs/s at 20 k docs / 32 CPUs); at real scale the
+    byte target takes over and this matches the default regime."""
+    return max(cpus, rows // docs_per_task,
+               nbytes // target_block_bytes, 1)
+
+
 def salt_by_cost(ds, num_buckets: int = 64):
     """Optional skew pre-pass: route documents to salted buckets by a
     cheap cost hint (total span text bytes), spreading pathological
@@ -136,6 +152,16 @@ def run_extract_partition(files: list[str], out_dir: str, pid: int, *,
 
     t0 = time.monotonic()
     in_bytes = sum(os.path.getsize(f) for f in files)
+    if override_num_blocks is None and \
+            all(f.endswith(".parquet") for f in files):
+        # task-sized read splits (see default_read_blocks); parquet
+        # footers give exact row counts for O(files) I/O. Non-parquet
+        # (lance) inputs keep Ray's default splitting.
+        import pyarrow.parquet as _pq
+        import ray as _ray
+        rows = sum(_pq.read_metadata(f).num_rows for f in files)
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        override_num_blocks = default_read_blocks(rows, in_bytes, cpus)
     ds = read_corpus(files, override_num_blocks=override_num_blocks)
     if salt_buckets:
         ds = salt_by_cost(ds, salt_buckets)

@@ -43,6 +43,20 @@ def test_run_extract_with_manifest_and_resume(interleaved_dir, tmp_path,
     assert len(third) == 1 and third[0]["partition_id"] == 1
 
 
+def test_default_read_blocks_regimes():
+    from soupflow.pipeline import default_read_blocks
+    # toy corpus: docs/task dominates — 320k docs -> 128 tasks at 32
+    # CPUs (4 waves/slot), never fewer than one task per slot
+    assert default_read_blocks(320_000, 400 << 20, 32) == 128
+    assert default_read_blocks(20_000, 25 << 20, 32) == 32
+    # huge-document corpus: byte cap dominates (1M docs of ~1 MB each
+    # must not form 2.5 GB blocks)
+    assert default_read_blocks(1_000_000, 1 << 40, 32) == (1 << 40) // (128 << 20)
+    # degenerate inputs stay positive
+    assert default_read_blocks(0, 0, 8) == 8
+    assert default_read_blocks(10, 1000, 0) == 1
+
+
 def test_extract_output_schema(interleaved_dir, tmp_path, ray_session):
     import ray.data
     from soupflow.extract import SPAN_STRUCT, ExtractActor
