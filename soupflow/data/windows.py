@@ -1471,3 +1471,130 @@ def interval_union(ds, *, key_col: str, ts_col: str, id_col: str,
     return partials.groupby(key_col).aggregate(
         Sum("n_islands", alias_name="n_islands"),
         Sum("covered_us", alias_name="covered_us"))
+
+
+def rolling_distinct_count(ds, *, key_col: str, day_col: str,
+                           window: int = 7) -> pa.Table:
+    """Trailing-window COUNT(DISTINCT key) per day — the
+    NON-DECOMPOSABLE window-distinct class (7-day rolling active
+    users / WAU): for every day that appears in the data, how many
+    distinct keys had at least one row in ``[day-window+1, day]``.
+    The SQL form is a range self-join (``e.day BETWEEN d.day-6 AND
+    d.day`` + COUNT DISTINCT), which at corpus scale re-scans every
+    event ``window`` times; distinct counts don't merge across
+    overlapping windows, so no partial-aggregate trick applies
+    directly.
+
+    The distributed shape avoids both the self-join and any
+    per-window distinct state via interval coverage (the
+    difference-array / sweep trick): a key with sorted distinct
+    event days e_1 < e_2 < … covers the window ending at day t iff
+    some e_i ∈ (t-window, t], i.e. t ∈ ∪ [e_i, e_i+window-1]; with
+    the e_i sorted that union rewrites as DISJOINT runs
+    [e_i, min(e_{i+1}, e_i+window) - 1], so the rolling count for
+    day t is just the number of interval starts minus ends ≤ t — a
+    single prefix sum over a ±1 difference array.
+
+    Plan: per-block DISTINCT (key, day) Arrow group_by shrinks the
+    stream to unique pairs before the only shuffle; ONE global sort
+    on (key, day) makes each key's day list a contiguous run; a
+    segment kernel (interior runs zero-shuffle, ≤2 edge runs per
+    block re-kerneled driver-side via data/segments.py
+    finish_sorted_runs) dedups cross-block pair duplicates, computes
+    each row's in-run lead day, and folds the ±1 boundary events
+    per block with np.add.at into (day, delta, starts) partials.
+    The driver finish is a prefix sum over the dense day span.
+
+    Partitioning assumption (the collect bound): per-block partials
+    and the final table are bounded by the corpus DAY SPAN (+window),
+    never by rows or keys — O(blocks × span) driver rows. ``starts``
+    marks days that actually appear in the data (every distinct
+    (key, day) opens an interval at its own day), so observed days
+    need no second pass. All-integer; returns a pa.Table
+    ``(day_i:int64, n_distinct:int64)`` over observed days only.
+
+    Contract: ``key_col``/``day_col`` int64; day values must fit
+    |day| < 2^40 (loud check) so ``day + window`` cannot wrap the
+    int64 sentinel arithmetic; ``window`` ≥ 1.
+    """
+    from .segments import finish_sorted_runs
+
+    if window < 1:
+        raise ValueError("rolling_distinct_count: window must be >= 1")
+    _FAR = np.int64(2 ** 62)
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or key_col not in b.schema.names:
+            e = pa.array([], pa.int64())
+            return pa.table({"k": e, "d": e})
+        t = pa.table({"k": b.column(key_col).cast(pa.int64()),
+                      "d": b.column(day_col).cast(pa.int64())})
+        return t.group_by(["k", "d"]).aggregate([])
+    distinct_pairs.__name__ = f"distinct_{key_col}_{day_col}_pairs"
+
+    _empty = pa.table({"day_i": pa.array([], pa.int64()),
+                       "delta": pa.array([], pa.int64()),
+                       "starts": pa.array([], pa.int64())})
+
+    def kernel(cols) -> pa.Table:
+        """±1 coverage boundaries over a (k, d)-sorted slice of
+        COMPLETE key runs, folded per distinct boundary day."""
+        k, d = cols["k"], cols["d"]
+        if k.size == 0:
+            return _empty
+        if int(np.abs(d).max()) >= 2 ** 40:
+            raise ValueError("rolling_distinct_count: day values "
+                             "must satisfy |day| < 2^40")
+        keep = np.ones(k.size, dtype=bool)   # cross-block pair dups
+        keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        k, d = k[keep], d[keep]
+        run_end = np.ones(k.size, dtype=bool)
+        run_end[:-1] = k[1:] != k[:-1]
+        nxt = np.empty_like(d)
+        nxt[:-1] = d[1:]
+        nxt[run_end] = _FAR
+        end1 = np.minimum(nxt, d + window)   # first uncovered day
+        days = np.concatenate([d, end1])
+        delta = np.concatenate([np.ones(d.size, np.int64),
+                                np.full(d.size, -1, np.int64)])
+        starts = np.concatenate([np.ones(d.size, np.int64),
+                                 np.zeros(d.size, np.int64)])
+        ud, inv = np.unique(days, return_inverse=True)
+        dd = np.zeros(ud.size, np.int64)
+        np.add.at(dd, inv, delta)
+        ss = np.zeros(ud.size, np.int64)
+        np.add.at(ss, inv, starts)
+        nz = (dd != 0) | (ss != 0)
+        return pa.table({"day_i": pa.array(ud[nz], pa.int64()),
+                         "delta": pa.array(dd[nz], pa.int64()),
+                         "starts": pa.array(ss[nz], pa.int64())})
+
+    merged = ds.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .sort(["k", "d"])
+    part = finish_sorted_runs(
+        merged, key_col="k", order_cols=["d"], int_cols=["k", "d"],
+        kernel=kernel, empty_partial=_empty)
+
+    out_empty = pa.table({"day_i": pa.array([], pa.int64()),
+                          "n_distinct": pa.array([], pa.int64())})
+    if part.num_rows == 0:
+        return out_empty
+    days = part.column("day_i").to_numpy(zero_copy_only=False)
+    delta = part.column("delta").to_numpy(zero_copy_only=False)
+    starts = part.column("starts").to_numpy(zero_copy_only=False)
+    ud, inv = np.unique(days, return_inverse=True)
+    dd = np.zeros(ud.size, np.int64)
+    np.add.at(dd, inv, delta)
+    ss = np.zeros(ud.size, np.int64)
+    np.add.at(ss, inv, starts)
+    lo = int(ud.min())
+    span = int(ud.max()) - lo + 1            # day-span bounded
+    dense = np.zeros(span, np.int64)
+    dense[ud - lo] = dd
+    running = np.cumsum(dense)
+    obs = ud[ss > 0]
+    if obs.size == 0:
+        return out_empty
+    return pa.table({
+        "day_i": pa.array(obs, pa.int64()),
+        "n_distinct": pa.array(running[obs - lo], pa.int64())})

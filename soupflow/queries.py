@@ -2777,6 +2777,48 @@ def q_daily_active_users(sf_dir: str):
         .aggregate(Sum("dau", alias_name="dau"))
 
 
+def q_rolling_active_users(sf_dir: str, window: int = 7):
+    """Trailing 7-day ROLLING COUNT(DISTINCT user) per observed day —
+    the WAU/MAU dashboard statistic and the catalog's
+    NON-DECOMPOSABLE window-distinct representative: unlike every
+    other rolling query (sums/counts merge across frames), distinct
+    counts over overlapping windows share no partial aggregate, and
+    the SQL form is a range self-join that re-reads every event
+    ``window`` times. The engine shape instead reduces events to
+    distinct (user, day) pairs map-side, sorts ONCE, and turns each
+    user's sorted day run into disjoint coverage intervals whose ±1
+    boundary deltas fold per block into day-span-bounded partials —
+    one prefix sum finishes (data/windows.py rolling_distinct_count
+    documents the sweep identity and the O(blocks × day-span) collect
+    bound). Day truncation is UTC date (datetime64[D], = DuckDB
+    CAST(ts AS DATE) on this all-positive-epoch corpus); counts are
+    exact integers end-to-end."""
+    from .data.windows import rolling_distinct_count
+
+    def narrow(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ts" not in b.schema.names:
+            e = pa.array([], pa.int64())
+            return pa.table({"user_id": e, "day_i": e})
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "day_i": pa.array(day, pa.int64())})
+    narrow.__name__ = "user_day_narrow"
+
+    ds = _read(sf_dir, "events").select_columns(["user_id", "ts"]) \
+        .map_batches(narrow, batch_format="pyarrow")
+    t = rolling_distinct_count(ds, key_col="user_id",
+                               day_col="day_i", window=window)
+    if t.num_rows == 0:
+        return pa.table({"day": pa.array([], pa.string()),
+                         "wau": pa.array([], pa.int64())})
+    d = t.column("day_i").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "day": pa.array(d.astype("datetime64[D]").astype(str),
+                        pa.string()),
+        "wau": t.column("n_distinct")})
+
+
 def q_rolling_revenue(sf_dir: str):
     """Per-customer MOVING 3-order revenue — the bounded-frame window
     class SUM(...) OVER (... ROWS BETWEEN 2 PRECEDING AND CURRENT
@@ -6497,6 +6539,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "top_terms_per_lang": q_top_terms_per_lang,
     "rolling_day_value": q_rolling_day_value,
+    "rolling_active_users": q_rolling_active_users,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -7943,6 +7986,16 @@ ORACLE_SQL["daily_active_users"] = """
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
            count(DISTINCT user_id) AS dau
     FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+"""
+
+ORACLE_SQL["rolling_active_users"] = """
+    WITH e AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    d AS (SELECT DISTINCT day FROM e)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           count(DISTINCT e.user_id)::BIGINT AS wau
+    FROM d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
 """
 
 ORACLE_SQL["favorite_event"] = """

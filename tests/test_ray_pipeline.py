@@ -2946,3 +2946,113 @@ def test_table_rows_meta_footer_counts(tmp_path):
     pd.DataFrame({"x": [1]}).to_parquet(d / "a.parquet")
     pd.DataFrame({"x": [2, 3]}).to_parquet(d / "b.parquet")
     assert _table_rows_meta(str(tmp_path), "u") == 3
+
+
+def test_rolling_distinct_count_reference(ray_session):
+    """rolling_distinct_count == a scalar range-scan COUNT DISTINCT
+    reference for every (window, partition-layout) combination, incl.
+    w=1 (plain per-day distinct), windows larger than every gap, a
+    single hot key spanning every block (all runs are edge runs), and
+    cross-block duplicate (key, day) pairs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from soupflow.data.windows import rolling_distinct_count
+
+    rng = np.random.default_rng(41)
+    n = 800
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "d": rng.integers(20000, 20060, n).astype(np.int64)})
+
+    def ref(data, w):
+        pairs = data.drop_duplicates()
+        out = {}
+        for t in np.sort(pairs.d.unique()):
+            m = (pairs.d >= t - w + 1) & (pairs.d <= t)
+            out[int(t)] = int(pairs.k[m].nunique())
+        return out
+
+    for w in (1, 7, 30):
+        want = ref(df, w)
+        for parts in (1, 4, 16):
+            t = rolling_distinct_count(
+                ray.data.from_pandas(df).repartition(parts),
+                key_col="k", day_col="d", window=w)
+            got = dict(zip(t.column("day_i").to_pylist(),
+                           t.column("n_distinct").to_pylist()))
+            assert got == want, (w, parts)
+
+    # single hot key spanning every block, sparse day gaps > window,
+    # and duplicated pairs that land in different blocks
+    one = pd.DataFrame({
+        "k": np.zeros(14, np.int64),
+        "d": np.array([0, 0, 1, 2, 2, 10, 11, 40, 41, 42, 43, 90,
+                       91, 200], np.int64)})
+    t1 = rolling_distinct_count(
+        ray.data.from_pandas(one).repartition(7),
+        key_col="k", day_col="d", window=7)
+    got1 = dict(zip(t1.column("day_i").to_pylist(),
+                    t1.column("n_distinct").to_pylist()))
+    assert got1 == ref(one, 7)
+
+    # typed-empty passthrough + contract raises
+    empty = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "d": pd.Series([], dtype=np.int64)})
+    t0 = rolling_distinct_count(ray.data.from_pandas(empty),
+                                key_col="k", day_col="d", window=7)
+    assert t0.num_rows == 0
+    assert t0.schema.names == ["day_i", "n_distinct"]
+    assert t0.schema.field("n_distinct").type == pa.int64()
+    with pytest.raises(ValueError, match="window"):
+        rolling_distinct_count(ray.data.from_pandas(empty),
+                               key_col="k", day_col="d", window=0)
+    big = pd.DataFrame({"k": np.zeros(1, np.int64),
+                        "d": np.array([2 ** 41], np.int64)})
+    with pytest.raises(Exception, match="2\\^40"):
+        rolling_distinct_count(ray.data.from_pandas(big),
+                               key_col="k", day_col="d", window=7)
+
+
+def test_rolling_active_users_corpus(ray_session):
+    """q_rolling_active_users == the pandas range-scan reference on
+    the real sf0.001 events corpus (30 observed days, 7-day window)."""
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_rolling_active_users
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts"])
+    day = ev.ts.to_numpy().astype("datetime64[D]")
+    pairs = pd.DataFrame({"u": ev.user_id.to_numpy(),
+                          "d": day.astype(np.int64)}).drop_duplicates()
+    want = {}
+    for t in np.sort(pairs.d.unique()):
+        m = (pairs.d >= t - 6) & (pairs.d <= t)
+        want[np.int64(t).astype("datetime64[D]").astype(str)] = \
+            int(pairs.u[m].nunique())
+
+    out = q_rolling_active_users(SF)
+    got = dict(zip(out.column("day").to_pylist(),
+                   out.column("wau").to_pylist()))
+    assert got == want
+    assert len(got) >= 3  # must-bite: several observed days
+
+    # w=7 saturates on this corpus (15 users, all active weekly), so
+    # the degenerate-kernel guard runs at w=1 where the true rolling
+    # count VARIES across days (11..15 at sf0.001) — a kernel that
+    # always emitted the global distinct count would fail here.
+    want1 = {}
+    for t in np.sort(pairs.d.unique()):
+        m = pairs.d == t
+        want1[np.int64(t).astype("datetime64[D]").astype(str)] = \
+            int(pairs.u[m].nunique())
+    out1 = q_rolling_active_users(SF, window=1)
+    got1 = dict(zip(out1.column("day").to_pylist(),
+                    out1.column("wau").to_pylist()))
+    assert got1 == want1
+    assert max(got1.values()) > min(got1.values())
