@@ -5316,6 +5316,68 @@ def q_median_value_by_type(sf_dir: str):
     return grouped_median_cont(ds, "event_type", "cents")
 
 
+def q_value_mad(sf_dir: str):
+    """Per-group MEDIAN ABSOLUTE DEVIATION of event value — the
+    robust-statistics dispersion pass (outlier-resistant spread, the
+    robust alternative to stddev for quality thresholds) and the
+    catalog's TWO-PASS iterative-statistic representative: MAD =
+    median(|x − median(x)|) needs the pass-1 result before pass 2 can
+    start, so no single-shuffle plan exists. Exactness rides integer
+    unit-doubling twice: pass 1 (data/rank.py grouped_median_cont)
+    yields med2 = 2·median(cents) (integer — the interpolated median
+    is the mean of the two middle order statistics); the deviation
+    stream e = |2·cents − med2| = 2·|cents − median| is then integer,
+    and pass 2's doubled median of e is exactly 4·MAD. The pass-1
+    result is a |group|-bounded broadcast dict (5 event types);
+    pass 2 re-reads the same pruned 2-column scan rather than
+    materializing the cents stream — at corpus scale a second pruned
+    scan is cheaper than holding the narrowed fact table in the
+    object store (both passes are histogram partials + ONE narrow
+    (key, value)-bounded groupby; value never sorts globally).
+    Output (event_type, mad4, med2) all-integer."""
+    from .data.rank import grouped_median_cont
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64),
+                pa.int64())})
+    to_cents.__name__ = "mad_value_cents"
+
+    def cents_ds():
+        return _read(sf_dir, "events") \
+            .select_columns(["event_type", "value"]) \
+            .map_batches(to_cents, batch_format="pyarrow")
+
+    med = grouped_median_cont(cents_ds(), "event_type", "cents")
+    if len(med) == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "mad4": pa.array([], pa.int64()),
+                         "med2": pa.array([], pa.int64())})
+    med2_of = dict(zip(med["event_type"], med["med2"].astype(int)))
+
+    def deviations(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("event_type").to_pylist(),
+                        dtype=object)
+        c = b.column("cents").to_numpy(zero_copy_only=False)
+        m2 = np.fromiter((med2_of[k] for k in ks), np.int64, ks.size)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "e": pa.array(np.abs(2 * c - m2), pa.int64())})
+    deviations.__name__ = "mad_abs_deviation"
+
+    mad = grouped_median_cont(
+        cents_ds().map_batches(deviations, batch_format="pyarrow"),
+        "event_type", "e").rename(columns={"med2": "mad4"})
+    out = mad.merge(med, on="event_type")
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "mad4": pa.array(out["mad4"].astype(np.int64), pa.int64()),
+        "med2": pa.array(out["med2"].astype(np.int64), pa.int64())})
+
+
 def q_top_orders_per_customer(sf_dir: str):
     """Grouped top-k ROW selection over FACT-SCALE groups — each
     customer's 2 highest-value orders (data/rank.py
@@ -6540,6 +6602,7 @@ QUERIES = {
     "top_terms_per_lang": q_top_terms_per_lang,
     "rolling_day_value": q_rolling_day_value,
     "rolling_active_users": q_rolling_active_users,
+    "value_mad": q_value_mad,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -8636,6 +8699,23 @@ ORACLE_SQL["median_value_by_type"] = """
                 ORDER BY round(value * 100)::BIGINT))::BIGINT AS med2
     FROM events
     GROUP BY event_type
+"""
+
+ORACLE_SQL["value_mad"] = """
+    WITH c AS (
+        SELECT event_type, round(value * 100)::BIGINT AS cents
+        FROM events),
+    m AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)
+                   AS med
+        FROM c GROUP BY event_type)
+    SELECT c.event_type,
+           round(4 * percentile_cont(0.5) WITHIN GROUP (
+                 ORDER BY abs(c.cents - m.med)))::BIGINT AS mad4,
+           round(2 * any_value(m.med))::BIGINT AS med2
+    FROM c JOIN m USING (event_type)
+    GROUP BY c.event_type
 """
 
 # Triangle counting: vertices = orders, edge when two orders ship

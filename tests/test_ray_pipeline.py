@@ -3056,3 +3056,56 @@ def test_rolling_active_users_corpus(ray_session):
                     out1.column("wau").to_pylist()))
     assert got1 == want1
     assert max(got1.values()) > min(got1.values())
+
+
+def test_value_mad_reference(ray_session):
+    """q_value_mad (grouped median absolute deviation, exact 4·MAD /
+    2·median integer units) == a numpy reference on the sf0.001
+    corpus AND on randomized corpora with odd/even group sizes and
+    multi-block layouts."""
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_value_mad
+
+    def ref(df):
+        out = {}
+        for k, g in df.groupby("event_type"):
+            c = np.floor(g.value.to_numpy() * 100.0 + 0.5) \
+                .astype(np.int64)
+            med = np.median(c)
+            mad = np.median(np.abs(c - med))
+            out[k] = (int(round(4 * mad)), int(round(2 * med)))
+        return out
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    want = ref(ev)
+    out = q_value_mad(SF).to_pandas()
+    got = {r.event_type: (int(r.mad4), int(r.med2))
+           for r in out.itertuples()}
+    assert got == want
+    assert len(got) >= 3                       # several groups
+    assert any(v[0] > 0 for v in got.values())  # MAD actually bites
+    # must-bite: dispersion differs across groups OR from the median
+    assert len({v[0] for v in got.values()}) > 1 or \
+        all(v[0] != v[1] for v in got.values())
+
+    # randomized corpora: odd/even sizes, constant group (MAD=0),
+    # multi-file layout so histogram partials span blocks
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], 501),
+        "value": np.round(rng.gamma(2.0, 10.0, 501), 2)})
+    df.loc[df.event_type == "c", "value"] = 7.77  # constant group
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        import os
+        os.makedirs(f"{d}/events.parquet")
+        for i, part in enumerate(np.array_split(df, 5)):
+            part.to_parquet(f"{d}/events.parquet/p{i}.parquet")
+        out2 = q_value_mad(d).to_pandas()
+        got2 = {r.event_type: (int(r.mad4), int(r.med2))
+                for r in out2.itertuples()}
+        assert got2 == ref(df)
+        assert got2["c"][0] == 0  # constant group has zero MAD
