@@ -528,3 +528,69 @@ def quantize_embeddings(ds, id_col: str = "vec_id",
     return ds.select_columns([id_col, col]) \
         .map_batches(score, batch_format="pyarrow")
 
+
+
+def jl_signs(dim: int, k: int) -> np.ndarray:
+    """Deterministic Rademacher ±1 projection matrix (dim, k) — the
+    sign of cell c ∈ [0, dim·k) comes from the repo's splitmix-style
+    multiplicative mix ((c+1)·PHI64 mod 2^64, top bit), so the matrix
+    is a pure function of its shape: every worker, every engine, and
+    the inlined SQL oracle see identical signs with no RNG state and
+    no matrix shipping (any task can rebuild it in microseconds)."""
+    from .sampling import PHI64
+
+    idx = np.arange(dim * k, dtype=np.uint64) + np.uint64(1)
+    with np.errstate(over="ignore"):
+        h = idx * np.uint64(PHI64)
+    return np.where((h >> np.uint64(63)) == 0, 1, -1) \
+        .astype(np.int64).reshape(dim, k)
+
+
+def jl_project(ds, id_col: str = "vec_id", col: str = "embedding",
+               k: int = 8, out: str = "long"):
+    """Johnson–Lindenstrauss RANDOM PROJECTION to k dimensions — the
+    dimensionality-reduction pass an ANN/LSH pipeline runs before
+    bucketing (distance-preserving sketch at k ≪ dim, Achlioptas ±1
+    variant: no dense Gaussian needed, the projection is an integer
+    matmul). EXACT in integer micro-units: elements fold to
+    v6 = floor(float64(x)·1e6) map-side (bit-identical in any
+    engine), and each output coordinate is Σ_d sign(d,j)·v6_d — an
+    int64 dot product with |result| ≤ dim·max|v6|, no float ever
+    crosses engines.
+
+    ZERO-shuffle: one map over the blocks computes the (rows, dim)
+    int64 matrix @ (dim, k) sign matrix per batch; the sign matrix is
+    rebuilt in-task from jl_signs (pure function of shape — cheaper
+    than broadcasting). ``out="list"`` (production) returns (id,
+    proj fixed-width list<int64>); ``out="long"`` unnests to (id, j,
+    p) rows for SQL-oracle comparison. Rectangular, null-free lists
+    required (the reshape raises otherwise)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, col)
+        ids = _ids_array(batch, id_col)
+        n = m.shape[0]
+        if n == 0:
+            if out == "long":
+                e = pa.array([], pa.int64())
+                return pa.table({id_col: e, "j": e, "p": e})
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "proj": pa.array([], pa.list_(pa.int64()))})
+        v6 = np.floor(m * 1e6).astype(np.int64)
+        p = v6 @ jl_signs(v6.shape[1], k)          # (n, k) int64
+        if out == "long":
+            return pa.table({
+                id_col: pa.array(np.repeat(ids, k)),
+                "j": pa.array(np.tile(
+                    np.arange(k, dtype=np.int64), n)),
+                "p": pa.array(p.reshape(-1), pa.int64())})
+        return pa.table({
+            id_col: pa.array(ids),
+            "proj": pa.FixedSizeListArray.from_arrays(
+                pa.array(p.reshape(-1), pa.int64()), k).cast(
+                    pa.list_(pa.int64()))})
+    project.__name__ = f"jl_project_k{k}"
+
+    return ds.select_columns([id_col, col]) \
+        .map_batches(project, batch_format="pyarrow")

