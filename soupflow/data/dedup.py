@@ -1298,3 +1298,136 @@ def para_dedup(ds, *, words_per_para: int = 15,
     decide.__name__ = "para_keep"
 
     return keyed.map_batches(decide, batch_format="pyarrow")
+
+
+def _edit_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) <= 1 (equality counts), O(len)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def _h63(s: str) -> int:
+    """Stable 63-bit string hash (blake2b — process-independent,
+    unlike built-in hash under PYTHONHASHSEED)."""
+    d = hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(d, "big") & ((1 << 63) - 1)
+
+
+def editdist1_pairs(ds, *, col: str = "text", prefix_len: int = 12,
+                    min_len: int = 4, max_run: int = 1024):
+    """Edit-distance-1 near-duplicate KEY pairs via DELETION
+    NEIGHBORHOODS (the SymSpell / symmetric-delete shape) — the typo
+    /OCR-noise dedup class the shingle families miss: two distinct
+    keys are Levenshtein-1 apart iff they share a member of each
+    other's {self} ∪ {one-char deletions} set (substitution pairs
+    share the deletion at the mismatch position; indel pairs contain
+    each other's deletion), so candidate generation is a LINEAR
+    (1+len)× expansion instead of the quadratic cross join the SQL
+    form runs. Candidates sharing a variant bucket are verified with
+    the exact O(len) distance-≤1 check, so hash collisions and
+    distance-2 coincidences (transpositions share deletions) emit
+    nothing.
+
+    Plan: per-block DISTINCT prefix keys (substr(col, 1, prefix_len)
+    over rows with ≥ min_len chars), ONE groupby finishes the global
+    distinct; each key emits its deduped variant set as (vh, sh, s)
+    rows (stable 63-bit blake2b hashes — nothing relies on process
+    hash state); ONE sort on (vh, sh) buckets candidates, and a
+    segment kernel (data/segments.py finish_sorted_runs: interior
+    runs zero-shuffle, ≤2 edge runs per block re-kerneled
+    driver-side) emits verified (s1 < s2) pairs per bucket. A bucket
+    is keys-sharing-one-variant — data-bounded like triangle
+    counting's co-membership buckets — behind a loud ``max_run``
+    contract (a pathological shared variant raises in the WORKER
+    before quadratic emission). The helper's driver collect is
+    OUTPUT-bounded (verified pairs) + O(blocks) edge rows; the final
+    dedup (one pair can surface via several shared variants —
+    repeated-char indels, collision-merged buckets) is a
+    drop-duplicates over that output-scale table. Returns a pa.Table
+    (s1, s2), exact equality with the quadratic levenshtein join."""
+    from ray.data.aggregate import Count
+
+    from .segments import finish_sorted_runs
+
+    def distinct_keys(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or col not in b.schema.names:
+            return pa.table({"s": pa.array([], pa.string())})
+        texts = b.column(col).to_pylist()
+        ks = {t[:prefix_len] for t in texts
+              if t is not None and len(t) >= min_len}
+        return pa.table({"s": pa.array(sorted(ks), pa.string())})
+    distinct_keys.__name__ = f"editdist_keys_{col}"
+
+    def variants(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "s" not in b.schema.names:
+            e = pa.array([], pa.int64())
+            return pa.table({"vh": e, "sh": e,
+                             "s": pa.array([], pa.string())})
+        vh, sh, out_s = [], [], []
+        for s in b.column("s").to_pylist():
+            h = _h63(s)
+            vs = {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+            for v in vs:
+                vh.append(_h63(v))
+                sh.append(h)
+                out_s.append(s)
+        return pa.table({"vh": pa.array(vh, pa.int64()),
+                         "sh": pa.array(sh, pa.int64()),
+                         "s": pa.array(out_s, pa.string())})
+    variants.__name__ = "editdist_deletion_variants"
+
+    _empty = pa.table({"s1": pa.array([], pa.string()),
+                       "s2": pa.array([], pa.string())})
+
+    def kernel(cols) -> pa.Table:
+        vh, s = cols["vh"], cols["s"]
+        if vh.size == 0:
+            return _empty
+        starts = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1]])
+        bounds = np.append(starts, vh.size)
+        p1, p2 = [], []
+        for bi, lo in enumerate(starts):
+            hi = bounds[bi + 1]
+            if hi - lo > max_run:
+                raise ValueError(
+                    f"editdist1_pairs: variant bucket size {hi - lo} "
+                    f"exceeds max_run={max_run} — pathological shared "
+                    "variant; raise max_run or lengthen the prefix")
+            run = s[lo:hi]
+            for i in range(len(run)):
+                for j in range(i + 1, len(run)):
+                    a, b2 = run[i], run[j]
+                    if a == b2:
+                        continue
+                    if a > b2:
+                        a, b2 = b2, a
+                    if _edit_le1(a, b2):
+                        p1.append(a)
+                        p2.append(b2)
+        return pa.table({"s1": pa.array(p1, pa.string()),
+                         "s2": pa.array(p2, pa.string())})
+
+    distinct = ds.map_batches(distinct_keys, batch_format="pyarrow") \
+        .groupby("s").aggregate(Count(alias_name="_c")) \
+        .map_batches(variants, batch_format="pyarrow") \
+        .sort(["vh", "sh"])
+    part = finish_sorted_runs(
+        distinct, key_col="vh", order_cols=["sh"],
+        int_cols=["vh", "sh"], str_cols=["s"], kernel=kernel,
+        empty_partial=_empty)
+    if part.num_rows == 0:
+        return _empty
+    df = part.to_pandas().drop_duplicates().sort_values(["s1", "s2"])
+    return pa.table({"s1": pa.array(df["s1"], pa.string()),
+                     "s2": pa.array(df["s2"], pa.string())})

@@ -5316,6 +5316,22 @@ def q_median_value_by_type(sf_dir: str):
     return grouped_median_cont(ds, "event_type", "cents")
 
 
+def q_editdist_pairs(sf_dir: str):
+    """Edit-distance-1 near-duplicate document-key pairs (12-char
+    text prefixes) via SymSpell deletion neighborhoods
+    (data/dedup.py editdist1_pairs) — the typo/OCR-noise dedup class:
+    candidate generation is a linear (1+len)× variant expansion +
+    ONE sort instead of the quadratic levenshtein cross join the
+    oracle runs; exact O(len) verification kills collision and
+    distance-2 false candidates, so the result equals the cross join
+    bit-for-bit."""
+    from .data.dedup import editdist1_pairs
+
+    return editdist1_pairs(
+        _read(sf_dir, "documents").select_columns(["text"]),
+        col="text", prefix_len=12, min_len=4)
+
+
 def q_jl_project(sf_dir: str):
     """Johnson–Lindenstrauss ±1 RANDOM PROJECTION of the embedding
     table to k=8 dimensions — the dimensionality-reduction sketch an
@@ -6622,6 +6638,7 @@ QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "value_mad": q_value_mad,
     "jl_project": q_jl_project,
+    "editdist_pairs": q_editdist_pairs,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -8719,6 +8736,16 @@ ORACLE_SQL["median_value_by_type"] = """
     FROM events
     GROUP BY event_type
 """
+
+ORACLE_SQL["editdist_pairs"] = """
+    WITH p AS (
+        SELECT DISTINCT substr(text, 1, 12) AS s
+        FROM documents WHERE length(text) >= 4)
+    SELECT a.s AS s1, b.s AS s2
+    FROM p a JOIN p b
+      ON a.s < b.s AND levenshtein(a.s, b.s) <= 1
+"""
+
 
 def _jl_oracle_sql(dim: int = 64, k: int = 8) -> str:
     """The engine's deterministic sign matrix INLINED as VALUES —

@@ -3145,3 +3145,74 @@ def test_jl_project_reference(ray_session):
         .sort_values("vec_id")
     got2 = np.array([np.asarray(r) for r in lst.proj])
     assert (got2 == want).all()
+
+
+def test_editdist1_pairs_reference(ray_session):
+    """editdist1_pairs == a brute-force O(n²) Levenshtein reference
+    on randomized typo corpora (substitutions, insertions, deletions,
+    transpositions-as-negatives, repeated-char indels that surface
+    the same pair via several variants) across partition layouts;
+    the max_run contract raises in the worker."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray
+
+    from soupflow.data.dedup import _edit_le1, editdist1_pairs
+
+    # kernel-level exactness vs a classic DP implementation
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(71)
+    alpha = list("abcd")
+    words = ["".join(rng.choice(alpha, rng.integers(1, 7)))
+             for _ in range(300)]
+    for a in words[:60]:
+        for b in words[60:120]:
+            assert _edit_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+    # corpus-level: texts whose 12-char prefixes contain planted
+    # substitution / indel / transposition neighbors + noise
+    base = "abcdefghijkl"
+    texts = [base, "aXcdefghijkl",      # substitution
+             "abcdefghijk",             # deletion (11 chars)
+             "aabcdefghijk",            # insertion w/ repeated char
+             "bacdefghijkl",            # transposition (dist 2: NOT a pair)
+             "zyxwvutsrqpo", "zyxwvutsrqpo"]  # dup key, no neighbor
+    texts += ["".join(rng.choice(alpha, 20)) for _ in range(200)]
+    df = pd.DataFrame({"text": texts})
+
+    keys = sorted({t[:12] for t in texts if len(t) >= 4})
+    want = {(a, b) for i, a in enumerate(keys)
+            for b in keys[i + 1:] if lev(a, b) <= 1}
+
+    for parts in (1, 3, 8):
+        out = editdist1_pairs(
+            ray.data.from_pandas(df).repartition(parts),
+            col="text", prefix_len=12, min_len=4)
+        got = set(zip(out.column("s1").to_pylist(),
+                      out.column("s2").to_pylist()))
+        assert got == want, parts
+    assert ("abcdefghijk", "abcdefghijkl") in want  # indel pair bites
+    assert ("abcdefghijkl", "bacdefghijkl") not in want  # transpose out
+
+    # pathological shared variant raises in the worker
+    crowd = pd.DataFrame({"text": [f"aaaaaaaaaaa{c}" for c in
+                                   "abcdefghijklmnopqrstuvwxyz"]})
+    with pytest.raises(Exception, match="max_run"):
+        editdist1_pairs(ray.data.from_pandas(crowd), col="text",
+                        prefix_len=12, min_len=4, max_run=10)
+
+    # typed-empty passthrough
+    out0 = editdist1_pairs(
+        ray.data.from_pandas(pd.DataFrame({"text": pd.Series(
+            [], dtype=str)})), col="text")
+    assert out0.num_rows == 0 and out0.schema.names == ["s1", "s2"]
