@@ -720,3 +720,68 @@ def skyline2d(ds, *, xcol: str, ycol: str,
         out_cols[0]: pa.array(sx, pa.int64()),
         out_cols[1]: pa.array(sy, pa.int64()),
         out_cols[2]: pa.array(sn, pa.int64())})
+
+
+def grouped_weighted_median(ds, key: str, col: str, wcol: str):
+    """Exact per-key lower WEIGHTED median — the robust center when
+    rows carry unequal mass (price weighted by quantity, latency by
+    request count): the smallest v with 2·cumweight(v) ≥ totalweight.
+    All-integer, so engines agree bit-for-bit with no interpolation.
+
+    Same scale shape as grouped_median_cont: per-block (key, v,
+    sum w) histogram partials collapse duplicate values before the
+    only shuffle, ONE narrow groupby sums weights globally, and the
+    driver finishes with a per-key cumsum over value-domain-bounded
+    rows — the collect is O(keys × distinct values), never corpus
+    rows. Weights must be non-negative int64 (loud check); zero
+    total weight drops the key (mirrors SQL's empty cumsum).
+    Returns pandas (key, wmedian)."""
+    from ray.data.aggregate import Sum
+
+    from ..io import collect_table
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(batch.column(key).to_pylist(), dtype=object)
+        v = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = batch.column(wcol).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if w.size and int(w.min()) < 0:
+            raise ValueError("grouped_weighted_median: weights must "
+                             "be non-negative")
+        uk, codes = np.unique(ks, return_inverse=True)
+        order = np.lexsort((v, codes))
+        cs, vs, ws = codes[order], v[order], w[order]
+        newgrp = np.r_[True, (cs[1:] != cs[:-1]) | (vs[1:] != vs[:-1])]
+        starts = np.flatnonzero(newgrp)
+        gid = np.cumsum(newgrp) - 1
+        wsum = np.zeros(starts.size, np.int64)
+        np.add.at(wsum, gid, ws)
+        return pa.table({
+            key: pa.array(uk[cs[starts]], pa.string()),
+            "v": pa.array(vs[starts], pa.int64()),
+            "w": pa.array(wsum, pa.int64())})
+    hist.__name__ = f"wmedhist_{key}_{col}"
+
+    t = collect_table(
+        ds.select_columns([key, col, wcol])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby([key, "v"]).aggregate(Sum("w", alias_name="w")))
+    out = []
+    if t.num_columns and t.num_rows:
+        ks = np.asarray(t.column(key).to_pylist(), dtype=object)
+        vs = t.column("v").to_numpy(zero_copy_only=False)
+        ws = t.column("w").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vs, ks))
+        ks, vs, ws = ks[order], vs[order], ws[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        bounds = np.append(starts, ks.size)
+        for i, s in enumerate(starts):
+            e = bounds[i + 1]
+            cum = np.cumsum(ws[s:e])
+            total = int(cum[-1])
+            if total == 0:
+                continue  # all-zero weights: no mass, key drops
+            j = int(np.searchsorted(2 * cum, total))
+            out.append((ks[s], int(vs[s:e][j])))
+    return pd.DataFrame(out, columns=[key, "wmedian"])

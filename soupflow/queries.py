@@ -5316,6 +5316,123 @@ def q_median_value_by_type(sf_dir: str):
     return grouped_median_cont(ds, "event_type", "cents")
 
 
+def q_leadlag_corr(sf_dir: str, max_lag: int = 3):
+    """LEAD–LAG cross-correlation of two daily series — Pearson
+    corr(views_t, purchases_{t+lag}) for lag ∈ [−3, 3]: the
+    cause-precedes-effect scan (does purchase volume trail view
+    volume, and by how many days?). The corpus never shuffles: one
+    map-side (day, views, purchases) partial pass + ONE day-bounded
+    groupby, then the driver gap-fills the dense span and computes
+    every lag over the same two arrays — the collect is O(day span),
+    the 7 correlations are reads of it. Moment products n·Σxy can
+    exceed int64 at web scale (day counts ~10⁹), so the driver
+    finishes in PYTHON INTS (oracle: HUGEINT — the spend_hhi /
+    spearman recipe) before the one float division; the float tree
+    (cast num, cast den product, sqrt, divide) is mirrored op-for-op
+    in the SQL, all IEEE-correctly-rounded, and `rho` sorts after the
+    unique `lag` key per the float-finish rules. Zero-variance
+    windows emit rho = 0 by convention (CASE-mirrored)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        et = b.column("event_type")
+        x = pc.equal(et, "view").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = pc.equal(et, "purchase").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({"day": pa.array(day, pa.int64()),
+                      "x": pa.array(x), "y": pa.array(y)})
+        return t.group_by(["day"]).aggregate(
+            [("x", "sum"), ("y", "sum")]) \
+            .rename_columns(["day", "x", "y"])
+    day_partial.__name__ = "leadlag_day_partial"
+
+    agg = collect_table(
+        _read(sf_dir, "events")
+        .select_columns(["ts", "event_type"])
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("x", alias_name="x"),
+                                  Sum("y", alias_name="y")))
+    if agg.num_columns == 0 or agg.num_rows == 0:
+        return pa.table({"lag": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "rho": pa.array([], pa.float64())})
+    day = agg.column("day").to_numpy(zero_copy_only=False)
+    xs = agg.column("x").to_numpy(zero_copy_only=False)
+    ys = agg.column("y").to_numpy(zero_copy_only=False)
+    lo = int(day.min())
+    span = int(day.max()) - lo + 1
+    x = np.zeros(span, np.int64)
+    y = np.zeros(span, np.int64)
+    x[day - lo] = xs
+    y[day - lo] = ys
+
+    lags, ns, rhos = [], [], []
+    for lag in range(-max_lag, max_lag + 1):
+        if lag >= 0:
+            a, b2 = x[:span - lag], y[lag:]
+        else:
+            a, b2 = x[-lag:], y[:span + lag]
+        n = a.size
+        # python ints: the moment products overflow int64 at scale
+        sx = int(a.sum())
+        sy = int(b2.sum())
+        sxy = sum(int(u) * int(v) for u, v in zip(a, b2))
+        sxx = sum(int(u) * int(u) for u in a)
+        syy = sum(int(v) * int(v) for v in b2)
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        rho = (float(num) / math.sqrt(float(dx) * float(dy))
+               if dx > 0 and dy > 0 else 0.0)
+        lags.append(lag)
+        ns.append(n)
+        rhos.append(rho)
+    return pa.table({"lag": pa.array(lags, pa.int64()),
+                     "n": pa.array(ns, pa.int64()),
+                     "rho": pa.array(rhos, pa.float64())})
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Per-returnflag lower WEIGHTED median of lineitem price cents,
+    weighted by quantity — the unequal-mass robust center
+    (data/rank.py grouped_weighted_median): smallest price with
+    2·cumweight ≥ totalweight, all-integer so no interpolation ever
+    floats. Histogram partials collapse duplicate prices map-side;
+    ONE narrow groupby; driver cumsum over value-domain-bounded
+    rows."""
+    from .data.rank import grouped_weighted_median
+
+    def fold(b: pa.Table) -> pa.Table:
+        p = b.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "cents": pa.array(
+                np.floor(p * 100.0 + 0.5).astype(np.int64),
+                pa.int64()),
+            "qty": pa.array(
+                np.floor(q + 0.5).astype(np.int64), pa.int64())})
+    fold.__name__ = "wmedian_price_fold"
+
+    ds = _read(sf_dir, "lineitem") \
+        .select_columns(["l_returnflag", "l_extendedprice",
+                         "l_quantity"]) \
+        .map_batches(fold, batch_format="pyarrow")
+    out = grouped_weighted_median(ds, "l_returnflag", "cents", "qty")
+    return pa.table({
+        "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+        "wmedian_cents": pa.array(
+            out["wmedian"].astype(np.int64), pa.int64())})
+
+
 def q_editdist_pairs(sf_dir: str):
     """Edit-distance-1 near-duplicate document-key pairs (12-char
     text prefixes) via SymSpell deletion neighborhoods
@@ -6639,6 +6756,8 @@ QUERIES = {
     "value_mad": q_value_mad,
     "jl_project": q_jl_project,
     "editdist_pairs": q_editdist_pairs,
+    "weighted_median_price": q_weighted_median_price,
+    "leadlag_corr": q_leadlag_corr,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -8735,6 +8854,60 @@ ORACLE_SQL["median_value_by_type"] = """
                 ORDER BY round(value * 100)::BIGINT))::BIGINT AS med2
     FROM events
     GROUP BY event_type
+"""
+
+ORACLE_SQL["leadlag_corr"] = """
+    WITH s0 AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                   END)::BIGINT AS x,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END)::BIGINT AS y
+        FROM events GROUP BY 1),
+    days AS (
+        SELECT unnest(generate_series(
+            (SELECT min(day) FROM s0), (SELECT max(day) FROM s0),
+            INTERVAL 1 DAY))::DATE AS day),
+    s AS (
+        SELECT d.day, coalesce(s0.x, 0) AS x, coalesce(s0.y, 0) AS y
+        FROM days d LEFT JOIN s0 USING (day)),
+    j AS (
+        SELECT t.l, a.x AS x, b.y AS y
+        FROM (SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1),
+                                    (2), (3)) v(l)) t,
+             s a JOIN s b ON b.day = a.day + t.l),
+    agg AS (
+        SELECT l, count(*)::HUGEINT AS n,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum(x*y)::HUGEINT AS sxy, sum(x*x)::HUGEINT AS sxx,
+               sum(y*y)::HUGEINT AS syy
+        FROM j GROUP BY l)
+    SELECT CAST(l AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                     / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE))
+                ELSE 0.0 END AS rho
+    FROM agg
+"""
+
+ORACLE_SQL["weighted_median_price"] = """
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS v,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+        FROM lineitem),
+    g AS (SELECT l_returnflag, v, sum(w) AS w
+          FROM t GROUP BY l_returnflag, v),
+    c AS (SELECT l_returnflag, v,
+                 sum(w) OVER (PARTITION BY l_returnflag
+                              ORDER BY v) AS cw,
+                 sum(w) OVER (PARTITION BY l_returnflag) AS tw
+          FROM g)
+    SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian_cents
+    FROM c WHERE 2 * cw >= tw AND tw > 0
+    GROUP BY l_returnflag
 """
 
 ORACLE_SQL["editdist_pairs"] = """

@@ -3216,3 +3216,117 @@ def test_editdist1_pairs_reference(ray_session):
         ray.data.from_pandas(pd.DataFrame({"text": pd.Series(
             [], dtype=str)})), col="text")
     assert out0.num_rows == 0 and out0.schema.names == ["s1", "s2"]
+
+
+def test_grouped_weighted_median_reference(ray_session):
+    """grouped_weighted_median == a scalar repeat-expansion
+    reference (weighted median of ints == plain lower median of the
+    weight-expanded multiset) across layouts; all-equal weights
+    reduce to the lower median; zero-weight keys drop; negative
+    weights raise."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray
+
+    from soupflow.data.rank import grouped_weighted_median
+
+    rng = np.random.default_rng(83)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(0, 50, n).astype(np.int64),
+        "w": rng.integers(0, 4, n).astype(np.int64)})
+    df.loc[df.k == "c", "w"] = 0  # zero-mass key must drop
+
+    def ref(d):
+        out = {}
+        for k, g in d.groupby("k"):
+            ex = np.repeat(g.v.to_numpy(), g.w.to_numpy())
+            if ex.size == 0:
+                continue
+            ex.sort()
+            out[k] = int(ex[(ex.size - 1) // 2])  # lower median
+        return out
+
+    want = ref(df)
+    assert "c" not in want and len(want) == 2
+    for parts in (1, 4, 12):
+        got = grouped_weighted_median(
+            ray.data.from_pandas(df).repartition(parts),
+            "k", "v", "w")
+        assert dict(zip(got.k, got.wmedian)) == want, parts
+
+    # all-ones weights == plain lower median
+    ones = df.assign(w=1)
+    got1 = grouped_weighted_median(
+        ray.data.from_pandas(ones).repartition(3), "k", "v", "w")
+    assert dict(zip(got1.k, got1.wmedian)) == ref(ones)
+
+    with pytest.raises(Exception, match="non-negative"):
+        grouped_weighted_median(
+            ray.data.from_pandas(df.assign(w=-1)), "k", "v", "w")
+
+
+def test_leadlag_corr_corpus(ray_session):
+    """q_leadlag_corr == a numpy/pandas dense-span reference on the
+    sf0.001 corpus; a planted shifted-signal corpus pins that the
+    argmax lag recovers the true shift (the statistic bites)."""
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_leadlag_corr
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "event_type"])
+    day = ev.ts.to_numpy().astype("datetime64[D]").astype(np.int64)
+    lo, hi = int(day.min()), int(day.max())
+    span = hi - lo + 1
+    x = np.bincount((day - lo)[ev.event_type.to_numpy() == "view"],
+                    minlength=span).astype(np.int64)
+    y = np.bincount(
+        (day - lo)[ev.event_type.to_numpy() == "purchase"],
+        minlength=span).astype(np.int64)
+
+    def ref_rho(a, b):
+        n = a.size
+        sx, sy = int(a.sum()), int(b.sum())
+        sxy = sum(int(u) * int(v) for u, v in zip(a, b))
+        sxx = sum(int(u) ** 2 for u in a)
+        syy = sum(int(v) ** 2 for v in b)
+        num = n * sxy - sx * sy
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        import math
+        return (float(num) / math.sqrt(float(dx) * float(dy))
+                if dx > 0 and dy > 0 else 0.0)
+
+    out = q_leadlag_corr(SF).to_pandas().set_index("lag")
+    for lag in range(-3, 4):
+        a = x[:span - lag] if lag >= 0 else x[-lag:]
+        b = y[lag:] if lag >= 0 else y[:span + lag]
+        assert out.loc[lag, "n"] == span - abs(lag)
+        assert out.loc[lag, "rho"] == ref_rho(a, b), lag
+
+    # planted 2-day shift: purchases = views shifted by +2 (+ noise
+    # floor) over 40 days — argmax over lags must recover lag=2
+    import tempfile
+    rng = np.random.default_rng(97)
+    base = rng.integers(5, 60, 40)
+    rows = []
+    t0 = np.datetime64("2024-03-01T00:00:00", "us")
+    us_day = np.int64(86_400_000_000)
+    for d in range(40):
+        for _ in range(int(base[d])):
+            rows.append(("view", t0 + np.timedelta64(
+                d * us_day + int(rng.integers(0, us_day)), "us")))
+        if d >= 2:
+            for _ in range(int(base[d - 2]) + 1):
+                rows.append(("purchase", t0 + np.timedelta64(
+                    d * us_day + int(rng.integers(0, us_day)), "us")))
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    df["user_id"] = 1
+    with tempfile.TemporaryDirectory() as tmp:
+        df.to_parquet(f"{tmp}/events.parquet")
+        out2 = q_leadlag_corr(tmp).to_pandas()
+        best = int(out2.loc[out2.rho.idxmax(), "lag"])
+        assert best == 2, out2
