@@ -1598,3 +1598,79 @@ def rolling_distinct_count(ds, *, key_col: str, day_col: str,
     return pa.table({
         "day_i": pa.array(obs, pa.int64()),
         "n_distinct": pa.array(running[obs - lo], pa.int64())})
+
+
+def rolling_quantile_disc(ds, *, day_col: str, val_col: str,
+                          window: int = 7, pct: int = 95) -> pa.Table:
+    """Trailing-window DISCRETE quantile per observed day — the
+    rolling-P95 dashboard statistic (7-day rolling 95th percentile of
+    a latency/value column), completing the rolling family
+    (sum/count/distinct exist; quantiles don't merge across windows
+    any more than distincts do). Exact and all-integer: the rolling
+    p-th percentile for day t is the smallest v in the merged
+    histogram of days [t-window+1, t] with 100·cum(v) ≥ pct·W.
+
+    Shape: per-block (day, v) count partials collapse duplicates
+    before the only shuffle; ONE narrow groupby finishes the global
+    (day, v) histogram; the driver then slides a count array over the
+    sorted value domain — add day t's counts, drop day t-window's —
+    answering each observed day with one cumsum+searchsorted. The
+    collect and driver work are O(day-span × distinct values) — the
+    same value-domain bound grouped_quantiles accepts, never corpus
+    rows. Returns pa.Table (day_i:int64, q:int64) over observed days.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..io import collect_table
+
+    if not (1 <= pct <= 100):
+        raise ValueError("rolling_quantile_disc: pct must be 1..100")
+
+    def hist(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or day_col not in b.schema.names:
+            e = pa.array([], pa.int64())
+            return pa.table({"day": e, "v": e, "n": e})
+        t = pa.table({"day": b.column(day_col).cast(pa.int64()),
+                      "v": b.column(val_col).cast(pa.int64()),
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["day", "v"]).aggregate([("n", "sum")]) \
+            .rename_columns(["day", "v", "n"])
+    hist.__name__ = f"rqhist_{day_col}_{val_col}"
+
+    agg = collect_table(
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["day", "v"]).aggregate(Sum("n", alias_name="n")))
+    out_empty = pa.table({"day_i": pa.array([], pa.int64()),
+                          "q": pa.array([], pa.int64())})
+    if agg.num_columns == 0 or agg.num_rows == 0:
+        return out_empty
+    day = agg.column("day").to_numpy(zero_copy_only=False)
+    v = agg.column("v").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    vals = np.unique(v)                      # sorted value domain
+    vix = np.searchsorted(vals, v)
+    lo, hi = int(day.min()), int(day.max())
+    order = np.argsort(day, kind="stable")
+    day, vix, n = day[order], vix[order], n[order]
+    dstarts = np.searchsorted(day, np.arange(lo, hi + 2))
+    obs_days, qs = [], []
+    cnt = np.zeros(vals.size, np.int64)
+    for t in range(lo, hi + 1):
+        s, e = dstarts[t - lo], dstarts[t - lo + 1]
+        np.add.at(cnt, vix[s:e], n[s:e])
+        drop = t - window
+        if drop >= lo:
+            ds_, de_ = dstarts[drop - lo], dstarts[drop - lo + 1]
+            np.subtract.at(cnt, vix[ds_:de_], n[ds_:de_])
+        if e > s:                            # observed day
+            cum = np.cumsum(cnt)
+            w = int(cum[-1])
+            target = (pct * w + 99) // 100
+            j = int(np.searchsorted(cum, target))
+            obs_days.append(t)
+            qs.append(int(vals[j]))
+    if not obs_days:
+        return out_empty
+    return pa.table({
+        "day_i": pa.array(np.array(obs_days, np.int64)),
+        "q": pa.array(np.array(qs, np.int64))})

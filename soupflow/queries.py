@@ -5316,6 +5316,46 @@ def q_median_value_by_type(sf_dir: str):
     return grouped_median_cont(ds, "event_type", "cents")
 
 
+def q_rolling_p95(sf_dir: str):
+    """Trailing 7-day ROLLING 95th percentile of event value cents
+    per observed day — the rolling-quantile dashboard class
+    (data/windows.py rolling_quantile_disc): quantiles don't merge
+    across overlapping windows, so the engine slides a count array
+    over the global (day, value) histogram instead of re-scanning
+    events per window like the oracle's range self-join. Discrete
+    percentile (smallest v with 100·cum ≥ 95·W) keeps everything
+    integer; day truncation is UTC date, collect is
+    O(day-span × distinct values)."""
+    from .data.windows import rolling_quantile_disc
+
+    def narrow(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ts" not in b.schema.names:
+            e = pa.array([], pa.int64())
+            return pa.table({"day_i": e, "cents": e})
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day_i": pa.array(ts.astype("datetime64[D]")
+                              .astype(np.int64), pa.int64()),
+            "cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64),
+                pa.int64())})
+    narrow.__name__ = "p95_day_cents"
+
+    t = rolling_quantile_disc(
+        _read(sf_dir, "events").select_columns(["ts", "value"])
+        .map_batches(narrow, batch_format="pyarrow"),
+        day_col="day_i", val_col="cents", window=7, pct=95)
+    if t.num_rows == 0:
+        return pa.table({"day": pa.array([], pa.string()),
+                         "p95_cents": pa.array([], pa.int64())})
+    d = t.column("day_i").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "day": pa.array(d.astype("datetime64[D]").astype(str),
+                        pa.string()),
+        "p95_cents": t.column("q")})
+
+
 def q_leadlag_corr(sf_dir: str, max_lag: int = 3):
     """LEAD–LAG cross-correlation of two daily series — Pearson
     corr(views_t, purchases_{t+lag}) for lag ∈ [−3, 3]: the
@@ -6758,6 +6798,7 @@ QUERIES = {
     "editdist_pairs": q_editdist_pairs,
     "weighted_median_price": q_weighted_median_price,
     "leadlag_corr": q_leadlag_corr,
+    "rolling_p95": q_rolling_p95,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -8854,6 +8895,25 @@ ORACLE_SQL["median_value_by_type"] = """
                 ORDER BY round(value * 100)::BIGINT))::BIGINT AS med2
     FROM events
     GROUP BY event_type
+"""
+
+ORACLE_SQL["rolling_p95"] = """
+    WITH t AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events),
+    d AS (SELECT DISTINCT day FROM t),
+    j AS (SELECT d.day AS day, t.v AS v
+          FROM d JOIN t ON t.day BETWEEN d.day - 6 AND d.day),
+    g AS (SELECT day, v, count(*) AS n FROM j GROUP BY day, v),
+    c AS (SELECT day, v,
+                 sum(n) OVER (PARTITION BY day ORDER BY v) AS cn,
+                 sum(n) OVER (PARTITION BY day) AS w
+          FROM g)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(min(v) AS BIGINT) AS p95_cents
+    FROM c WHERE 100 * cn >= 95 * w
+    GROUP BY day
 """
 
 ORACLE_SQL["leadlag_corr"] = """

@@ -3330,3 +3330,57 @@ def test_leadlag_corr_corpus(ray_session):
         out2 = q_leadlag_corr(tmp).to_pandas()
         best = int(out2.loc[out2.rho.idxmax(), "lag"])
         assert best == 2, out2
+
+
+def test_rolling_quantile_disc_reference(ray_session):
+    """rolling_quantile_disc == a scalar range-scan percentile
+    reference across (pct, layout) combinations, incl. gaps larger
+    than the window (old days must drop out), single-day corpora,
+    and w=1 (plain per-day percentile); pct contract raises."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray
+
+    from soupflow.data.windows import rolling_quantile_disc
+
+    rng = np.random.default_rng(89)
+    n = 900
+    df = pd.DataFrame({
+        "d": rng.integers(1000, 1040, n).astype(np.int64),
+        "v": rng.integers(0, 200, n).astype(np.int64)})
+    # punch a hole wider than the window: days 1015..1029 removed
+    df = df[(df.d < 1015) | (df.d >= 1030)].reset_index(drop=True)
+
+    def ref(data, w, pct):
+        out = {}
+        for t in np.sort(data.d.unique()):
+            win = data.v[(data.d >= t - w + 1) & (data.d <= t)] \
+                .to_numpy()
+            win.sort()
+            wtot = win.size
+            target = (pct * wtot + 99) // 100
+            out[int(t)] = int(win[target - 1])
+        return out
+
+    for pct in (50, 95, 100):
+        for w in (1, 7):
+            want = ref(df, w, pct)
+            for parts in (1, 4, 16):
+                t = rolling_quantile_disc(
+                    ray.data.from_pandas(df).repartition(parts),
+                    day_col="d", val_col="v", window=w, pct=pct)
+                got = dict(zip(t.column("day_i").to_pylist(),
+                               t.column("q").to_pylist()))
+                assert got == want, (pct, w, parts)
+
+    one = pd.DataFrame({"d": np.full(5, 7, np.int64),
+                        "v": np.array([9, 1, 5, 3, 7], np.int64)})
+    t1 = rolling_quantile_disc(ray.data.from_pandas(one),
+                               day_col="d", val_col="v",
+                               window=7, pct=50)
+    assert t1.to_pydict() == {"day_i": [7], "q": [5]}
+
+    with pytest.raises(ValueError, match="pct"):
+        rolling_quantile_disc(ray.data.from_pandas(one),
+                              day_col="d", val_col="v", pct=0)
