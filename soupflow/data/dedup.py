@@ -1300,8 +1300,17 @@ def para_dedup(ds, *, words_per_para: int = 15,
     return keyed.map_batches(decide, batch_format="pyarrow")
 
 
-def _edit_le1(a: str, b: str) -> bool:
-    """Exact Levenshtein(a, b) <= 1 (equality counts), O(len)."""
+def _edit_le1(a, b) -> bool:
+    """Exact BYTE-level Levenshtein(a, b) <= 1 (equality counts),
+    O(len). Byte-level — not codepoint-level — deliberately: it
+    matches DuckDB's levenshtein() semantics (measured:
+    levenshtein('héllo','hello') = 2, the é spans two UTF-8 bytes),
+    so the SQL oracle and the engine agree on multibyte corpora.
+    Accepts str (encoded here) or bytes."""
+    if isinstance(a, str):
+        a = a.encode("utf-8")
+    if isinstance(b, str):
+        b = b.encode("utf-8")
     if a == b:
         return True
     la, lb = len(a), len(b)
@@ -1317,10 +1326,13 @@ def _edit_le1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
-def _h63(s: str) -> int:
-    """Stable 63-bit string hash (blake2b — process-independent,
-    unlike built-in hash under PYTHONHASHSEED)."""
-    d = hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest()
+def _h63(s) -> int:
+    """Stable 63-bit hash of str-or-bytes (blake2b —
+    process-independent, unlike built-in hash under
+    PYTHONHASHSEED)."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    d = hashlib.blake2b(s, digest_size=8).digest()
     return int.from_bytes(d, "big") & ((1 << 63) - 1)
 
 
@@ -1330,11 +1342,14 @@ def editdist1_pairs(ds, *, col: str = "text", prefix_len: int = 12,
     NEIGHBORHOODS (the SymSpell / symmetric-delete shape) — the typo
     /OCR-noise dedup class the shingle families miss: two distinct
     keys are Levenshtein-1 apart iff they share a member of each
-    other's {self} ∪ {one-char deletions} set (substitution pairs
-    share the deletion at the mismatch position; indel pairs contain
-    each other's deletion), so candidate generation is a LINEAR
-    (1+len)× expansion instead of the quadratic cross join the SQL
-    form runs. Candidates sharing a variant bucket are verified with
+    other's {self} ∪ {one-deletion} set (substitution pairs share
+    the deletion at the mismatch position; indel pairs contain each
+    other's deletion), so candidate generation is a LINEAR (1+len)×
+    expansion instead of the quadratic cross join the SQL form runs.
+    Distance and deletions are BYTE-level over UTF-8 (matching
+    DuckDB's byte-based levenshtein(), measured: 'héllo'→'hello' is
+    distance 2) — the completeness proof holds verbatim over the
+    byte alphabet. Candidates sharing a variant bucket are verified with
     the exact O(len) distance-≤1 check, so hash collisions and
     distance-2 coincidences (transpositions share deletions) emit
     nothing.
@@ -1377,7 +1392,11 @@ def editdist1_pairs(ds, *, col: str = "text", prefix_len: int = 12,
         vh, sh, out_s = [], [], []
         for s in b.column("s").to_pylist():
             h = _h63(s)
-            vs = {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+            # BYTE-level deletions (UTF-8), matching the byte-level
+            # distance the verify step and the SQL oracle use — a
+            # byte-dist-1 pair always shares a byte-deletion variant
+            sb = s.encode("utf-8")
+            vs = {sb} | {sb[:i] + sb[i + 1:] for i in range(len(sb))}
             for v in vs:
                 vh.append(_h63(v))
                 sh.append(h)

@@ -3179,6 +3179,19 @@ def test_editdist1_pairs_reference(ray_session):
         for b in words[60:120]:
             assert _edit_le1(a, b) == (lev(a, b) <= 1), (a, b)
 
+    # BYTE-level semantics, pinned against DuckDB's levenshtein():
+    # 'é' spans two UTF-8 bytes, so a multibyte substitution is
+    # distance 2 (NOT a pair), while a one-byte diff inside the
+    # multibyte char is distance 1
+    import duckdb
+    for a, b in [("héllo", "hello"), ("héllo", "hèllo"),
+                 ("ไทยAB", "ไทยAC"), ("ไทยAB", "ไทยABC")]:
+        want_d1 = duckdb.sql(
+            f"SELECT levenshtein('{a}', '{b}') <= 1").fetchone()[0]
+        assert _edit_le1(a, b) == want_d1, (a, b)
+    assert not _edit_le1("héllo", "hello")  # char-dist 1, byte-dist 2
+    assert _edit_le1("héllo", "hèllo")
+
     # corpus-level: texts whose 12-char prefixes contain planted
     # substitution / indel / transposition neighbors + noise
     base = "abcdefghijkl"
