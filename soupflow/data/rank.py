@@ -722,25 +722,38 @@ def skyline2d(ds, *, xcol: str, ycol: str,
         out_cols[2]: pa.array(sn, pa.int64())})
 
 
-def grouped_weighted_median(ds, key: str, col: str, wcol: str):
+def grouped_weighted_median(ds, key: str, col: str, wcol: str,
+                            coarse_bits: int = 0):
     """Exact per-key lower WEIGHTED median — the robust center when
     rows carry unequal mass (price weighted by quantity, latency by
     request count): the smallest v with 2·cumweight(v) ≥ totalweight.
     All-integer, so engines agree bit-for-bit with no interpolation.
 
-    Same scale shape as grouped_median_cont: per-block (key, v,
-    sum w) histogram partials collapse duplicate values before the
-    only shuffle, ONE narrow groupby sums weights globally, and the
-    driver finishes with a per-key cumsum over value-domain-bounded
-    rows — the collect is O(keys × distinct values), never corpus
-    rows. Weights must be non-negative int64 (loud check); zero
-    total weight drops the key (mirrors SQL's empty cumsum).
-    Returns pandas (key, wmedian)."""
+    ``coarse_bits=0`` (small value domains): one histogram pass —
+    per-block (key, v, Σw) partials collapse duplicates before the
+    only shuffle, ONE narrow groupby, driver cumsum; collect is
+    O(keys × distinct values). For NEAR-UNIQUE domains (prices,
+    latencies — distinct ≈ rows, so that collect would be the whole
+    table) set ``coarse_bits=b`` for the two-pass BUCKET REFINEMENT:
+    pass 1 histograms (key, v >> b) — domain shrunk 2^b× — and the
+    driver locates each key's median BUCKET plus the cumulative
+    weight before it; pass 2 re-reads the same pruned scan and
+    histograms ONLY rows inside each key's located bucket (the
+    per-key bucket map is a key-bounded broadcast), so the exact
+    finish sees ≤ 2^b distinct values per key. Both collects are
+    bounded regardless of domain: O(keys × domain/2^b) +
+    O(keys × 2^b) — minimized at b ≈ log2(√domain). Identical
+    results to the one-pass form (pinned by pytest).
+
+    Weights must be non-negative int64 (loud check); values must be
+    non-negative when coarse_bits > 0 (>> is arithmetic); zero total
+    weight drops the key (mirrors SQL's empty cumsum). Returns
+    pandas (key, wmedian)."""
     from ray.data.aggregate import Sum
 
     from ..io import collect_table
 
-    def hist(batch: pa.Table) -> pa.Table:
+    def hist(batch: pa.Table, shift: int = 0, only=None) -> pa.Table:
         ks = np.asarray(batch.column(key).to_pylist(), dtype=object)
         v = batch.column(col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
@@ -749,6 +762,22 @@ def grouped_weighted_median(ds, key: str, col: str, wcol: str):
         if w.size and int(w.min()) < 0:
             raise ValueError("grouped_weighted_median: weights must "
                              "be non-negative")
+        if shift and v.size and int(v.min()) < 0:
+            raise ValueError("grouped_weighted_median: coarse_bits "
+                             "requires non-negative values")
+        if only is not None and ks.size:
+            # keep only rows inside their key's located bucket
+            tgt = np.fromiter((only.get(k, -1) for k in ks),
+                              np.int64, ks.size)
+            m = (v >> shift) == tgt
+            ks, w = ks[m], w[m]
+            v = v[m]
+        elif shift:
+            v = v >> shift
+        if ks.size == 0:
+            return pa.table({key: pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
         uk, codes = np.unique(ks, return_inverse=True)
         order = np.lexsort((v, codes))
         cs, vs, ws = codes[order], v[order], w[order]
@@ -761,14 +790,19 @@ def grouped_weighted_median(ds, key: str, col: str, wcol: str):
             key: pa.array(uk[cs[starts]], pa.string()),
             "v": pa.array(vs[starts], pa.int64()),
             "w": pa.array(wsum, pa.int64())})
-    hist.__name__ = f"wmedhist_{key}_{col}"
 
-    t = collect_table(
-        ds.select_columns([key, col, wcol])
-        .map_batches(hist, batch_format="pyarrow")
-        .groupby([key, "v"]).aggregate(Sum("w", alias_name="w")))
-    out = []
-    if t.num_columns and t.num_rows:
+    def agg(shift: int = 0, only=None) -> pa.Table:
+        fn = (lambda b: hist(b, shift, only))
+        fn.__name__ = f"wmedhist_{key}_{col}_s{shift}"
+        return collect_table(
+            ds.select_columns([key, col, wcol])
+            .map_batches(fn, batch_format="pyarrow")
+            .groupby([key, "v"]).aggregate(Sum("w", alias_name="w")))
+
+    def per_key(t: pa.Table):
+        """Yield (key, values_sorted, weights, cumsum) per key."""
+        if not (t.num_columns and t.num_rows):
+            return
         ks = np.asarray(t.column(key).to_pylist(), dtype=object)
         vs = t.column("v").to_numpy(zero_copy_only=False)
         ws = t.column("w").to_numpy(zero_copy_only=False)
@@ -778,10 +812,38 @@ def grouped_weighted_median(ds, key: str, col: str, wcol: str):
         bounds = np.append(starts, ks.size)
         for i, s in enumerate(starts):
             e = bounds[i + 1]
-            cum = np.cumsum(ws[s:e])
+            yield ks[s], vs[s:e], ws[s:e], np.cumsum(ws[s:e])
+
+    if coarse_bits <= 0:
+        out = []
+        for k, vs, _, cum in per_key(agg()):
             total = int(cum[-1])
             if total == 0:
-                continue  # all-zero weights: no mass, key drops
+                continue
             j = int(np.searchsorted(2 * cum, total))
-            out.append((ks[s], int(vs[s:e][j])))
+            out.append((k, int(vs[j])))
+        return pd.DataFrame(out, columns=[key, "wmedian"])
+
+    # pass 1: locate each key's median bucket + weight before it
+    bucket_of, before_of, total_of = {}, {}, {}
+    for k, bs, _, cum in per_key(agg(shift=coarse_bits)):
+        total = int(cum[-1])
+        if total == 0:
+            continue
+        j = int(np.searchsorted(2 * cum, total))
+        bucket_of[k] = int(bs[j])
+        before_of[k] = int(cum[j - 1]) if j else 0
+        total_of[k] = total
+    if not bucket_of:
+        return pd.DataFrame([], columns=[key, "wmedian"])
+
+    # pass 2: exact values inside each key's bucket only
+    out = []
+    for k, vs, _, cum in per_key(agg(shift=coarse_bits,
+                                     only=bucket_of)):
+        if k not in bucket_of:
+            continue
+        total, before = total_of[k], before_of[k]
+        j = int(np.searchsorted(2 * (before + cum), total))
+        out.append((k, int(vs[j])))
     return pd.DataFrame(out, columns=[key, "wmedian"])

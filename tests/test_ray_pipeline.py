@@ -3270,6 +3270,25 @@ def test_grouped_weighted_median_reference(ray_session):
             "k", "v", "w")
         assert dict(zip(got.k, got.wmedian)) == want, parts
 
+    # bucket refinement (the near-unique-domain path) must equal the
+    # one-pass form for every coarse width, incl. bucket boundaries
+    wide = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 400),
+        "v": rng.integers(0, 10_000_000, 400).astype(np.int64),
+        "w": rng.integers(1, 5, 400).astype(np.int64)})
+    base = grouped_weighted_median(
+        ray.data.from_pandas(wide), "k", "v", "w")
+    for bits in (1, 4, 12, 20):
+        two = grouped_weighted_median(
+            ray.data.from_pandas(wide).repartition(5),
+            "k", "v", "w", coarse_bits=bits)
+        assert dict(zip(two.k, two.wmedian)) == \
+            dict(zip(base.k, base.wmedian)), bits
+    with pytest.raises(Exception, match="non-negative"):
+        grouped_weighted_median(
+            ray.data.from_pandas(wide.assign(v=-5)), "k", "v", "w",
+            coarse_bits=4)
+
     # all-ones weights == plain lower median
     ones = df.assign(w=1)
     got1 = grouped_weighted_median(
