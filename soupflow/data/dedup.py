@@ -1450,3 +1450,113 @@ def editdist1_pairs(ds, *, col: str = "text", prefix_len: int = 12,
     df = part.to_pandas().drop_duplicates().sort_values(["s1", "s2"])
     return pa.table({"s1": pa.array(df["s1"], pa.string()),
                      "s2": pa.array(df["s2"], pa.string())})
+
+
+def source_overlap(ds, *, key_col: str = "source",
+                   col: str = "text", prefix_len: int = 24,
+                   min_len: int | None = None,
+                   max_sources: int = 4096):
+    """Cross-source DUPLICATION AUDIT — for every pair of sources,
+    how many distinct content fingerprints (here: ``prefix_len``-char
+    text prefixes) they share: the mirror-site / repackaged-dump
+    detector a corpus curator runs before mixing sources (two sources
+    sharing most of their fingerprints are one source counted
+    twice). The SQL form is a fingerprint self-join; the engine never
+    joins: distinct (fp, source) pairs (per-block Arrow distinct +
+    ONE groupby), then ONE sort on the fp's stable hash groups each
+    fingerprint's source set contiguously and a segment kernel
+    (data/segments.py finish_sorted_runs) emits per-block
+    (s1 < s2, n) pair-count partials — bounded by |sources|² per
+    block, with the driver summing an O(blocks × sources²) table.
+    EXACT under hash collisions: the fp STRING rides along and the
+    kernel sub-groups each run by it, so colliding fingerprints
+    split correctly instead of over-counting. A fingerprint shared
+    by more than ``max_sources`` sources raises loudly (quadratic
+    emission guard; |sources| is data-model-bounded). Returns a
+    pa.Table (s1, s2, n_shared)."""
+    from ray.data.aggregate import Count
+
+    from .segments import finish_sorted_runs
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or col not in b.schema.names:
+            e = pa.array([], pa.string())
+            return pa.table({"fp": e, "src": e})
+        texts = b.column(col).to_pylist()
+        srcs = b.column(key_col).to_pylist()
+        lim = prefix_len if min_len is None else min_len
+        ks = {(t[:prefix_len], s) for t, s in zip(texts, srcs)
+              if t is not None and len(t) >= lim}
+        if not ks:
+            e = pa.array([], pa.string())
+            return pa.table({"fp": e, "src": e})
+        fps, ss = zip(*sorted(ks))
+        return pa.table({"fp": pa.array(list(fps), pa.string()),
+                         "src": pa.array(list(ss), pa.string())})
+    distinct_pairs.__name__ = f"overlap_{key_col}_pairs"
+
+    def hash_keys(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "fp" not in b.schema.names:
+            e = pa.array([], pa.int64())
+            return pa.table({"vh": e, "sh": e,
+                             "fp": pa.array([], pa.string()),
+                             "src": pa.array([], pa.string())})
+        fps = b.column("fp").to_pylist()
+        srcs = b.column("src").to_pylist()
+        return pa.table({
+            "vh": pa.array([_h63(f) for f in fps], pa.int64()),
+            "sh": pa.array([_h63(s) for s in srcs], pa.int64()),
+            "fp": b.column("fp"),
+            "src": b.column("src")})
+    hash_keys.__name__ = "overlap_hash_keys"
+
+    _empty = pa.table({"s1": pa.array([], pa.string()),
+                       "s2": pa.array([], pa.string()),
+                       "n": pa.array([], pa.int64())})
+
+    def kernel(cols) -> pa.Table:
+        fp, src = cols["fp"], cols["src"]
+        if fp.size == 0:
+            return _empty
+        counts: dict = {}
+        ufp, inv = np.unique(fp, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(ufp.size + 1))
+        for g in range(ufp.size):
+            run = np.unique(src[order[bounds[g]:bounds[g + 1]]])
+            if run.size > max_sources:
+                raise ValueError(
+                    f"source_overlap: fingerprint shared by "
+                    f"{run.size} sources exceeds max_sources="
+                    f"{max_sources}")
+            for i in range(run.size):
+                for j in range(i + 1, run.size):
+                    p = (run[i], run[j])
+                    counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            return _empty
+        items = sorted(counts.items())
+        return pa.table({
+            "s1": pa.array([a for (a, _), _n in items], pa.string()),
+            "s2": pa.array([b2 for (_, b2), _n in items],
+                           pa.string()),
+            "n": pa.array([n for _, n in items], pa.int64())})
+
+    merged = ds.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .groupby(["fp", "src"]).aggregate(Count(alias_name="_c")) \
+        .map_batches(hash_keys, batch_format="pyarrow") \
+        .sort(["vh", "sh"])
+    part = finish_sorted_runs(
+        merged, key_col="vh", order_cols=["sh"],
+        int_cols=["vh", "sh"], str_cols=["fp", "src"],
+        kernel=kernel, empty_partial=_empty)
+    if part.num_rows == 0:
+        return pa.table({"s1": pa.array([], pa.string()),
+                         "s2": pa.array([], pa.string()),
+                         "n_shared": pa.array([], pa.int64())})
+    df = part.to_pandas().groupby(["s1", "s2"], as_index=False) \
+        .n.sum().sort_values(["s1", "s2"])
+    return pa.table({
+        "s1": pa.array(df["s1"], pa.string()),
+        "s2": pa.array(df["s2"], pa.string()),
+        "n_shared": pa.array(df["n"].astype(np.int64), pa.int64())})

@@ -5316,6 +5316,22 @@ def q_median_value_by_type(sf_dir: str):
     return grouped_median_cont(ds, "event_type", "cents")
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source duplication audit (data/dedup.py source_overlap):
+    per source-pair count of shared distinct 24-char text prefixes —
+    the mirror-site / repackaged-dump detector a curator runs before
+    mixing sources. The SQL form is a fingerprint self-join; the
+    engine sorts the distinct (fp, source) stream ONCE on the fp
+    hash and emits |sources|²-bounded pair-count partials per block,
+    exact under hash collisions (the fp string rides along and the
+    kernel sub-groups by it)."""
+    from .data.dedup import source_overlap
+
+    return source_overlap(
+        _read(sf_dir, "documents").select_columns(["source", "text"]),
+        key_col="source", col="text", prefix_len=24)
+
+
 def q_rolling_p95(sf_dir: str):
     """Trailing 7-day ROLLING 95th percentile of event value cents
     per observed day — the rolling-quantile dashboard class
@@ -6805,6 +6821,7 @@ QUERIES = {
     "weighted_median_price": q_weighted_median_price,
     "leadlag_corr": q_leadlag_corr,
     "rolling_p95": q_rolling_p95,
+    "source_overlap": q_source_overlap,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -8901,6 +8918,16 @@ ORACLE_SQL["median_value_by_type"] = """
                 ORDER BY round(value * 100)::BIGINT))::BIGINT AS med2
     FROM events
     GROUP BY event_type
+"""
+
+ORACLE_SQL["source_overlap"] = """
+    WITH f AS (
+        SELECT DISTINCT source, substr(text, 1, 24) AS fp
+        FROM documents WHERE length(text) >= 24)
+    SELECT a.source AS s1, b.source AS s2,
+           count(*)::BIGINT AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
 """
 
 ORACLE_SQL["rolling_p95"] = """

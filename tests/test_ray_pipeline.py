@@ -3416,3 +3416,77 @@ def test_rolling_quantile_disc_reference(ray_session):
     with pytest.raises(ValueError, match="pct"):
         rolling_quantile_disc(ray.data.from_pandas(one),
                               day_col="d", val_col="v", pct=0)
+
+
+def test_source_overlap_reference(ray_session):
+    """source_overlap == a brute-force pair-count reference on
+    randomized corpora with planted mirror sources, across partition
+    layouts; a deliberately colliding-hash scenario is simulated by
+    many distinct fps (sub-grouping must never over-count); the
+    max_sources guard raises."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray
+
+    from soupflow.data.dedup import source_overlap
+
+    rng = np.random.default_rng(101)
+    # 6 sources over a shared pool of 40 long fingerprints: srcA and
+    # srcB are near-mirrors (80% shared pool draws)
+    pool = ["fp%02d" % i + "x" * 24 for i in range(40)]
+    rows = []
+    for s in ("srcA", "srcB"):
+        for fp in rng.choice(pool[:30], 25):
+            rows.append((s, fp))
+    for s in ("srcC", "srcD", "srcE", "srcF"):
+        for fp in rng.choice(pool, 12):
+            rows.append((s, fp))
+    rows.append(("srcG", "short"))          # < 24 chars: filtered
+    df = pd.DataFrame(rows, columns=["source", "text"])
+
+    def ref(d):
+        pairs = {(t[:24], s) for s, t in zip(d.source, d.text)
+                 if len(t) >= 24}
+        by_fp: dict = {}
+        for fp, s in pairs:
+            by_fp.setdefault(fp, set()).add(s)
+        out: dict = {}
+        for srcs in by_fp.values():
+            for a, b in itertools.combinations(sorted(srcs), 2):
+                out[(a, b)] = out.get((a, b), 0) + 1
+        return out
+
+    want = ref(df)
+    assert want, "reference must bite"
+    assert max(want.values()) > 1
+    for parts in (1, 4, 16):
+        t = source_overlap(
+            ray.data.from_pandas(df).repartition(parts),
+            key_col="source", col="text", prefix_len=24)
+        got = {(a, b): n for a, b, n in
+               zip(t.column("s1").to_pylist(),
+                   t.column("s2").to_pylist(),
+                   t.column("n_shared").to_pylist())}
+        assert got == want, parts
+    assert not any("srcG" in p for p in got)
+
+    # guard: one fp shared by every source raises in the worker
+    crowd = pd.DataFrame({
+        "source": [f"s{i}" for i in range(12)],
+        "text": ["y" * 30] * 12})
+    with pytest.raises(Exception, match="max_sources"):
+        source_overlap(ray.data.from_pandas(crowd),
+                       key_col="source", col="text",
+                       prefix_len=24, max_sources=5)
+
+    # typed-empty passthrough
+    t0 = source_overlap(
+        ray.data.from_pandas(pd.DataFrame(
+            {"source": pd.Series([], dtype=str),
+             "text": pd.Series([], dtype=str)})),
+        key_col="source", col="text")
+    assert t0.num_rows == 0
+    assert t0.schema.names == ["s1", "s2", "n_shared"]
