@@ -594,3 +594,66 @@ def jl_project(ds, id_col: str = "vec_id", col: str = "embedding",
 
     return ds.select_columns([id_col, col]) \
         .map_batches(project, batch_format="pyarrow")
+
+
+def gram_matrix(ds, col: str = "embedding"):
+    """Exact integer GRAM (second-moment) matrix of the embedding
+    column — the d×d reduction PCA / whitening / linear-probing
+    pipelines start from (covariance = G/n − μμᵀ; the mean vector is
+    a trivial extra reduce on the same partials). This is the
+    catalog's distributed LINEAR-ALGEBRA reduction class: the output
+    is DIMENSION-bounded (d·(d+1)/2 upper-triangle cells), never
+    row-bounded, so the whole corpus folds map-side and nothing wide
+    ever shuffles.
+
+    ZERO-shuffle shape: elements fold to exact
+    v6 = floor(float64(x)·1e6) micro-units (float32→float64 is exact
+    and the IEEE multiply+floor is bit-identical in any engine — the
+    same fold jl_project and quantize_embeddings use); each block
+    reduces to ONE upper-triangle partial via an int64 QᵀQ matmul (no
+    per-row Python), pre-checked against int64 overflow
+    (n_b·max|v6|² < 2⁶² raises in the WORKER before a wrap can
+    happen); the driver sums the O(blocks × d²) partial cells in
+    PYTHON INTS (the SQL side is HUGEINT) and re-checks each global
+    cell fits int64 before emitting (i, j, gram), i ≤ j. Rectangular,
+    null-free lists required (ragged input raises in the reshape)."""
+
+    def block_gram(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, col)
+        if m.size == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"i": e, "j": e, "s": e})
+        v6 = np.floor(m * 1e6).astype(np.int64)
+        mx = int(np.abs(v6).max())
+        if v6.shape[0] * mx * mx >= (1 << 62):
+            raise ValueError(
+                "gram_matrix block partial would overflow int64 "
+                f"(rows={v6.shape[0]}, max|v6|={mx}) — shrink the "
+                "batch or rescale the micro-unit")
+        g = v6.T @ v6
+        iu, ju = np.triu_indices(g.shape[0])
+        return pa.table({"i": pa.array(iu.astype(np.int64)),
+                         "j": pa.array(ju.astype(np.int64)),
+                         "s": pa.array(g[iu, ju], pa.int64())})
+    block_gram.__name__ = "gram_block_partial"
+
+    parts = collect_table(
+        ds.select_columns([col])
+        .map_batches(block_gram, batch_format="pyarrow",
+                     batch_size=None))
+    acc: dict = {}
+    if parts.num_rows:    # all-empty collects can be schema-less
+        for i, j, s in zip(parts.column("i").to_pylist(),
+                           parts.column("j").to_pylist(),
+                           parts.column("s").to_pylist()):
+            acc[(i, j)] = acc.get((i, j), 0) + s  # Python ints: no wrap
+    keys = sorted(acc)
+    vals = [acc[k] for k in keys]
+    if any(abs(v) >= (1 << 63) for v in vals):
+        raise ValueError("gram_matrix: a global cell exceeds int64 — "
+                         "rescale the micro-unit (the oracle side is "
+                         "HUGEINT and would need the same rescale)")
+    return pa.table({
+        "i": pa.array([k[0] for k in keys], pa.int64()),
+        "j": pa.array([k[1] for k in keys], pa.int64()),
+        "gram": pa.array(vals, pa.int64())})

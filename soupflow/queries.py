@@ -5529,6 +5529,83 @@ def q_jl_project(sf_dir: str):
                       out="long")
 
 
+def q_gram_matrix(sf_dir: str):
+    """Exact integer GRAM matrix of the embedding table
+    (data/similarity.py gram_matrix) — the d×d second-moment
+    reduction PCA / whitening / linear probing start from, and the
+    catalog's distributed linear-algebra class: output is
+    DIMENSION-bounded (64·65/2 = 2080 cells), so every block folds
+    to one QᵀQ int64 partial map-side (zero shuffle) and the driver
+    sums O(blocks × d²) cells in Python ints (oracle side: HUGEINT).
+    Elements ride the same exact floor(float64(x)·1e6) micro-unit
+    fold as jl_project, so every cell is an integer both engines
+    reproduce bit-for-bit."""
+    from .data.similarity import gram_matrix
+
+    return gram_matrix(_read(sf_dir, "embeddings"), col="embedding")
+
+
+def q_theilsen_trend(sf_dir: str):
+    """THEIL–SEN robust trend of daily revenue — the median of all
+    pairwise slopes (y_b − y_a)/(x_b − x_a) over the per-day revenue
+    series: the robust-regression counterpart to priority_trend's
+    OLS (a single outlier day moves OLS arbitrarily; Theil–Sen
+    tolerates ~29% contamination). Shape: map-side (day, cents)
+    partials collapse the fact table before ONE calendar-bounded
+    groupby; the driver then owns an O(span²) pairwise-slope kernel
+    over the day-bounded series (span = observed days, ~2.4k for
+    7 years → ~2.9M slopes as one numpy vector; a corpus spanning
+    decades folds to weekly buckets first — same shape, span/7).
+    The float finish is mirrored op-for-op in the SQL: slopes are
+    IEEE divisions of exactly-representable int64 diffs, the two
+    middle order statistics are selected by row_number (the middle
+    VALUE is tie-order-independent), and the even-count finish is
+    (lo + hi)/2 in both engines — no engine-internal median() with
+    an unmirrorable op-tree is ever called. Output one row
+    (ts_slope cents/day, n_days, n_pairs); zero-pair inputs return
+    typed-empty to match the oracle's HAVING."""
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "day_i": pa.array(od.astype("datetime64[D]")
+                              .astype(np.int64), pa.int64()),
+            "y": pa.array(np.floor(p * 100.0 + 0.5)
+                          .astype(np.int64), pa.int64())})
+        return t.group_by("day_i").aggregate([("y", "sum")]) \
+            .rename_columns(["day_i", "y"])
+    day_partial.__name__ = "theilsen_day_partial"
+
+    agg = collect_table(
+        _read(sf_dir, "orders")
+        .select_columns(["o_orderdate", "o_totalprice"])
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day_i").aggregate(Sum("y", alias_name="y")))
+    empty = pa.table({"n_days": pa.array([], pa.int64()),
+                      "n_pairs": pa.array([], pa.int64()),
+                      "ts_slope": pa.array([], pa.float64())})
+    if agg.num_rows < 2:
+        return empty
+    x = np.sort(agg.column("day_i").to_numpy(zero_copy_only=False))
+    order = np.argsort(agg.column("day_i")
+                       .to_numpy(zero_copy_only=False))
+    y = agg.column("y").to_numpy(zero_copy_only=False)[order]
+    iu, ju = np.triu_indices(x.size, 1)
+    s = ((y[ju] - y[iu]).astype(np.float64)
+         / (x[ju] - x[iu]).astype(np.float64))
+    s.sort()
+    n = s.size
+    lo, hi = s[(n - 1) // 2], s[n // 2]
+    return pa.table({
+        "n_days": pa.array([int(x.size)], pa.int64()),
+        "n_pairs": pa.array([int(n)], pa.int64()),
+        "ts_slope": pa.array([(lo + hi) / 2], pa.float64())})
+
+
 def q_value_mad(sf_dir: str):
     """Per-group MEDIAN ABSOLUTE DEVIATION of event value — the
     robust-statistics dispersion pass (outlier-resistant spread, the
@@ -6817,6 +6894,8 @@ QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "value_mad": q_value_mad,
     "jl_project": q_jl_project,
+    "gram_matrix": q_gram_matrix,
+    "theilsen_trend": q_theilsen_trend,
     "editdist_pairs": q_editdist_pairs,
     "weighted_median_price": q_weighted_median_price,
     "leadlag_corr": q_leadlag_corr,
@@ -9039,6 +9118,55 @@ def _jl_oracle_sql(dim: int = 64, k: int = 8) -> str:
 
 
 ORACLE_SQL["jl_project"] = _jl_oracle_sql()
+
+
+# gram_matrix: the d×d second-moment reduction the engine computes as
+# per-block QᵀQ int64 matmuls. The oracle's dim-aligned self-join is
+# the O(n·d²) expansion the engine never materializes; SUM runs in
+# HUGEINT and the final cast back to BIGINT is exact iff the engine's
+# own int64 guard held.
+ORACLE_SQL["gram_matrix"] = """
+    WITH flat AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS v6
+        FROM embeddings)
+    SELECT CAST(a.d AS BIGINT) AS i, CAST(b.d AS BIGINT) AS j,
+           CAST(sum(a.v6 * b.v6) AS BIGINT) AS gram
+    FROM flat a JOIN flat b
+      ON a.vec_id = b.vec_id AND a.d <= b.d
+    GROUP BY 1, 2
+"""
+
+
+# theilsen_trend: the engine never materializes the pairwise join —
+# the day series is calendar-bounded and the slopes live in one numpy
+# vector on the driver. Median is selected EXPLICITLY (row_number
+# middles + (lo+hi)/2) so both engines share the float op-tree;
+# duckdb's median() interpolates with a different internal tree
+# (measured: 1-ULP off (a+b)/2 on ~8% of random pairs).
+ORACLE_SQL["theilsen_trend"] = """
+    WITH d AS (
+      SELECT (epoch(date_trunc('day', o_orderdate)) // 86400)::BIGINT
+                 AS x,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+      FROM orders GROUP BY 1),
+    p AS (
+      SELECT CAST(b.y - a.y AS DOUBLE)
+             / CAST(b.x - a.x AS DOUBLE) AS s
+      FROM d a JOIN d b ON b.x > a.x),
+    r AS (
+      SELECT s, row_number() OVER (ORDER BY s) AS i,
+             count(*) OVER () AS n
+      FROM p)
+    SELECT (SELECT count(*) FROM d)::BIGINT AS n_days,
+           (SELECT count(*) FROM p)::BIGINT AS n_pairs,
+           ((min(s) + max(s)) / 2) AS ts_slope
+    FROM r
+    WHERE i = (n + 1) // 2 OR i = n // 2 + 1
+    HAVING count(*) > 0
+"""
 
 ORACLE_SQL["value_mad"] = """
     WITH c AS (

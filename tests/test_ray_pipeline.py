@@ -3490,3 +3490,127 @@ def test_source_overlap_reference(ray_session):
         key_col="source", col="text")
     assert t0.num_rows == 0
     assert t0.schema.names == ["s1", "s2", "n_shared"]
+
+
+def test_gram_matrix_reference(ray_session):
+    """gram_matrix == the numpy upper-triangle QᵀQ reference on the
+    exact micro-unit fold, invariant across partition layouts; the
+    per-block overflow contract raises in the worker; typed-empty
+    passthrough."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray
+
+    from soupflow.data.similarity import gram_matrix
+
+    rng = np.random.default_rng(73)
+    m = rng.normal(0, 0.4, (150, 12)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(150, dtype=np.int64),
+                       "embedding": [r.tolist() for r in m]})
+    v6 = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+    want = v6.T @ v6
+    iu, ju = np.triu_indices(12)
+
+    for parts in (1, 5, 17):
+        out = gram_matrix(
+            ray.data.from_pandas(df).repartition(parts)) \
+            .to_pandas().sort_values(["i", "j"]).reset_index(drop=True)
+        assert len(out) == iu.size
+        assert (out.i.to_numpy() == iu).all()
+        assert (out.j.to_numpy() == ju).all()
+        assert (out.gram.to_numpy() == want[iu, ju]).all()
+
+    # overflow contract: |v6| ~ 2^31 → n_b·max² ≥ 2^62 raises in the
+    # worker before the matmul can wrap
+    big = pd.DataFrame({"vec_id": [0],
+                        "embedding": [[float(2 ** 31) / 1e6] * 4]})
+    with pytest.raises(Exception, match="overflow"):
+        gram_matrix(ray.data.from_pandas(big))
+
+    # typed-empty passthrough
+    t0 = gram_matrix(ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))})))
+    assert t0.num_rows == 0
+    assert t0.schema.names == ["i", "j", "gram"]
+
+
+def test_theilsen_trend_reference(ray_session):
+    """theilsen_trend == a scalar all-pairs median-slope reference on
+    randomized daily series across partition layouts; a planted
+    outlier day that wrecks the OLS slope leaves Theil–Sen on the
+    true trend; single-day input returns typed-empty."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.queries import q_theilsen_trend
+
+    def ref(days, cents):
+        days = np.asarray(days, np.int64)
+        cents = np.asarray(cents, np.int64)
+        o = np.argsort(days)
+        days, cents = days[o], cents[o]
+        s = []
+        for a in range(days.size):
+            for b in range(a + 1, days.size):
+                s.append((float(cents[b] - cents[a]))
+                         / float(days[b] - days[a]))
+        s.sort()
+        n = len(s)
+        return (s[(n - 1) // 2] + s[n // 2]) / 2
+
+    rng = np.random.default_rng(41)
+
+    def run(df, nfiles):
+        import os
+        import tempfile
+        with tempfile.TemporaryDirectory() as d:
+            os.makedirs(f"{d}/orders.parquet")
+            for i, part in enumerate(np.array_split(df, nfiles)):
+                part.to_parquet(f"{d}/orders.parquet/p{i}.parquet")
+            return q_theilsen_trend(d)
+
+    # randomized series, odd and even pair counts, multi-file layout
+    for ndays, nfiles in ((9, 2), (16, 5), (25, 3)):
+        day_i = np.sort(rng.choice(20000, size=ndays, replace=False))
+        # several orders per day — the engine folds to daily sums
+        rows = []
+        for d in day_i:
+            for _ in range(int(rng.integers(1, 4))):
+                rows.append((d, float(rng.integers(100, 99999)) / 100))
+        df = pd.DataFrame({
+            "o_orderdate": pd.to_datetime(
+                np.array([r[0] for r in rows], np.int64), unit="D"),
+            "o_totalprice": [r[1] for r in rows]})
+        daily = df.assign(
+            c=np.floor(df.o_totalprice * 100 + 0.5).astype(np.int64),
+            d=df.o_orderdate.values.astype("datetime64[D]")
+            .astype(np.int64)).groupby("d").c.sum()
+        out = run(df, nfiles).to_pandas()
+        assert int(out.n_days[0]) == ndays
+        assert int(out.n_pairs[0]) == ndays * (ndays - 1) // 2
+        assert out.ts_slope[0] == ref(daily.index.to_numpy(),
+                                      daily.to_numpy())
+
+    # robustness: clean linear trend (slope 500 cents/day) + one
+    # massive outlier day; OLS is dragged far off, Theil–Sen is not
+    days = np.arange(40, dtype=np.int64) + 10000
+    cents = 500 * days + 7
+    cents[20] += 10_000_000
+    df = pd.DataFrame({
+        "o_orderdate": pd.to_datetime(days, unit="D"),
+        "o_totalprice": cents.astype(np.float64) / 100})
+    out = run(df, 4).to_pandas()
+    assert abs(out.ts_slope[0] - 500.0) < 1.0
+    ols = np.polyfit(days.astype(float), cents.astype(float), 1)[0]
+    assert abs(ols - 500.0) > 100.0  # OLS really was wrecked
+
+    # single-day input: no pair exists → typed-empty
+    one = pd.DataFrame({
+        "o_orderdate": pd.to_datetime([10000, 10000], unit="D"),
+        "o_totalprice": [1.0, 2.0]})
+    t0 = run(one, 1)
+    assert t0.num_rows == 0
+    assert t0.schema.names == ["n_days", "n_pairs", "ts_slope"]
