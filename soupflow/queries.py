@@ -5606,6 +5606,79 @@ def q_theilsen_trend(sf_dir: str):
         "ts_slope": pa.array([(lo + hi) / 2], pa.float64())})
 
 
+def q_kendall_daily(sf_dir: str):
+    """KENDALL TAU-B concordance components between the daily view
+    and purchase series — the PAIRWISE rank-correlation class:
+    Spearman (spearman_qty_disc) ranks each variable once and
+    correlates the ranks; Kendall instead counts CONCORDANT vs
+    DISCORDANT day pairs, a fundamentally different kernel (pair
+    enumeration / inversion counting) that is the standard
+    tie-robust monotonicity test for coarse count series. The
+    corpus never shuffles: the same map-side (day, views,
+    purchases) partial pass + ONE day-bounded groupby leadlag_corr
+    uses, gap-filled to the dense span (zero days are real (0,0)
+    observations — mirrored in the SQL); the driver then owns an
+    O(span²) numpy sign-pair kernel over the day-bounded series
+    (~366² = 67k pairs per year; decades fold to weekly buckets
+    first). Output is ALL-INTEGER — (n_days, nc, nd, tied_x,
+    tied_y, tied_both), with tau-b = (nc−nd)/√((n0−n1)(n0−n2)) one
+    float away for the consumer — so the cross-engine hash is exact
+    by construction; the identity nc+nd+tied_x+tied_y−tied_both =
+    n0 is asserted before emit. Zero-pair inputs return typed-empty
+    to match the oracle's HAVING."""
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        et = b.column("event_type")
+        x = pc.equal(et, "view").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = pc.equal(et, "purchase").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({"day": pa.array(day, pa.int64()),
+                      "x": pa.array(x), "y": pa.array(y)})
+        return t.group_by(["day"]).aggregate(
+            [("x", "sum"), ("y", "sum")]) \
+            .rename_columns(["day", "x", "y"])
+    day_partial.__name__ = "kendall_day_partial"
+
+    agg = collect_table(
+        _read(sf_dir, "events")
+        .select_columns(["ts", "event_type"])
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("x", alias_name="x"),
+                                  Sum("y", alias_name="y")))
+    names = ["n_days", "nc", "nd", "tied_x", "tied_y", "tied_both"]
+    if agg.num_columns == 0 or agg.num_rows == 0:
+        return pa.table({c: pa.array([], pa.int64()) for c in names})
+    day = agg.column("day").to_numpy(zero_copy_only=False)
+    lo = int(day.min())
+    span = int(day.max()) - lo + 1
+    if span < 2:
+        return pa.table({c: pa.array([], pa.int64()) for c in names})
+    x = np.zeros(span, np.int64)
+    y = np.zeros(span, np.int64)
+    x[day - lo] = agg.column("x").to_numpy(zero_copy_only=False)
+    y[day - lo] = agg.column("y").to_numpy(zero_copy_only=False)
+    iu, ju = np.triu_indices(span, 1)
+    dx = x[ju] - x[iu]
+    dy = y[ju] - y[iu]
+    nc = int((((dx > 0) & (dy > 0)) | ((dx < 0) & (dy < 0))).sum())
+    nd = int((((dx > 0) & (dy < 0)) | ((dx < 0) & (dy > 0))).sum())
+    tx = int((dx == 0).sum())
+    ty = int((dy == 0).sum())
+    tb = int(((dx == 0) & (dy == 0)).sum())
+    n0 = span * (span - 1) // 2
+    if nc + nd + tx + ty - tb != n0:
+        raise AssertionError("kendall_daily pair partition broken")
+    vals = [span, nc, nd, tx, ty, tb]
+    return pa.table({c: pa.array([v], pa.int64())
+                     for c, v in zip(names, vals)})
+
+
 def q_value_mad(sf_dir: str):
     """Per-group MEDIAN ABSOLUTE DEVIATION of event value — the
     robust-statistics dispersion pass (outlier-resistant spread, the
@@ -6896,6 +6969,7 @@ QUERIES = {
     "jl_project": q_jl_project,
     "gram_matrix": q_gram_matrix,
     "theilsen_trend": q_theilsen_trend,
+    "kendall_daily": q_kendall_daily,
     "editdist_pairs": q_editdist_pairs,
     "weighted_median_price": q_weighted_median_price,
     "leadlag_corr": q_leadlag_corr,
@@ -9165,6 +9239,45 @@ ORACLE_SQL["theilsen_trend"] = """
            ((min(s) + max(s)) / 2) AS ts_slope
     FROM r
     WHERE i = (n + 1) // 2 OR i = n // 2 + 1
+    HAVING count(*) > 0
+"""
+
+# kendall_daily: the gap-fill CTE chain is leadlag_corr's; the pair
+# join enumerates the O(span²) day pairs the engine handles as one
+# numpy sign kernel. All outputs are integer counts — no float ever
+# crosses engines; tau-b is one division away for the consumer.
+ORACLE_SQL["kendall_daily"] = """
+    WITH s0 AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                   END)::BIGINT AS x,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END)::BIGINT AS y
+        FROM events GROUP BY 1),
+    days AS (
+        SELECT unnest(generate_series(
+            (SELECT min(day) FROM s0), (SELECT max(day) FROM s0),
+            INTERVAL 1 DAY))::DATE AS day),
+    s AS (
+        SELECT d.day, coalesce(s0.x, 0) AS x, coalesce(s0.y, 0) AS y
+        FROM days d LEFT JOIN s0 USING (day)),
+    p AS (
+        SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        FROM s a JOIN s b ON b.day > a.day)
+    SELECT (SELECT count(*) FROM s)::BIGINT AS n_days,
+           sum(CASE WHEN (x2 > x1 AND y2 > y1)
+                      OR (x2 < x1 AND y2 < y1)
+                    THEN 1 ELSE 0 END)::BIGINT AS nc,
+           sum(CASE WHEN (x2 > x1 AND y2 < y1)
+                      OR (x2 < x1 AND y2 > y1)
+                    THEN 1 ELSE 0 END)::BIGINT AS nd,
+           sum(CASE WHEN x2 = x1 THEN 1 ELSE 0 END)::BIGINT
+               AS tied_x,
+           sum(CASE WHEN y2 = y1 THEN 1 ELSE 0 END)::BIGINT
+               AS tied_y,
+           sum(CASE WHEN x2 = x1 AND y2 = y1 THEN 1 ELSE 0
+               END)::BIGINT AS tied_both
+    FROM p
     HAVING count(*) > 0
 """
 

@@ -3614,3 +3614,94 @@ def test_theilsen_trend_reference(ray_session):
     t0 = run(one, 1)
     assert t0.num_rows == 0
     assert t0.schema.names == ["n_days", "n_pairs", "ts_slope"]
+
+
+def test_kendall_daily_reference(ray_session):
+    """kendall_daily == a scalar all-pairs concordance reference on
+    randomized two-type event corpora across file layouts (gap days
+    count as (0,0) observations); a perfectly monotone pair of
+    series yields nc = n0; a constant series is all-tied; the
+    integer components reproduce scipy's tau-b when scipy exists."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_kendall_daily
+
+    def ref(x, y):
+        n = len(x)
+        nc = nd = tx = ty = tb = 0
+        for a in range(n):
+            for b in range(a + 1, n):
+                dx, dy = x[b] - x[a], y[b] - y[a]
+                if dx == 0:
+                    tx += 1
+                if dy == 0:
+                    ty += 1
+                if dx == 0 and dy == 0:
+                    tb += 1
+                elif dx * dy > 0:
+                    nc += 1
+                elif dx * dy < 0:
+                    nd += 1
+        return n, nc, nd, tx, ty, tb
+
+    def run(days, views, purchases, nfiles):
+        rows = []
+        for d, v, p in zip(days, views, purchases):
+            rows += [(d, "view")] * int(v) + [(d, "purchase")] * int(p)
+        # an unrelated type must not perturb the two counted series
+        rows += [(int(days[0]), "click")] * 3
+        df = pd.DataFrame({
+            "ts": pd.to_datetime([r[0] for r in rows], unit="D"),
+            "event_type": [r[1] for r in rows]})
+        with tempfile.TemporaryDirectory() as td:
+            os.makedirs(f"{td}/events.parquet")
+            for i, part in enumerate(np.array_split(df, nfiles)):
+                part.to_parquet(f"{td}/events.parquet/p{i}.parquet")
+            return q_kendall_daily(td).to_pandas()
+
+    rng = np.random.default_rng(59)
+    for ndays, nfiles in ((8, 2), (15, 4), (23, 3)):
+        # sparse days leave gaps → the dense span has (0,0) days
+        days = np.sort(rng.choice(np.arange(12000, 12000 + 2 * ndays),
+                                  size=ndays, replace=False))
+        views = rng.integers(0, 5, ndays)
+        purchases = rng.integers(0, 4, ndays)
+        lo, hi = int(days.min()), int(days.max())
+        fx = np.zeros(hi - lo + 1, np.int64)
+        fy = np.zeros(hi - lo + 1, np.int64)
+        fx[days - lo] = views
+        fy[days - lo] = purchases
+        want = ref(fx.tolist(), fy.tolist())
+        out = run(days, views, purchases, nfiles)
+        got = (int(out.n_days[0]), int(out.nc[0]), int(out.nd[0]),
+               int(out.tied_x[0]), int(out.tied_y[0]),
+               int(out.tied_both[0]))
+        assert got == want
+        try:
+            from scipy.stats import kendalltau
+            n0 = want[0] * (want[0] - 1) // 2
+            taub = ((want[1] - want[2])
+                    / np.sqrt(float(n0 - want[3]) * (n0 - want[4])))
+            assert abs(taub - kendalltau(fx, fy).statistic) < 1e-9
+        except ImportError:
+            pass
+
+    # perfectly monotone: every pair concordant
+    days = np.arange(20, dtype=np.int64) + 13000
+    out = run(days, np.arange(1, 21), np.arange(2, 42, 2), 2)
+    assert int(out.nc[0]) == 20 * 19 // 2 and int(out.nd[0]) == 0
+
+    # constant purchases: every pair tied in y
+    out = run(days, np.arange(1, 21), np.full(20, 3), 2)
+    assert int(out.tied_y[0]) == 20 * 19 // 2
+    assert int(out.tied_both[0]) == 0
+
+    # single day → no pair → typed-empty
+    out = run(np.array([13000]), [2], [1], 1)
+    assert len(out) == 0
+    assert list(out.columns) == ["n_days", "nc", "nd",
+                                 "tied_x", "tied_y", "tied_both"]
