@@ -67,7 +67,8 @@ TIMED_QUERIES = [
     "rolling_active_users", "value_mad", "jl_project",
     "editdist_pairs", "weighted_median_price", "leadlag_corr",
     "rolling_p95", "source_overlap", "gram_matrix",
-    "theilsen_trend", "kendall_daily",
+    "theilsen_trend", "kendall_daily", "max_streak",
+    "changepoint",
     # priority_trend shares dense_daily's lattice scan;
     # sales_opportunity / median_value_by_type / compact & csv
     # roundtrips share timed machinery — oracle-gated.

@@ -1674,3 +1674,71 @@ def rolling_quantile_disc(ds, *, day_col: str, val_col: str,
     return pa.table({
         "day_i": pa.array(np.array(obs_days, np.int64)),
         "q": pa.array(np.array(qs, np.int64))})
+
+
+def grouped_max_streak(ds, *, key_col: str, day_col: str) -> pa.Table:
+    """Longest run of CONSECUTIVE days per key — the classic
+    GAPS-AND-ISLANDS class (longest daily-activity streak per user:
+    the engagement metric every retention dashboard carries). The
+    SQL form is the island trick (day − ROW_NUMBER() per key is
+    constant within an island) — two window passes plus two
+    groupbys; the engine shape is the rolling_distinct_count plan:
+    per-block DISTINCT (key, day) Arrow group_by shrinks the stream
+    to unique pairs before the only shuffle, ONE global sort on
+    (key, day) makes each key's day list a contiguous run, and a
+    segment kernel (data/segments.py finish_sorted_runs: interior
+    runs zero-shuffle, ≤2 edge runs per block re-kerneled
+    driver-side) folds each run straight to its per-key answer —
+    streak starts are one vectorized diff, lengths one bincount,
+    per-key maxima one maximum.reduceat. Interior keys are COMPLETE
+    by contiguity so their partial row IS the final row; boundary
+    keys finish through the same kernel on the driver — the output
+    needs no further merge.
+
+    Partitioning assumption (the collect bound): a boundary key
+    ships its distinct days, so the driver edge collect is
+    O(blocks × per-key distinct days) ≤ O(blocks × day span) —
+    calendar-bounded, never corpus rows. Cross-block duplicate
+    pairs (the per-block distinct can re-emit a pair) dedup inside
+    the kernel. All-integer. Contract: |day| < 2^40 (loud check)
+    so day diffs cannot wrap. Returns (key, streak) int64."""
+    from .segments import finish_sorted_runs
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or key_col not in b.schema.names:
+            e = pa.array([], pa.int64())
+            return pa.table({"k": e, "d": e})
+        t = pa.table({"k": b.column(key_col).cast(pa.int64()),
+                      "d": b.column(day_col).cast(pa.int64())})
+        return t.group_by(["k", "d"]).aggregate([])
+    distinct_pairs.__name__ = f"streak_{key_col}_{day_col}_pairs"
+
+    _empty = pa.table({"k": pa.array([], pa.int64()),
+                       "streak": pa.array([], pa.int64())})
+
+    def kernel(cols) -> pa.Table:
+        k, d = cols["k"], cols["d"]
+        if k.size == 0:
+            return _empty
+        if int(np.abs(d).max()) >= 2 ** 40:
+            raise ValueError("grouped_max_streak: day values must "
+                             "satisfy |day| < 2^40")
+        keep = np.ones(k.size, dtype=bool)   # cross-block pair dups
+        keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        k, d = k[keep], d[keep]
+        start = np.ones(k.size, dtype=bool)  # island starts
+        start[1:] = (k[1:] != k[:-1]) | (d[1:] - d[:-1] != 1)
+        sid = np.cumsum(start) - 1
+        lens = np.bincount(sid).astype(np.int64)
+        skey = k[start]
+        kstart = np.ones(skey.size, dtype=bool)
+        kstart[1:] = skey[1:] != skey[:-1]
+        mx = np.maximum.reduceat(lens, np.flatnonzero(kstart))
+        return pa.table({"k": pa.array(skey[kstart], pa.int64()),
+                         "streak": pa.array(mx, pa.int64())})
+
+    merged = ds.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .sort(["k", "d"])
+    return finish_sorted_runs(
+        merged, key_col="k", order_cols=["d"], int_cols=["k", "d"],
+        kernel=kernel, empty_partial=_empty)

@@ -5679,6 +5679,98 @@ def q_kendall_daily(sf_dir: str):
                      for c, v in zip(names, vals)})
 
 
+def q_max_streak(sf_dir: str):
+    """Longest consecutive-day activity STREAK per user — the
+    gaps-and-islands class (data/windows.py grouped_max_streak):
+    the SQL island trick (day − ROW_NUMBER() constant within an
+    island) needs two window passes + two groupbys; the engine
+    folds each user's sorted distinct day list straight to its
+    answer with ONE sort and a segment kernel on finish_sorted_runs
+    (per-block distinct pairs shrink the stream first; interior
+    users finish zero-shuffle; ≤2 edge runs per block re-kernel
+    driver-side). All-integer output (user_id, streak)."""
+    from .data.windows import grouped_max_streak
+
+    def to_day(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "day_i": pa.array(ts.astype("datetime64[D]")
+                              .astype(np.int64), pa.int64())})
+    to_day.__name__ = "streak_user_day"
+
+    t = grouped_max_streak(
+        _read(sf_dir, "events").select_columns(["user_id", "ts"])
+        .map_batches(to_day, batch_format="pyarrow"),
+        key_col="user_id", day_col="day_i")
+    return t.rename_columns(["user_id", "streak"])
+
+
+def q_changepoint(sf_dir: str):
+    """CUSUM CHANGEPOINT detection over daily revenue — the
+    "when did the distribution shift" audit (a corpus drop, a
+    pipeline regression, a seasonality break): the split point t*
+    maximizing the scaled cumulative deviation |n·S_t − t·S_n| over
+    the gap-filled daily series, the exact integer core of the
+    classic CUSUM statistic max|S_t − (t/n)·S_n| (scaled by n so no
+    division ever happens). ONE scan: map-side (day, cents)
+    partials + ONE calendar-bounded groupby; the driver runs an
+    O(span) prefix loop in PYTHON INTS (n·S_t overflows int64 at
+    web scale — the oracle side is HUGEINT), tie → smallest t,
+    exactly mirroring the SQL's ORDER BY adev DESC, t ASC LIMIT 1.
+    Output one all-integer row (cp_day = last day of the left
+    segment, cusum_abs, n_days); spans < 2 return typed-empty to
+    match the oracle's WHERE t < n."""
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "day_i": pa.array(od.astype("datetime64[D]")
+                              .astype(np.int64), pa.int64()),
+            "y": pa.array(np.floor(p * 100.0 + 0.5)
+                          .astype(np.int64), pa.int64())})
+        return t.group_by("day_i").aggregate([("y", "sum")]) \
+            .rename_columns(["day_i", "y"])
+    day_partial.__name__ = "cusum_day_partial"
+
+    agg = collect_table(
+        _read(sf_dir, "orders")
+        .select_columns(["o_orderdate", "o_totalprice"])
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day_i").aggregate(Sum("y", alias_name="y")))
+    names = ["cp_day", "cusum_abs", "n_days"]
+    if agg.num_columns == 0 or agg.num_rows == 0:
+        return pa.table({c: pa.array([], pa.int64()) for c in names})
+    day = agg.column("day_i").to_numpy(zero_copy_only=False)
+    lo = int(day.min())
+    span = int(day.max()) - lo + 1
+    if span < 2:
+        return pa.table({c: pa.array([], pa.int64()) for c in names})
+    y = np.zeros(span, np.int64)
+    y[day - lo] = agg.column("y").to_numpy(zero_copy_only=False)
+    tot = sum(int(v) for v in y)       # Python ints: no wrap
+    best_a = best_t = -1
+    st = 0
+    for t in range(1, span):           # span-bounded driver loop
+        st += int(y[t - 1])
+        dev = span * st - t * tot
+        a = -dev if dev < 0 else dev
+        if a > best_a:
+            best_a, best_t = a, t
+    if best_a >= (1 << 63):
+        raise ValueError("changepoint: |n·S_t − t·S_n| exceeds "
+                         "int64 — rescale the unit (the oracle's "
+                         "BIGINT cast would fail identically)")
+    return pa.table({
+        "cp_day": pa.array([lo + best_t - 1], pa.int64()),
+        "cusum_abs": pa.array([best_a], pa.int64()),
+        "n_days": pa.array([span], pa.int64())})
+
+
 def q_value_mad(sf_dir: str):
     """Per-group MEDIAN ABSOLUTE DEVIATION of event value — the
     robust-statistics dispersion pass (outlier-resistant spread, the
@@ -6970,6 +7062,8 @@ QUERIES = {
     "gram_matrix": q_gram_matrix,
     "theilsen_trend": q_theilsen_trend,
     "kendall_daily": q_kendall_daily,
+    "max_streak": q_max_streak,
+    "changepoint": q_changepoint,
     "editdist_pairs": q_editdist_pairs,
     "weighted_median_price": q_weighted_median_price,
     "leadlag_corr": q_leadlag_corr,
@@ -9279,6 +9373,59 @@ ORACLE_SQL["kendall_daily"] = """
                END)::BIGINT AS tied_both
     FROM p
     HAVING count(*) > 0
+"""
+
+# max_streak: the classic gaps-and-islands island trick — day minus
+# ROW_NUMBER() per key is constant within a consecutive island. The
+# engine replaces the two window passes + two groupbys with ONE sort
+# and a segment kernel.
+ORACLE_SQL["max_streak"] = """
+    WITH dd AS (
+        SELECT DISTINCT user_id,
+               (epoch(CAST(ts AS DATE)) // 86400)::BIGINT AS d
+        FROM events),
+    g AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY d) AS grp
+        FROM dd),
+    c AS (
+        SELECT user_id, count(*)::BIGINT AS len
+        FROM g GROUP BY user_id, grp)
+    SELECT user_id, max(len)::BIGINT AS streak
+    FROM c GROUP BY user_id
+"""
+
+
+# changepoint: the scaled-CUSUM argmax |n·S_t − t·S_n| over the
+# gap-filled daily revenue series; all moments in HUGEINT, tie →
+# smallest t, the engine's Python-int loop mirrored exactly.
+ORACLE_SQL["changepoint"] = """
+    WITH s0 AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        FROM orders GROUP BY 1),
+    days AS (
+        SELECT unnest(generate_series(
+            (SELECT min(day) FROM s0), (SELECT max(day) FROM s0),
+            INTERVAL 1 DAY)) AS day),
+    s AS (
+        SELECT d.day, coalesce(s0.y, 0)::BIGINT AS y
+        FROM days d LEFT JOIN s0 USING (day)),
+    c AS (
+        SELECT (epoch(day) // 86400)::BIGINT AS x,
+               row_number() OVER (ORDER BY day)::HUGEINT AS t,
+               sum(y::HUGEINT) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS st,
+               count(*) OVER ()::HUGEINT AS n,
+               (SELECT sum(y::HUGEINT) FROM s) AS tot
+        FROM s),
+    d AS (
+        SELECT x, t, abs(n * st - t * tot) AS adev
+        FROM c WHERE t < n)
+    SELECT x AS cp_day, CAST(adev AS BIGINT) AS cusum_abs,
+           (SELECT count(*) FROM s)::BIGINT AS n_days
+    FROM d ORDER BY adev DESC, t ASC LIMIT 1
 """
 
 ORACLE_SQL["value_mad"] = """

@@ -3705,3 +3705,138 @@ def test_kendall_daily_reference(ray_session):
     assert len(out) == 0
     assert list(out.columns) == ["n_days", "nc", "nd",
                                  "tied_x", "tied_y", "tied_both"]
+
+
+def test_grouped_max_streak_reference(ray_session):
+    """grouped_max_streak == a scalar walk reference across partition
+    layouts; a hot key spanning every block and cross-block duplicate
+    pairs fold correctly; the |day| contract raises; typed-empty."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray
+
+    from soupflow.data.windows import grouped_max_streak
+
+    def ref(df):
+        out = {}
+        for k, g in df.groupby("k"):
+            ds = np.sort(np.unique(g.d.to_numpy()))
+            best = cur = 1
+            for i in range(1, ds.size):
+                cur = cur + 1 if ds[i] - ds[i - 1] == 1 else 1
+                best = max(best, cur)
+            out[int(k)] = int(best)
+        return out
+
+    rng = np.random.default_rng(83)
+    rows = []
+    for k in range(12):
+        base = int(rng.integers(10000, 10500))
+        days = set()
+        for _ in range(int(rng.integers(1, 6))):   # several islands
+            s = base + int(rng.integers(0, 200))
+            days.update(range(s, s + int(rng.integers(1, 9))))
+        rows += [(k, d) for d in days]
+    # hot key 99: one 400-day streak that must span blocks, plus
+    # duplicate (k, d) pairs scattered so per-block distincts re-emit
+    rows += [(99, 20000 + i) for i in range(400)]
+    rows += [(99, 20000 + i) for i in range(0, 400, 7)]
+    df = pd.DataFrame(rows, columns=["k", "d"]).astype(np.int64)
+    want = ref(df)
+    for parts in (1, 6, 23):
+        ds = ray.data.from_pandas(
+            df.sample(frac=1.0, random_state=3)).repartition(parts)
+        t = grouped_max_streak(ds, key_col="k", day_col="d")
+        got = dict(zip(t.column("k").to_pylist(),
+                       t.column("streak").to_pylist()))
+        assert got == want
+        assert got[99] == 400
+
+    with pytest.raises(Exception, match="2\\^40"):
+        grouped_max_streak(
+            ray.data.from_pandas(pd.DataFrame(
+                {"k": [1], "d": [2 ** 41]})),
+            key_col="k", day_col="d")
+
+    t0 = grouped_max_streak(
+        ray.data.from_arrow(pa.table({
+            "k": pa.array([], pa.int64()),
+            "d": pa.array([], pa.int64())})),
+        key_col="k", day_col="d")
+    assert t0.num_rows == 0
+    assert t0.schema.names == ["k", "streak"]
+
+
+def test_changepoint_reference(ray_session):
+    """changepoint == a scalar CUSUM reference; a planted level
+    shift is recovered at the exact boundary; the constant series
+    pins the tie rule (all deviations equal → smallest t); gap days
+    count as zero-revenue observations."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_changepoint
+
+    def ref(lo, y):
+        span = len(y)
+        tot = sum(int(v) for v in y)
+        best_a, best_t, st = -1, -1, 0
+        for t in range(1, span):
+            st += int(y[t - 1])
+            a = abs(span * st - t * tot)
+            if a > best_a:
+                best_a, best_t = a, t
+        return lo + best_t - 1, best_a, span
+
+    def run(days, cents, nfiles):
+        df = pd.DataFrame({
+            "o_orderdate": pd.to_datetime(days, unit="D"),
+            "o_totalprice": np.asarray(cents, np.float64) / 100})
+        with tempfile.TemporaryDirectory() as td:
+            os.makedirs(f"{td}/orders.parquet")
+            for i, part in enumerate(np.array_split(df, nfiles)):
+                part.to_parquet(f"{td}/orders.parquet/p{i}.parquet")
+            return q_changepoint(td).to_pandas()
+
+    # level shift: 25 quiet days then 25 loud days → split at the
+    # boundary (last quiet day)
+    days = np.arange(50, dtype=np.int64) + 15000
+    cents = np.where(np.arange(50) < 25, 1000, 9000).astype(np.int64)
+    out = run(days, cents, 4)
+    assert int(out.cp_day[0]) == 15024
+    assert (int(out.cp_day[0]), int(out.cusum_abs[0]),
+            int(out.n_days[0])) == ref(15000, cents.tolist())
+
+    # gap days are real zeros: drop the quiet half entirely — the
+    # dense span refills them and the split stays at the gap edge
+    out = run(days[25:], cents[25:], 2)
+    assert (int(out.cp_day[0]), int(out.cusum_abs[0]),
+            int(out.n_days[0])) == ref(15000 + 25, cents[25:].tolist())
+
+    # constant series: every deviation is 0 → tie rule picks t = 1
+    out = run(days, np.full(50, 777, np.int64), 3)
+    assert int(out.cp_day[0]) == 15000
+    assert int(out.cusum_abs[0]) == 0
+
+    # randomized + reference across layouts
+    rng = np.random.default_rng(11)
+    for n, nfiles in ((13, 2), (31, 5)):
+        d2 = np.sort(rng.choice(np.arange(16000, 16000 + 2 * n),
+                                size=n, replace=False))
+        c2 = rng.integers(100, 99999, n).astype(np.int64)
+        lo = int(d2.min())
+        span = int(d2.max()) - lo + 1
+        y = np.zeros(span, np.int64)
+        y[d2 - lo] = c2
+        out = run(d2, c2, nfiles)
+        assert (int(out.cp_day[0]), int(out.cusum_abs[0]),
+                int(out.n_days[0])) == ref(lo, y.tolist())
+
+    # single day → no valid split → typed-empty
+    out = run(np.array([15000]), np.array([123]), 1)
+    assert len(out) == 0
+    assert list(out.columns) == ["cp_day", "cusum_abs", "n_days"]
