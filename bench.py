@@ -68,7 +68,7 @@ TIMED_QUERIES = [
     "editdist_pairs", "weighted_median_price", "leadlag_corr",
     "rolling_p95", "source_overlap", "gram_matrix",
     "theilsen_trend", "kendall_daily", "max_streak",
-    "changepoint",
+    "changepoint", "trimmed_mean_qty", "ks_quantity",
     # priority_trend shares dense_daily's lattice scan;
     # sales_opportunity / median_value_by_type / compact & csv
     # roundtrips share timed machinery — oracle-gated.

@@ -5771,6 +5771,156 @@ def q_changepoint(sf_dir: str):
         "n_days": pa.array([span], pa.int64())})
 
 
+def q_trimmed_mean_qty(sf_dir: str):
+    """5%-TRIMMED mean of lineitem quantity per return flag — the
+    robust-aggregation completion (median, MAD, weighted median and
+    IQR fences exist; the trimmed mean is the estimator quality
+    pipelines use when they want mean-like efficiency with outlier
+    resistance). EXACT integer form: emit (flag, trim_sum, trim_n)
+    — the mean is one division away — so no float crosses engines.
+    Trimming drops k = n·5//100 rows from EACH end of the sorted
+    multiset (integer floor division, mirrored in the SQL; the kept
+    MULTISET is deterministic under ties because equal values are
+    interchangeable). Shape: per-block (flag, value, count)
+    histogram partials collapse the fact table before the only
+    shuffle, ONE domain-bounded groupby (|flags| × |values| ≤ 150
+    rows) finishes, and the driver cumsums each flag's histogram to
+    locate the two cut boundaries — value-domain-bounded, never
+    corpus rows (the same bound grouped_quantiles accepts)."""
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    PCT = 5
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "flag": b.column("l_returnflag"),
+            "v": pa.array(q.astype(np.int64), pa.int64()),
+            "c": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["flag", "v"]).aggregate([("c", "sum")]) \
+            .rename_columns(["flag", "v", "c"])
+    hist_partial.__name__ = "trim_hist_partial"
+
+    agg = collect_table(
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_returnflag", "l_quantity"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["flag", "v"]).aggregate(Sum("c", alias_name="c")))
+    names = ["l_returnflag", "trim_sum", "trim_n"]
+    if agg.num_columns == 0 or agg.num_rows == 0:
+        return pa.table({
+            "l_returnflag": pa.array([], pa.string()),
+            "trim_sum": pa.array([], pa.int64()),
+            "trim_n": pa.array([], pa.int64())})
+    flags = np.asarray(agg.column("flag").to_pylist(), dtype=object)
+    vs = agg.column("v").to_numpy(zero_copy_only=False)
+    cs = agg.column("c").to_numpy(zero_copy_only=False)
+    out_f, out_s, out_n = [], [], []
+    for f in np.unique(flags):
+        m = flags == f
+        order = np.argsort(vs[m])
+        v = vs[m][order]
+        c = cs[m][order]
+        n = sum(int(x) for x in c)           # Python ints
+        k = n * PCT // 100
+        total = sum(int(a) * int(b2) for a, b2 in zip(v, c))
+
+        def cut(vals, cnts, kk):
+            """Sum of the kk smallest rows of the histogram."""
+            s = got = 0
+            for a, b2 in zip(vals, cnts):
+                take = min(int(b2), kk - got)
+                if take <= 0:
+                    break
+                s += int(a) * take
+                got += take
+            return s
+        lo_s = cut(v, c, k)
+        hi_s = cut(v[::-1], c[::-1], k)
+        out_f.append(f)
+        out_s.append(total - lo_s - hi_s)
+        out_n.append(n - 2 * k)
+    return pa.table({
+        "l_returnflag": pa.array(out_f, pa.string()),
+        "trim_sum": pa.array(out_s, pa.int64()),
+        "trim_n": pa.array(out_n, pa.int64())})
+
+
+def q_ks_quantity(sf_dir: str):
+    """Two-sample KOLMOGOROV–SMIRNOV distance between the quantity
+    distributions of returned ('R') and accepted ('A') lineitems —
+    the DISTRIBUTION-DRIFT audit class (did a source / split / time
+    slice shift its value distribution?), as an EXACT integer: the
+    KS statistic sup|F_A − F_R| scales to max over v of
+    |n_R·C_A(v) − n_A·C_R(v)| (C = cumulative counts), so no
+    division or float ever exists — the same scale-by-n trick as
+    changepoint's CUSUM. Shape: per-block (value, c_a, c_r) count
+    partials collapse the fact table before the only shuffle, ONE
+    value-domain-bounded groupby finishes, and the driver cumsums
+    ≤|domain| rows in PYTHON INTS (n_R·C_A overflows int64 at web
+    scale — oracle: HUGEINT), tie → smallest value, mirroring
+    ORDER BY dev DESC, v ASC LIMIT 1. Output one all-integer row
+    (at_value, ks_num, n_a, n_r); an empty histogram returns
+    typed-empty to match the oracle's LIMIT over zero rows."""
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        fl = b.column("l_returnflag")
+        ca = pc.equal(fl, "A").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cr = pc.equal(fl, "R").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({
+            "v": pa.array(q.astype(np.int64), pa.int64()),
+            "ca": pa.array(ca), "cr": pa.array(cr)})
+        t = t.filter(pc.or_(pc.equal(t.column("ca"), 1),
+                            pc.equal(t.column("cr"), 1)))
+        return t.group_by("v").aggregate(
+            [("ca", "sum"), ("cr", "sum")]) \
+            .rename_columns(["v", "ca", "cr"])
+    cnt_partial.__name__ = "ks_count_partial"
+
+    agg = collect_table(
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_returnflag", "l_quantity"])
+        .map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("ca", alias_name="ca"),
+                                Sum("cr", alias_name="cr")))
+    names = ["at_value", "ks_num", "n_a", "n_r"]
+    if agg.num_columns == 0 or agg.num_rows == 0:
+        return pa.table({c: pa.array([], pa.int64()) for c in names})
+    order = np.argsort(agg.column("v").to_numpy(zero_copy_only=False))
+    v = agg.column("v").to_numpy(zero_copy_only=False)[order]
+    ca = agg.column("ca").to_numpy(zero_copy_only=False)[order]
+    cr = agg.column("cr").to_numpy(zero_copy_only=False)[order]
+    na = sum(int(x) for x in ca)             # Python ints: no wrap
+    nr = sum(int(x) for x in cr)
+    best_d = best_v = None
+    cma = cmr = 0
+    for vi, ai, ri in zip(v.tolist(), ca.tolist(), cr.tolist()):
+        cma += int(ai)
+        cmr += int(ri)
+        d = nr * cma - na * cmr
+        if d < 0:
+            d = -d
+        if best_d is None or d > best_d:
+            best_d, best_v = d, vi
+    if best_d >= (1 << 63):
+        raise ValueError("ks_quantity: |n_R·C_A − n_A·C_R| exceeds "
+                         "int64 — the oracle's BIGINT cast would "
+                         "fail identically")
+    return pa.table({
+        "at_value": pa.array([best_v], pa.int64()),
+        "ks_num": pa.array([best_d], pa.int64()),
+        "n_a": pa.array([na], pa.int64()),
+        "n_r": pa.array([nr], pa.int64())})
+
+
 def q_value_mad(sf_dir: str):
     """Per-group MEDIAN ABSOLUTE DEVIATION of event value — the
     robust-statistics dispersion pass (outlier-resistant spread, the
@@ -7064,6 +7214,8 @@ QUERIES = {
     "kendall_daily": q_kendall_daily,
     "max_streak": q_max_streak,
     "changepoint": q_changepoint,
+    "trimmed_mean_qty": q_trimmed_mean_qty,
+    "ks_quantity": q_ks_quantity,
     "editdist_pairs": q_editdist_pairs,
     "weighted_median_price": q_weighted_median_price,
     "leadlag_corr": q_leadlag_corr,
@@ -9426,6 +9578,57 @@ ORACLE_SQL["changepoint"] = """
     SELECT x AS cp_day, CAST(adev AS BIGINT) AS cusum_abs,
            (SELECT count(*) FROM s)::BIGINT AS n_days
     FROM d ORDER BY adev DESC, t ASC LIMIT 1
+"""
+
+# trimmed_mean_qty: the kept multiset under k = n·5//100 end-trimming
+# is deterministic regardless of row_number tie order among equal
+# values, so the window form and the engine's histogram cut agree
+# exactly. Output stays (sum, n) integers — the mean is one division
+# away for the consumer.
+ORACLE_SQL["trimmed_mean_qty"] = """
+    WITH r AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity) AS i,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+    SELECT l_returnflag,
+           sum(v)::BIGINT AS trim_sum,
+           count(*)::BIGINT AS trim_n
+    FROM r
+    WHERE i > (n * 5) // 100 AND i <= n - (n * 5) // 100
+    GROUP BY l_returnflag
+"""
+
+
+# ks_quantity: the exact-integer two-sample KS — max|n_R·C_A − n_A·C_R|
+# over the merged value domain, HUGEINT moments, tie → smallest value.
+ORACLE_SQL["ks_quantity"] = """
+    WITH t AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v,
+               sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0
+                   END)::BIGINT AS ca,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                   END)::BIGINT AS cr
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'R')
+        GROUP BY 1),
+    c AS (
+        SELECT v,
+               sum(ca::HUGEINT) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cma,
+               sum(cr::HUGEINT) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cmr,
+               (SELECT sum(ca::HUGEINT) FROM t) AS na,
+               (SELECT sum(cr::HUGEINT) FROM t) AS nr
+        FROM t)
+    SELECT v AS at_value,
+           CAST(abs(nr * cma - na * cmr) AS BIGINT) AS ks_num,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nr AS BIGINT) AS n_r
+    FROM c
+    ORDER BY abs(nr * cma - na * cmr) DESC, v ASC LIMIT 1
 """
 
 ORACLE_SQL["value_mad"] = """

@@ -3840,3 +3840,126 @@ def test_changepoint_reference(ray_session):
     out = run(np.array([15000]), np.array([123]), 1)
     assert len(out) == 0
     assert list(out.columns) == ["cp_day", "cusum_abs", "n_days"]
+
+
+def test_trimmed_mean_qty_reference(ray_session):
+    """trimmed_mean_qty == a scalar sort-and-slice reference across
+    file layouts, including tie runs straddling the cut boundary and
+    groups too small to trim (k = 0); scipy's trim_mean cross-checks
+    the implied mean when scipy exists."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_trimmed_mean_qty
+
+    def ref(vals):
+        v = np.sort(np.asarray(vals, np.int64))
+        k = v.size * 5 // 100
+        kept = v[k:v.size - k]
+        return int(kept.sum()), int(kept.size)
+
+    def run(df, nfiles):
+        with tempfile.TemporaryDirectory() as td:
+            os.makedirs(f"{td}/lineitem.parquet")
+            for i, part in enumerate(np.array_split(df, nfiles)):
+                part.to_parquet(f"{td}/lineitem.parquet/p{i}.parquet")
+            return q_trimmed_mean_qty(td).to_pandas()
+
+    rng = np.random.default_rng(29)
+    rows = []
+    # flag A: heavy tie runs at both extremes so the cut lands inside
+    # a run of equal values
+    rows += [("A", 1)] * 40 + [("A", 50)] * 40
+    rows += [("A", int(x)) for x in rng.integers(2, 50, 300)]
+    # flag N: too small to trim (k = 19*5//100 = 0)
+    rows += [("N", int(x)) for x in rng.integers(1, 51, 19)]
+    # flag R: one extreme outlier the trim must drop
+    rows += [("R", int(x)) for x in rng.integers(10, 20, 60)]
+    rows += [("R", 50)]
+    df = pd.DataFrame(rows, columns=["l_returnflag", "l_quantity"])
+    df["l_quantity"] = df["l_quantity"].astype(np.float64)
+    want = {f: ref(g.l_quantity.to_numpy())
+            for f, g in df.groupby("l_returnflag")}
+    for nfiles in (1, 5):
+        out = run(df.sample(frac=1.0, random_state=7), nfiles)
+        got = {r.l_returnflag: (int(r.trim_sum), int(r.trim_n))
+               for r in out.itertuples()}
+        assert got == want
+    assert got["N"][1] == 19              # k = 0: nothing trimmed
+    a = df[df.l_returnflag == "R"].l_quantity.to_numpy()
+    assert got["R"][1] == a.size - 2 * (a.size * 5 // 100)
+    try:
+        from scipy.stats import trim_mean
+        for f in ("A", "R"):
+            g = df[df.l_returnflag == f].l_quantity.to_numpy()
+            k = g.size * 5 // 100
+            assert abs(got[f][0] / got[f][1]
+                       - trim_mean(g, k / g.size)) < 1e-9
+    except ImportError:
+        pass
+
+
+def test_ks_quantity_reference(ray_session):
+    """ks_quantity == a scalar cumulative-count reference across
+    layouts; a planted location shift puts the argmax at the shift
+    boundary; identical samples give ks 0 at the smallest value;
+    scipy's ks_2samp cross-checks the normalized statistic."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_ks_quantity
+
+    def ref(a_vals, r_vals):
+        vs = np.unique(np.concatenate([a_vals, r_vals]))
+        na, nr = len(a_vals), len(r_vals)
+        best = None
+        for v in vs:
+            d = abs(nr * int((a_vals <= v).sum())
+                    - na * int((r_vals <= v).sum()))
+            if best is None or d > best[0]:
+                best = (d, int(v))
+        return best[1], best[0], na, nr
+
+    def run(a_vals, r_vals, nfiles, extra_flag_rows=0):
+        rows = ([("A", int(v)) for v in a_vals]
+                + [("R", int(v)) for v in r_vals]
+                + [("N", 25)] * extra_flag_rows)   # must be ignored
+        df = pd.DataFrame(rows, columns=["l_returnflag", "l_quantity"])
+        df["l_quantity"] = df["l_quantity"].astype(np.float64)
+        df = df.sample(frac=1.0, random_state=5)
+        with tempfile.TemporaryDirectory() as td:
+            os.makedirs(f"{td}/lineitem.parquet")
+            for i, part in enumerate(np.array_split(df, nfiles)):
+                part.to_parquet(f"{td}/lineitem.parquet/p{i}.parquet")
+            return q_ks_quantity(td).to_pandas()
+
+    rng = np.random.default_rng(37)
+    a = rng.integers(1, 30, 200)
+    r = rng.integers(1, 30, 170) + 5     # planted +5 location shift
+    out = run(a, r, 4, extra_flag_rows=50)
+    want = ref(a, r)
+    got = (int(out.at_value[0]), int(out.ks_num[0]),
+           int(out.n_a[0]), int(out.n_r[0]))
+    assert got == want
+    try:
+        from scipy.stats import ks_2samp
+        assert abs(got[1] / (got[2] * got[3])
+                   - ks_2samp(a, r).statistic) < 1e-12
+    except ImportError:
+        pass
+
+    # identical multisets: dev = 0 everywhere → smallest value, ks 0
+    out = run(a, a, 3)
+    assert int(out.ks_num[0]) == 0
+    assert int(out.at_value[0]) == int(a.min())
+
+    # layout invariance on a randomized case
+    for nfiles in (1, 6):
+        out = run(a, r, nfiles)
+        assert (int(out.at_value[0]), int(out.ks_num[0])) == want[:2]
