@@ -5921,6 +5921,136 @@ def q_ks_quantity(sf_dir: str):
         "n_r": pa.array([nr], pa.int64())})
 
 
+def q_mannwhitney_qty(sf_dir: str):
+    """Mann–Whitney U (Wilcoxon rank-sum) components between the
+    quantity distributions of accepted ('A') and returned ('R')
+    lineitems — the RANK-based two-sample test, the nonparametric
+    sibling of ks_quantity's CDF-based drift statistic and the exact
+    core of ranking-metric AUC (AUC = U_A / (n_A·n_R)). Exactness
+    rides DOUBLED MIDRANKS: a tie run of t values starting after s
+    smaller rows has midrank s + (t+1)/2, so the doubled midrank
+    2s + t + 1 is always integer, and the doubled rank-sum
+    R2_A = Σ_v c_A(v)·(2·before(v) + t(v) + 1) plus the doubled
+    U-statistic U2_A = R2_A − n_A·(n_A+1) stay integer end to end —
+    no float exists anywhere. The tie-correction moment
+    Σ(t³ − t) (the variance consumer's input) is emitted alongside.
+    Shape: the same per-block (value, c_a, c_r) count partials as
+    ks_quantity collapse the fact table before the ONLY shuffle, one
+    value-domain-bounded groupby finishes, and the driver folds
+    ≤|domain| rows in PYTHON INTS (the moments overflow int64 at web
+    scale — oracle: HUGEINT), raising loudly if a final exceeds
+    int64 exactly where the oracle's BIGINT cast would. Output one
+    all-integer row (n_a, n_r, r2_a, tie_cube, u2_a); empty input
+    returns typed-empty to match the oracle's aggregate over zero
+    groups."""
+    from ray.data.aggregate import Sum
+
+    from .io import collect_table
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        fl = b.column("l_returnflag")
+        ca = pc.equal(fl, "A").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cr = pc.equal(fl, "R").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({
+            "v": pa.array(q.astype(np.int64), pa.int64()),
+            "ca": pa.array(ca), "cr": pa.array(cr)})
+        t = t.filter(pc.or_(pc.equal(t.column("ca"), 1),
+                            pc.equal(t.column("cr"), 1)))
+        return t.group_by("v").aggregate(
+            [("ca", "sum"), ("cr", "sum")]) \
+            .rename_columns(["v", "ca", "cr"])
+    cnt_partial.__name__ = "mwu_count_partial"
+
+    agg = collect_table(
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_returnflag", "l_quantity"])
+        .map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("ca", alias_name="ca"),
+                                Sum("cr", alias_name="cr")))
+    names = ["n_a", "n_r", "r2_a", "tie_cube", "u2_a"]
+    if agg.num_columns == 0 or agg.num_rows == 0:
+        return pa.table({c: pa.array([], pa.int64()) for c in names})
+    order = np.argsort(agg.column("v").to_numpy(zero_copy_only=False))
+    ca = agg.column("ca").to_numpy(zero_copy_only=False)[order]
+    cr = agg.column("cr").to_numpy(zero_copy_only=False)[order]
+    na = sum(int(x) for x in ca)             # Python ints: no wrap
+    nr = sum(int(x) for x in cr)
+    r2a = tie3 = 0
+    before = 0                               # rows strictly smaller
+    for ai, ri in zip(ca.tolist(), cr.tolist()):
+        t = int(ai) + int(ri)
+        r2a += int(ai) * (2 * before + t + 1)
+        tie3 += t * t * t - t
+        before += t
+    u2a = r2a - na * (na + 1)
+    for label, val in (("r2_a", r2a), ("tie_cube", tie3),
+                       ("u2_a", u2a)):
+        if not (-(1 << 63) <= val < (1 << 63)):
+            raise ValueError(
+                f"mannwhitney_qty: {label} exceeds int64 — the "
+                "oracle's BIGINT cast would fail identically")
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_r": pa.array([nr], pa.int64()),
+        "r2_a": pa.array([r2a], pa.int64()),
+        "tie_cube": pa.array([tie3], pa.int64()),
+        "u2_a": pa.array([u2a], pa.int64())})
+
+
+def q_benford_digits(sf_dir: str):
+    """Leading-significant-digit distribution of order totals — the
+    BENFORD'S-LAW audit class (fabricated / synthetic monetary data
+    betrays itself in the first-digit histogram; the consumer chi²s
+    the counts against log10(1+1/d)). The derived key is extracted
+    EXACTLY: prices fold to integer cents (round half-up, the
+    catalog-wide money contract) and the leading digit comes from a
+    ≤19-step vectorized integer-divide loop (no log10 float whose
+    boundary ULPs could misclassify 999…9 vs 100…0). Shape:
+    zero-shuffle — each block reduces to a ≤9-row (digit, n)
+    bincount partial and the driver sums an O(blocks × 9) table;
+    non-positive cents (absent in TPC-H prices, possible in a wild
+    ledger) are counted under digit 0 rather than dropped so the
+    audit can't silently lose rows. Output ≤10 all-integer rows
+    (digit, n)."""
+    from .io import collect_table
+
+    def digit_partial(b: pa.Table) -> pa.Table:
+        tp = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(tp * 100.0 + 0.5).astype(np.int64)
+        d = np.maximum(cents, 0)             # digit 0 bucket for ≤0
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        counts = np.bincount(d, minlength=10)
+        keep = np.flatnonzero(counts)
+        return pa.table({
+            "digit": pa.array(keep.astype(np.int64), pa.int64()),
+            "n": pa.array(counts[keep].astype(np.int64),
+                          pa.int64())})
+    digit_partial.__name__ = "benford_digit_partial"
+
+    summ = collect_table(
+        _read(sf_dir, "orders")
+        .select_columns(["o_totalprice"])
+        .map_batches(digit_partial, batch_format="pyarrow"))
+    if summ.num_rows == 0:
+        return pa.table({"digit": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    dg = summ.column("digit").to_numpy(zero_copy_only=False)
+    cn = summ.column("n").to_numpy(zero_copy_only=False)
+    tot = np.zeros(10, np.int64)
+    np.add.at(tot, dg, cn)
+    keep = np.flatnonzero(tot)
+    return pa.table({
+        "digit": pa.array(keep.astype(np.int64), pa.int64()),
+        "n": pa.array(tot[keep], pa.int64())})
+
+
 def q_value_mad(sf_dir: str):
     """Per-group MEDIAN ABSOLUTE DEVIATION of event value — the
     robust-statistics dispersion pass (outlier-resistant spread, the
@@ -7221,6 +7351,8 @@ QUERIES = {
     "leadlag_corr": q_leadlag_corr,
     "rolling_p95": q_rolling_p95,
     "source_overlap": q_source_overlap,
+    "mannwhitney_qty": q_mannwhitney_qty,
+    "benford_digits": q_benford_digits,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -9629,6 +9761,49 @@ ORACLE_SQL["ks_quantity"] = """
            CAST(nr AS BIGINT) AS n_r
     FROM c
     ORDER BY abs(nr * cma - na * cmr) DESC, v ASC LIMIT 1
+"""
+
+# mannwhitney_qty: doubled-midrank rank-sum — R2_A = Σ c_A·(2·before
+# + t + 1) over the merged value domain, HUGEINT moments, BIGINT on
+# emit (the engine raises exactly where this cast would fail).
+ORACLE_SQL["mannwhitney_qty"] = """
+    WITH t AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v,
+               sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0
+                   END)::HUGEINT AS ca,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                   END)::HUGEINT AS cr
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'R')
+        GROUP BY 1),
+    c AS (
+        SELECT v, ca, cr, ca + cr AS t,
+               coalesce(sum(ca + cr) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS before
+        FROM t)
+    SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+           CAST(sum(cr) AS BIGINT) AS n_r,
+           CAST(sum(ca * (2 * before + t + 1)) AS BIGINT) AS r2_a,
+           CAST(sum(t * t * t - t) AS BIGINT) AS tie_cube,
+           CAST(sum(ca * (2 * before + t + 1))
+                - sum(ca) * (sum(ca) + 1) AS BIGINT) AS u2_a
+    FROM c
+"""
+
+# benford_digits: leading digit of integer cents via string head —
+# exact, like the engine's integer-divide loop; digit 0 = non-positive
+# cents bucket (none in TPC-H, kept for wild-ledger parity).
+ORACLE_SQL["benford_digits"] = """
+    WITH c AS (
+        SELECT greatest(round(o_totalprice * 100)::BIGINT, 0) AS cents
+        FROM orders)
+    SELECT CASE WHEN cents <= 0 THEN 0
+                ELSE CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                          AS BIGINT) END AS digit,
+           count(*)::BIGINT AS n
+    FROM c
+    GROUP BY 1
 """
 
 ORACLE_SQL["value_mad"] = """

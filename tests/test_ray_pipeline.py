@@ -3963,3 +3963,119 @@ def test_ks_quantity_reference(ray_session):
     for nfiles in (1, 6):
         out = run(a, r, nfiles)
         assert (int(out.at_value[0]), int(out.ks_num[0])) == want[:2]
+
+
+def test_mannwhitney_qty_reference(ray_session):
+    """mannwhitney_qty == a scalar doubled-midrank reference across
+    layouts; scipy's mannwhitneyu cross-checks U when scipy exists;
+    the doubled rank-sum over ALL rows must equal n·(n+1) (the
+    rank-sum partition identity)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_mannwhitney_qty
+
+    def ref(a_vals, r_vals):
+        both = np.concatenate([a_vals, r_vals])
+        vs, cnt = np.unique(both, return_counts=True)
+        ca = np.array([(a_vals == v).sum() for v in vs])
+        before = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        r2a = int((ca * (2 * before + cnt + 1)).sum())
+        na, nr = len(a_vals), len(r_vals)
+        tie3 = int((cnt.astype(object) ** 3 - cnt).sum())
+        return na, nr, r2a, tie3, r2a - na * (na + 1)
+
+    def run(a_vals, r_vals, nfiles, extra_flag_rows=0):
+        rows = ([("A", int(v)) for v in a_vals]
+                + [("R", int(v)) for v in r_vals]
+                + [("N", 25)] * extra_flag_rows)   # must be ignored
+        df = pd.DataFrame(rows, columns=["l_returnflag", "l_quantity"])
+        df["l_quantity"] = df["l_quantity"].astype(np.float64)
+        df = df.sample(frac=1.0, random_state=11)
+        with tempfile.TemporaryDirectory() as td:
+            os.makedirs(f"{td}/lineitem.parquet")
+            for i, part in enumerate(np.array_split(df, nfiles)):
+                part.to_parquet(f"{td}/lineitem.parquet/p{i}.parquet")
+            return q_mannwhitney_qty(td).to_pandas()
+
+    rng = np.random.default_rng(41)
+    a = rng.integers(1, 25, 180)         # heavy ties by construction
+    r = rng.integers(1, 25, 150) + 3
+    out = run(a, r, 4, extra_flag_rows=40)
+    want = ref(a, r)
+    got = tuple(int(out[c][0]) for c in
+                ("n_a", "n_r", "r2_a", "tie_cube", "u2_a"))
+    assert got == want
+
+    # rank-sum partition identity: the doubled rank-sum over the
+    # POOLED sample (everything labelled A) must equal n·(n+1)
+    n = got[0] + got[1]
+    ref_all = ref(np.concatenate([a, r]), np.array([], np.int64))
+    assert ref_all[2] == n * (n + 1)
+
+    try:
+        from scipy.stats import mannwhitneyu
+        u = mannwhitneyu(a, r, alternative="two-sided",
+                         method="asymptotic").statistic
+        assert abs(got[4] / 2 - u) < 1e-9
+    except ImportError:
+        pass
+
+    # identical groups: U2 = n_a · n_r (AUC exactly 1/2)
+    out = run(a, a, 2)
+    assert int(out.u2_a[0]) == len(a) * len(a)
+
+    # layout invariance
+    for nfiles in (1, 6):
+        out = run(a, r, nfiles)
+        assert tuple(int(out[c][0]) for c in
+                     ("n_a", "n_r", "r2_a", "tie_cube", "u2_a")) \
+            == want
+
+
+def test_benford_digits_reference(ray_session):
+    """benford_digits == a string-head scalar reference across
+    layouts, including boundary magnitudes (999…9 vs 100…0 cents,
+    the log10-ULP trap the integer-divide loop avoids) and the
+    digit-0 bucket for non-positive cents."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_benford_digits
+
+    def ref(cents):
+        out = {}
+        for c in cents:
+            d = 0 if c <= 0 else int(str(int(c))[0])
+            out[d] = out.get(d, 0) + 1
+        return out
+
+    def run(prices, nfiles):
+        df = pd.DataFrame({"o_totalprice":
+                           np.asarray(prices, np.float64)})
+        df = df.sample(frac=1.0, random_state=3)
+        with tempfile.TemporaryDirectory() as td:
+            os.makedirs(f"{td}/orders.parquet")
+            for i, part in enumerate(np.array_split(df, nfiles)):
+                part.to_parquet(f"{td}/orders.parquet/p{i}.parquet")
+            out = q_benford_digits(td).to_pandas()
+            return dict(zip(out.digit.astype(int),
+                            out.n.astype(int)))
+
+    rng = np.random.default_rng(53)
+    # boundary magnitudes in cents: 9.99 → 999, 10.00 → 1000, 99999.99
+    # → 9999999, 100000.00 → 10000000; plus a zero and a negative
+    prices = ([9.99, 10.00, 99999.99, 100000.00, 0.0, -5.25]
+              + list(rng.uniform(1.0, 500000.0, 400)))
+    cents = [int(np.floor(p * 100.0 + 0.5)) for p in prices]
+    want = ref(cents)
+    for nfiles in (1, 5):
+        assert run(prices, nfiles) == want
+    assert run(prices, 3)[9] >= 1 and run(prices, 3)[1] >= 2
+    assert want.get(0, 0) == 2           # zero + negative bucket
