@@ -69,7 +69,7 @@ TIMED_QUERIES = [
     "rolling_p95", "source_overlap", "gram_matrix",
     "theilsen_trend", "kendall_daily", "max_streak",
     "changepoint", "trimmed_mean_qty", "ks_quantity",
-    "mannwhitney_qty", "benford_digits",
+    "mannwhitney_qty", "benford_digits", "floored_balance",
     # priority_trend shares dense_daily's lattice scan;
     # sales_opportunity / median_value_by_type / compact & csv
     # roundtrips share timed machinery — oracle-gated.

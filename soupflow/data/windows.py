@@ -562,6 +562,200 @@ def windowed_rolling_sum(ds, *, key_col: str, order_cols: list[str],
         apply_tails, batch_format="pyarrow", batch_size=None)
 
 
+_NO_MIN = np.int64(1) << 62  # "+inf" surrogate: no prior prefix min
+
+
+def _segmented_cummin(x: np.ndarray, seg: np.ndarray,
+                      starts: np.ndarray) -> np.ndarray:
+    """Per-segment INCLUSIVE running minimum of int64 ``x`` (segments
+    pre-sorted and contiguous) — vectorized via the segment-offset
+    trick: shift segment s by −s·BIG with BIG > global value spread,
+    so an earlier segment's values can never win the running min of a
+    later one, then one global np.minimum.accumulate and un-shift.
+    Falls back to a per-segment slice loop when the shifted range
+    would leave int64 (huge spread × many segments — rare; the loop
+    is O(segments) Python but each slice is still a C accumulate)."""
+    n = x.size
+    if n == 0:
+        return x.astype(np.int64, copy=True)
+    lo, hi = int(x.min()), int(x.max())
+    big = hi - lo + 1
+    nseg = int(seg[-1]) + 1
+    if max(abs(lo), abs(hi)) + nseg * big < (1 << 62):
+        off = seg.astype(np.int64) * np.int64(big)
+        return np.minimum.accumulate(x - off) + off
+    out = np.empty(n, np.int64)
+    bounds = np.append(starts, n)
+    for i in range(nseg):
+        s0, s1 = int(bounds[i]), int(bounds[i + 1])
+        out[s0:s1] = np.minimum.accumulate(x[s0:s1])
+    return out
+
+
+def floored_running_balance(ds, *, key_col: str,
+                            order_cols: list[str], val_col: str,
+                            num_partitions: int = 16):
+    """Per-key running balance FLOORED AT ZERO — the ledger /
+    inventory scan ``b_t = max(b_{t-1} + d_t, 0)`` — reduced to ONE
+    row per key: ``(key, final_bal, clip_n, peak_bal)`` where clip_n
+    counts the steps where the floor actually bound (b would have
+    gone negative) and peak_bal is the running maximum of b.
+    ``val_col`` must be int64 (signed deltas in cents); requires
+    (key, *order_cols) unique at block boundaries, like every
+    deterministic window.
+
+    The recurrence looks inherently sequential, but folds into two
+    ASSOCIATIVE scans via the classic identity
+    ``b_t = S_t − min(0, M_t)`` (S = prefix sum, M = running min of
+    S), and the floor binds at t iff ``S_t < min(0, M_{t−1})`` — so
+    the whole scan vectorizes: ONE global sort co-locates each key,
+    every block finishes all its segments with a segmented cumsum +
+    segmented running min (zero per-key Python on the interior
+    path), and cross-block carry is windowed_cumsum's broadcast-base
+    fixup generalized to the PAIR ``(S_in, M_in)``: each block emits
+    ≤2 edge-segment summary rows (key, first-row order tuple,
+    segment sum, segment min-prefix), the driver threads (S, M)
+    through each key's segments over the O(blocks) summary table and
+    marks each key's LAST segment (the one allowed to emit the final
+    balance), and a zero-shuffle scoring pass reduces every segment
+    to one partial row. A final KEY-bounded groupby (Sum clips /
+    Max peak / Sum final) merges multi-block keys; a hot key
+    spanning B blocks costs B summary rows and B vectorized block
+    scores, never a single task holding its full row set."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from ..io import collect_table
+
+    cols = [key_col, *order_cols, val_col]
+    sorted_tagged = ds.select_columns(cols) \
+        .repartition(num_partitions) \
+        .sort([key_col, *order_cols]) \
+        .materialize()  # summary + scoring passes see the SAME blocks
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        payload = {c: [] for c in (key_col, *order_cols)}
+        sums, minprefs = [], []
+        if batch.num_rows:
+            vals = batch.column(val_col).to_numpy(
+                zero_copy_only=False)
+            cum = np.cumsum(vals)
+            for i0, i1 in _edge_segment_bounds(batch, key_col):
+                payload[key_col].append(
+                    batch.column(key_col)[i0].as_py())
+                for c in order_cols:
+                    payload[c].append(batch.column(c)[i0].as_py())
+                base = int(cum[i0]) - int(vals[i0])
+                sums.append(int(cum[i1 - 1]) - base)
+                minprefs.append(int(cum[i0:i1].min()) - base)
+        payload["_seg_sum"] = (pa.int64(), sums)
+        payload["_seg_minpref"] = (pa.int64(), minprefs)
+        return _summary_table(batch, key_col, order_cols, payload)
+    summarize.__name__ = "floored_balance_edge_summaries"
+
+    summ = collect_table(sorted_tagged.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None))
+    if summ.num_columns == 0 or summ.num_rows == 0:
+        # empty input (collect of all-empty blocks is schema-less);
+        # int64 key like the other windows empty paths
+        e = pa.array([], pa.int64())
+        import ray as _ray
+        return _ray.data.from_arrow(pa.table({
+            key_col: e, "final_bal": e, "clip_n": e,
+            "peak_bal": e}))
+    incoming: dict = {}
+    acc_s, acc_m = 0, int(_NO_MIN)
+    prev, last_tup = object(), None
+    for row in _sorted_summary_rows(summ, key_col, order_cols,
+                                    ["_seg_sum", "_seg_minpref"]):
+        tup, seg_sum, seg_minpref = row[:-2], row[-2], row[-1]
+        if tup[0] != prev:
+            if last_tup is not None:
+                s_in, m_in, _ = incoming[last_tup]
+                incoming[last_tup] = (s_in, m_in, True)
+            acc_s, acc_m, prev = 0, int(_NO_MIN), tup[0]
+        incoming[tup] = (acc_s, acc_m, False)
+        last_tup = tup
+        acc_m = min(acc_m, acc_s + seg_minpref)
+        acc_s += seg_sum
+    if last_tup is not None:
+        s_in, m_in, _ = incoming[last_tup]
+        incoming[last_tup] = (s_in, m_in, True)
+    handle = ray.put(incoming)
+
+    def score(batch: pa.Table) -> pa.Table:
+        key_t = batch.schema.field(key_col).type
+        if batch.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], key_t),
+                "_clips": pa.array([], pa.int64()),
+                "_peak": pa.array([], pa.int64()),
+                "_fin": pa.array([], pa.int64()),
+                "_nf": pa.array([], pa.int64())})
+        inc = _cached_get(handle)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+        seg, starts = _key_segments(keys)
+        n = keys.size
+        cum = np.cumsum(vals)
+        base = (cum[starts] - vals[starts])[seg]
+        s_loc = cum - base                 # local inclusive prefix
+        cm_loc = _segmented_cummin(s_loc, seg, starts)
+        nseg = starts.size
+        s_in = np.zeros(nseg, np.int64)
+        m_in = np.full(nseg, _NO_MIN, np.int64)
+        is_last = np.ones(nseg, bool)      # interior keys: complete
+        for i0, _ in _edge_segment_bounds(batch, key_col):
+            si, mi, lf = inc[_boundary_tuple(batch, key_col,
+                                             order_cols, i0)]
+            s = int(seg[i0])
+            s_in[s], m_in[s], is_last[s] = si, mi, lf
+        S = s_in[seg] + s_loc
+        m_incl = np.minimum(m_in[seg], s_in[seg] + cm_loc)
+        m_excl = np.empty(n, np.int64)     # running min BEFORE row t
+        m_excl[1:] = m_incl[:-1]
+        m_excl[starts] = m_in
+        b = S - np.minimum(m_incl, 0)
+        clip = (S < np.minimum(m_excl, 0)).astype(np.int64)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table({
+            key_col: batch.column(key_col).take(
+                pa.array(starts, pa.int64())),
+            "_clips": pa.array(np.add.reduceat(clip, starts),
+                               pa.int64()),
+            "_peak": pa.array(np.maximum.reduceat(b, starts),
+                              pa.int64()),
+            "_fin": pa.array(np.where(is_last, b[ends], 0),
+                             pa.int64()),
+            "_nf": pa.array(is_last.astype(np.int64), pa.int64())})
+    score.__name__ = "floored_balance_score"
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nf = batch.column("_nf").to_numpy(zero_copy_only=False)
+        if batch.num_rows and (nf != 1).any():
+            bad = batch.column(key_col)[
+                int(np.flatnonzero(nf != 1)[0])].as_py()
+            raise ValueError(
+                "floored_running_balance: key "
+                f"{bad!r} finalized {int(nf.max())} times — the "
+                "(key, *order_cols) boundary contract is broken")
+        return pa.table({
+            key_col: batch.column(key_col),
+            "final_bal": batch.column("_fin"),
+            "clip_n": batch.column("_clips"),
+            "peak_bal": batch.column("_peak")})
+    finish.__name__ = "floored_balance_finish"
+
+    return sorted_tagged.map_batches(
+        score, batch_format="pyarrow", batch_size=None) \
+        .groupby(key_col).aggregate(
+            Sum("_clips", alias_name="_clips"),
+            Max("_peak", alias_name="_peak"),
+            Sum("_fin", alias_name="_fin"),
+            Sum("_nf", alias_name="_nf")) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
 def windowed_lag(ds, *, key_col: str, ts_col: str, id_col: str,
                  num_partitions: int = 16):
     """Per-key offset window functions — the ``LAG`` / ``LEAD`` class

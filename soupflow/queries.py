@@ -6051,6 +6051,48 @@ def q_benford_digits(sf_dir: str):
         "n": pa.array(tot[keep], pa.int64())})
 
 
+def q_floored_balance(sf_dir: str):
+    """Per-user running CREDIT BALANCE floored at zero — purchases
+    add cents, errors (chargebacks) subtract, and the balance can
+    never go negative: b_t = max(b_{t−1} + d_t, 0), the ledger /
+    inventory scan whose clamp looks inherently sequential. The
+    engine folds it into two associative scans via
+    b_t = S_t − min(0, M_t) (S = prefix sum, M = its running min) —
+    see data/windows.py floored_running_balance for the
+    one-sort + broadcast-(S, M)-carry + key-bounded-groupby shape.
+    Output one all-integer row per active user: (user_id, final_bal,
+    clip_n = steps where the floor bound, peak_bal = max running
+    balance); order is (ts, event_id) — unique since event_id is.
+    Oracle = the three-window SQL chain (prefix SUM, running MIN,
+    1-PRECEDING MIN for the clip test) the engine never runs."""
+    from .data.windows import floored_running_balance
+
+    def fold(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        b = b.filter(pc.or_(pc.equal(et, "purchase"),
+                            pc.equal(et, "error")))
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        sign = np.where(
+            pc.equal(b.column("event_type"),
+                     "purchase").to_numpy(zero_copy_only=False),
+            np.int64(1), np.int64(-1))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id"),
+            "delta": pa.array(cents * sign, pa.int64())})
+    fold.__name__ = "floored_balance_delta_fold"
+
+    ev = _read(sf_dir, "events") \
+        .select_columns(["user_id", "ts", "event_id", "event_type",
+                         "value"]) \
+        .map_batches(fold, batch_format="pyarrow")
+    return floored_running_balance(
+        ev, key_col="user_id", order_cols=["ts_us", "event_id"],
+        val_col="delta")
+
+
 def q_value_mad(sf_dir: str):
     """Per-group MEDIAN ABSOLUTE DEVIATION of event value — the
     robust-statistics dispersion pass (outlier-resistant spread, the
@@ -7353,6 +7395,7 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "mannwhitney_qty": q_mannwhitney_qty,
     "benford_digits": q_benford_digits,
+    "floored_balance": q_floored_balance,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -9804,6 +9847,45 @@ ORACLE_SQL["benford_digits"] = """
            count(*)::BIGINT AS n
     FROM c
     GROUP BY 1
+"""
+
+# floored_balance: the clamp identity b = S − least(0, M) with the
+# clip test S < least(0, M_prev) — three window passes the engine
+# replaces with one sort + a broadcast (S, M) carry.
+ORACLE_SQL["floored_balance"] = """
+    WITH d AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN round(value * 100)::BIGINT
+                    ELSE -(round(value * 100)::BIGINT) END AS delta
+        FROM events
+        WHERE event_type IN ('purchase', 'error')),
+    s AS (
+        SELECT user_id, ts, event_id,
+               sum(delta) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS S
+        FROM d),
+    m AS (
+        SELECT user_id, S,
+               min(S) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS M,
+               min(S) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS mprev,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM s)
+    SELECT user_id,
+           CAST(sum(CASE WHEN rn = 1 THEN S - least(0, M) END)
+                AS BIGINT) AS final_bal,
+           CAST(sum(CASE WHEN S < least(0, coalesce(mprev, 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS clip_n,
+           CAST(max(S - least(0, M)) AS BIGINT) AS peak_bal
+    FROM m
+    GROUP BY user_id
 """
 
 ORACLE_SQL["value_mad"] = """

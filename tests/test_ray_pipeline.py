@@ -4079,3 +4079,179 @@ def test_benford_digits_reference(ray_session):
         assert run(prices, nfiles) == want
     assert run(prices, 3)[9] >= 1 and run(prices, 3)[1] >= 2
     assert want.get(0, 0) == 2           # zero + negative bucket
+
+
+def _floored_ref(df):
+    """Sequential clamp fold b = max(b + d, 0) per key — the scalar
+    reference the vectorized identity must reproduce."""
+    out = {}
+    g = df.sort_values(["user_id", "ts_us", "event_id"])
+    for uid, grp in g.groupby("user_id"):
+        b = peak = clips = 0
+        for d in grp.delta:
+            nb = b + int(d)
+            if nb < 0:
+                clips += 1
+                nb = 0
+            b = nb
+            peak = max(peak, b)
+        out[int(uid)] = (b, clips, peak)
+    return out
+
+
+def test_floored_balance_reference_layouts(ray_session):
+    """floored_running_balance == the sequential clamp fold across
+    1 / 7 / 40 sorted-block layouts, with adversarial keys planted:
+    all-negative (clips every step, final 0), first-step clip, deep
+    dip + full recovery, and single-event keys."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import floored_running_balance
+
+    rng = np.random.default_rng(19)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n).astype("int64"),
+        "ts_us": rng.integers(0, 10_000_000_000, n).astype("int64"),
+        "event_id": np.arange(n, dtype="int64"),
+        "delta": rng.integers(-900, 700, n).astype("int64")})
+    extra = pd.DataFrame({
+        "user_id": [100] * 5 + [101] + [102] * 4 + [103],
+        "ts_us": list(range(5)) + [0] + list(range(4)) + [0],
+        "event_id": np.arange(n, n + 11, dtype="int64"),
+        "delta": [-10, -1, -5, -3, -2,          # all-negative
+                  -7,                           # first-step clip
+                  50, -200, 180, -10,           # dip + recovery
+                  42]})                         # single event
+    df = pd.concat([df, extra], ignore_index=True)
+    ref = _floored_ref(df)
+    for nparts in (1, 7, 40):
+        ds = ray.data.from_pandas(
+            df.sample(frac=1.0, random_state=7))
+        out = floored_running_balance(
+            ds, key_col="user_id", order_cols=["ts_us", "event_id"],
+            val_col="delta", num_partitions=nparts).to_pandas()
+        got = {int(r.user_id): (int(r.final_bal), int(r.clip_n),
+                                int(r.peak_bal))
+               for r in out.itertuples()}
+        assert got == ref, f"layout {nparts}"
+    assert ref[100] == (0, 5, 0)
+    assert ref[101] == (0, 1, 0)
+    assert ref[103] == (42, 0, 42)
+
+
+def test_floored_balance_hot_key_spans_blocks(ray_session):
+    """ONE key across 40 sorted blocks: the (S, M) carry threads
+    through every seam and exactly one segment emits the final
+    balance (the _nf == 1 contract)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import floored_running_balance
+
+    rng = np.random.default_rng(23)
+    n = 20000
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, "int64"),
+        "ts_us": np.arange(n, dtype="int64"),
+        "event_id": np.arange(n, dtype="int64"),
+        "delta": rng.integers(-600, 500, n).astype("int64")})
+    ref = _floored_ref(df)[0]
+    out = floored_running_balance(
+        ray.data.from_pandas(df), key_col="user_id",
+        order_cols=["ts_us", "event_id"], val_col="delta",
+        num_partitions=40).to_pandas()
+    assert len(out) == 1
+    assert (int(out.final_bal[0]), int(out.clip_n[0]),
+            int(out.peak_bal[0])) == ref
+
+
+def test_floored_balance_empty_and_fold(ray_session):
+    """Typed-empty passthrough on zero qualifying rows, and the
+    events-semantics fold (purchase +cents / error −cents, other
+    types ignored) against a pandas reference."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import floored_running_balance
+    from soupflow.queries import q_floored_balance
+
+    empty = pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "ts_us": pd.Series([], dtype="int64"),
+        "event_id": pd.Series([], dtype="int64"),
+        "delta": pd.Series([], dtype="int64")})
+    out = floored_running_balance(
+        ray.data.from_pandas(empty), key_col="user_id",
+        order_cols=["ts_us", "event_id"], val_col="delta")
+    assert out.schema().names == ["user_id", "final_bal", "clip_n",
+                                  "peak_bal"]
+    assert out.count() == 0
+
+    rng = np.random.default_rng(31)
+    n = 600
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": pd.to_datetime(
+            rng.integers(0, 10**15, n), unit="us"),
+        "user_id": rng.integers(0, 8, n).astype("int64"),
+        "event_type": rng.choice(
+            ["purchase", "error", "view", "click"], n),
+        "value": np.round(rng.uniform(0.0, 400.0, n), 2),
+        "props": ["{}"] * n})
+    keep = ev[ev.event_type.isin(["purchase", "error"])]
+    cents = np.floor(keep.value.to_numpy() * 100.0 + 0.5) \
+        .astype("int64")
+    sign = np.where(keep.event_type.to_numpy() == "purchase", 1, -1)
+    ref = _floored_ref(pd.DataFrame({
+        "user_id": keep.user_id.to_numpy(),
+        "ts_us": keep.ts.astype("int64").to_numpy(),
+        "event_id": keep.event_id.to_numpy(),
+        "delta": cents * sign}))
+    with tempfile.TemporaryDirectory() as td:
+        os.makedirs(f"{td}/events.parquet")
+        for i, part in enumerate(np.array_split(ev, 3)):
+            part.to_parquet(f"{td}/events.parquet/p{i}.parquet")
+        out = q_floored_balance(td).to_pandas()
+    got = {int(r.user_id): (int(r.final_bal), int(r.clip_n),
+                            int(r.peak_bal))
+           for r in out.itertuples()}
+    assert got == ref
+
+
+def test_segmented_cummin_paths():
+    """_segmented_cummin: offset fast path == per-segment loop
+    reference, and the overflow guard falls back correctly on a
+    huge-spread many-segment input."""
+    import numpy as np
+
+    from soupflow.data.windows import _key_segments, _segmented_cummin
+
+    def ref(x, starts):
+        out = np.empty_like(x)
+        bounds = np.append(starts, x.size)
+        for i in range(starts.size):
+            s0, s1 = bounds[i], bounds[i + 1]
+            out[s0:s1] = np.minimum.accumulate(x[s0:s1])
+        return out
+
+    rng = np.random.default_rng(5)
+    keys = np.sort(rng.integers(0, 50, 3000))
+    x = rng.integers(-10**6, 10**6, 3000).astype(np.int64)
+    seg, starts = _key_segments(keys)
+    assert (_segmented_cummin(x, seg, starts) == ref(x, starts)).all()
+
+    # huge spread × several segments trips the int64 guard → loop
+    big = np.int64(1) << 60
+    keys = np.repeat(np.arange(8), 4)
+    x = np.tile(np.array([big, -big, big // 2, -big // 2],
+                         np.int64), 8)
+    seg, starts = _key_segments(keys)
+    assert (_segmented_cummin(x, seg, starts) == ref(x, starts)).all()
