@@ -157,6 +157,128 @@ def hll_oracle_sql(table: str, col: str, p: int = 12) -> str:
     """
 
 
+def hll_audience_overlap(ds, *, type_col: str, id_col: str,
+                         types: tuple = ("view", "purchase"),
+                         p: int = 12) -> pa.Table:
+    """HLL SET ALGEBRA — the audience-overlap sketch question ("how
+    many users did BOTH X and Y?") answered without ever shuffling
+    user ids: registers are max-mergeable across blocks AND across
+    sets, so the union sketch of two audiences is the elementwise max
+    of their registers, and the intersection estimate follows by
+    inclusion–exclusion (|A∩B| ≈ est(A) + est(B) − est(A∪B)) on the
+    consumer side. Output stays PURE INTEGER — one (aud, bucket,
+    maxrank) row per non-empty register for each audience plus the
+    literal 'union' audience — so the SQL oracle matches
+    bit-for-bit; no float estimate exists in the engine.
+
+    Scale shape: ONE streaming pass; each block folds each type's ids
+    into a local 2^p-register array (np.maximum.at — max commutes, so
+    partitioning never matters; duplicate ids are free since max is
+    idempotent, no DISTINCT pre-pass needed) and ships ≤ 2·2^p ints;
+    the driver max-merges O(blocks × 2^p) rows and takes the
+    register-wise max for the union. The id column never shuffles."""
+    from ..io import collect_table
+
+    m = 1 << p
+    w = 64 - p
+    shift = np.uint64(w)
+    mask = np.uint64((1 << w) - 1)
+    t0, t1 = types
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column(type_col)
+        out_aud, out_bucket, out_rank = [], [], []
+        for aud in (t0, t1):
+            sel = batch.filter(pc.equal(et, aud))
+            if sel.num_rows == 0:
+                continue
+            vals = sel.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            hv = _mix(vals)
+            bucket = (hv >> shift).astype(np.int64)
+            rest = (hv & mask).astype(np.float64)  # < 2^52: exact
+            _, e = np.frexp(rest)
+            rank = w - e.astype(np.int64) + 1
+            regs = np.zeros(m, dtype=np.int64)
+            np.maximum.at(regs, bucket, rank)
+            nz = np.nonzero(regs)[0]
+            out_aud.extend([aud] * nz.size)
+            out_bucket.append(nz.astype(np.int64))
+            out_rank.append(regs[nz])
+        if not out_aud:
+            return pa.table({"aud": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64()),
+                             "maxrank": pa.array([], pa.int64())})
+        return pa.table({
+            "aud": pa.array(out_aud, pa.string()),
+            "bucket": pa.array(np.concatenate(out_bucket)),
+            "maxrank": pa.array(np.concatenate(out_rank))})
+    partial.__name__ = f"hll{p}_overlap_partial"
+
+    t = collect_table(ds.select_columns([type_col, id_col])
+                      .map_batches(partial, batch_format="pyarrow"))
+    regs = {t0: np.zeros(m, np.int64), t1: np.zeros(m, np.int64)}
+    if t.num_rows:
+        auds = np.asarray(t.column("aud").to_pylist(), dtype=object)
+        bks = t.column("bucket").to_numpy(zero_copy_only=False)
+        rks = t.column("maxrank").to_numpy(zero_copy_only=False)
+        for aud in (t0, t1):
+            sel = auds == aud
+            np.maximum.at(regs[aud], bks[sel], rks[sel])
+    union = np.maximum(regs[t0], regs[t1])
+    out_aud, out_bucket, out_rank = [], [], []
+    for aud, r in ((t0, regs[t0]), (t1, regs[t1]), ("union", union)):
+        nz = np.nonzero(r)[0]
+        out_aud.extend([aud] * nz.size)
+        out_bucket.append(nz.astype(np.int64))
+        out_rank.append(r[nz])
+    if not out_aud:
+        return pa.table({"aud": pa.array([], pa.string()),
+                         "bucket": pa.array([], pa.int64()),
+                         "maxrank": pa.array([], pa.int64())})
+    return pa.table({
+        "aud": pa.array(out_aud, pa.string()),
+        "bucket": pa.array(np.concatenate(out_bucket)),
+        "maxrank": pa.array(np.concatenate(out_rank))})
+
+
+def hll_overlap_oracle_sql(table: str, type_col: str, id_col: str,
+                           types: tuple = ("view", "purchase"),
+                           p: int = 12) -> str:
+    """DuckDB SQL for hll_audience_overlap: per-type registers via
+    the splitmix HUGEINT hash, then the union audience as the
+    register-wise max over both types."""
+    w = 64 - p
+    pow_w = 1 << w
+    t0, t1 = types
+    return f"""
+    WITH h AS (
+        SELECT {type_col} AS aud,
+               ((CAST({id_col} AS HUGEINT) * {PHI64})
+                % 18446744073709551616) AS hv
+        FROM {table}
+        WHERE {type_col} IN ('{t0}', '{t1}')),
+    br AS (
+        SELECT aud, CAST(hv // {pow_w} AS BIGINT) AS bucket,
+               CAST(hv % {pow_w} AS BIGINT) AS rest
+        FROM h),
+    rk AS (
+        SELECT aud, bucket,
+               CASE WHEN rest = 0 THEN {w + 1}
+                    ELSE {w} - length(format('{{:b}}', rest)) + 1
+               END AS rank
+        FROM br),
+    per AS (
+        SELECT aud, bucket, max(rank) AS maxrank
+        FROM rk GROUP BY aud, bucket)
+    SELECT aud, bucket, CAST(maxrank AS BIGINT) AS maxrank FROM per
+    UNION ALL
+    SELECT 'union' AS aud, bucket,
+           CAST(max(maxrank) AS BIGINT) AS maxrank
+    FROM per GROUP BY bucket
+    """
+
+
 # -- Count-Min heavy hitters -------------------------------------------------
 
 _HEXDIG = "0123456789abcdef"

@@ -6079,7 +6079,8 @@ def q_floored_balance(sf_dir: str):
             np.int64(1), np.int64(-1))
         return pa.table({
             "user_id": b.column("user_id"),
-            "ts_us": b.column("ts").cast(pa.int64()),
+            "ts_us": b.column("ts").cast(pa.timestamp("us"))
+                      .cast(pa.int64()),
             "event_id": b.column("event_id"),
             "delta": pa.array(cents * sign, pa.int64())})
     fold.__name__ = "floored_balance_delta_fold"
@@ -6091,6 +6092,83 @@ def q_floored_balance(sf_dir: str):
     return floored_running_balance(
         ev, key_col="user_id", order_cols=["ts_us", "event_id"],
         val_col="delta")
+
+
+def q_hll_overlap(sf_dir: str):
+    """HLL SET ALGEBRA — the audience-overlap question ("how many
+    users both viewed and purchased?") answered with ZERO shuffle of
+    user ids: per-audience registers are max-merged per block, the
+    union audience is the register-wise max across the two sets, and
+    |A∩B| follows by inclusion–exclusion on the consumer side. The
+    hash-checked output is the PURE-INTEGER register state of all
+    three sketches (aud ∈ {view, purchase, union}), never a float
+    estimate — see data/sketch.py hll_audience_overlap."""
+    from .data.sketch import hll_audience_overlap
+    return hll_audience_overlap(
+        _read(sf_dir, "events"), type_col="event_type",
+        id_col="user_id", types=("view", "purchase"), p=12)
+
+
+_DECAY_ANCHOR_DAY = 19753      # epoch day of DATE '2024-01-31'
+_DECAY_HORIZON = 30            # days of history that still score
+
+
+def q_decay_score(sf_dir: str):
+    """Per-user EXPONENTIALLY TIME-DECAYED purchase score — the
+    feature-store freshness aggregate (recent activity counts more,
+    half-life = 1 day) computed EXACTLY: weight(age) = 2^(31 − age)
+    for age ∈ [1, 30] days before the anchor date, so every weight
+    is a power of two, score = Σ cents·2^(31−age) is pure integer,
+    and the hash can never flake on a transcendental decay float.
+    Shape: zero-shuffle per-block (user, score, n) partials + ONE
+    user-bounded groupby. Contract: a user's score must fit int64
+    (the oracle's BIGINT cast fails identically); a worker-side
+    bound check (per-block per-user cents·2^31 < 2^63) raises before
+    any silent wrap the final Sum could hide."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64()),
+                             "n_purch": pa.array([], pa.int64())})
+        ts_us = b.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts_us // 86_400_000_000
+        age = _DECAY_ANCHOR_DAY - day
+        keep = (age >= 1) & (age <= _DECAY_HORIZON)
+        uid = b.column("user_id").to_numpy(
+            zero_copy_only=False)[keep]
+        v = b.column("value").to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        w = np.int64(1) << (31 - age[keep])
+        users, inv = np.unique(uid, return_inverse=True)
+        csum = np.zeros(users.size, np.int64)
+        np.add.at(csum, inv, cents)
+        if csum.size and int(csum.max()) >= (1 << 31):
+            # cents·2^31 would pass 2^62 — the per-user score is
+            # about to leave int64; the oracle's BIGINT cast fails
+            # identically, so fail loudly in the worker
+            raise ValueError(
+                "decay_score: a user's in-block cents sum "
+                f"({int(csum.max())}) overflows the int64 score "
+                "contract")
+        score = np.zeros(users.size, np.int64)
+        np.add.at(score, inv, cents * w)
+        n = np.bincount(inv, minlength=users.size).astype(np.int64)
+        return pa.table({"user_id": pa.array(users, pa.int64()),
+                         "score": pa.array(score, pa.int64()),
+                         "n_purch": pa.array(n, pa.int64())})
+    partial.__name__ = "decay_score_partial"
+
+    out = _read(sf_dir, "events") \
+        .select_columns(["user_id", "ts", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Sum("score", alias_name="decay_score"),
+            Sum("n_purch", alias_name="n_purch"))
+    return out
 
 
 def q_value_mad(sf_dir: str):
@@ -7396,6 +7474,8 @@ QUERIES = {
     "mannwhitney_qty": q_mannwhitney_qty,
     "benford_digits": q_benford_digits,
     "floored_balance": q_floored_balance,
+    "hll_overlap": q_hll_overlap,
+    "decay_score": q_decay_score,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -8477,6 +8557,14 @@ from .data.sketch import hll_oracle_sql as _hll_oracle_sql  # noqa: E402
 ORACLE_SQL["heavy_hitters"] = _cms_oracle_sql(d=4, w=1024, k=20)
 ORACLE_SQL["hll_registers"] = _hll_oracle_sql("orders", "o_custkey",
                                               p=12)
+
+from .data.sketch import (  # noqa: E402
+    hll_overlap_oracle_sql as _hll_overlap_sql,
+)
+
+ORACLE_SQL["hll_overlap"] = _hll_overlap_sql(
+    "events", "event_type", "user_id", types=("view", "purchase"),
+    p=12)
 
 ORACLE_SQL["grouped_quantiles"] = """
     WITH c AS (
@@ -9885,6 +9973,26 @@ ORACLE_SQL["floored_balance"] = """
                     THEN 1 ELSE 0 END) AS BIGINT) AS clip_n,
            CAST(max(S - least(0, M)) AS BIGINT) AS peak_bal
     FROM m
+    GROUP BY user_id
+"""
+
+# decay_score: exact power-of-two decay — weight 2^(31−age) via
+# BIGINT shift, HUGEINT product sum, BIGINT on emit (the engine's
+# worker bound-check raises exactly where this cast would fail).
+ORACLE_SQL["decay_score"] = """
+    WITH p AS (
+        SELECT user_id,
+               round(value * 100)::BIGINT AS cents,
+               (DATE '2024-01-31' - CAST(ts AS DATE)) AS age
+        FROM events
+        WHERE event_type = 'purchase')
+    SELECT user_id,
+           CAST(sum(cents::HUGEINT
+                    * (1::BIGINT << (31 - age))::HUGEINT)
+                AS BIGINT) AS decay_score,
+           count(*)::BIGINT AS n_purch
+    FROM p
+    WHERE age BETWEEN 1 AND 30
     GROUP BY user_id
 """
 

@@ -4255,3 +4255,145 @@ def test_segmented_cummin_paths():
                          np.int64), 8)
     seg, starts = _key_segments(keys)
     assert (_segmented_cummin(x, seg, starts) == ref(x, starts)).all()
+
+
+def test_hll_overlap_reference(ray_session):
+    """hll_audience_overlap == a scalar register reference across
+    layouts; union rows are the register-wise max; the
+    inclusion–exclusion estimate recovers a planted overlap within
+    HLL tolerance."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.sampling import _mix
+    from soupflow.data.sketch import hll_audience_overlap
+
+    P, W = 12, 52
+    M = 1 << P
+
+    def ref_regs(ids):
+        hv = _mix(np.asarray(ids, np.int64))
+        bucket = (hv >> np.uint64(W)).astype(np.int64)
+        rest = (hv & np.uint64((1 << W) - 1)).astype(np.float64)
+        _, e = np.frexp(rest)
+        rank = W - e.astype(np.int64) + 1
+        regs = np.zeros(M, np.int64)
+        np.maximum.at(regs, bucket, rank)
+        return regs
+
+    def est(regs):
+        m = M
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.exp2(-regs.astype(float)))
+        v = np.count_nonzero(regs == 0)
+        if e <= 2.5 * m and v > 0:       # small-range correction
+            e = m * np.log(m / v)
+        return e
+
+    rng = np.random.default_rng(61)
+    viewers = rng.choice(200_000, 3000, replace=False)
+    overlap = rng.choice(viewers, 800, replace=False)
+    only_buy = rng.choice(
+        np.arange(200_000, 260_000), 700, replace=False)
+    buyers = np.concatenate([overlap, only_buy])
+    rows = ([("view", int(u)) for u in viewers]
+            + [("purchase", int(u)) for u in buyers]
+            + [("click", 7)] * 50)           # other types ignored
+    df = pd.DataFrame(rows, columns=["event_type", "user_id"])
+    df = df.sample(frac=1.0, random_state=9)
+
+    want_v, want_p = ref_regs(viewers), ref_regs(buyers)
+    want_u = np.maximum(want_v, want_p)
+    for nparts in (1, 8):
+        out = hll_audience_overlap(
+            ray.data.from_pandas(df).repartition(nparts),
+            type_col="event_type", id_col="user_id",
+            types=("view", "purchase"), p=P)
+        got = {a: np.zeros(M, np.int64)
+               for a in ("view", "purchase", "union")}
+        for a, b, r in zip(out.column("aud").to_pylist(),
+                           out.column("bucket").to_pylist(),
+                           out.column("maxrank").to_pylist()):
+            got[a][b] = r
+        assert (got["view"] == want_v).all(), f"layout {nparts}"
+        assert (got["purchase"] == want_p).all()
+        assert (got["union"] == want_u).all()
+
+    inter = est(want_v) + est(want_p) - est(want_u)
+    assert abs(inter - 800) / 800 < 0.15     # ~2% typical at p=12
+
+
+def test_decay_score_reference(ray_session):
+    """decay_score == a pandas power-of-two reference across layouts;
+    the [1, 30]-day age window excludes anchor-day and stale events;
+    an in-block cents sum ≥ 2^31 raises before any silent wrap."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from soupflow.queries import q_decay_score
+
+    ANCHOR = np.datetime64("2024-01-31")
+
+    def ref(ev):
+        keep = ev[ev.event_type == "purchase"].copy()
+        age = (ANCHOR - keep.ts.to_numpy().astype("datetime64[D]")) \
+            .astype("timedelta64[D]").astype(int)
+        keep["age"] = age
+        keep = keep[(keep.age >= 1) & (keep.age <= 30)]
+        cents = np.floor(keep.value.to_numpy() * 100.0 + 0.5) \
+            .astype(object)
+        keep["sc"] = cents * (2 ** (31 - keep.age.to_numpy()))
+        g = keep.groupby("user_id")
+        return {int(u): (int(grp.sc.sum()), len(grp))
+                for u, grp in g}
+
+    def run(ev, nfiles):
+        with tempfile.TemporaryDirectory() as td:
+            os.makedirs(f"{td}/events.parquet")
+            for i, part in enumerate(np.array_split(ev, nfiles)):
+                part.to_parquet(f"{td}/events.parquet/p{i}.parquet")
+            out = q_decay_score(td).to_pandas()
+        return {int(r.user_id): (int(r.decay_score), int(r.n_purch))
+                for r in out.itertuples()}
+
+    rng = np.random.default_rng(67)
+    n = 800
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": (ANCHOR.astype("datetime64[us]")
+               - rng.integers(0, 40 * 86_400_000_000, n)
+               .astype("timedelta64[us]")),
+        "user_id": rng.integers(0, 12, n).astype("int64"),
+        "event_type": rng.choice(["purchase", "view", "error"], n),
+        "value": np.round(rng.uniform(0.5, 900.0, n), 2),
+        "props": ["{}"] * n})
+    # plant: an anchor-day purchase (age 0 → excluded) and a stale
+    # one (age 31 → excluded)
+    planted = pd.DataFrame({
+        "event_id": [n, n + 1],
+        "ts": [ANCHOR.astype("datetime64[us]")
+               + np.timedelta64(3600_000_000, "us"),
+               ANCHOR.astype("datetime64[us]")
+               - np.timedelta64(31 * 86_400_000_000, "us")],
+        "user_id": [999, 999],
+        "event_type": ["purchase", "purchase"],
+        "value": [100.0, 100.0],
+        "props": ["{}"] * 2})
+    ev = pd.concat([ev, planted], ignore_index=True)
+    want = ref(ev)
+    assert 999 not in want                  # both planted excluded
+    for nfiles in (1, 5):
+        assert run(ev, nfiles) == want
+
+    big = ev.copy()
+    big.loc[0, ["event_type", "value", "ts"]] = [
+        "purchase", 30_000_000.0,
+        ANCHOR.astype("datetime64[us]")
+        - np.timedelta64(86_400_000_000, "us")]
+    with pytest.raises(Exception, match="int64|cents"):
+        run(big, 2)
