@@ -6171,6 +6171,81 @@ def q_decay_score(sf_dir: str):
     return out
 
 
+def q_exact_split(sf_dir: str):
+    """EXACT-QUOTA stratified train/heldout split — per language,
+    EXACTLY floor(n·80%) documents go to train (the
+    largest-remainder determinism class), unlike hash_split's
+    proportional-in-EXPECTATION bucketing: an eval set whose size
+    must be exact (fixed benchmark budgets, matched-pair studies)
+    can't tolerate binomial wobble. 'Random' yet deterministic
+    order inside each stratum comes from the splitmix hash of
+    doc_id (a bijection — no ties), so the assignment is stable
+    under any partitioning and reproducible in SQL. Shape: pass 1
+    sums per-block language counts into an O(blocks × langs)
+    driver table (quota = n·8//10); pass 2 ranks each doc inside
+    its language with windowed_cumsum's one-sort broadcast-base
+    carry over the NARROW (lang, h, doc_id, 1) projection — text
+    never shuffles — and a zero-shuffle map assigns
+    rank ≤ quota → train. Output (doc_id, split) per document."""
+    import ray
+
+    from .data.sampling import _mix
+    from .data.windows import windowed_cumsum
+    from .io import collect_table
+
+    def lang_counts(b: pa.Table) -> pa.Table:
+        return b.select(["lang"]) \
+            .group_by("lang").aggregate([([], "count_all")]) \
+            .rename_columns(["lang", "c"])
+    lang_counts.__name__ = "split_lang_counts"
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang"])
+    summ = collect_table(docs.map_batches(
+        lang_counts, batch_format="pyarrow"))
+    if summ.num_columns == 0 or summ.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "split": pa.array([], pa.string())})
+    quota: dict = {}
+    for lang, c in zip(summ.column("lang").to_pylist(),
+                       summ.column("c").to_numpy(
+                           zero_copy_only=False)):
+        quota[lang] = quota.get(lang, 0) + int(c)
+    quota = {k: v * 8 // 10 for k, v in quota.items()}
+    qh = ray.put(quota)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": b.column("lang"),
+            "h": pa.array(_mix(ids.astype(np.int64)), pa.uint64()),
+            "doc_id": b.column("doc_id"),
+            "one": pa.array(np.ones(b.num_rows, np.int64))})
+    prep.__name__ = "split_hash_prep"
+
+    ranked = windowed_cumsum(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        key_col="lang", order_cols=["h", "doc_id"], val_col="one",
+        out_col="rnk")
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "split": pa.array([], pa.string())})
+        q = ray.get(qh)
+        langs = b.column("lang").to_pylist()
+        cut = np.fromiter((q[x] for x in langs), np.int64,
+                          len(langs))
+        rnk = b.column("rnk").to_numpy(zero_copy_only=False)
+        split = np.where(rnk <= cut, "train", "heldout")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "split": pa.array(split.astype(object), pa.string())})
+    assign.__name__ = "split_assign"
+
+    return ranked.map_batches(assign, batch_format="pyarrow")
+
+
 def q_value_mad(sf_dir: str):
     """Per-group MEDIAN ABSOLUTE DEVIATION of event value — the
     robust-statistics dispersion pass (outlier-resistant spread, the
@@ -7476,6 +7551,7 @@ QUERIES = {
     "floored_balance": q_floored_balance,
     "hll_overlap": q_hll_overlap,
     "decay_score": q_decay_score,
+    "exact_split": q_exact_split,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -9994,6 +10070,27 @@ ORACLE_SQL["decay_score"] = """
     FROM p
     WHERE age BETWEEN 1 AND 30
     GROUP BY user_id
+"""
+
+# exact_split: largest-remainder exact-quota stratified split —
+# splitmix hash order inside each stratum, rank ≤ n·8//10 → train.
+ORACLE_SQL["exact_split"] = """
+    WITH n AS (
+        SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    h AS (
+        SELECT doc_id, lang,
+               ((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                % 18446744073709551616) AS hv
+        FROM documents),
+    r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY hv, doc_id) AS rnk
+        FROM h)
+    SELECT r.doc_id,
+           CASE WHEN r.rnk <= (n.cnt * 8) // 10
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM r JOIN n USING (lang)
 """
 
 ORACLE_SQL["value_mad"] = """

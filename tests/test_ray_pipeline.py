@@ -4397,3 +4397,57 @@ def test_decay_score_reference(ray_session):
         - np.timedelta64(86_400_000_000, "us")]
     with pytest.raises(Exception, match="int64|cents"):
         run(big, 2)
+
+
+def test_exact_split_reference(ray_session):
+    """exact_split == a numpy rank-by-hash reference across layouts;
+    per-stratum train counts are EXACTLY floor(0.8·n) (the property
+    hash_split can only match in expectation); assignment is stable
+    across runs and partitionings."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.data.sampling import _mix
+    from soupflow.queries import q_exact_split
+
+    def ref(df):
+        out = {}
+        for lang, g in df.groupby("lang"):
+            ids = g.doc_id.to_numpy()
+            hv = _mix(ids.astype(np.int64))
+            order = np.lexsort((ids, hv))
+            quota = len(g) * 8 // 10
+            for r, i in enumerate(order):
+                out[int(ids[i])] = ("train" if r < quota
+                                    else "heldout")
+        return out
+
+    def run(df, nfiles):
+        with tempfile.TemporaryDirectory() as td:
+            os.makedirs(f"{td}/documents.parquet")
+            for i, part in enumerate(np.array_split(df, nfiles)):
+                part.to_parquet(f"{td}/documents.parquet/p{i}.parquet")
+            out = q_exact_split(td).to_pandas()
+        return dict(zip(out.doc_id.astype(int), out.split))
+
+    rng = np.random.default_rng(71)
+    n = 1200
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(5 * n)[:n].astype("int64"),
+        "text": ["x"] * n,
+        "lang": rng.choice(["en", "de", "zh", "ar"],
+                           n, p=[.5, .3, .15, .05]),
+        "source": ["s"] * n,
+        "n_chars": np.ones(n, "int64")})
+    want = ref(df)
+    got = run(df, 4)
+    assert got == want
+    # exact per-stratum quota
+    merged = df.assign(split=df.doc_id.map(got))
+    for lang, g in merged.groupby("lang"):
+        assert (g.split == "train").sum() == len(g) * 8 // 10, lang
+    # layout + rerun stability
+    assert run(df, 1) == want and run(df, 9) == want
