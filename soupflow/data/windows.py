@@ -756,6 +756,116 @@ def floored_running_balance(ds, *, key_col: str,
         .map_batches(finish, batch_format="pyarrow")
 
 
+def windowed_locf(ds, *, key_col: str, order_cols: list[str],
+                  val_col: str, out_col: str = "filled",
+                  default: int = 0, num_partitions: int = 16):
+    """Per-key LAST-OBSERVATION-CARRIED-FORWARD — the
+    ``last_value(x IGNORE NULLS) OVER (PARTITION BY key ORDER BY …
+    ROWS UNBOUNDED PRECEDING)`` class (sensor gap fill, sparse
+    feature carry, "last purchase as of each event"), with a per-row
+    output: every row gets the most recent NON-NULL ``val_col`` at or
+    before it within its key, or ``default`` when none exists yet.
+    ``val_col`` must be int64-with-nulls. Requires (key, *order_cols)
+    unique at block boundaries.
+
+    Scale shape (windowed_cumsum's one-sort broadcast-carry family):
+    each block fills all its segments with ONE vectorized segmented
+    running-argmax of valid-row positions (the same segment-offset
+    trick as _segmented_cummin — positions are block-bounded so the
+    shift can't leave int64), and the cross-block carry per key is a
+    SINGLE value: the segment's last non-null (or the carry threaded
+    from earlier segments). Each block ships ≤2 edge summaries; the
+    driver walks the O(blocks) table; a zero-shuffle scoring pass
+    substitutes the carry into only the rows before their segment's
+    first non-null. Hot keys cost O(blocks) driver state."""
+    import ray
+
+    from ..io import collect_table
+
+    cols = [key_col, *order_cols, val_col]
+    sorted_tagged = ds.select_columns(cols) \
+        .repartition(num_partitions) \
+        .sort([key_col, *order_cols]) \
+        .materialize()  # summary + scoring passes see the SAME blocks
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        payload = {c: [] for c in (key_col, *order_cols)}
+        lasts, has = [], []
+        if batch.num_rows:
+            col = batch.column(val_col).cast(pa.int64())
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            vals = col.fill_null(0).to_numpy(zero_copy_only=False)
+            for i0, i1 in _edge_segment_bounds(batch, key_col):
+                payload[key_col].append(
+                    batch.column(key_col)[i0].as_py())
+                for c in order_cols:
+                    payload[c].append(batch.column(c)[i0].as_py())
+                nz = np.flatnonzero(valid[i0:i1])
+                if nz.size:
+                    lasts.append(int(vals[i0 + nz[-1]]))
+                    has.append(1)
+                else:
+                    lasts.append(0)
+                    has.append(0)
+        payload["_last"] = (pa.int64(), lasts)
+        payload["_has"] = (pa.int64(), has)
+        return _summary_table(batch, key_col, order_cols, payload)
+    summarize.__name__ = "locf_edge_summaries"
+
+    summ = collect_table(sorted_tagged.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None))
+    incoming: dict = {}
+    carry = None
+    prev = object()
+    for row in _sorted_summary_rows(summ, key_col, order_cols,
+                                    ["_last", "_has"]):
+        tup, last, has = row[:-2], row[-2], row[-1]
+        if tup[0] != prev:
+            carry, prev = None, tup[0]
+        incoming[tup] = carry
+        if has:
+            carry = last
+    handle = ray.put(incoming)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                out_col, pa.array([], pa.int64()))
+        inc = _cached_get(handle)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        col = batch.column(val_col).cast(pa.int64())
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        vals = col.fill_null(0).to_numpy(zero_copy_only=False)
+        seg, starts = _key_segments(keys)
+        n = keys.size
+        # segmented running argmax of valid positions: pos = row
+        # index where valid else −1; shift by seg·(n+1) so earlier
+        # segments always lose (positions are block-bounded, no
+        # overflow possible)
+        pos = np.where(valid, np.arange(n, dtype=np.int64),
+                       np.int64(-1))
+        off = seg.astype(np.int64) * np.int64(n + 1)
+        fillpos = np.maximum.accumulate(pos + off) - off
+        out = np.where(fillpos >= 0,
+                       vals[np.maximum(fillpos, 0)], default)
+        # rows before their segment's first non-null take the carry
+        need = fillpos < 0
+        if need.any():
+            carry_per_seg = np.full(starts.size, np.int64(default))
+            for i0, _ in _edge_segment_bounds(batch, key_col):
+                c = inc[_boundary_tuple(batch, key_col,
+                                        order_cols, i0)]
+                if c is not None:
+                    carry_per_seg[int(seg[i0])] = c
+            out = np.where(need, carry_per_seg[seg], out)
+        return batch.append_column(out_col,
+                                   pa.array(out, pa.int64()))
+    fill.__name__ = "locf_fill"
+
+    return sorted_tagged.map_batches(
+        fill, batch_format="pyarrow", batch_size=None)
+
+
 def windowed_lag(ds, *, key_col: str, ts_col: str, id_col: str,
                  num_partitions: int = 16):
     """Per-key offset window functions — the ``LAG`` / ``LEAD`` class

@@ -6246,6 +6246,46 @@ def q_exact_split(sf_dir: str):
     return ranked.map_batches(assign, batch_format="pyarrow")
 
 
+def q_locf_fill(sf_dir: str):
+    """LAST-OBSERVATION-CARRIED-FORWARD — for EVERY event, the cents
+    value of the user's most recent purchase at or before it (0
+    before the first purchase): the ``last_value(x IGNORE NULLS)``
+    window class (sensor gap fill, sparse feature carry) that many
+    engines lack and naive ports emulate with a quadratic self-join.
+    See data/windows.py windowed_locf for the one-sort +
+    single-value-carry shape; order is (ts, event_id), unique since
+    event_id is. Output one all-integer row per event
+    (event_id, last_purchase_cents)."""
+    from .data.windows import windowed_locf
+
+    def fold(b: pa.Table) -> pa.Table:
+        is_p = pc.equal(b.column("event_type"),
+                        "purchase").to_numpy(zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts").cast(pa.timestamp("us"))
+                      .cast(pa.int64()),
+            "event_id": b.column("event_id"),
+            "pc": pa.array(np.where(is_p, cents, 0),
+                           pa.int64(), mask=~is_p)})
+    fold.__name__ = "locf_purchase_fold"
+
+    ev = _read(sf_dir, "events") \
+        .select_columns(["user_id", "ts", "event_id", "event_type",
+                         "value"]) \
+        .map_batches(fold, batch_format="pyarrow")
+    filled = windowed_locf(
+        ev, key_col="user_id", order_cols=["ts_us", "event_id"],
+        val_col="pc", out_col="last_purchase_cents", default=0)
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "last_purchase_cents"])
+    project.__name__ = "locf_project"
+    return filled.map_batches(project, batch_format="pyarrow")
+
+
 def q_value_mad(sf_dir: str):
     """Per-group MEDIAN ABSOLUTE DEVIATION of event value — the
     robust-statistics dispersion pass (outlier-resistant spread, the
@@ -7552,6 +7592,7 @@ QUERIES = {
     "hll_overlap": q_hll_overlap,
     "decay_score": q_decay_score,
     "exact_split": q_exact_split,
+    "locf_fill": q_locf_fill,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -10091,6 +10132,21 @@ ORACLE_SQL["exact_split"] = """
            CASE WHEN r.rnk <= (n.cnt * 8) // 10
                 THEN 'train' ELSE 'heldout' END AS split
     FROM r JOIN n USING (lang)
+"""
+
+# locf_fill: the IGNORE NULLS forward-fill window the engine runs as
+# one sort + a single-value carry per key.
+ORACLE_SQL["locf_fill"] = """
+    WITH e AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'purchase'
+                    THEN round(value * 100)::BIGINT END AS pc
+        FROM events)
+    SELECT event_id,
+           coalesce(last_value(pc IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING), 0) AS last_purchase_cents
+    FROM e
 """
 
 ORACLE_SQL["value_mad"] = """

@@ -4451,3 +4451,68 @@ def test_exact_split_reference(ray_session):
         assert (g.split == "train").sum() == len(g) * 8 // 10, lang
     # layout + rerun stability
     assert run(df, 1) == want and run(df, 9) == want
+
+
+def test_windowed_locf_reference(ray_session):
+    """windowed_locf == pandas groupby ffill across layouts; a key
+    spanning many blocks threads the carry THROUGH segments that have
+    no valid row at all; an all-null key stays at the default."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import windowed_locf
+
+    def ref(df, default=0):
+        g = df.sort_values(["user_id", "ts_us", "event_id"]).copy()
+        f = g.groupby("user_id").v.ffill().fillna(default)
+        return dict(zip(g.event_id, f.astype(int)))
+
+    rng = np.random.default_rng(83)
+    n = 3000
+    v = rng.integers(1, 10**6, n).astype("float64")
+    v[rng.random(n) < 0.7] = np.nan          # 70% missing
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n).astype("int64"),
+        "ts_us": rng.integers(0, 10**9, n).astype("int64"),
+        "event_id": np.arange(n, dtype="int64"),
+        "v": v})
+    # hot key 99 across every block, with a long all-null stretch in
+    # the middle (the carry must survive valueless segments)
+    hot_v = np.full(2000, np.nan)
+    hot_v[10] = 777.0
+    hot_v[1990] = 888.0
+    hot = pd.DataFrame({
+        "user_id": np.full(2000, 99, "int64"),
+        "ts_us": np.arange(2000, dtype="int64"),
+        "event_id": np.arange(n, n + 2000, dtype="int64"),
+        "v": hot_v})
+    # all-null key stays at default
+    nullk = pd.DataFrame({
+        "user_id": np.full(5, 123, "int64"),
+        "ts_us": np.arange(5, dtype="int64"),
+        "event_id": np.arange(n + 2000, n + 2005, dtype="int64"),
+        "v": np.full(5, np.nan)})
+    df = pd.concat([df, hot, nullk], ignore_index=True)
+    want = ref(df)
+
+    tbl = pd.DataFrame({
+        "user_id": df.user_id,
+        "ts_us": df.ts_us,
+        "event_id": df.event_id,
+        "v": pd.array(np.where(np.isnan(df.v), 0,
+                               df.v).astype("int64"),
+                      dtype="Int64")})
+    tbl.loc[np.isnan(df.v.to_numpy()), "v"] = pd.NA
+    for nparts in (1, 6, 40):
+        out = windowed_locf(
+            ray.data.from_pandas(
+                tbl.sample(frac=1.0, random_state=13)),
+            key_col="user_id", order_cols=["ts_us", "event_id"],
+            val_col="v", out_col="f", num_partitions=nparts) \
+            .to_pandas()
+        got = dict(zip(out.event_id.astype(int),
+                       out.f.astype(int)))
+        assert got == want, f"layout {nparts}"
+    assert want[n + 2005 - 1] == 0           # all-null key
+    assert want[n + 1000] == 777             # carried through nulls
