@@ -6246,6 +6246,65 @@ def q_exact_split(sf_dir: str):
     return ranked.map_batches(assign, batch_format="pyarrow")
 
 
+def q_overlap_exact(sf_dir: str):
+    """EXACT audience overlap — |viewers|, |buyers|, |both| as true
+    distinct counts: the ground-truth companion to hll_overlap's
+    sketch (the same exact-confirm pairing as mg_heavy_hitters), and
+    the audit a curator runs before trusting inclusion–exclusion at
+    a new scale. Shape: per-block (user, saw_view, saw_purchase)
+    flag partials collapse duplicates before the ONLY shuffle, one
+    id-bounded groupby ORs the flags (Max), and a second zero-
+    shuffle pass reduces to O(blocks) 3-int partials the driver
+    sums. Output one all-integer row (n_a, n_b, n_both); the union
+    and Jaccard are one subtraction/division away."""
+    from ray.data.aggregate import Max
+
+    from .io import collect_table
+
+    def flag_partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        a = pc.equal(et, "view").cast(pa.int64())
+        bb = pc.equal(et, "purchase").cast(pa.int64())
+        t = pa.table({"user_id": b.column("user_id"),
+                      "a": a, "b": bb})
+        t = t.filter(pc.or_(pc.equal(t.column("a"), 1),
+                            pc.equal(t.column("b"), 1)))
+        return t.group_by("user_id").aggregate(
+            [("a", "max"), ("b", "max")]) \
+            .rename_columns(["user_id", "a", "b"])
+    flag_partial.__name__ = "overlap_flag_partial"
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.schema.names:
+            z = pa.array([], pa.int64())
+            return pa.table({"n_a": z, "n_b": z, "n_both": z})
+        a = b.column("a").to_numpy(zero_copy_only=False)
+        bb = b.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_a": pa.array([int(a.sum())], pa.int64()),
+            "n_b": pa.array([int(bb.sum())], pa.int64()),
+            "n_both": pa.array([int((a * bb).sum())], pa.int64())})
+    count_partial.__name__ = "overlap_count_partial"
+
+    summ = collect_table(
+        _read(sf_dir, "events")
+        .select_columns(["user_id", "event_type"])
+        .map_batches(flag_partial, batch_format="pyarrow")
+        .groupby("user_id").aggregate(Max("a", alias_name="a"),
+                                      Max("b", alias_name="b"))
+        .map_batches(count_partial, batch_format="pyarrow"))
+    if summ.num_columns == 0 or summ.num_rows == 0:
+        z = pa.array([0], pa.int64())
+        return pa.table({"n_a": z, "n_b": z, "n_both": z})
+    return pa.table({
+        "n_a": pa.array([int(summ.column("n_a").to_numpy(
+            zero_copy_only=False).sum())], pa.int64()),
+        "n_b": pa.array([int(summ.column("n_b").to_numpy(
+            zero_copy_only=False).sum())], pa.int64()),
+        "n_both": pa.array([int(summ.column("n_both").to_numpy(
+            zero_copy_only=False).sum())], pa.int64())})
+
+
 def q_locf_fill(sf_dir: str):
     """LAST-OBSERVATION-CARRIED-FORWARD — for EVERY event, the cents
     value of the user's most recent purchase at or before it (0
@@ -7593,6 +7652,7 @@ QUERIES = {
     "decay_score": q_decay_score,
     "exact_split": q_exact_split,
     "locf_fill": q_locf_fill,
+    "overlap_exact": q_overlap_exact,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -10147,6 +10207,24 @@ ORACLE_SQL["locf_fill"] = """
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING), 0) AS last_purchase_cents
     FROM e
+"""
+
+# overlap_exact: the ground-truth companion to hll_overlap —
+# distinct-user flags ORed per id, then three coalesced sums.
+ORACLE_SQL["overlap_exact"] = """
+    WITH f AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                   END) AS a,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS b
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id)
+    SELECT coalesce(sum(a), 0)::BIGINT AS n_a,
+           coalesce(sum(b), 0)::BIGINT AS n_b,
+           coalesce(sum(a * b), 0)::BIGINT AS n_both
+    FROM f
 """
 
 ORACLE_SQL["value_mad"] = """

