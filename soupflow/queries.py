@@ -6305,6 +6305,109 @@ def q_overlap_exact(sf_dir: str):
             zero_copy_only=False).sum())], pa.int64())})
 
 
+def q_daily_ohlc(sf_dir: str):
+    """Daily OPEN-HIGH-LOW-CLOSE candlesticks of purchase values —
+    the ORDERED-ARG aggregation class (FIRST/LAST by time per group
+    alongside MIN/MAX) every metrics store and financial rollup
+    needs, computed with ZERO sort and ZERO shuffle: per-block
+    per-day partials carry (first-key, open, last-key, close, lo,
+    hi, n) and merge ASSOCIATIVELY — open follows the smaller
+    (ts, event_id), close the larger, lo/hi/n fold — so the driver
+    combines an O(blocks × days) summary table. In-block the
+    ordered-arg is one lexsort + reduceat, never per-row Python.
+    Ordering key is (ts, event_id) — unique, so the result is
+    deterministic; the oracle packs it into ts_us·2^40 + event_id
+    (HUGEINT) for arg_min/arg_max, and the engine raises if an
+    event_id ever reaches 2^40 (the pack would collide exactly
+    where the engine's tuple compare would not). Output all-integer
+    (day, open_cents, high_cents, low_cents, close_cents,
+    n_trades)."""
+    from .io import collect_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        names = ["day", "o_ts", "o_id", "open", "c_ts", "c_id",
+                 "close", "lo", "hi", "n"]
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in names})
+        ts_us = b.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        if eid.size and (int(eid.max()) >= (1 << 40)
+                         or int(eid.min()) < 0):
+            raise ValueError(
+                "daily_ohlc: event_id outside [0, 2^40) — the "
+                "oracle's ts·2^40+id pack would collide")
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        day = ts_us // 86_400_000_000
+        order = np.lexsort((eid, ts_us, day))
+        day, ts_us, eid, cents = (day[order], ts_us[order],
+                                  eid[order], cents[order])
+        starts = np.flatnonzero(np.concatenate(
+            [[True], day[1:] != day[:-1]]))
+        ends = np.append(starts[1:], day.size) - 1
+        return pa.table({
+            "day": pa.array(day[starts], pa.int64()),
+            "o_ts": pa.array(ts_us[starts], pa.int64()),
+            "o_id": pa.array(eid[starts], pa.int64()),
+            "open": pa.array(cents[starts], pa.int64()),
+            "c_ts": pa.array(ts_us[ends], pa.int64()),
+            "c_id": pa.array(eid[ends], pa.int64()),
+            "close": pa.array(cents[ends], pa.int64()),
+            "lo": pa.array(np.minimum.reduceat(cents, starts),
+                           pa.int64()),
+            "hi": pa.array(np.maximum.reduceat(cents, starts),
+                           pa.int64()),
+            "n": pa.array(
+                np.diff(np.append(starts, day.size)).astype(
+                    np.int64), pa.int64())})
+    partial.__name__ = "ohlc_day_partial"
+
+    summ = collect_table(
+        _read(sf_dir, "events")
+        .select_columns(["ts", "event_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow"))
+    names = ["day", "open_cents", "high_cents", "low_cents",
+             "close_cents", "n_trades"]
+    if summ.num_columns == 0 or summ.num_rows == 0:
+        return pa.table({c: pa.array([], pa.int64())
+                         for c in names})
+    merged: dict = {}
+    cols = [summ.column(c).to_numpy(zero_copy_only=False)
+            for c in ("day", "o_ts", "o_id", "open", "c_ts", "c_id",
+                      "close", "lo", "hi", "n")]
+    for d, ots, oid, op, cts, cid, cl, lo, hi, n in zip(*cols):
+        d = int(d)
+        row = merged.get(d)
+        if row is None:
+            merged[d] = [(int(ots), int(oid)), int(op),
+                         (int(cts), int(cid)), int(cl),
+                         int(lo), int(hi), int(n)]
+        else:
+            if (int(ots), int(oid)) < row[0]:
+                row[0], row[1] = (int(ots), int(oid)), int(op)
+            if (int(cts), int(cid)) > row[2]:
+                row[2], row[3] = (int(cts), int(cid)), int(cl)
+            row[4] = min(row[4], int(lo))
+            row[5] = max(row[5], int(hi))
+            row[6] += int(n)
+    days = sorted(merged)
+    return pa.table({
+        "day": pa.array(days, pa.int64()),
+        "open_cents": pa.array([merged[d][1] for d in days],
+                               pa.int64()),
+        "high_cents": pa.array([merged[d][5] for d in days],
+                               pa.int64()),
+        "low_cents": pa.array([merged[d][4] for d in days],
+                              pa.int64()),
+        "close_cents": pa.array([merged[d][3] for d in days],
+                                pa.int64()),
+        "n_trades": pa.array([merged[d][6] for d in days],
+                             pa.int64())})
+
+
 def q_locf_fill(sf_dir: str):
     """LAST-OBSERVATION-CARRIED-FORWARD — for EVERY event, the cents
     value of the user's most recent purchase at or before it (0
@@ -7653,6 +7756,7 @@ QUERIES = {
     "exact_split": q_exact_split,
     "locf_fill": q_locf_fill,
     "overlap_exact": q_overlap_exact,
+    "daily_ohlc": q_daily_ohlc,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -10225,6 +10329,27 @@ ORACLE_SQL["overlap_exact"] = """
            coalesce(sum(b), 0)::BIGINT AS n_b,
            coalesce(sum(a * b), 0)::BIGINT AS n_both
     FROM f
+"""
+
+# daily_ohlc: ordered-arg aggregation — open/close via arg_min /
+# arg_max over the HUGEINT pack ts_us·2^40 + event_id (the engine
+# compares the (ts, id) tuple directly and raises if id ≥ 2^40).
+ORACLE_SQL["daily_ohlc"] = """
+    WITH p AS (
+        SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+               round(value * 100)::BIGINT AS cents,
+               (CAST(epoch_us(ts) AS HUGEINT) * 1099511627776
+                + event_id) AS k
+        FROM events
+        WHERE event_type = 'purchase')
+    SELECT CAST(day AS BIGINT) AS day,
+           arg_min(cents, k) AS open_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           arg_max(cents, k) AS close_cents,
+           count(*)::BIGINT AS n_trades
+    FROM p
+    GROUP BY day
 """
 
 ORACLE_SQL["value_mad"] = """

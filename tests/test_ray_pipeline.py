@@ -4557,3 +4557,77 @@ def test_overlap_exact_reference(ray_session):
 
     for nfiles in (1, 4, 9):
         assert run(nfiles) == want, f"layout {nfiles}"
+
+
+def test_daily_ohlc_reference(ray_session):
+    """daily_ohlc == a pandas first/last/min/max reference across
+    layouts, with same-microsecond ties broken by event_id (planted)
+    and the event_id ≥ 2^40 pack-collision contract raising."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from soupflow.queries import q_daily_ohlc
+
+    def ref(ev):
+        p = ev[ev.event_type == "purchase"].copy()
+        p["cents"] = np.floor(
+            p.value.to_numpy() * 100.0 + 0.5).astype("int64")
+        p["ts_us"] = p.ts.to_numpy().astype(
+            "datetime64[us]").astype("int64")
+        p["day"] = p.ts_us // 86_400_000_000
+        p = p.sort_values(["day", "ts_us", "event_id"])
+        out = {}
+        for d, g in p.groupby("day"):
+            out[int(d)] = (int(g.cents.iloc[0]),
+                           int(g.cents.max()), int(g.cents.min()),
+                           int(g.cents.iloc[-1]), len(g))
+        return out
+
+    def run(ev, nfiles):
+        with tempfile.TemporaryDirectory() as td:
+            os.makedirs(f"{td}/events.parquet")
+            for i, part in enumerate(np.array_split(ev, nfiles)):
+                part.to_parquet(f"{td}/events.parquet/p{i}.parquet")
+            out = q_daily_ohlc(td).to_pandas()
+        return {int(r.day): (int(r.open_cents), int(r.high_cents),
+                             int(r.low_cents), int(r.close_cents),
+                             int(r.n_trades))
+                for r in out.itertuples()}
+
+    rng = np.random.default_rng(97)
+    n = 1500
+    base = np.datetime64("2024-03-01", "us")
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": base + rng.integers(0, 20 * 86_400_000_000, n)
+        .astype("timedelta64[us]"),
+        "user_id": rng.integers(0, 50, n).astype("int64"),
+        "event_type": rng.choice(["purchase", "view"], n),
+        "value": np.round(rng.uniform(0.5, 500.0, n), 2),
+        "props": ["{}"] * n})
+    # planted same-microsecond open tie: two purchases at the exact
+    # day start, event_id decides which is the open
+    t0 = base + np.timedelta64(25 * 86_400_000_000, "us")
+    tie = pd.DataFrame({
+        "event_id": [n + 5, n + 2],
+        "ts": [t0, t0],
+        "user_id": [1, 2],
+        "event_type": ["purchase", "purchase"],
+        "value": [11.11, 22.22],
+        "props": ["{}"] * 2})
+    ev = pd.concat([ev, tie], ignore_index=True)
+    want = ref(ev)
+    tie_day = int((t0 - np.datetime64(0, "us"))
+                  // np.timedelta64(86_400_000_000, "us"))
+    assert want[tie_day][0] == 2222          # id n+2 wins the open
+    for nfiles in (1, 4, 9):
+        assert run(ev, nfiles) == want, f"layout {nfiles}"
+
+    bad = ev.copy()
+    bad.loc[0, ["event_id", "event_type"]] = [1 << 40, "purchase"]
+    with pytest.raises(Exception, match="2\\^40|event_id"):
+        run(bad, 2)
