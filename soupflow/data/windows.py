@@ -1199,6 +1199,160 @@ def ordered_funnel(ds, *, key_col: str, ts_col: str, type_col: str,
         "n_keys": pa.array(counts, pa.int64())})
 
 
+def _funnel_kernel(t: np.ndarray, code: np.ndarray,
+                   starts: np.ndarray, k_steps: int,
+                   window_us: int) -> np.ndarray:
+    """Vectorized strict-sequence funnel over contiguous key
+    segments: rows pre-sorted by (key, ts); returns a (k_steps,)
+    array of per-step reached counts across the given segments. The
+    per-step threshold chain (t_i = min ts of step-i rows strictly
+    after t_{i−1} and within the window) is K masked
+    minimum.reduceat passes — no per-key Python."""
+    INF = np.int64(1) << 62
+    counts = np.zeros(k_steps, np.int64)
+    if t.size == 0:
+        return counts
+    seg = np.searchsorted(starts, np.arange(t.size),
+                          side="right") - 1
+    thr = None
+    for i in range(k_steps):
+        if i == 0:
+            valid = code == 0
+        else:
+            th_row = thr[seg]
+            valid = ((code == i) & (t > th_row)
+                     & (t <= th_row + window_us))
+        vals = np.where(valid, t, INF)
+        ti = np.minimum.reduceat(vals, starts)
+        counts[i] = int((ti < INF).sum())
+        thr = ti                     # INF thresholds kill later steps
+    return counts
+
+
+def ordered_funnel_sorted(ds, *, key_col: str, ts_col: str,
+                          type_col: str, steps: tuple,
+                          window_us: int, num_partitions: int = 8,
+                          max_run: int = 262144) -> pa.Table:
+    """ONE-PASS strict-sequence funnel — same semantics as
+    ``ordered_funnel`` (each step strictly after and within
+    ``window_us`` of the previous step's time; per-step reached
+    counts) but computed in the one-sort sentinel-family shape
+    instead of K−1 hash joins + K groupbys: step events fold
+    map-side to narrow (key, ts, code) rows, ONE global sort
+    co-locates each key, and every block finishes its INTERIOR
+    segments with the vectorized K-pass threshold kernel
+    (_funnel_kernel — masked minimum.reduceat per step, zero
+    per-key Python), emitting one K-row count partial. Only the ≤2
+    EDGE runs per block ship their raw step rows to the driver,
+    which re-kernels each split key from its concatenated rows —
+    O(blocks × edge-run rows) — and adds the counts. An edge run
+    longer than ``max_run`` rows raises IN THE WORKER before
+    shipping (a bot key with millions of step events needs the
+    staged-join hatch, ``ordered_funnel``, which never collects raw
+    rows). At scale this saves K−1 full exchanges of the step
+    streams plus K stage-table groupbys."""
+    from ..io import collect_table
+
+    k_steps = len(steps)
+
+    def fold(b: pa.Table) -> pa.Table:
+        tv = b.column(type_col)
+        code = np.full(b.num_rows, -1, np.int64)
+        for i, s in enumerate(steps):
+            code[pc.equal(tv, s).to_numpy(
+                zero_copy_only=False)] = i
+        keep = code >= 0
+        kept = b.filter(pa.array(keep))
+        ts = kept.column(ts_col).cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        return pa.table({
+            key_col: kept.column(key_col).cast(pa.int64()),
+            "t": ts,
+            "code": pa.array(code[keep], pa.int64())})
+    fold.__name__ = "funnel_sorted_fold"
+
+    def block_kernel(batch: pa.Table) -> pa.Table:
+        names = ["tag", key_col, "t", "code", "n"]
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in names})
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        t = batch.column("t").to_numpy(zero_copy_only=False)
+        code = batch.column("code").to_numpy(zero_copy_only=False)
+        seg, starts = _key_segments(keys)
+        edge = _edge_segment_bounds(batch, key_col)
+        edge_rows = []
+        interior_mask = np.ones(starts.size, bool)
+        for i0, i1 in edge:
+            if i1 - i0 > max_run:
+                raise ValueError(
+                    f"ordered_funnel_sorted: edge run of key "
+                    f"{keys[i0]!r} has {i1 - i0} step rows — "
+                    f"exceeds max_run={max_run}; use the "
+                    "staged-join ordered_funnel hatch")
+            interior_mask[int(seg[i0])] = False
+            edge_rows.append((i0, i1))
+        # interior counts: drop edge segments, re-pack contiguous
+        keep_rows = interior_mask[seg]
+        if keep_rows.any():
+            ti = t[keep_rows]
+            ci = code[keep_rows]
+            ki = keys[keep_rows]
+            _, si = _key_segments(ki)
+            counts = _funnel_kernel(ti, ci, si, k_steps, window_us)
+        else:
+            counts = np.zeros(k_steps, np.int64)
+        tag = [0] * k_steps
+        kcol = [0] * k_steps
+        tcol = [0] * k_steps
+        ccol = list(range(k_steps))
+        ncol = [int(x) for x in counts]
+        for i0, i1 in edge_rows:
+            m = i1 - i0
+            tag += [1] * m
+            kcol += [int(x) for x in keys[i0:i1]]
+            tcol += [int(x) for x in t[i0:i1]]
+            ccol += [int(x) for x in code[i0:i1]]
+            ncol += [0] * m
+        return pa.table({
+            "tag": pa.array(tag, pa.int64()),
+            key_col: pa.array(kcol, pa.int64()),
+            "t": pa.array(tcol, pa.int64()),
+            "code": pa.array(ccol, pa.int64()),
+            "n": pa.array(ncol, pa.int64())})
+    block_kernel.__name__ = "funnel_sorted_kernel"
+
+    summ = collect_table(
+        ds.select_columns([key_col, ts_col, type_col])
+        .map_batches(fold, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .sort([key_col, "t"])
+        .map_batches(block_kernel, batch_format="pyarrow",
+                     batch_size=None))
+    counts = np.zeros(k_steps, np.int64)
+    if summ.num_rows:
+        tags = summ.column("tag").to_numpy(zero_copy_only=False)
+        part = summ.filter(pa.array(tags == 0))
+        np.add.at(counts,
+                  part.column("code").to_numpy(
+                      zero_copy_only=False),
+                  part.column("n").to_numpy(zero_copy_only=False))
+        edge = summ.filter(pa.array(tags == 1))
+        if edge.num_rows:
+            ek = edge.column(key_col).to_numpy(
+                zero_copy_only=False)
+            et = edge.column("t").to_numpy(zero_copy_only=False)
+            ec = edge.column("code").to_numpy(zero_copy_only=False)
+            order = np.lexsort((et, ek))
+            ek, et, ec = ek[order], et[order], ec[order]
+            _, es = _key_segments(ek)
+            counts += _funnel_kernel(et, ec, es, k_steps,
+                                     window_us)
+    return pa.table({
+        "step": pa.array(list(steps), pa.string()),
+        "n_keys": pa.array([int(x) for x in counts], pa.int64())})
+
+
 def time_weighted_avg(ds, *, key_col: str, ts_col: str,
                       id_col: str, val_col: str,
                       num_partitions: int = 16):

@@ -956,14 +956,20 @@ _ENTROPY_TYPES = ("click", "error", "purchase", "signup", "view")
 
 def q_strict_funnel(sf_dir: str):
     """Strict-sequence 3-step conversion funnel with a 1-day window
-    per step (data/windows.py ordered_funnel): view → click →
+    per step: view → click →
     purchase, each step strictly after AND within 24h of the
     previous step's time — the sequentially-dependent composite the
     2-step masked-min funnel can't express (stage i's threshold is
-    stage i−1's RESULT). One narrow staged pass per step; drop-off
-    genuinely bites at both scales (15→6→3 / 150→60→25 users)."""
-    from .data.windows import ordered_funnel
-    return ordered_funnel(
+    stage i−1's RESULT). Round-5 rewrite onto the one-sort sentinel
+    shape (data/windows.py ordered_funnel_sorted): step events fold
+    to narrow (user, ts, code) rows, ONE sort, a vectorized K-pass
+    masked-reduceat kernel per block, O(blocks × edge-run rows)
+    driver fixup — replacing K−1 hash joins + K groupbys; the
+    staged-join ordered_funnel remains the hatch for bot keys whose
+    edge runs exceed max_run (parity-pytested). Drop-off genuinely
+    bites at both scales (15→6→3 / 150→60→25 users)."""
+    from .data.windows import ordered_funnel_sorted
+    return ordered_funnel_sorted(
         _read(sf_dir, "events")
         .select_columns(["user_id", "ts", "event_type"]),
         key_col="user_id", ts_col="ts", type_col="event_type",

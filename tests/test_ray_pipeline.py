@@ -4631,3 +4631,53 @@ def test_daily_ohlc_reference(ray_session):
     bad.loc[0, ["event_id", "event_type"]] = [1 << 40, "purchase"]
     with pytest.raises(Exception, match="2\\^40|event_id"):
         run(bad, 2)
+
+
+def test_ordered_funnel_sorted_parity(ray_session):
+    """ordered_funnel_sorted == the staged-join ordered_funnel on
+    randomized event streams across layouts (incl. a hot key across
+    every block), and the max_run edge-run contract raises in the
+    worker."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray
+
+    from soupflow.data.windows import (ordered_funnel,
+                                       ordered_funnel_sorted)
+
+    W = 3_600_000_000
+    rng = np.random.default_rng(101)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 120, n).astype("int64"),
+        "ts": pd.to_datetime(
+            rng.integers(0, 40 * W, n), unit="us"),
+        "et": rng.choice(["a", "b", "c", "noise"], n,
+                         p=[.3, .25, .2, .25])})
+    hot = pd.DataFrame({
+        "k": np.full(3000, 999, "int64"),
+        "ts": pd.to_datetime(
+            np.sort(rng.integers(0, 40 * W, 3000)), unit="us"),
+        "et": rng.choice(["a", "b", "c"], 3000)})
+    df = pd.concat([df, hot], ignore_index=True)
+
+    want = ordered_funnel(
+        ray.data.from_pandas(df).repartition(4), key_col="k",
+        ts_col="ts", type_col="et", steps=("a", "b", "c"),
+        window_us=W).column("n_keys").to_pylist()
+    for parts in (1, 6, 24):
+        got = ordered_funnel_sorted(
+            ray.data.from_pandas(
+                df.sample(frac=1.0, random_state=3)),
+            key_col="k", ts_col="ts", type_col="et",
+            steps=("a", "b", "c"), window_us=W,
+            num_partitions=parts).column("n_keys").to_pylist()
+        assert got == want, f"layout {parts}"
+    assert want[0] >= want[1] >= want[2] and want[2] > 0
+
+    with pytest.raises(Exception, match="max_run"):
+        ordered_funnel_sorted(
+            ray.data.from_pandas(df), key_col="k", ts_col="ts",
+            type_col="et", steps=("a", "b", "c"), window_us=W,
+            num_partitions=4, max_run=100)
