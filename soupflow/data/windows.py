@@ -756,6 +756,137 @@ def floored_running_balance(ds, *, key_col: str,
         .map_batches(finish, batch_format="pyarrow")
 
 
+def _segmented_cummax(x: np.ndarray, seg: np.ndarray,
+                      starts: np.ndarray) -> np.ndarray:
+    """Per-segment INCLUSIVE running maximum — the mirror of
+    _segmented_cummin (shift by +s·BIG so earlier segments always
+    lose a running max; same int64 guard and per-segment
+    fallback)."""
+    n = x.size
+    if n == 0:
+        return x.astype(np.int64, copy=True)
+    lo, hi = int(x.min()), int(x.max())
+    big = hi - lo + 1
+    nseg = int(seg[-1]) + 1
+    if max(abs(lo), abs(hi)) + nseg * big < (1 << 62):
+        off = seg.astype(np.int64) * np.int64(big)
+        return np.maximum.accumulate(x + off) - off
+    out = np.empty(n, np.int64)
+    bounds = np.append(starts, n)
+    for i in range(nseg):
+        s0, s1 = int(bounds[i]), int(bounds[i + 1])
+        out[s0:s1] = np.maximum.accumulate(x[s0:s1])
+    return out
+
+
+def record_high_scan(ds, *, key_col: str, order_cols: list[str],
+                     val_col: str, num_partitions: int = 16):
+    """Per-key RECORD-HIGH scan — how many times did each key set a
+    new personal maximum, and what is it now? (``v_t >
+    max(v_1..v_{t−1})`` — price records, personal bests, peak-load
+    counters.) Returns one row per key: (key, n_records, max_val);
+    the first observation is always a record. Completes the
+    scan-carry family (sum = windowed_cumsum, clamp =
+    floored_running_balance, fill = windowed_locf): ONE sort,
+    per-block segmented running max (_segmented_cummax), and the
+    cross-block carry is a single value — the key's running max so
+    far — threaded by the driver over ≤2 edge summaries per block;
+    a per-segment (key, records, seg_max) partial then folds
+    through ONE key-bounded groupby (Sum, Max). No last-segment
+    marking is needed: both outputs merge associatively."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from ..io import collect_table
+
+    NO_MAX = -(np.int64(1) << 62)
+    cols = [key_col, *order_cols, val_col]
+    sorted_tagged = ds.select_columns(cols) \
+        .repartition(num_partitions) \
+        .sort([key_col, *order_cols]) \
+        .materialize()
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        payload = {c: [] for c in (key_col, *order_cols)}
+        maxes = []
+        if batch.num_rows:
+            vals = batch.column(val_col).to_numpy(
+                zero_copy_only=False)
+            for i0, i1 in _edge_segment_bounds(batch, key_col):
+                payload[key_col].append(
+                    batch.column(key_col)[i0].as_py())
+                for c in order_cols:
+                    payload[c].append(batch.column(c)[i0].as_py())
+                maxes.append(int(vals[i0:i1].max()))
+        payload["_seg_max"] = (pa.int64(), maxes)
+        return _summary_table(batch, key_col, order_cols, payload)
+    summarize.__name__ = "record_edge_summaries"
+
+    summ = collect_table(sorted_tagged.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None))
+    if summ.num_columns == 0 or summ.num_rows == 0:
+        e = pa.array([], pa.int64())
+        import ray as _ray
+        return _ray.data.from_arrow(pa.table({
+            key_col: e, "n_records": e, "max_val": e}))
+    incoming: dict = {}
+    acc = int(NO_MAX)
+    prev = object()
+    for row in _sorted_summary_rows(summ, key_col, order_cols,
+                                    ["_seg_max"]):
+        tup, seg_max = row[:-1], row[-1]
+        if tup[0] != prev:
+            acc, prev = int(NO_MAX), tup[0]
+        incoming[tup] = acc
+        acc = max(acc, seg_max)
+    handle = ray.put(incoming)
+
+    def score(batch: pa.Table) -> pa.Table:
+        key_t = batch.schema.field(key_col).type
+        if batch.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], key_t),
+                "_recs": pa.array([], pa.int64()),
+                "_max": pa.array([], pa.int64())})
+        inc = _cached_get(handle)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+        seg, starts = _key_segments(keys)
+        n = keys.size
+        cm = _segmented_cummax(vals, seg, starts)
+        m_in = np.full(starts.size, NO_MAX, np.int64)
+        for i0, _ in _edge_segment_bounds(batch, key_col):
+            m_in[int(seg[i0])] = inc[_boundary_tuple(
+                batch, key_col, order_cols, i0)]
+        m_excl = np.empty(n, np.int64)     # running max BEFORE row t
+        m_excl[1:] = cm[:-1]
+        m_excl[starts] = NO_MAX
+        m_excl = np.maximum(m_excl, m_in[seg])
+        rec = (vals > m_excl).astype(np.int64)
+        return pa.table({
+            key_col: batch.column(key_col).take(
+                pa.array(starts, pa.int64())),
+            "_recs": pa.array(np.add.reduceat(rec, starts),
+                              pa.int64()),
+            "_max": pa.array(np.maximum.reduceat(vals, starts),
+                             pa.int64())})
+    score.__name__ = "record_high_score"
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n_records": batch.column("_recs"),
+            "max_val": batch.column("_max")})
+    finish.__name__ = "record_high_finish"
+
+    return sorted_tagged.map_batches(
+        score, batch_format="pyarrow", batch_size=None) \
+        .groupby(key_col).aggregate(
+            Sum("_recs", alias_name="_recs"),
+            Max("_max", alias_name="_max")) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
 def windowed_locf(ds, *, key_col: str, order_cols: list[str],
                   val_col: str, out_col: str = "filled",
                   default: int = 0, num_partitions: int = 16):

@@ -6311,6 +6311,50 @@ def q_overlap_exact(sf_dir: str):
             zero_copy_only=False).sum())], pa.int64())})
 
 
+def q_record_highs(sf_dir: str):
+    """Per-user PERSONAL-RECORD scan over purchases — how many times
+    did a user's purchase set a new personal maximum, and what is
+    the record now? (price records / personal bests / peak-load
+    counters — the running-MAX member of the scan-carry family:
+    sum = running_total, clamp = floored_balance, fill = locf_fill.)
+    See data/windows.py record_high_scan: ONE sort, segmented
+    running max per block, single-value (running max) carry across
+    seams, ONE key-bounded groupby — both outputs merge
+    associatively so no last-segment marking exists. Output one
+    all-integer row per purchasing user (user_id, n_records,
+    max_cents); the first purchase is always a record."""
+    from .data.windows import record_high_scan
+
+    def fold(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts").cast(pa.timestamp("us"))
+                      .cast(pa.int64()),
+            "event_id": b.column("event_id"),
+            "cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64),
+                pa.int64())})
+    fold.__name__ = "record_purchase_fold"
+
+    ev = _read(sf_dir, "events") \
+        .select_columns(["user_id", "ts", "event_id", "event_type",
+                         "value"]) \
+        .map_batches(fold, batch_format="pyarrow")
+    out = record_high_scan(
+        ev, key_col="user_id", order_cols=["ts_us", "event_id"],
+        val_col="cents")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "n_records": b.column("n_records"),
+            "max_cents": b.column("max_val")})
+    rename.__name__ = "record_rename"
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def q_daily_ohlc(sf_dir: str):
     """Daily OPEN-HIGH-LOW-CLOSE candlesticks of purchase values —
     the ORDERED-ARG aggregation class (FIRST/LAST by time per group
@@ -7763,6 +7807,7 @@ QUERIES = {
     "locf_fill": q_locf_fill,
     "overlap_exact": q_overlap_exact,
     "daily_ohlc": q_daily_ohlc,
+    "record_highs": q_record_highs,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -10356,6 +10401,29 @@ ORACLE_SQL["daily_ohlc"] = """
            count(*)::BIGINT AS n_trades
     FROM p
     GROUP BY day
+"""
+
+# record_highs: the running-max scan — record iff cents beats the
+# 1-PRECEDING running max (NULL = first purchase = record).
+ORACLE_SQL["record_highs"] = """
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               round(value * 100)::BIGINT AS cents
+        FROM events
+        WHERE event_type = 'purchase'),
+    m AS (
+        SELECT user_id, cents,
+               max(cents) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS mprev
+        FROM p)
+    SELECT user_id,
+           CAST(sum(CASE WHEN mprev IS NULL OR cents > mprev
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM m
+    GROUP BY user_id
 """
 
 ORACLE_SQL["value_mad"] = """

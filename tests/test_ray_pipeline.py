@@ -4681,3 +4681,59 @@ def test_ordered_funnel_sorted_parity(ray_session):
             ray.data.from_pandas(df), key_col="k", ts_col="ts",
             type_col="et", steps=("a", "b", "c"), window_us=W,
             num_partitions=4, max_run=100)
+
+
+def test_record_high_scan_reference(ray_session):
+    """record_high_scan == a sequential running-max fold across
+    layouts, with planted monotone-increasing (every row a record),
+    monotone-decreasing (only the first), tie-at-the-record (a tie
+    is NOT a record) and hot multi-block keys."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import record_high_scan
+
+    def ref(df):
+        out = {}
+        g = df.sort_values(["user_id", "ts_us", "event_id"])
+        for uid, grp in g.groupby("user_id"):
+            m = None
+            recs = 0
+            for v in grp.v:
+                if m is None or v > m:
+                    recs += 1
+                    m = int(v)
+            out[int(uid)] = (recs, m)
+        return out
+
+    rng = np.random.default_rng(107)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 30, n).astype("int64"),
+        "ts_us": rng.integers(0, 10**9, n).astype("int64"),
+        "event_id": np.arange(n, dtype="int64"),
+        "v": rng.integers(-10**5, 10**5, n).astype("int64")})
+    extra = pd.DataFrame({
+        "user_id": ([200] * 5 + [201] * 5 + [202] * 3
+                    + [203] * 2000),
+        "ts_us": (list(range(5)) + list(range(5)) + list(range(3))
+                  + list(range(2000))),
+        "event_id": np.arange(n, n + 2013, dtype="int64"),
+        "v": ([1, 2, 3, 4, 5]          # all records
+              + [5, 4, 3, 2, 1]        # only the first
+              + [7, 7, 7]              # ties are not records
+              + list(rng.integers(0, 10**6, 2000)))})  # hot key
+    df = pd.concat([df, extra], ignore_index=True)
+    want = ref(df)
+    assert want[200] == (5, 5) and want[201] == (1, 5)
+    assert want[202] == (1, 7)
+    for nparts in (1, 7, 40):
+        out = record_high_scan(
+            ray.data.from_pandas(
+                df.sample(frac=1.0, random_state=17)),
+            key_col="user_id", order_cols=["ts_us", "event_id"],
+            val_col="v", num_partitions=nparts).to_pandas()
+        got = {int(r.user_id): (int(r.n_records), int(r.max_val))
+               for r in out.itertuples()}
+        assert got == want, f"layout {nparts}"
