@@ -71,7 +71,7 @@ TIMED_QUERIES = [
     "changepoint", "trimmed_mean_qty", "ks_quantity",
     "mannwhitney_qty", "benford_digits", "floored_balance",
     "hll_overlap", "decay_score", "exact_split", "locf_fill",
-    "overlap_exact", "daily_ohlc", "record_highs",
+    "overlap_exact", "daily_ohlc", "record_highs", "feature_hash",
     # priority_trend shares dense_daily's lattice scan;
     # sales_opportunity / median_value_by_type / compact & csv
     # roundtrips share timed machinery — oracle-gated.

@@ -6311,6 +6311,74 @@ def q_overlap_exact(sf_dir: str):
             zero_copy_only=False).sum())], pa.int64())})
 
 
+def q_feature_hash(sf_dir: str):
+    """HASHING-TRICK feature fold (HashingVectorizer class) — the
+    fixed-width sparse text featurizer every no-vocab training
+    pipeline uses: each token hashes to one of 256 buckets
+    (md5(term) % 256, the CMS column hash) with a ±1 sign from an
+    independent hash (md5(term + '#s') parity), and the corpus
+    folds to per-bucket (signed_sum, n_tokens) totals — collisions,
+    sign cancellations and all, exactly as the trainer's
+    preprocessor would see them. Shape: ZERO shuffle — the existing
+    per-block (term, cnt) vocab-bounded partials (text never
+    leaves the scan) map through a distinct-term md5 fold (Python
+    only over DISTINCT terms, never per occurrence) to ≤256-row
+    bucket partials, and the driver sums O(blocks × 256). Output
+    ≤256 all-integer rows (bucket, signed_sum, n_tokens)."""
+    import hashlib
+
+    from .data.sketch import term_count_partials
+    from .io import collect_table
+
+    W = 256
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        names = ["bucket", "signed_sum", "n_tokens"]
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in names})
+        terms = b.column("term").to_pylist()
+        cnts = b.column("cnt").to_numpy(zero_copy_only=False)
+        ssum = np.zeros(W, np.int64)
+        ntok = np.zeros(W, np.int64)
+        for t, c in zip(terms, cnts):
+            tb = t.encode("utf-8", "surrogatepass")
+            bk = int(hashlib.md5(tb).hexdigest()[:8], 16) % W
+            sg = 1 if int(hashlib.md5(tb + b"#s").hexdigest()[:8],
+                          16) % 2 == 0 else -1
+            ssum[bk] += sg * int(c)
+            ntok[bk] += int(c)
+        nz = np.flatnonzero(ntok)
+        return pa.table({
+            "bucket": pa.array(nz.astype(np.int64), pa.int64()),
+            "signed_sum": pa.array(ssum[nz], pa.int64()),
+            "n_tokens": pa.array(ntok[nz], pa.int64())})
+    bucketize.__name__ = "feature_hash_bucketize"
+
+    summ = collect_table(
+        term_count_partials(_read(sf_dir, "documents"))
+        .map_batches(bucketize, batch_format="pyarrow"))
+    names = ["bucket", "signed_sum", "n_tokens"]
+    if summ.num_columns == 0 or summ.num_rows == 0:
+        return pa.table({c: pa.array([], pa.int64())
+                         for c in names})
+    ssum = np.zeros(W, np.int64)
+    ntok = np.zeros(W, np.int64)
+    np.add.at(ssum,
+              summ.column("bucket").to_numpy(zero_copy_only=False),
+              summ.column("signed_sum").to_numpy(
+                  zero_copy_only=False))
+    np.add.at(ntok,
+              summ.column("bucket").to_numpy(zero_copy_only=False),
+              summ.column("n_tokens").to_numpy(
+                  zero_copy_only=False))
+    nz = np.flatnonzero(ntok)
+    return pa.table({
+        "bucket": pa.array(nz.astype(np.int64), pa.int64()),
+        "signed_sum": pa.array(ssum[nz], pa.int64()),
+        "n_tokens": pa.array(ntok[nz], pa.int64())})
+
+
 def q_record_highs(sf_dir: str):
     """Per-user PERSONAL-RECORD scan over purchases — how many times
     did a user's purchase set a new personal maximum, and what is
@@ -7808,6 +7876,7 @@ QUERIES = {
     "overlap_exact": q_overlap_exact,
     "daily_ohlc": q_daily_ohlc,
     "record_highs": q_record_highs,
+    "feature_hash": q_feature_hash,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -10424,6 +10493,38 @@ ORACLE_SQL["record_highs"] = """
            CAST(max(cents) AS BIGINT) AS max_cents
     FROM m
     GROUP BY user_id
+"""
+
+# feature_hash: the hashing-trick fold — md5 bucket + independent
+# md5-parity sign, both via the CMS strpos hex ladder.
+def _hex_ladder(col: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) "
+        f"- 1) * {16 ** (7 - i)}"
+        for i in range(8))
+
+
+ORACLE_SQL["feature_hash"] = f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '')) AS term
+        FROM documents),
+    cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    hx AS (
+        SELECT c, substr(md5(term), 1, 8) AS h1,
+               substr(md5(term || '#s'), 1, 8) AS h2
+        FROM cnt),
+    pos AS (
+        SELECT c, ({_hex_ladder('h1')}) % 256 AS bucket,
+               CASE WHEN ({_hex_ladder('h2')}) % 2 = 0
+                    THEN 1 ELSE -1 END AS sg
+        FROM hx)
+    SELECT bucket,
+           sum(sg * c)::BIGINT AS signed_sum,
+           sum(c)::BIGINT AS n_tokens
+    FROM pos
+    GROUP BY bucket
 """
 
 ORACLE_SQL["value_mad"] = """

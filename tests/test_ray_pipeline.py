@@ -4737,3 +4737,76 @@ def test_record_high_scan_reference(ray_session):
         got = {int(r.user_id): (int(r.n_records), int(r.max_val))
                for r in out.itertuples()}
         assert got == want, f"layout {nparts}"
+
+
+def test_feature_hash_reference(ray_session):
+    """feature_hash == a scalar md5 fold across layouts; a planted
+    same-bucket opposite-sign term pair cancels in signed_sum while
+    n_tokens still counts both (the hashing-trick collision
+    semantics)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from soupflow.queries import q_feature_hash
+
+    W = 256
+
+    def h(t):
+        tb = t.encode()
+        bk = int(hashlib.md5(tb).hexdigest()[:8], 16) % W
+        sg = 1 if int(hashlib.md5(tb + b"#s").hexdigest()[:8],
+                      16) % 2 == 0 else -1
+        return bk, sg
+
+    def ref(texts):
+        out = {}
+        for tx in texts:
+            for t in tx.lower().split():
+                bk, sg = h(t)
+                s, n = out.get(bk, (0, 0))
+                out[bk] = (s + sg, n + 1)
+        return out
+
+    # find two distinct terms in one bucket with opposite signs
+    pos = neg = None
+    i = 0
+    while pos is None or neg is None or h(pos)[0] != h(neg)[0]:
+        i += 1
+        t = f"w{i}"
+        bk, sg = h(t)
+        if pos is None and sg == 1:
+            pos, pb = t, bk
+        elif sg == -1 and pos is not None and bk == pb:
+            neg = t
+        if i > 200000:
+            raise RuntimeError("no collision pair found")
+    rng = np.random.default_rng(113)
+    vocab = [f"tok{j}" for j in range(80)]
+    texts = [" ".join(rng.choice(vocab, 12)) for _ in range(300)]
+    texts.append(f"{pos} {neg} {pos} {neg}")   # cancels to 0
+    want = ref(texts)
+    bk = h(pos)[0]
+    assert want[bk][0] % 2 == want[bk][1] % 2  # parity sanity
+
+    def run(nfiles):
+        df = pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": np.ones(len(texts), "int64")})
+        with tempfile.TemporaryDirectory() as td:
+            os.makedirs(f"{td}/documents.parquet")
+            for i2, part in enumerate(np.array_split(df, nfiles)):
+                part.to_parquet(
+                    f"{td}/documents.parquet/p{i2}.parquet")
+            out = q_feature_hash(td).to_pandas()
+        return {int(r.bucket): (int(r.signed_sum), int(r.n_tokens))
+                for r in out.itertuples()}
+
+    for nfiles in (1, 5):
+        assert run(nfiles) == want, f"layout {nfiles}"
