@@ -72,6 +72,7 @@ TIMED_QUERIES = [
     "mannwhitney_qty", "benford_digits", "floored_balance",
     "hll_overlap", "decay_score", "exact_split", "locf_fill",
     "overlap_exact", "daily_ohlc", "record_highs", "feature_hash",
+    "grid_interp",
     # priority_trend shares dense_daily's lattice scan;
     # sales_opportunity / median_value_by_type / compact & csv
     # roundtrips share timed machinery — oracle-gated.

@@ -997,6 +997,165 @@ def windowed_locf(ds, *, key_col: str, order_cols: list[str],
         fill, batch_format="pyarrow", batch_size=None)
 
 
+def grid_interpolate(ds, *, key_col: str, t_col: str, val_col: str,
+                     grid_us: int = 86_400_000_000,
+                     num_partitions: int = 16):
+    """Per-key LINEAR RESAMPLING onto a fixed time grid — the
+    sensor / price-series "value at every grid instant" operator:
+    for each grid point g with t_first ≤ g < t_last (per key), the
+    linearly interpolated value between the surrounding
+    observations, emitted as an EXACT integer fraction
+    ``num = v_prev·(t_next − g) + v_next·(g − t_prev)``,
+    ``den = t_next − t_prev`` (value = num/den, one float away).
+    Contract: (key, t) unique — duplicate observation instants make
+    interpolation ill-defined and raise loudly (in-block adjacent
+    check + driver seam check).
+
+    The usual formulation (per grid point, find surrounding obs =
+    searchsorted per key) hides the scalable shape: every grid
+    point lies between exactly ONE ADJACENT OBSERVATION PAIR, so
+    after ONE sort on (key, t) the whole operator is pair-local —
+    each block expands its in-block adjacent pairs to their grid
+    rows with pure numpy (repeat + arange, no per-key Python, no
+    searchsorted), and the ONLY cross-block work is the ≤1 SEAM
+    pair per block boundary per key (last obs of the earlier piece,
+    first obs of the later), reconstructed by the driver from ≤2
+    edge summaries per block — O(blocks) state, O(blocks ×
+    days-per-gap) seam rows, appended as one extra dataset. An
+    interpolation product |v|·gap ≥ 2^62 raises where the oracle's
+    BIGINT cast would fail identically."""
+    import ray
+
+    from ..io import collect_table
+
+    D = int(grid_us)
+    cols = [key_col, t_col, val_col]
+    sorted_tagged = ds.select_columns(cols) \
+        .repartition(num_partitions) \
+        .sort([key_col, t_col]) \
+        .materialize()
+
+    def pair_rows(keys, t0, t1, v0, v1):
+        """Vectorized pair → grid-row expansion (shared by the
+        in-block kernel and the driver's seam pass)."""
+        d0 = (t0 + D - 1) // D
+        d1 = (t1 + D - 1) // D
+        cnt = np.maximum(d1 - d0, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return None
+        idx = np.repeat(np.arange(cnt.size), cnt)
+        offs = np.arange(total) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        day = d0[idx] + offs
+        g = day * D
+        span = t1[idx] - t0[idx]
+        vmax = max(abs(int(v0[idx].max() if total else 0)),
+                   abs(int(v0[idx].min() if total else 0)),
+                   abs(int(v1[idx].max() if total else 0)),
+                   abs(int(v1[idx].min() if total else 0)))
+        if vmax and vmax * int(span.max()) >= (1 << 62):
+            raise ValueError(
+                "grid_interpolate: |v|·gap exceeds int64 — the "
+                "oracle's BIGINT cast would fail identically")
+        num = v0[idx] * (t1[idx] - g) + v1[idx] * (g - t0[idx])
+        return keys[idx], day, num, span
+
+    def block_kernel(batch: pa.Table) -> pa.Table:
+        key_t = batch.schema.field(key_col).type
+        empty = pa.table({
+            key_col: pa.array([], key_t),
+            "day": pa.array([], pa.int64()),
+            "num": pa.array([], pa.int64()),
+            "den": pa.array([], pa.int64())})
+        if batch.num_rows < 2:
+            return empty
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        t = batch.column(t_col).to_numpy(zero_copy_only=False)
+        v = batch.column(val_col).to_numpy(zero_copy_only=False)
+        m = keys[1:] == keys[:-1]
+        if (m & (t[1:] == t[:-1])).any():
+            bad = int(np.flatnonzero(m & (t[1:] == t[:-1]))[0])
+            raise ValueError(
+                "grid_interpolate requires (key, t) unique — "
+                f"duplicate instant for key {keys[bad]!r}")
+        out = pair_rows(keys[:-1][m], t[:-1][m], t[1:][m],
+                        v[:-1][m], v[1:][m])
+        if out is None:
+            return empty
+        k, day, num, den = out
+        return pa.table({
+            key_col: pa.array(k, key_t),
+            "day": pa.array(day, pa.int64()),
+            "num": pa.array(num, pa.int64()),
+            "den": pa.array(den, pa.int64())})
+    block_kernel.__name__ = "grid_interp_kernel"
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        payload = {c: [] for c in (key_col, t_col)}
+        ft, fv, lt, lv = [], [], [], []
+        if batch.num_rows:
+            t = batch.column(t_col).to_numpy(zero_copy_only=False)
+            v = batch.column(val_col).to_numpy(
+                zero_copy_only=False)
+            for i0, i1 in _edge_segment_bounds(batch, key_col):
+                payload[key_col].append(
+                    batch.column(key_col)[i0].as_py())
+                payload[t_col].append(
+                    batch.column(t_col)[i0].as_py())
+                ft.append(int(t[i0]))
+                fv.append(int(v[i0]))
+                lt.append(int(t[i1 - 1]))
+                lv.append(int(v[i1 - 1]))
+        payload["_ft"] = (pa.int64(), ft)
+        payload["_fv"] = (pa.int64(), fv)
+        payload["_lt"] = (pa.int64(), lt)
+        payload["_lv"] = (pa.int64(), lv)
+        return _summary_table(batch, key_col, [t_col], payload)
+    summarize.__name__ = "grid_interp_edge_summaries"
+
+    summ = collect_table(sorted_tagged.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None))
+    interior = sorted_tagged.map_batches(
+        block_kernel, batch_format="pyarrow", batch_size=None)
+    if summ.num_columns == 0 or summ.num_rows == 0:
+        return interior
+    sk, sd, sn, sden = [], [], [], []
+    prev_key = object()
+    prev_lt = prev_lv = None
+    for row in _sorted_summary_rows(summ, key_col, [t_col],
+                                    ["_ft", "_fv", "_lt", "_lv"]):
+        key, _, ft, fv, lt, lv = row
+        if key == prev_key:
+            if ft == prev_lt:
+                raise ValueError(
+                    "grid_interpolate requires (key, t) unique — "
+                    f"duplicate instant at a block seam for key "
+                    f"{key!r}")
+            out = pair_rows(np.array([0]),
+                            np.array([prev_lt], np.int64),
+                            np.array([ft], np.int64),
+                            np.array([prev_lv], np.int64),
+                            np.array([fv], np.int64))
+            if out is not None:
+                _, day, num, den = out
+                sk.extend([key] * day.size)
+                sd.extend(day.tolist())
+                sn.extend(num.tolist())
+                sden.extend(den.tolist())
+        prev_key, prev_lt, prev_lv = key, lt, lv
+    if not sk:
+        return interior
+    key_t = summ.schema.field(key_col).type
+    import ray as _ray
+    seams = _ray.data.from_arrow(pa.table({
+        key_col: pa.array(sk, key_t),
+        "day": pa.array(sd, pa.int64()),
+        "num": pa.array(sn, pa.int64()),
+        "den": pa.array(sden, pa.int64())}))
+    return interior.union(seams)
+
+
 def windowed_lag(ds, *, key_col: str, ts_col: str, id_col: str,
                  num_partitions: int = 16):
     """Per-key offset window functions — the ``LAG`` / ``LEAD`` class

@@ -6311,6 +6311,40 @@ def q_overlap_exact(sf_dir: str):
             zero_copy_only=False).sum())], pa.int64())})
 
 
+def q_grid_interp(sf_dir: str):
+    """Daily-grid LINEAR RESAMPLING of each user's purchase-value
+    series — the sensor/price-series "value at every midnight"
+    operator (data/windows.py grid_interpolate): for each grid
+    instant between a user's first and last purchase, the exact
+    integer fraction num/den of the linear interpolation between
+    the surrounding observations. The scalable shape is PAIR-LOCAL
+    (every grid point belongs to exactly one adjacent-observation
+    pair), so one sort + in-block numpy expansion covers everything
+    except the ≤1 seam pair per block boundary per user, which the
+    driver reconstructs from O(blocks) edge summaries. Output
+    (user_id, day, num, den) all-integer; (user, µs) uniqueness is
+    the contract (duplicates raise)."""
+    from .data.windows import grid_interpolate
+
+    def fold(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "t": b.column("ts").cast(pa.timestamp("us"))
+                  .cast(pa.int64()),
+            "v": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64),
+                pa.int64())})
+    fold.__name__ = "grid_interp_fold"
+
+    ev = _read(sf_dir, "events") \
+        .select_columns(["user_id", "ts", "event_type", "value"]) \
+        .map_batches(fold, batch_format="pyarrow")
+    return grid_interpolate(ev, key_col="user_id", t_col="t",
+                            val_col="v")
+
+
 def q_feature_hash(sf_dir: str):
     """HASHING-TRICK feature fold (HashingVectorizer class) — the
     fixed-width sparse text featurizer every no-vocab training
@@ -7877,6 +7911,7 @@ QUERIES = {
     "daily_ohlc": q_daily_ohlc,
     "record_highs": q_record_highs,
     "feature_hash": q_feature_hash,
+    "grid_interp": q_grid_interp,
 }
 
 # Oracle tokenization contract: the SQL splits on RE2 \s+ (ASCII
@@ -10525,6 +10560,34 @@ ORACLE_SQL["feature_hash"] = f"""
            sum(c)::BIGINT AS n_tokens
     FROM pos
     GROUP BY bucket
+"""
+
+# grid_interp: pair-local daily resampling — LEAD pairs + integer
+# ceil-division day ranges + exact num/den interpolation.
+ORACLE_SQL["grid_interp"] = """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t,
+               round(value * 100)::BIGINT AS v
+        FROM events
+        WHERE event_type = 'purchase'),
+    p AS (
+        SELECT user_id, t, v,
+               lead(t) OVER (PARTITION BY user_id ORDER BY t)
+                   AS tn,
+               lead(v) OVER (PARTITION BY user_id ORDER BY t)
+                   AS vn
+        FROM e),
+    g AS (
+        SELECT user_id, t, v, tn, vn,
+               unnest(generate_series(
+                   (t + 86399999999) // 86400000000,
+                   (tn + 86399999999) // 86400000000 - 1)) AS day
+        FROM p WHERE tn IS NOT NULL)
+    SELECT user_id, day,
+           CAST(v * (tn - day * 86400000000)
+                + vn * (day * 86400000000 - t) AS BIGINT) AS num,
+           CAST(tn - t AS BIGINT) AS den
+    FROM g
 """
 
 ORACLE_SQL["value_mad"] = """

@@ -4810,3 +4810,77 @@ def test_feature_hash_reference(ray_session):
 
     for nfiles in (1, 5):
         assert run(nfiles) == want, f"layout {nfiles}"
+
+
+def test_grid_interpolate_reference(ray_session):
+    """grid_interpolate == a scalar surrounding-pair reference across
+    layouts; an observation exactly on a grid instant yields that
+    value exactly; a multi-day gap emits one row per midnight from a
+    single pair; single-observation keys emit nothing; duplicate
+    (key, t) raises; a hot key across 40 blocks exercises the seam
+    pairs."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray
+
+    from soupflow.data.windows import grid_interpolate
+
+    DAY = 86_400_000_000
+
+    def ref(df):
+        out = {}
+        for uid, g in df.sort_values(["k", "t"]).groupby("k"):
+            t = g.t.to_numpy()
+            v = g.v.to_numpy()
+            for i in range(len(t) - 1):
+                d0 = -(-t[i] // DAY)
+                d1 = -(-t[i + 1] // DAY)
+                for d in range(d0, d1):
+                    gg = d * DAY
+                    out[(int(uid), int(d))] = (
+                        int(v[i]) * int(t[i + 1] - gg)
+                        + int(v[i + 1]) * int(gg - t[i]),
+                        int(t[i + 1] - t[i]))
+        return out
+
+    rng = np.random.default_rng(127)
+    n = 2500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype("int64"),
+        "t": rng.integers(1, 30 * DAY, n).astype("int64"),
+        "v": rng.integers(-10**5, 10**5, n).astype("int64")})
+    df = df.drop_duplicates(["k", "t"])
+    extra = pd.DataFrame({
+        "k": [500, 500, 501, 501, 501, 502] + [503] * 2000,
+        "t": [3 * DAY, 4 * DAY + 7,          # obs ON a midnight
+              10 * DAY + 5, 20 * DAY + 9, 20 * DAY + 10,  # big gap
+              8 * DAY + 1]                   # single obs: no rows
+        + sorted(rng.choice(
+            np.arange(1, 29 * DAY, 7919), 2000,
+            replace=False).tolist()),        # hot key, many blocks
+        "v": [100, 200, 7, 7, 9, 5] + [11] * 2000})
+    extra = extra.astype({"k": "int64", "t": "int64", "v": "int64"})
+    df = pd.concat([df, extra], ignore_index=True)
+    want = ref(df)
+    # obs exactly on midnight: day 3 value = exactly v_prev = 100
+    num, den = want[(500, 3)]
+    assert num == 100 * den
+    assert not any(k == 502 for k, _ in want)
+    for nparts in (1, 7, 40):
+        out = grid_interpolate(
+            ray.data.from_pandas(
+                df.sample(frac=1.0, random_state=23)),
+            key_col="k", t_col="t", val_col="v",
+            num_partitions=nparts).to_pandas()
+        got = {(int(r.k), int(r.day)): (int(r.num), int(r.den))
+               for r in out.itertuples()}
+        assert got == want, f"layout {nparts}"
+
+    dup = pd.concat([df, pd.DataFrame(
+        {"k": [500], "t": [3 * DAY], "v": [999]})],
+        ignore_index=True)
+    with pytest.raises(Exception, match="unique"):
+        grid_interpolate(ray.data.from_pandas(dup), key_col="k",
+                         t_col="t", val_col="v",
+                         num_partitions=4).to_pandas()
