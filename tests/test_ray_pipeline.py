@@ -4884,3 +4884,50 @@ def test_grid_interpolate_reference(ray_session):
         grid_interpolate(ray.data.from_pandas(dup), key_col="k",
                          t_col="t", val_col="v",
                          num_partitions=4).to_pandas()
+
+
+def test_scan_family_cross_consistency(ray_session):
+    """Cross-family identities on shared random data: with
+    all-nonnegative deltas the clamp scan degenerates to the plain
+    cumsum (zero clips, final == total, peak == running max of the
+    cumsum), and record_high_scan's max_val equals the plain
+    per-key maximum — ties the four scan-carry operators to each
+    other, not just to their own references."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from soupflow.data.windows import (floored_running_balance,
+                                       record_high_scan,
+                                       windowed_cumsum)
+
+    rng = np.random.default_rng(131)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, n).astype("int64"),
+        "o": np.arange(n, dtype="int64"),
+        "d": rng.integers(0, 500, n).astype("int64")})  # all ≥ 0
+    ds = ray.data.from_pandas(df)
+
+    bal = floored_running_balance(
+        ds, key_col="k", order_cols=["o"], val_col="d",
+        num_partitions=9).to_pandas()
+    assert (bal.clip_n == 0).all()
+    totals = df.groupby("k").d.sum()
+    got_final = dict(zip(bal.k, bal.final_bal))
+    assert got_final == {int(k): int(v) for k, v in totals.items()}
+
+    run = windowed_cumsum(ds, key_col="k", order_cols=["o"],
+                          val_col="d", out_col="r",
+                          num_partitions=9).to_pandas()
+    peak_ref = run.groupby("k").r.max()
+    got_peak = dict(zip(bal.k, bal.peak_bal))
+    assert got_peak == {int(k): int(v) for k, v in
+                        peak_ref.items()}
+
+    rec = record_high_scan(ds, key_col="k", order_cols=["o"],
+                           val_col="d",
+                           num_partitions=9).to_pandas()
+    vmax = df.groupby("k").d.max()
+    got_max = dict(zip(rec.k, rec.max_val))
+    assert got_max == {int(k): int(v) for k, v in vmax.items()}
